@@ -1,0 +1,58 @@
+"""SparkSession builder with the engine's required configuration.
+
+Scale notes (100 TB design point): AQE is on so shuffle partition counts,
+skew-join splitting and broadcast decisions re-plan at runtime from real
+statistics; nested-schema pruning is on because the CAP alert schema is a
+wide nested struct and feature building reads ~20 leaf fields (SURVEY.md
+§4.2); session TZ is pinned UTC so event-time semantics are cluster-invariant
+(and DuckDB-oracle comparable).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "etl_capnz_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs; on a
+    real cluster the caller passes nothing and spark-submit supplies the
+    master. ``shuffle_partitions`` defaults to the local core count — AQE
+    coalesces downward at runtime, so oversizing is cheap and undersizing
+    (the default 200 on a tiny box, or 200 on a 1000-executor cluster) is
+    the real hazard.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver-generated parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

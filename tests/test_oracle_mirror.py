@@ -1,0 +1,82 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+For every entry in ``__spark_entry__.queries()`` with an ``oracle_sql()``
+counterpart: run both at the test scale factor, sort columns by name and
+rows by value, and require (near-)exact equality. Floats compare with a
+1e-9 relative tolerance; everything else exact.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _norm_cell(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if hasattr(v, "asDict"):  # Spark Row (struct)
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):  # DuckDB struct
+        return tuple(_norm_cell(x) for x in v.values())
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return a is b
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def _sort_key(row):
+    return tuple(
+        (v is None, str(type(v)), str(v)) for v in row
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    qdf = QUERIES[name](spark, sf_dir)
+    cols = sorted(qdf.columns)
+    spark_rows = [
+        tuple(_norm_cell(r[c]) for c in cols) for r in qdf.collect()
+    ]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    assert sorted(duck_cols) == cols, (
+        f"{name}: column mismatch spark={cols} duck={sorted(duck_cols)}"
+    )
+    idx = [duck_cols.index(c) for c in cols]
+    duck_rows = [
+        tuple(_norm_cell(row[i]) for i in idx) for row in res.fetchall()
+    ]
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    spark_rows.sort(key=_sort_key)
+    duck_rows.sort(key=_sort_key)
+    bad = 0
+    for s, d in zip(spark_rows, duck_rows):
+        if not _cells_equal(s, d):
+            bad += 1
+            if bad <= 5:
+                print(f"{name} MISMATCH\n  spark={s!r}\n  duck ={d!r}")
+    assert bad == 0, f"{name}: {bad} mismatching rows of {len(spark_rows)}"
