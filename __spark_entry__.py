@@ -29,7 +29,13 @@ from etl_capnz_spark.harness import derive
 from etl_capnz_spark.harness.derive import NOW, cap_alerts
 from etl_capnz_spark.harness import oracles
 from etl_capnz_spark.operators.extract import active_filter, required_filter
-from etl_capnz_spark.operators.features import build_features
+from etl_capnz_spark.operators.features import FEATURE_COLUMNS, build_features
+from etl_capnz_spark.operators.geometry import (
+    centroid,
+    centroid_window,
+    parse_circle,
+    parse_polygon,
+)
 
 _DUCK = "WITH " + derive.DUCK_CAP_CTE
 
@@ -162,6 +168,84 @@ def _q_callsign_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- geometry (G1-G5) and fan-out (F1-F3) ---------------------------------
+
+
+def _parsed_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cap_alerts(spark, sf_dir).filter(F.size("polygons") > 0)
+    ex = df.select("k", F.posexplode("polygons").alias("poly_idx", "poly_str"))
+    return ex.withColumn("ring", parse_polygon(F.col("poly_str"))).filter(
+        F.col("ring").isNotNull()
+    )
+
+
+def _q_polygon_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _parsed_polygons(spark, sf_dir).select(
+        "k", "poly_idx", F.posexplode("ring").alias("pt_idx", "pt")
+    )
+    return pts.select(
+        "k",
+        "poly_idx",
+        "pt_idx",
+        F.col("pt")[0].alias("lon"),
+        F.col("pt")[1].alias("lat"),
+    )
+
+
+def _q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed_polygons(spark, sf_dir)
+    c = centroid(F.col("ring"))
+    return parsed.select(
+        "k", "poly_idx", c["lon"].alias("c_lon"), c["lat"].alias("c_lat")
+    )
+
+
+def _q_centroid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _parsed_polygons(spark, sf_dir).withColumn(
+        "pid",
+        F.concat_ws("-", F.col("k").cast("string"), F.col("poly_idx").cast("string")),
+    )
+    return centroid_window(parsed.select("pid", "ring"), "pid", "ring")
+
+
+def _q_circle_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cap_alerts(spark, sf_dir).filter(F.col("circle") != "")
+    c = parse_circle(F.col("circle"))
+    return df.select(
+        "k",
+        c["lon"].alias("c_lon"),
+        c["lat"].alias("c_lat"),
+        c["radius"].alias("radius"),
+    )
+
+
+def _q_geometry_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 point-branch decision over all alerts (incl. polygon poisoning)."""
+    df = cap_alerts(spark, sf_dir).withColumn(
+        "_first_bad",
+        F.array_position(
+            F.transform(F.col("polygons"), lambda s: parse_polygon(s).isNull()),
+            True,
+        ),
+    )
+    pts = df.filter(
+        (F.size("polygons") == 0) | (F.col("_first_bad") > 0)
+    ).withColumn("_circle", parse_circle(F.nullif(F.col("circle"), F.lit(""))))
+    use_circle = (F.size("polygons") == 0) & F.col("_circle").isNotNull()
+    return pts.select(
+        "k",
+        F.when(use_circle, F.col("_circle")["lon"]).otherwise(F.lit(174.0)).alias("lon"),
+        F.when(use_circle, F.col("_circle")["lat"]).otherwise(F.lit(-41.0)).alias("lat"),
+    )
+
+
+def _q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full F1-F3 fan-out on active alerts (minus the nested ring,
+    which is covered value-exactly by cap_polygon_points)."""
+    cols = [c for c in FEATURE_COLUMNS if c != "ring"]
+    return build_features(_active(spark, sf_dir)).select(*cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cap_active_alerts": _q_active_alerts,
@@ -174,6 +258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_nz_local": _q_nz_local,
         "cap_remarks": _q_remarks,
         "cap_callsign_links": _q_callsign_links,
+        "cap_polygon_points": _q_polygon_points,
+        "cap_polygon_centroid": _q_polygon_centroid,
+        "cap_centroid_window": _q_centroid_window,
+        "cap_circle_parse": _q_circle_parse,
+        "cap_geometry_fallback": _q_geometry_fallback,
+        "cap_features": _q_features,
     }
 
 
@@ -211,6 +301,84 @@ def _sig_fields_sql() -> str:
   FROM (SELECT k, {oracles.SIG_DECODED} AS sig_decoded FROM cap
         WHERE x509_certificate IS NOT NULL)
 """
+
+
+def _features_oracle(remarks_lines: str) -> str:
+    """Ground-truth oracle for the full feature fan-out (F1-F3 + C4-C9).
+
+    Built as: active alerts + per-alert computed props (base) → three arms
+    (polygon features / centroid features / point-branch features) matching
+    build_features' union, with geometry stated from the generating
+    integers.
+    """
+    return f"""{_DUCK},
+    act AS (SELECT * FROM cap WHERE {_ACTIVE_WHERE}),
+    sig AS ({_sig_fields_sql()}),
+    base AS (
+      SELECT a.*,
+        CASE WHEN a.headline = '' THEN 'CAP Alert' ELSE a.headline END AS callsign_v,
+        strftime(a.sent_ts, '{_ISO_FMT_DUCK}') AS time_v,
+        strftime(coalesce(a.onset_ts, a.sent_ts), '{_ISO_FMT_DUCK}') AS start_v,
+        strftime(a.expires_ts, '{_ISO_FMT_DUCK}') AS stale_v,
+        {oracles.event_icon_sql()} AS icon_v,
+        {oracles.color_code_sql()} AS color,
+        concat_ws(chr(10), {remarks_lines}) AS remarks_v
+      FROM (SELECT act.*, s.sig_subject, s.sig_issuer, s.sig_valid_until,
+                   s.sig_fingerprint,
+                   (act.x509_certificate IS NOT NULL) AS has_sig
+            FROM act LEFT JOIN sig s ON act.k = s.k) a
+    ),
+    polys AS (
+      SELECT k, CASE WHEN g IN (0, 1) THEN identifier
+                     ELSE identifier || '-0' END AS fid,
+             (lon0 + 0.5)::DOUBLE AS c_lon, (lat0 + 0.5)::DOUBLE AS c_lat
+      FROM base WHERE g IN (0, 1, 2, 3)
+      UNION ALL
+      SELECT k, identifier || '-1', (3*lon0 + 2)/3.0, (3*lat0 + 2)/3.0
+      FROM base WHERE g = 2
+    ),
+    pts AS (
+      SELECT k, identifier AS fid, 174.0::DOUBLE AS plon, (-41.0)::DOUBLE AS plat
+      FROM base WHERE g IN (3, 5, 6)
+      UNION ALL
+      SELECT k, identifier, lon0::DOUBLE, lat0::DOUBLE FROM base WHERE g = 4
+    )
+    SELECT p.fid AS feature_id, 'Polygon' AS geom_type,
+      NULL::DOUBLE AS lon, NULL::DOUBLE AS lat,
+      b.callsign_v AS callsign, 'a-f-X-i' AS cot_type,
+      b.time_v AS time_iso, b.start_v AS start_iso, b.stale_v AS stale_iso,
+      NULL::VARCHAR AS icon, b.remarks_v AS remarks,
+      CASE WHEN b.web <> '' THEN p.fid END AS link_uid,
+      nullif(b.web, '') AS link_url,
+      b.color AS stroke,
+      CASE WHEN b.color IS NOT NULL THEN 0.5::DOUBLE END AS stroke_opacity,
+      CASE WHEN b.color IS NOT NULL THEN 3 END AS stroke_width,
+      CASE WHEN b.color IS NOT NULL THEN 'solid' END AS stroke_style,
+      b.color AS fill,
+      CASE WHEN b.color IS NOT NULL THEN 0.4::DOUBLE END AS fill_opacity,
+      false AS is_center, false AS archived
+    FROM polys p JOIN base b ON p.k = b.k
+    UNION ALL
+    SELECT p.fid || '-center', 'Point', p.c_lon, p.c_lat,
+      b.callsign_v, 'a-f-X-i', b.time_v, b.start_v, b.stale_v,
+      b.icon_v, b.remarks_v,
+      CASE WHEN b.web <> '' THEN p.fid || '-center' END, nullif(b.web, ''),
+      NULL::VARCHAR, NULL::DOUBLE, NULL::INTEGER, NULL::VARCHAR,
+      NULL::VARCHAR, NULL::DOUBLE, true, false
+    FROM polys p JOIN base b ON p.k = b.k
+    UNION ALL
+    SELECT t.fid, 'Point', t.plon, t.plat,
+      b.callsign_v, 'a-f-X-i', b.time_v, b.start_v, b.stale_v,
+      b.icon_v, b.remarks_v,
+      CASE WHEN b.web <> '' THEN t.fid END, nullif(b.web, ''),
+      b.color,
+      CASE WHEN b.color IS NOT NULL THEN 0.5019607843137255::DOUBLE END,
+      CASE WHEN b.color IS NOT NULL THEN 3 END,
+      CASE WHEN b.color IS NOT NULL THEN 'solid' END,
+      b.color,
+      CASE WHEN b.color IS NOT NULL THEN 0.5019607843137255::DOUBLE END,
+      false, false
+    FROM pts t JOIN base b ON t.k = b.k"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -279,4 +447,76 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN web <> '' THEN 'text/html' END AS link_mime,
               false AS archived
             FROM cap""",
+        # Ground-truth oracles for geometry: the derivation controls the
+        # polygon strings (square, open; triangle, open; poisoned), so the
+        # oracle states the expected parse/centroid results directly from
+        # the generating integers — an independent check on the parser.
+        "cap_polygon_points": f"""{_DUCK}
+            SELECT k, 0 AS poly_idx, pt_idx,
+                   (lon0 + dlon)::DOUBLE AS lon, (lat0 + dlat)::DOUBLE AS lat
+            FROM cap, (VALUES (0,0,0),(1,0,1),(2,1,1),(3,1,0),(4,0,0))
+                 sq(pt_idx, dlon, dlat)
+            WHERE g IN (0, 1, 2, 3)
+            UNION ALL
+            SELECT k, 1, pt_idx, (lon0 + dlon)::DOUBLE, (lat0 + dlat)::DOUBLE
+            FROM cap, (VALUES (0,0,0),(1,0,2),(2,2,0),(3,0,0))
+                 tri(pt_idx, dlon, dlat)
+            WHERE g = 2""",
+        "cap_polygon_centroid": f"""{_DUCK}
+            SELECT k, 0 AS poly_idx, (lon0 + 0.5)::DOUBLE AS c_lon,
+                   (lat0 + 0.5)::DOUBLE AS c_lat
+            FROM cap WHERE g IN (0, 1, 2, 3)
+            UNION ALL
+            SELECT k, 1, (3*lon0 + 2)/3.0, (3*lat0 + 2)/3.0
+            FROM cap WHERE g = 2""",
+        # Faithful window-function oracle (SURVEY.md §2.9): shoelace via
+        # lead() over unnested ground-truth points, grouped per polygon.
+        "cap_centroid_window": f"""{_DUCK},
+            pts AS (
+              SELECT concat(k, '-0') AS pid, pt_idx,
+                     (lon0 + dlon)::DOUBLE AS x, (lat0 + dlat)::DOUBLE AS y
+              FROM cap, (VALUES (0,0,0),(1,0,1),(2,1,1),(3,1,0),(4,0,0))
+                   sq(pt_idx, dlon, dlat)
+              WHERE g IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT concat(k, '-1'), pt_idx, (lon0 + dlon)::DOUBLE,
+                     (lat0 + dlat)::DOUBLE
+              FROM cap, (VALUES (0,0,0),(1,0,2),(2,2,0),(3,0,0))
+                   tri(pt_idx, dlon, dlat)
+              WHERE g = 2
+            ),
+            seg AS (
+              SELECT pid, x AS x0, y AS y0,
+                     lead(x) OVER (PARTITION BY pid ORDER BY pt_idx) AS x1,
+                     lead(y) OVER (PARTITION BY pid ORDER BY pt_idx) AS y1
+              FROM pts
+            ),
+            agg AS (
+              SELECT pid,
+                     sum(x0*y1 - x1*y0) AS a2,
+                     sum((x0+x1)*(x0*y1 - x1*y0)) AS cxs,
+                     sum((y0+y1)*(x0*y1 - x1*y0)) AS cys,
+                     avg(x0) AS mx, avg(y0) AS my, count(*) AS n
+              FROM seg GROUP BY pid
+            )
+            SELECT pid,
+              CASE WHEN n < 3 THEN 0.0::DOUBLE
+                   WHEN abs(a2*0.5) < 1e-10 THEN mx
+                   ELSE cxs/(6.0*(a2*0.5)) END AS c_lon,
+              CASE WHEN n < 3 THEN 0.0::DOUBLE
+                   WHEN abs(a2*0.5) < 1e-10 THEN my
+                   ELSE cys/(6.0*(a2*0.5)) END AS c_lat
+            FROM agg""",
+        "cap_circle_parse": f"""{_DUCK}
+            SELECT k,
+              CASE WHEN g = 4 THEN lon0::DOUBLE END AS c_lon,
+              CASE WHEN g = 4 THEN lat0::DOUBLE END AS c_lat,
+              CASE WHEN g = 4 THEN 25.5::DOUBLE END AS radius
+            FROM cap WHERE g IN (4, 5)""",
+        "cap_geometry_fallback": f"""{_DUCK}
+            SELECT k,
+              CASE WHEN g = 4 THEN lon0::DOUBLE ELSE 174.0::DOUBLE END AS lon,
+              CASE WHEN g = 4 THEN lat0::DOUBLE ELSE (-41.0)::DOUBLE END AS lat
+            FROM cap WHERE g IN (3, 4, 5, 6)""",
+        "cap_features": _features_oracle(remarks_lines),
     }

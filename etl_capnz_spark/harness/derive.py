@@ -63,7 +63,7 @@ SPARK_CAP_SQL = f"""
 WITH src AS (
   SELECT o_orderkey AS k, o_orderdate,
          (o_orderkey % 60) - 45 AS lat0,
-         (o_orderkey % 30) + 150 AS lon0
+         (o_orderkey % 29) + 150 AS lon0
   FROM {{orders}}
 ),
 geo AS (
@@ -100,6 +100,7 @@ certs AS (
 )
 SELECT
   k,
+  lat0, lon0, g,
   CASE WHEN k % 37 = 0 THEN '' ELSE concat('CAP-', cast(k AS string)) END AS identifier,
   CASE WHEN k % 41 = 0 THEN '' ELSE 'metservice.cap.nz' END AS sender,
   o_orderdate AS sent_ts,
@@ -156,7 +157,7 @@ DUCK_CAP_CTE = f"""
 src AS (
   SELECT o_orderkey AS k, o_orderdate,
          (o_orderkey % 60) - 45 AS lat0,
-         (o_orderkey % 30) + 150 AS lon0
+         (o_orderkey % 29) + 150 AS lon0
   FROM orders
 ),
 geo AS (
@@ -185,6 +186,7 @@ certs AS (
 cap AS (
 SELECT
   k,
+  lat0, lon0, g,
   CASE WHEN k % 37 = 0 THEN '' ELSE concat('CAP-', k) END AS identifier,
   CASE WHEN k % 41 = 0 THEN '' ELSE 'metservice.cap.nz' END AS sender,
   o_orderdate AS sent_ts,
