@@ -12,6 +12,7 @@ arithmetic only, value-identical in both dialects by construction.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,32 @@ from etl_capnz_spark.functions.timestamps import iso_utc, nz_local, start_ts
 from etl_capnz_spark.harness import derive
 from etl_capnz_spark.harness.derive import NOW, cap_alerts
 from etl_capnz_spark.harness import oracles
-from etl_capnz_spark.operators.extract import active_filter, required_filter
+from etl_capnz_spark.operators.extract import (
+    active_filter,
+    extract_feed_links,
+    required_filter,
+)
+from etl_capnz_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from etl_capnz_spark.operators.multimodal import (
+    extract_features,
+    payload_stats,
+    synthesize_media,
+)
+from etl_capnz_spark.operators.sessions import sessionize
+from etl_capnz_spark.operators.similarity import cosine_topk_brute, ivf_topk
+from etl_capnz_spark.operators.text import (
+    detect_language,
+    fingerprint,
+    quality_metrics,
+    token_frequencies,
+)
+from etl_capnz_spark.session import read_table
 from etl_capnz_spark.operators.features import FEATURE_COLUMNS, build_features
 from etl_capnz_spark.operators.geometry import (
     centroid,
@@ -246,6 +272,278 @@ def _q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_features(_active(spark, sf_dir)).select(*cols)
 
 
+# --- feed link extraction (T1-T4) -----------------------------------------
+
+_FEED_DOMAIN = "https://feeds.example.nz"
+
+
+def _q_feed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2+T3+T4 over a feed body synthesized per customer row: one RSS CAP
+    link, one non-CAP RSS link (dropped), one Atom link, and a duplicate of
+    the CAP link (dedup)."""
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    ck = F.col("c_custkey").cast("string")
+    body = F.concat(
+        F.lit(f"<item><link>{_FEED_DOMAIN}/cap/"), ck, F.lit(".xml</link></item>"),
+        F.lit(f"<link>{_FEED_DOMAIN}/news/"), ck, F.lit("</link>"),
+        F.lit(f'<entry><link rel="alternate" href="{_FEED_DOMAIN}/atom/alert-'),
+        ck, F.lit('"/></entry>'),
+        F.lit(f"<item><link>{_FEED_DOMAIN}/cap/"), ck, F.lit(".xml</link></item>"),
+    )
+    return extract_feed_links(customer.select(body.alias("body")))
+
+
+# --- relational breadth (SURVEY.md §2.7-2.9: absent in reference, required
+# of the engine) -----------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join aggregation; dimensions broadcast explicitly (they are
+    5/25 rows at any scale factor — never shuffle them)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def _q_tpch_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def _q_tpch_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def _q_tpch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _q_tpch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    early = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(early)
+
+
+def _q_tpch_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    early = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.exceptAll(early.distinct())
+
+
+# --- event-time windows (SURVEY.md §2.10) ---------------------------------
+
+
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
+    )
+
+
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def _q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30)
+
+
+# --- training-data-pipeline extensions (SURVEY.md §2.12) ------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted near-duplicates: every doc_id % 10 == 0 gains a
+    copy (id + 100000) with two extra tail tokens — exercised by exact and
+    fuzzy dedup. Mirrored 1:1 in the oracles' ``aug`` CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing extra tokens")).alias("text"),
+        "lang",
+    )
+    exact = docs.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    return docs.unionByName(dups).unionByName(exact)
+
+
+_DUCK_AUG = """
+    WITH aug AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' trailing extra tokens', lang
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 20 = 5
+    )
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs_with_dups(spark, sf_dir), "text", "doc_id").select(
+        "doc_id"
+    )
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    return lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs bucketed by the planted
+    original/duplicate relationship (bucket = doc_id % 100000 % 200000 —
+    i.e. the original id), so each original meets its planted variants."""
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "orig_id", F.col("doc_id") % 100000 % 200000
+    )
+    return ngram_jaccard_pairs(docs, "text", "doc_id", "orig_id", 0.5)
+
+
+def _q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_metrics(docs, "text").drop("text")
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language(F.col("text")).alias("lang_guess")
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequencies(_t(spark, sf_dir, "documents"), "text", top_n=50)
+
+
+def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_brute(emb, qs, "vec_id", "embedding", k=5)
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN — approximate by design, so rows-only checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, qs, "vec_id", "embedding", "label", k=5, n_probe=2)
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return payload_stats(media).select(
+        "media_id", "mime", "n_bytes", "is_png", "is_jpeg", "is_riff"
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing (stubbed kernel) — rows-only checked."""
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "mime", "n_bytes", F.round(F.try_element_at(F.col("feature"), F.lit(1)), 6).alias("f0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cap_active_alerts": _q_active_alerts,
@@ -264,6 +562,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_circle_parse": _q_circle_parse,
         "cap_geometry_fallback": _q_geometry_fallback,
         "cap_features": _q_features,
+        "feed_links": _q_feed_links,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_region_revenue": _q_tpch_region_revenue,
+        "tpch_semi": _q_tpch_semi,
+        "tpch_anti": _q_tpch_anti,
+        "tpch_topk": _q_tpch_topk,
+        "tpch_rollup": _q_tpch_rollup,
+        "tpch_intersect": _q_tpch_intersect,
+        "tpch_except": _q_tpch_except,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_session": _q_events_session,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "text_simhash": _q_text_simhash,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_topk": _q_token_topk,
+        "knn_brute": _q_knn_brute,
+        "knn_ivf": _q_knn_ivf,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -519,4 +841,184 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN g = 4 THEN lat0::DOUBLE ELSE (-41.0)::DOUBLE END AS lat
             FROM cap WHERE g IN (3, 4, 5, 6)""",
         "cap_features": _features_oracle(remarks_lines),
+        "feed_links": f"""
+            SELECT concat('{_FEED_DOMAIN}/cap/', c_custkey, '.xml') AS link
+            FROM customer
+            UNION
+            SELECT concat('{_FEED_DOMAIN}/atom/alert-', c_custkey) FROM customer""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "tpch_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name""",
+        "tpch_semi": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
+        "tpch_anti": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 200000.0)""",
+        "tpch_topk": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3""",
+        "tpch_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "tpch_intersect": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""",
+        "tpch_except": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT ALL
+            (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""",
+        "events_tumbling": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+                   count(*) AS n, round(sum("value"), 2) AS total
+            FROM events GROUP BY 1, 2""",
+        "events_sliding": """
+            WITH starts AS (
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
+                     event_type, ts FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                     event_type, ts FROM events
+            )
+            SELECT win_start, event_type, count(*) AS n
+            FROM starts
+            WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+            GROUP BY 1, 2""",
+        "dedup_exact": f"""{_DUCK_AUG}
+            SELECT min(doc_id) AS doc_id FROM aug GROUP BY text""",
+        "dedup_minhash": f"""{_DUCK_AUG},
+            {oracles.minhash_bands_sql('aug', 'doc_id')}
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.id < b.id""",
+        "dedup_jaccard": f"""{_DUCK_AUG},
+            base AS (
+              SELECT doc_id AS id, doc_id % 100000 % 200000 AS bucket,
+                     list_distinct({oracles.shingles_sql('text')}) AS sh
+              FROM aug
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                         THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                         ELSE 0.0 END, 6) AS jaccard
+            FROM base a JOIN base b USING (bucket)
+            WHERE a.id < b.id
+              AND round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                    THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+                    ELSE 0.0 END, 6) >= 0.5""",
+        "text_simhash": f"""
+            SELECT doc_id, {oracles.simhash_sql('text')} AS simhash
+            FROM documents""",
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS n_tokens,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(list_reduce(list_prepend(0::BIGINT,
+                           list_transform(list_filter(
+                             string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> t <> ''), t -> length(t)::BIGINT)),
+                           (a, b) -> a + b)::DOUBLE
+                         / greatest(len(list_filter(
+                             string_split_regex(lower(trim(text)), '\\s+'),
+                             t -> t <> '')), 1), 6) AS mean_token_len
+            FROM documents""",
+        "text_langid": f"""
+            SELECT doc_id, {oracles.langid_sql('text')} AS lang_guess
+            FROM documents""",
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+            FROM documents""",
+        "token_topk": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "knn_brute": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     round({oracles.dot_sql('qv', 'cv')}
+                           / ({oracles.norm_sql('qv')} * {oracles.norm_sql('cv')}),
+                           6) AS sim
+              FROM c, q WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "media_stats": """
+            SELECT doc_id AS media_id,
+                   (['image/png', 'image/jpeg', 'audio/wav'])[(doc_id % 3) + 1]
+                     AS mime,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   starts_with(upper(hex(encode(text))), '89504E47') AS is_png,
+                   starts_with(upper(hex(encode(text))), 'FFD8FF') AS is_jpeg,
+                   starts_with(upper(hex(encode(text))), '52494646') AS is_riff
+            FROM documents""",
+        "events_session": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                            > 1800000000
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            numbered AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   (epoch_ms(max(ts)) - epoch_ms(min(ts))) AS duration_ms
+            FROM numbered GROUP BY user_id, session_seq""",
     }

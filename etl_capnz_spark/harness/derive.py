@@ -238,7 +238,18 @@ FROM certs
 
 
 def cap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Materialize the derived CAP alert DataFrame for one scale factor."""
+    """Materialize the derived CAP alert DataFrame for one scale factor.
+
+    The driver's parquet files are single-file/single-row-group, so a scan
+    yields ONE input split regardless of core count; everything downstream
+    (polygon parse, centroid, remarks) is CPU-heavy per row. Repartitioning
+    the tiny (k, o_orderdate) projection first costs one shuffle of ~16
+    bytes/row and buys full-cluster parallelism — the same move a real
+    pipeline makes before fanning out per-alert work (SURVEY.md §2.1 S2).
+    """
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = orders.select("o_orderkey", "o_orderdate").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     orders.createOrReplaceTempView("cap_orders_src")
     return spark.sql(SPARK_CAP_SQL.format(orders="cap_orders_src"))

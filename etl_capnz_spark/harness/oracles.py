@@ -102,3 +102,94 @@ SIG_CLEAN = (
 )
 SIG_DECODED = f"decode(from_base64({SIG_CLEAN}))"
 ASN1_DATE_RE_SQL = r"(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})Z"
+
+
+# --- extension-operator fragments (dedup / text / similarity) --------------
+
+TOKENS_SQL = "string_split_regex(lower(trim({col})), '\\s+')"
+
+
+def hash32_sql(expr: str) -> str:
+    """First 32 md5 bits as BIGINT — mirrors dedup._hash32."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def shingles_sql(col: str) -> str:
+    """2-word shingles — mirrors dedup.word_shingles(n=2)."""
+    toks = TOKENS_SQL.format(col=col)
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 1, 0)), "
+        f"i -> ({toks})[i] || ' ' || ({toks})[i + 1])"
+    )
+
+
+def minhash_sql(col: str, seed: int) -> str:
+    h = hash32_sql(f"concat('{seed}:', s)")
+    return f"list_aggregate(list_transform({shingles_sql(col)}, s -> {h}), 'min')"
+
+
+def minhash_bands_sql(
+    source: str, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> str:
+    """CTE text: sigs (id + mh0..mhN) and banded (id, band_key) — mirrors
+    dedup.minhash_signatures + the banding in lsh_candidates."""
+    mh = ", ".join(
+        f"{minhash_sql('text', s)} AS mh{s}" for s in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    arms = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || ':' || ".join(f"{c}::VARCHAR" for c in cols)
+        arms.append(
+            f"SELECT {id_col} AS id, '{b}:' || {key} AS band_key FROM sigs"
+        )
+    banded = " UNION ALL ".join(arms)
+    return f"sigs AS (SELECT {id_col}, {mh} FROM {source}), banded AS ({banded})"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product — mirrors similarity._dot exactly (0.0 seed +
+    left-to-right accumulation → bit-identical doubles)."""
+    prods = f"list_transform(generate_series(1, len({a})), i -> ({a})[i] * ({b})[i])"
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {prods}), (x, y) -> x + y)"
+
+
+def norm_sql(a: str) -> str:
+    sq = f"list_transform({a}, x -> x * x)"
+    return f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, {sq}), (x, y) -> x + y))"
+
+
+def langid_sql(col: str) -> str:
+    """Mirrors text.detect_language: earliest language attaining the max
+    stopword-hit count; 'und' when all-zero."""
+    from etl_capnz_spark.operators.text import LANG_STOPWORDS
+
+    toks = TOKENS_SQL.format(col=col)
+    counts = {}
+    for lang in sorted(LANG_STOPWORDS):
+        stop = ", ".join(_sq(w) for w in LANG_STOPWORDS[lang])
+        counts[lang] = (
+            f"len(list_filter({toks}, t -> list_contains([{stop}], t)))"
+        )
+    greatest = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {counts[lang]} = {greatest} THEN '{lang}'"
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def simhash_sql(col: str) -> str:
+    """Mirrors dedup.simhash16 (16-bit majority vote over token hashes)."""
+    toks = TOKENS_SQL.format(col=col)
+    bits = []
+    for j in range(16):
+        h = hash32_sql("t")
+        contrib = (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform({toks}, "
+            f"t -> CASE WHEN ({h} & {1 << j}) > 0 THEN 1::BIGINT "
+            f"ELSE (-1)::BIGINT END)), (a, b) -> a + b)"
+        )
+        bits.append(f"CASE WHEN {contrib} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")::BIGINT"

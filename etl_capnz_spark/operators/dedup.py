@@ -1,0 +1,178 @@
+"""Deduplication operators (north-star extension, SURVEY.md §2.12).
+
+All hashing uses ``md5`` (identical output in Spark and DuckDB, so every
+stage is oracle-checkable) — at production scale you would swap in
+``xxhash64`` for speed; the structure is unchanged.
+
+Scale design:
+
+* exact_dedup — hash-groupBy on a 128-bit content hash: one shuffle of
+  (hash, id), no text movement if ``payload_cols`` are pruned. The
+  window-function form keeps the FIRST row per group deterministically
+  (min id), which survives at any scale because the partition key is the
+  hash itself.
+* MinHash LSH — per-row signature computation is embarrassingly parallel
+  (no shuffle); candidate generation shuffles only (band_key → id), i.e.
+  O(bands × rows) small tuples, never the documents. The band join is a
+  self-equi-join on band_key, which AQE turns into a skew-aware shuffle
+  join if one bucket is hot (all-identical corpora).
+* simhash — 16-bit signature via per-bit majority vote over token hashes;
+  near-dup candidates are rows whose signatures differ in ≤ k bits
+  (checked with bit_count(xor)); grouping by signature prefix buckets the
+  comparison space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def content_hash(col: Column) -> Column:
+    """128-bit content hash of a string column (md5 hex)."""
+    return F.md5(col)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row per distinct ``text_col`` — the min ``id_col``.
+
+    Equivalent to ``row_number() over (partition by md5(text) order by id)
+    = 1`` — deterministic, unlike ``dropDuplicates`` which keeps an
+    arbitrary row.
+    """
+    w = Window.partitionBy(content_hash(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(col: Column, n: int = 2) -> Column:
+    """n-word shingles of a text column as an array<string>."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a bigint (dialect-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _seeded_hash(prefix: str):
+    # NB: a plain `lambda s, seed=seed:` would have arity 2 and PySpark
+    # would bind the second parameter to the ELEMENT INDEX — capture via
+    # closure factory instead.
+    return lambda s: _hash32(F.concat(F.lit(prefix), s))
+
+
+def minhash_signature(col: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature: min over shingles of seeded 32-bit hashes."""
+    shingles = word_shingles(col)
+    sig = []
+    for seed in range(num_hashes):
+        hashed = F.transform(shingles, _seeded_hash(f"{seed}:"))
+        sig.append(F.array_min(hashed).alias(f"mh{seed}"))
+    return sig
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    return df.select(id_col, *minhash_signature(F.col(text_col), num_hashes))
+
+
+def lsh_candidates(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (id_a < id_b).
+
+    Only (band_key, id) tuples shuffle — never documents.
+    """
+    rows_per_band = num_hashes // bands
+    pairs = None
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws(
+            ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
+        ).alias("band_key")
+        banded = sig_df.select(F.col(id_col).alias("id"), key)
+        left = banded.alias("l")
+        right = banded.alias("r")
+        cand = (
+            left.join(right, "band_key")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        )
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_col: str,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-bigram sets for candidate pairs.
+
+    Pairs are generated within ``bucket_col`` groups (at scale: an LSH band
+    key or length bucket), never as a global cross join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bucket"),
+        F.array_distinct(word_shingles(F.col(text_col))).alias("sh"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    union = F.size(F.array_union(F.col("l.sh"), F.col("r.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash16(col: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    bit_j(signature) = 1 iff Σ_tokens (±1 by bit_j of the token hash) > 0.
+    """
+    toks = _tokens(col)
+
+    def bit_merge(mask: int):
+        return lambda acc, t: acc + F.when(
+            _hash32(t).bitwiseAND(F.lit(mask)) > 0, 1
+        ).otherwise(-1)
+
+    bits = []
+    for j in range(16):
+        contrib = F.aggregate(toks, F.lit(0).cast("long"), bit_merge(1 << j))
+        bits.append(F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")

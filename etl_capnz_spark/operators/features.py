@@ -23,11 +23,9 @@ Control-flow semantics reproduced from the reference's per-alert loop
   ``style`` object with both opacities 128/255 = 0.5019607843137255
   (task.ts:799-806); centroid features carry NO style.
 
-Scale notes: the whole build is narrow (filters, per-row expressions,
-posexplode) plus one ``unionByName`` — no join, no shuffle except the
-optional downstream sink aggregation. Explode fan-out is at most 2× per
-polygon; a pathological alert with thousands of polygons is handled by AQE
-coalescing after the explode.
+Scale notes: the whole build is one narrow pass — per-alert enrichment, an
+``array<feature>`` construction, one explode. No join, no shuffle, no
+union; see ``build_features`` for why this beats the 4-way-union shape.
 """
 
 from __future__ import annotations
@@ -121,141 +119,178 @@ def _with_common(df: DataFrame) -> DataFrame:
     )
 
 
-def _base_props(feature_id: Column) -> list[Column]:
-    return [
+_FEATURE_STRUCT = (
+    "struct<feature_id:string,geom_type:string,lon:double,lat:double,"
+    "ring:array<array<double>>,callsign:string,cot_type:string,"
+    "time_iso:string,start_iso:string,stale_iso:string,icon:string,"
+    "remarks:string,link_uid:string,link_url:string,stroke:string,"
+    "stroke_opacity:double,stroke_width:int,stroke_style:string,"
+    "fill:string,fill_opacity:double,is_center:boolean,archived:boolean>"
+)
+
+def _empty_features() -> Column:
+    return F.expr(f"cast(array() as array<{_FEATURE_STRUCT}>)")
+
+
+def _feature(
+    feature_id: Column,
+    geom_type: str,
+    *,
+    lon: Column | None = None,
+    lat: Column | None = None,
+    ring: Column | None = None,
+    icon: Column | None = None,
+    stroke_opacity: float | None = None,
+    fill_opacity: float | None = None,
+    styled: bool = False,
+    is_center: bool = False,
+) -> Column:
+    """One feature struct (schema = _FEATURE_DDL), sharing the per-alert
+    common columns computed by ``_with_common``."""
+    color = F.col("_color")
+    null_s = F.lit(None).cast("string")
+    return F.struct(
         feature_id.alias("feature_id"),
+        F.lit(geom_type).alias("geom_type"),
+        (lon if lon is not None else F.lit(None).cast("double")).alias("lon"),
+        (lat if lat is not None else F.lit(None).cast("double")).alias("lat"),
+        (
+            ring if ring is not None else F.lit(None).cast("array<array<double>>")
+        ).alias("ring"),
         F.col("_callsign").alias("callsign"),
         F.lit(COT_TYPE).alias("cot_type"),
         F.col("_time").alias("time_iso"),
         F.col("_start").alias("start_iso"),
         F.col("_stale").alias("stale_iso"),
+        (icon if icon is not None else null_s).alias("icon"),
         F.col("_remarks").alias("remarks"),
         F.when(F.col("_web").isNotNull(), feature_id).alias("link_uid"),
         F.col("_web").alias("link_url"),
+        (color if styled else null_s).alias("stroke"),
+        (
+            F.when(color.isNotNull(), F.lit(stroke_opacity))
+            if styled
+            else F.lit(None).cast("double")
+        ).alias("stroke_opacity"),
+        (
+            F.when(color.isNotNull(), F.lit(3))
+            if styled
+            else F.lit(None).cast("int")
+        ).alias("stroke_width"),
+        (
+            F.when(color.isNotNull(), F.lit("solid")) if styled else null_s
+        ).alias("stroke_style"),
+        (color if styled else null_s).alias("fill"),
+        (
+            F.when(color.isNotNull(), F.lit(fill_opacity))
+            if styled
+            else F.lit(None).cast("double")
+        ).alias("fill_opacity"),
+        F.lit(is_center).alias("is_center"),
         F.lit(False).alias("archived"),
-    ]
+    )
 
 
 def build_features(alerts: DataFrame) -> DataFrame:
-    """Full F1-F3 fan-out: alert rows → feature rows (FEATURE_COLUMNS)."""
-    df = _with_common(alerts)
-    has_polygons = F.size(F.col("polygons")) > 0
+    """Full F1-F3 fan-out: alert rows → feature rows (FEATURE_COLUMNS).
 
-    # --- polygon branch -------------------------------------------------
-    poly_alerts = df.filter(has_polygons).withColumn(
+    Single-pass design: each alert row builds an ``array<feature struct>``
+    (0, 1 or 2·n_polygons+1 entries) which is exploded ONCE. Compared to a
+    4-way union of projections this computes the expensive per-alert
+    columns (remarks, signature, icon) exactly once, needs no shuffle, no
+    barrier, and stays a fully narrow pipeline — the shape that scales
+    linearly at 100 TB. Per-polygon parse results are let-bound via a
+    single-element ``transform`` so each polygon string is parsed once.
+    """
+    df = _with_common(alerts).withColumn(
         "_first_bad",
-        F.array_position(
-            F.transform(F.col("polygons"), lambda s: parse_polygon(s).isNull()),
-            True,
-        ),
-    )
-    exploded = poly_alerts.select(
-        "*",
-        F.posexplode("polygons").alias("_pos", "_poly_str"),
-        F.size("polygons").alias("_n_poly"),
-    ).filter(
-        # Stop at the first poisoned polygon (loop-abort semantics).
-        (F.col("_first_bad") == 0) | (F.col("_pos") + 1 < F.col("_first_bad"))
-    )
-    parsed = exploded.withColumn("_ring", parse_polygon(F.col("_poly_str"))).filter(
-        F.col("_ring").isNotNull() & (F.size("_ring") >= 4)  # G4
-    )
-    poly_id = F.when(
-        F.col("_n_poly") > 1,
-        F.concat(F.col("identifier"), F.lit("-"), F.col("_pos")),
-    ).otherwise(F.col("identifier"))
-    parsed = parsed.withColumn("_pid", poly_id).withColumn(
-        "_centroid", centroid(F.col("_ring"))
-    )
-
-    polygon_features = parsed.select(
-        *_base_props(F.col("_pid")),
-        F.lit("Polygon").alias("geom_type"),
-        F.lit(None).cast("double").alias("lon"),
-        F.lit(None).cast("double").alias("lat"),
-        F.col("_ring").alias("ring"),
-        F.lit(None).cast("string").alias("icon"),
-        F.col("_color").alias("stroke"),
-        F.when(F.col("_color").isNotNull(), F.lit(POLY_STROKE_OPACITY)).alias(
-            "stroke_opacity"
-        ),
-        F.when(F.col("_color").isNotNull(), F.lit(3)).alias("stroke_width"),
-        F.when(F.col("_color").isNotNull(), F.lit("solid")).alias("stroke_style"),
-        F.col("_color").alias("fill"),
-        F.when(F.col("_color").isNotNull(), F.lit(POLY_FILL_OPACITY)).alias(
-            "fill_opacity"
-        ),
-        F.lit(False).alias("is_center"),
-    )
-
-    center_id = F.concat(F.col("_pid"), F.lit("-center"))
-    center_features = parsed.select(
-        *_base_props(center_id),
-        F.lit("Point").alias("geom_type"),
-        F.col("_centroid")["lon"].alias("lon"),
-        F.col("_centroid")["lat"].alias("lat"),
-        F.lit(None).cast("array<array<double>>").alias("ring"),
-        F.col("_icon").alias("icon"),
-        F.lit(None).cast("string").alias("stroke"),
-        F.lit(None).cast("double").alias("stroke_opacity"),
-        F.lit(None).cast("int").alias("stroke_width"),
-        F.lit(None).cast("string").alias("stroke_style"),
-        F.lit(None).cast("string").alias("fill"),
-        F.lit(None).cast("double").alias("fill_opacity"),
-        F.lit(True).alias("is_center"),
-    )
-
-    # --- point branch ---------------------------------------------------
-    # (a) polygon-poisoned alerts fall through with null geometry → NZ centre;
-    # (b) no-polygon alerts consult the circle, then NZ centre.
-    poly_failed = poly_alerts.filter(F.col("_first_bad") > 0).withColumn(
-        "_pt",
-        F.struct(
-            F.lit(NZ_CENTER_LON).alias("lon"), F.lit(NZ_CENTER_LAT).alias("lat")
-        ),
-    )
-    no_poly = df.filter(~has_polygons).withColumn(
-        "_circle", parse_circle(F.nullif(F.col("circle"), F.lit("")))
-    )
-    no_poly = no_poly.withColumn(
-        "_pt",
         F.when(
-            F.col("_circle").isNotNull(),
-            F.struct(
-                F.col("_circle")["lon"].alias("lon"),
-                F.col("_circle")["lat"].alias("lat"),
+            F.size(F.col("polygons")) > 0,
+            F.array_position(
+                F.transform(
+                    F.col("polygons"), lambda s: parse_polygon(s).isNull()
+                ),
+                True,
             ),
-        ).otherwise(
-            F.struct(
-                F.lit(NZ_CENTER_LON).alias("lon"), F.lit(NZ_CENTER_LAT).alias("lat")
-            )
-        ),
+        ).otherwise(F.lit(0)),
     )
 
-    def point_features(src: DataFrame) -> DataFrame:
-        return src.select(
-            *_base_props(F.col("identifier")),
-            F.lit("Point").alias("geom_type"),
-            F.col("_pt")["lon"].alias("lon"),
-            F.col("_pt")["lat"].alias("lat"),
-            F.lit(None).cast("array<array<double>>").alias("ring"),
-            F.col("_icon").alias("icon"),
-            F.col("_color").alias("stroke"),
-            F.when(F.col("_color").isNotNull(), F.lit(POINT_OPACITY)).alias(
-                "stroke_opacity"
+    n_poly = F.size(F.col("polygons"))
+
+    def pid(i: Column) -> Column:
+        return F.when(
+            n_poly > 1,
+            F.concat(F.col("identifier"), F.lit("-"), i.cast("string")),
+        ).otherwise(F.col("identifier"))
+
+    def per_ring(ring: Column, i: Column) -> Column:
+        c = centroid(ring)
+        return F.when(
+            ring.isNotNull() & (F.size(ring) >= 4),  # G4
+            F.array(
+                _feature(
+                    pid(i),
+                    "Polygon",
+                    ring=ring,
+                    styled=True,
+                    stroke_opacity=POLY_STROKE_OPACITY,
+                    fill_opacity=POLY_FILL_OPACITY,
+                ),
+                _feature(
+                    F.concat(pid(i), F.lit("-center")),
+                    "Point",
+                    lon=c["lon"],
+                    lat=c["lat"],
+                    icon=F.col("_icon"),
+                    is_center=True,
+                ),
             ),
-            F.when(F.col("_color").isNotNull(), F.lit(3)).alias("stroke_width"),
-            F.when(F.col("_color").isNotNull(), F.lit("solid")).alias("stroke_style"),
-            F.col("_color").alias("fill"),
-            F.when(F.col("_color").isNotNull(), F.lit(POINT_OPACITY)).alias(
-                "fill_opacity"
-            ),
-            F.lit(False).alias("is_center"),
+        ).otherwise(_empty_features())
+
+    def per_polygon(s: Column, i: Column) -> Column:
+        kept = (F.col("_first_bad") == 0) | (i + 1 < F.col("_first_bad"))
+        # Let-bind the parsed ring (single-element transform) so the parse
+        # runs once per polygon, not once per downstream reference.
+        bound = F.try_element_at(
+            F.transform(F.array(parse_polygon(s)), lambda r: per_ring(r, i)),
+            F.lit(1),
+        )
+        return F.when(kept, bound).otherwise(_empty_features())
+
+    def point_feature(pt_lon: Column, pt_lat: Column) -> Column:
+        return _feature(
+            F.col("identifier"),
+            "Point",
+            lon=pt_lon,
+            lat=pt_lat,
+            icon=F.col("_icon"),
+            styled=True,
+            stroke_opacity=POINT_OPACITY,
+            fill_opacity=POINT_OPACITY,
         )
 
-    out = (
-        polygon_features.unionByName(center_features)
-        .unionByName(point_features(poly_failed))
-        .unionByName(point_features(no_poly))
+    poly_part = F.flatten(F.transform(F.col("polygons"), per_polygon))
+    fallback = F.when(
+        F.col("_first_bad") > 0, F.array(point_feature(F.lit(NZ_CENTER_LON), F.lit(NZ_CENTER_LAT)))
+    ).otherwise(_empty_features())
+
+    circle = parse_circle(F.nullif(F.col("circle"), F.lit("")))
+    circle_pt = F.try_element_at(
+        F.transform(
+            F.array(circle),
+            lambda c: F.array(
+                point_feature(
+                    F.coalesce(c["lon"], F.lit(NZ_CENTER_LON)),
+                    F.coalesce(c["lat"], F.lit(NZ_CENTER_LAT)),
+                )
+            ),
+        ),
+        F.lit(1),
     )
+
+    features_array = F.when(
+        n_poly > 0, F.concat(poly_part, fallback)
+    ).otherwise(circle_pt)
+
+    out = df.select(F.explode(features_array).alias("_f")).select("_f.*")
     return out.select(*FEATURE_COLUMNS)

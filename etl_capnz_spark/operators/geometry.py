@@ -44,10 +44,20 @@ _FLOAT_PREFIX_RE = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
 
 
 def js_parse_float(s: Column) -> Column:
-    """JS ``parseFloat``: parse the longest numeric prefix, else NULL."""
-    return F.nullif(
-        F.regexp_extract(F.trim(s), _FLOAT_PREFIX_RE, 0), F.lit("")
-    ).cast("double")
+    """JS ``parseFloat``: parse the longest numeric prefix, else NULL.
+
+    Fast path: ``try_cast`` (codegen-friendly, no regex) covers every
+    well-formed number; the prefix-extraction regex only runs on rows where
+    the cast failed (lazy ``coalesce``), preserving the ``'1.5abc'`` → 1.5
+    quirk without paying regex cost on clean data.
+    """
+    t = F.trim(s)
+    return F.coalesce(
+        t.try_cast("double"),
+        F.nullif(F.regexp_extract(t, _FLOAT_PREFIX_RE, 0), F.lit("")).try_cast(
+            "double"
+        ),
+    )
 
 
 def parse_polygon(polygon_str: Column) -> Column:
@@ -150,36 +160,42 @@ def centroid(ring: Column) -> Column:
     [0,0] guard.
     """
     n = F.size(ring)
-    acc0 = F.struct(
-        F.lit(0.0).alias("a"), F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy")
+    # Pair consecutive vertices via two slices (cheaper than an indexed
+    # fold: HOF lambdas are interpreted, so fewer/simpler lambda bodies win).
+    p0s = F.slice(ring, 1, n - 1)
+    p1s = F.slice(ring, 2, n - 1)
+    a2 = F.aggregate(
+        F.zip_with(p0s, p1s, lambda p, q: p[0] * q[1] - q[0] * p[1]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-
-    def step(acc: Column, i: Column) -> Column:
-        p0 = F.element_at(ring, i)
-        p1 = F.element_at(ring, i + F.lit(1))
-        cross = p0[0] * p1[1] - p1[0] * p0[1]
-        return F.struct(
-            (acc["a"] + cross).alias("a"),
-            (acc["cx"] + (p0[0] + p1[0]) * cross).alias("cx"),
-            (acc["cy"] + (p0[1] + p1[1]) * cross).alias("cy"),
-        )
-
-    sums = F.aggregate(
-        F.sequence(F.lit(1), n - F.lit(1)), acc0, step
+    cxs = F.aggregate(
+        F.zip_with(
+            p0s, p1s, lambda p, q: (p[0] + q[0]) * (p[0] * q[1] - q[0] * p[1])
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    area = sums["a"] * F.lit(0.5)
+    cys = F.aggregate(
+        F.zip_with(
+            p0s, p1s, lambda p, q: (p[1] + q[1]) * (p[0] * q[1] - q[0] * p[1])
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    area = a2 * F.lit(0.5)
     mean_x = F.aggregate(ring, F.lit(0.0), lambda a, p: a + p[0]) / n
     mean_y = F.aggregate(ring, F.lit(0.0), lambda a, p: a + p[1]) / n
     degenerate = F.abs(area) < F.lit(DEGENERATE_AREA_EPS)
     lon = (
         F.when(n < 3, F.lit(0.0))
         .when(degenerate, mean_x)
-        .otherwise(sums["cx"] / (F.lit(6.0) * area))
+        .otherwise(cxs / (F.lit(6.0) * area))
     )
     lat = (
         F.when(n < 3, F.lit(0.0))
         .when(degenerate, mean_y)
-        .otherwise(sums["cy"] / (F.lit(6.0) * area))
+        .otherwise(cys / (F.lit(6.0) * area))
     )
     return F.struct(lon.alias("lon"), lat.alias("lat"))
 

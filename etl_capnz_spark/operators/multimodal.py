@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column support (north-star extension).
+
+Design for 100 TB: media payloads are opaque ``binary`` columns with a typed
+metadata struct alongside (FIXTURES.md §4). Heavy per-item work (decode,
+resize, feature-extract, frame-sample) runs as Arrow-batched ``mapInPandas``
+so payload bytes cross the JVM↔Python boundary once per batch, not per row,
+and the operator composes with Spark partitioning (repartition before, so a
+few huge files don't serialize the stage).
+
+The image/audio codec libraries are NOT in this container, so the decode
+kernel is stubbed: ``decode_stub=True`` produces a deterministic fake
+feature vector from the payload bytes; passing ``decode_stub=False`` raises
+``NotImplementedError`` at plan-build time (clearly marked seam where
+Pillow/soundfile plug in). Everything Spark-side — schema, batching,
+partitioning, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_OUT_SCHEMA = (
+    "media_id long, mime string, n_bytes long, feature array<double>"
+)
+
+
+def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: byte length + magic-prefix sniffing.
+
+    Runs in the scan stage (no Python) — the pre-filter you apply before
+    paying for decode.
+    """
+    p = F.col(payload_col)
+    head = F.hex(F.substring(p, 1, 4))
+    return df.withColumns(
+        {
+            "n_bytes": F.length(p).cast("long"),
+            "is_png": head.startswith("89504E47"),
+            "is_jpeg": head.startswith("FFD8FF"),
+            "is_riff": head.startswith("52494646"),
+        }
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode payloads → fixed-dim feature vectors via ``mapInPandas``.
+
+    Arrow moves each partition as pandas batches; the kernel below is where
+    a real decoder (Pillow / torchvision / ffmpeg) would run per batch.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decode needs codec libraries not present in this "
+            "environment; wire Pillow/soundfile into _decode_batch and pass "
+            "decode_stub=True meanwhile"
+        )
+
+    cols = [id_col, mime_col, payload_col]
+
+    def _decode_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            n_bytes = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                n_bytes.append(len(raw))
+                # Deterministic fake "embedding": 8 doubles from sha1 bytes.
+                digest = hashlib.sha1(raw).digest()
+                feats.append(
+                    [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "n_bytes": n_bytes,
+                    "feature": feats,
+                }
+            )
+
+    return df.select(*cols).mapInPandas(_decode_batch, _OUT_SCHEMA)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Build a deterministic media table from the documents table (test
+    support): payload = UTF-8 bytes of the text, mime cycled."""
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        mime.alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )

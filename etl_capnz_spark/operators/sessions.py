@@ -1,0 +1,57 @@
+"""Batch sessionization (gaps-and-islands) — SURVEY.md §2.10 extension.
+
+The reference has no windowing at all; the engine exposes sessionization in
+two forms: this batch gaps-and-islands operator (lag + running sum), and the
+streaming ``session_window`` wrapper (streaming/stream.py).
+
+Scale notes: one hash-partition exchange on ``user_col`` serves both window
+functions AND the final aggregation (same key) — Catalyst reuses the
+exchange. Skewed users (one user with millions of events) are the hazard at
+100 TB; AQE skew handling does not apply to window functions, so extreme
+skew calls for pre-splitting hot keys by day before sessionizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Group events into sessions separated by > ``gap_minutes`` of silence.
+
+    Output: one row per session — user, session_start, session_end,
+    n_events, duration_ms.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    flagged = df.withColumn(
+        "_new_session",
+        (
+            F.coalesce(
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(w)),
+                F.lit(gap_us + 1),
+            )
+            > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "_session_seq",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(user_col, "_session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))
+        ).alias("duration_ms"),
+    ).drop("_session_seq")

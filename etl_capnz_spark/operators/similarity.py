@@ -1,0 +1,155 @@
+"""Embedding similarity search (north-star extension, SURVEY.md §2.12).
+
+Two tiers, mirroring how ANN is deployed on real clusters:
+
+* ``cosine_topk_brute`` — exact brute force: broadcast the (small) query
+  set, cross-join against the corpus, JVM-side dot product via
+  ``zip_with`` + fold, rank with a window. The corpus is never shuffled —
+  the only exchange is the final per-query top-k. This is the baseline and
+  the oracle-checkable path.
+* ``ivf_topk`` — IVF-style pruning: assign every corpus vector to its
+  nearest centroid (broadcast centroids, computed once by a seeded
+  k-means-ish init here: deterministic label-means), search only the
+  ``n_probe`` closest cells per query. At 100 TB the corpus is bucketed by
+  cell id on write, so a probe touches only matching buckets
+  (partition-pruned scan), turning top-k from O(corpus) into
+  O(corpus/cells × n_probe).
+
+Cosine throughout assumes raw (not pre-normalized) vectors; all math in
+double precision, summation strictly left-to-right (fold), so results are
+deterministic and dialect-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for every query vector.
+
+    Output: query_id, neighbor_id, sim (rounded), rank. Self-matches are
+    excluded. Rounding happens BEFORE ranking with an id tie-break, so the
+    ranking is fully deterministic.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), sim_decimals)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def centroids_by_label(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic IVF cell centroids: the mean vector per label.
+
+    (A stand-in for k-means init that keeps the harness deterministic; the
+    probe/prune structure is identical with learned centroids.)
+    """
+    dim = F.size(F.col(vec_col))
+    exploded = corpus.select(
+        F.col(label_col).alias("cell"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    return (
+        exploded.groupBy("cell", "i")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
+        .select(
+            "cell", F.transform(F.col("_sm"), lambda s: s["m"]).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-pruned top-k: search only the ``n_probe`` nearest cells per query.
+
+    Approximate: recall < 1 when true neighbours live outside probed cells.
+    """
+    cents = centroids_by_label(corpus, id_col, vec_col, label_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    # Rank cells per query by centroid similarity (tiny: cells × queries).
+    qc = q.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(cosine(F.col("_qvec"), F.col("centroid")), 9).desc(), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= n_probe)
+        .select("query_id", "_qvec", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    # Equi-join on cell — only the probed fraction of the corpus is scored.
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

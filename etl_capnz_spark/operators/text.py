@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines (north-star extension,
+SURVEY.md §2.12): quality scoring, language ID, token statistics, document
+fingerprinting.
+
+Everything is a per-row Catalyst expression (no shuffle, no Python) except
+``token_frequencies`` which is the canonical explode → hash-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Deterministic and dialect-portable; real deployments swap in fastText —
+# the plumbing (score-per-language → argmax) is identical.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_metrics(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    digit ratios, mean token length — the standard cheap pre-filters of a
+    corpus pipeline."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    total_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": F.round(
+                n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+            ),
+            "digit_ratio": F.round(
+                n_digit.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+            ),
+            "mean_token_len": F.round(
+                total_tok_len.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+            ),
+        }
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit count per language (the score of the lang-ID argmax)."""
+    toks = tokens(col)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(stop, t))
+        )
+    return out
+
+
+def detect_language(col: Column) -> Column:
+    """Argmax of stopword hits, ties broken by language-code order;
+    'und' (undetermined) when no stopword hits at all."""
+    scores = language_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # later langs must beat, not tie
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical-form document fingerprint: lowercase, collapse whitespace,
+    strip punctuation, then md5 — the classic near-exact dedup key."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+    return F.md5(canon)
+
+
+def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
+    """Global top-N token frequencies: explode → two-phase hash aggregate.
+
+    The partial (map-side) aggregation means the shuffle carries one row
+    per distinct token per partition — not one per token occurrence.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(top_n)
+    )

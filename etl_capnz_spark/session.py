@@ -46,6 +46,10 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events table stores TIMESTAMP(NANOS) which the
+        # vectorized parquet reader rejects; read as long and convert
+        # (read_events below).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
@@ -54,5 +58,15 @@ def get_session(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with ``nanosAsLong`` it
+    arrives as a bigint of nanoseconds and is converted to a microsecond
+    timestamp by truncation — matching DuckDB's NS→US cast.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
