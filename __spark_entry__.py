@@ -22,7 +22,9 @@ from etl_capnz_spark.functions.lookups import (
     category_description,
     event_description,
     event_icon,
+    join_category,
 )
+from etl_capnz_spark.sources.xml import parse_cap_xml
 from etl_capnz_spark.functions.remarks import remarks
 from etl_capnz_spark.functions.signature import color_code, signature_struct
 from etl_capnz_spark.functions.timestamps import iso_utc, nz_local, start_ts
@@ -435,6 +437,105 @@ def _q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", "ts", gap_minutes=30)
 
 
+# --- XML ingestion X1 (SURVEY.md §2.3) ------------------------------------
+
+
+def _cap_xml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the derived alerts to CAP 1.2 XML (pure column concat) —
+    the input for the X1 round-trip check."""
+    cap = cap_alerts(spark, sf_dir)
+
+    def tag(name: str, col) -> F.Column:
+        return F.when(
+            col.isNotNull() & (col != ""),
+            F.concat(F.lit(f"<{name}>"), col, F.lit(f"</{name}>")),
+        ).otherwise(F.lit(""))
+
+    polys = F.aggregate(
+        F.col("polygons"),
+        F.lit(""),
+        lambda acc, p: F.concat(acc, F.lit("<polygon>"), p, F.lit("</polygon>")),
+    )
+    params = F.aggregate(
+        F.col("parameters"),
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc,
+            F.lit("<parameter><valueName>"),
+            p["value_name"],
+            F.lit("</valueName><value>"),
+            p["value"],
+            F.lit("</value></parameter>"),
+        ),
+    )
+    xml = F.concat(
+        F.lit("<alert>"),
+        tag("identifier", F.col("identifier")),
+        tag("sender", F.col("sender")),
+        tag("sent", F.date_format("sent_ts", "yyyy-MM-dd'T'HH:mm:ssXXX")),
+        tag("status", F.col("status")),
+        tag("msgType", F.col("msg_type")),
+        tag("scope", F.col("scope")),
+        F.lit("<info>"),
+        tag("category", F.col("category")),
+        tag("event", F.col("event")),
+        tag("urgency", F.col("urgency")),
+        tag("severity", F.col("severity")),
+        tag("headline", F.col("headline")),
+        tag("description", F.col("description")),
+        tag("web", F.col("web")),
+        F.lit("<area>"),
+        tag("areaDesc", F.col("area_desc")),
+        polys,
+        tag("circle", F.col("circle")),
+        F.lit("</area>"),
+        params,
+        F.lit("</info>"),
+        F.when(
+            F.col("x509_certificate").isNotNull(),
+            F.concat(
+                F.lit(
+                    "<Signature><KeyInfo><X509Data><X509Certificate>"
+                ),
+                F.col("x509_certificate"),
+                F.lit(
+                    "</X509Certificate></X509Data></KeyInfo></Signature>"
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</alert>"),
+    )
+    return cap.select("k", xml.alias("xml"))
+
+
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: serialize derived alerts to CAP XML, parse with from_xml, emit
+    the extracted fields. Oracle = the original derivation (lossless
+    round-trip for these documents), so the parser is checked against
+    ground truth."""
+    parsed = parse_cap_xml(_cap_xml_docs(spark, sf_dir), "xml")
+    return parsed.select(
+        "k",
+        "identifier",
+        "sender",
+        "category",
+        "event",
+        "headline",
+        F.size("polygons").alias("n_polygons"),
+        "circle",
+        F.size("parameters").alias("n_parameters"),
+        F.col("x509_certificate").isNotNull().alias("has_cert"),
+    )
+
+
+def _q_category_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 as an explicit broadcast dimension join (SURVEY.md §2.7) — same
+    semantics as cap_category_description via a different physical plan."""
+    return join_category(cap_alerts(spark, sf_dir)).select(
+        "k", "category", F.col("category_description").alias("category_desc")
+    )
+
+
 # --- training-data-pipeline extensions (SURVEY.md §2.12) ------------------
 
 
@@ -586,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "cap_xml_roundtrip": _q_xml_roundtrip,
+        "cap_category_broadcast_join": _q_category_broadcast_join,
     }
 
 
@@ -913,6 +1016,15 @@ def oracle_sql() -> dict[str, str]:
             FROM starts
             WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
             GROUP BY 1, 2""",
+        "cap_xml_roundtrip": f"""{_DUCK}
+            SELECT k, identifier, sender, category, event, headline,
+                   len(polygons)::INT AS n_polygons, circle,
+                   len(parameters)::INT AS n_parameters,
+                   (x509_certificate IS NOT NULL) AS has_cert
+            FROM cap WHERE identifier <> '' AND sender <> ''""",
+        "cap_category_broadcast_join": f"""{_DUCK}
+            SELECT k, category, {oracles.category_desc_sql()} AS category_desc
+            FROM cap""",
         "dedup_exact": f"""{_DUCK_AUG}
             SELECT min(doc_id) AS doc_id FROM aug GROUP BY text""",
         "dedup_minhash": f"""{_DUCK_AUG},
@@ -944,7 +1056,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text) AS n_chars_q,
                    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                       t -> t <> '')) AS n_tokens,
+                       t -> t <> ''))::INT AS n_tokens,
                    round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
                          / greatest(length(text), 1), 6) AS punct_ratio,
                    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE

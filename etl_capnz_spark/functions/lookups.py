@@ -257,13 +257,17 @@ def join_category(df: DataFrame, category_col: str = "category") -> DataFrame:
     autoBroadcastJoinThreshold.
     """
     spark = df.sparkSession
-    dim = category_dim(spark)
+    dim = category_dim(spark).select(
+        F.col("code").alias("_dim_code"), F.col("description").alias("_dim_desc")
+    )
     joined = df.join(
-        F.broadcast(dim), df[category_col] == dim["code"], "left"
-    ).drop("code")
+        F.broadcast(dim), df[category_col] == dim["_dim_code"], "left"
+    )
     return joined.withColumn(
         "category_description",
         F.coalesce(
-            F.col("description"), F.nullif(F.col(category_col), F.lit("")), F.lit("Unknown")
+            F.col("_dim_desc"),
+            F.nullif(F.col(category_col), F.lit("")),
+            F.lit("Unknown"),
         ),
-    ).drop("description")
+    ).drop("_dim_code", "_dim_desc")

@@ -38,6 +38,12 @@ def get_session(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Local mode = driver-only: this is THE memory knob (guide: size it
+        # to the box; effective only at JVM launch).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,253 @@
+"""X1: CAP 1.2 XML → flattened alert rows (SURVEY.md §2.3).
+
+Spark 4's built-in ``from_xml`` does the structural parse JVM-side (no
+UDF); the permissive field coalescing (every missing field → '',
+task.ts:420-448) and the required-field null-out (no <info> or missing
+identifier/sender/sent → null record, task.ts:427-434) are plain column
+expressions on top. A syntactically broken document yields a null struct —
+the reference's try/catch-continue (task.ts:549-552) becomes a filterable
+null, so one bad alert never kills the batch.
+
+For environments without ``from_xml`` an Arrow-batched ``mapInPandas``
+fallback using the Python stdlib parser provides the same output schema
+(``parse_cap_xml(..., force_fallback=True)``).
+
+Reference parser config: fast-xml-parser, ignoreAttributes=false,
+attributeNamePrefix='@' (task.ts:411); attributes play no role in the
+extracted fields, so the schema simply omits them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CAP_XML_SCHEMA = (
+    "struct<"
+    "identifier:string, sender:string, sent:string, status:string,"
+    "msgType:string, scope:string,"
+    "info:struct<"
+    "  category:string, event:string, urgency:string, severity:string,"
+    "  certainty:string, senderName:string, headline:string,"
+    "  description:string, instruction:string, responseType:string,"
+    "  onset:string, expires:string, web:string,"
+    "  area:struct<areaDesc:string, polygon:array<string>, circle:string>,"
+    "  parameter:array<struct<valueName:string, value:string>>"
+    ">,"
+    "Signature:struct<KeyInfo:struct<X509Data:struct<X509Certificate:string>>>"
+    ">"
+)
+
+#: Flattened alert columns produced by parse_cap_xml — matches the alert
+#: table shape consumed by operators/features.build_features.
+ALERT_COLUMNS = [
+    "identifier",
+    "sender",
+    "sent",
+    "status",
+    "msg_type",
+    "scope",
+    "category",
+    "event",
+    "urgency",
+    "severity",
+    "certainty",
+    "sender_name",
+    "headline",
+    "description",
+    "instruction",
+    "response_type",
+    "onset",
+    "expires",
+    "web",
+    "area_desc",
+    "polygons",
+    "circle",
+    "parameters",
+    "x509_certificate",
+]
+
+
+def _blank(col: Column) -> Column:
+    return F.coalesce(col, F.lit(""))
+
+
+def parse_cap_xml(
+    df: DataFrame, xml_col: str = "xml", force_fallback: bool = False
+) -> DataFrame:
+    """Parse CAP XML strings into flattened alert rows (ALERT_COLUMNS).
+
+    Rows that fail the reference's structural requirements (no alert root,
+    no <info>, empty identifier/sender/sent) are DROPPED, mirroring
+    parseXML's null-return + caller continue (task.ts:427-434, 632-634).
+    """
+    if force_fallback:
+        parsed = _parse_fallback(df, xml_col)
+    else:
+        parsed = df.withColumn("_a", F.from_xml(F.col(xml_col), CAP_XML_SCHEMA))
+
+    a = F.col("_a")
+    info = a["info"]
+    area = info["area"]
+    out = parsed.select(
+        "*",
+        _blank(a["identifier"]).alias("identifier"),
+        _blank(a["sender"]).alias("sender"),
+        _blank(a["sent"]).alias("sent"),
+        _blank(a["status"]).alias("status"),
+        _blank(a["msgType"]).alias("msg_type"),
+        _blank(a["scope"]).alias("scope"),
+        _blank(info["category"]).alias("category"),
+        _blank(info["event"]).alias("event"),
+        _blank(info["urgency"]).alias("urgency"),
+        _blank(info["severity"]).alias("severity"),
+        _blank(info["certainty"]).alias("certainty"),
+        _blank(info["senderName"]).alias("sender_name"),
+        _blank(info["headline"]).alias("headline"),
+        _blank(info["description"]).alias("description"),
+        _blank(info["instruction"]).alias("instruction"),
+        _blank(info["responseType"]).alias("response_type"),
+        _blank(info["onset"]).alias("onset"),
+        _blank(info["expires"]).alias("expires"),
+        _blank(info["web"]).alias("web"),
+        _blank(area["areaDesc"]).alias("area_desc"),
+        F.coalesce(area["polygon"], F.expr("cast(array() as array<string>)")).alias(
+            "polygons"
+        ),
+        _blank(area["circle"]).alias("circle"),
+        F.coalesce(
+            F.transform(
+                info["parameter"],
+                lambda p: F.struct(
+                    p["valueName"].alias("value_name"), p["value"].alias("value")
+                ),
+            ),
+            F.expr(
+                "cast(array() as array<struct<value_name:string,value:string>>)"
+            ),
+        ).alias("parameters"),
+        a["Signature"]["KeyInfo"]["X509Data"]["X509Certificate"].alias(
+            "x509_certificate"
+        ),
+        (
+            a.isNotNull()
+            & info.isNotNull()
+            & (_blank(a["identifier"]) != "")
+            & (_blank(a["sender"]) != "")
+            & (_blank(a["sent"]) != "")
+        ).alias("_valid"),
+    )
+    return out.filter(F.col("_valid")).drop("_a", "_valid")
+
+
+def _parse_fallback(df: DataFrame, xml_col: str) -> DataFrame:
+    """stdlib-XML fallback: same nested-struct output via mapInPandas."""
+    out_schema = f"_a {CAP_XML_SCHEMA}"
+    passthrough = [c for c in df.columns]
+    full_schema = ", ".join(
+        f"`{c}` {t}" for c, t in df.dtypes
+    ) + f", _a {CAP_XML_SCHEMA}"
+
+    def _parse_batch(batches: Iterator) -> Iterator:
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        def strip_ns(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        def to_dict(el) -> dict:
+            children = list(el)
+            if not children:
+                return el.text
+            d: dict = {}
+            for ch in children:
+                tag = strip_ns(ch.tag)
+                val = to_dict(ch)
+                if tag in d:
+                    if not isinstance(d[tag], list):
+                        d[tag] = [d[tag]]
+                    d[tag].append(val)
+                else:
+                    d[tag] = val
+            return d
+
+        def parse_one(text):
+            try:
+                root = ET.fromstring(text)
+            except Exception:
+                return None
+            if strip_ns(root.tag) != "alert":
+                return None
+            d = to_dict(root)
+            if not isinstance(d, dict):
+                return None
+
+            def g(m, k):
+                v = m.get(k) if isinstance(m, dict) else None
+                return v if isinstance(v, str) else None
+
+            info = d.get("info")
+            info = info[0] if isinstance(info, list) else info
+            area = info.get("area") if isinstance(info, dict) else None
+            area = area[0] if isinstance(area, list) else area
+            poly = area.get("polygon") if isinstance(area, dict) else None
+            if isinstance(poly, str):
+                poly = [poly]
+            params = info.get("parameter") if isinstance(info, dict) else None
+            if isinstance(params, dict):
+                params = [params]
+            if isinstance(params, list):
+                params = [
+                    (g(p, "valueName"), g(p, "value"))
+                    for p in params
+                    if isinstance(p, dict)
+                ]
+            sig = d.get("Signature")
+            cert = None
+            if isinstance(sig, dict):
+                ki = sig.get("KeyInfo")
+                xd = ki.get("X509Data") if isinstance(ki, dict) else None
+                cert = g(xd, "X509Certificate") if isinstance(xd, dict) else None
+            return (
+                g(d, "identifier"),
+                g(d, "sender"),
+                g(d, "sent"),
+                g(d, "status"),
+                g(d, "msgType"),
+                g(d, "scope"),
+                (
+                    g(info, "category"),
+                    g(info, "event"),
+                    g(info, "urgency"),
+                    g(info, "severity"),
+                    g(info, "certainty"),
+                    g(info, "senderName"),
+                    g(info, "headline"),
+                    g(info, "description"),
+                    g(info, "instruction"),
+                    g(info, "responseType"),
+                    g(info, "onset"),
+                    g(info, "expires"),
+                    g(info, "web"),
+                    (
+                        (g(area, "areaDesc"), poly, g(area, "circle"))
+                        if isinstance(area, dict)
+                        else None
+                    ),
+                    params,
+                )
+                if isinstance(info, dict)
+                else None,
+                # Signature → KeyInfo → X509Data → X509Certificate nesting
+                (((cert,),),) if cert is not None else None,
+            )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_a"] = [parse_one(x) for x in pdf[xml_col]]
+            yield pdf
+
+    return df.mapInPandas(_parse_batch, full_schema)

@@ -1,0 +1,160 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference is scheduled micro-batch, stateless across runs
+(``InvocationType.Schedule``, task.ts:66): every run re-reads the feed and
+re-submits everything; cross-run dedup is the downstream platform's job.
+The engine keeps that mode (batch pipeline re-run) AND offers real
+streaming:
+
+* ``stream_features`` — file-source stream over landed CAP XML snapshots →
+  the same feature fan-out → any sink. ``dropDuplicatesWithinWatermark``
+  on the stable feature id (= identifier(-i)(-center), task.ts:662)
+  suppresses re-emission while snapshots re-land.
+* windowed event aggregations (tumbling / sliding / session) with
+  watermarks for late data.
+* ``upsert_alert_state`` — the one stateful extension beyond the
+  reference: CAP ``msgType`` Update/Cancel (captured but never acted on in
+  the reference, task.ts:424) becomes a keyed upsert via ``foreachBatch``
+  MERGE-style logic, so a Cancel tombstones its identifier.
+
+All tested with the file source + ``availableNow`` trigger + memory sink
+(synchronous, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.features import build_features
+from etl_capnz_spark.sources.xml import parse_cap_xml
+
+
+def read_xml_stream(
+    spark: SparkSession, snapshot_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+    )
+    return reader.load(snapshot_dir).withColumnRenamed("value", "xml")
+
+
+def stream_features(
+    xml_stream: DataFrame,
+    now=None,
+    dedup_within: str = "1 hour",
+) -> DataFrame:
+    """XML snapshot stream → feature stream with cross-batch dedup.
+
+    ``sent`` is the event time; features deduplicate on their stable id
+    within the watermark horizon, so re-landed snapshots don't re-emit.
+    """
+    alerts = (
+        parse_cap_xml(xml_stream)
+        .withColumn("sent_ts", F.to_timestamp("sent"))
+        .withColumn("onset_ts", F.to_timestamp(F.nullif(F.col("onset"), F.lit(""))))
+        .withColumn(
+            "expires_ts", F.to_timestamp(F.nullif(F.col("expires"), F.lit("")))
+        )
+    )
+    if now is not None:
+        alerts = alerts.filter(
+            F.col("expires_ts").isNull()
+            | (F.col("expires_ts") >= F.lit(now).cast("timestamp"))
+        )
+    feats = build_features(alerts)
+    # keep an event-time column for the watermark
+    feats = feats.withColumn("_event_time", F.to_timestamp("time_iso"))
+    return feats.withWatermark("_event_time", dedup_within).dropDuplicatesWithinWatermark(
+        ["feature_id"]
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the streaming twin
+    of operators/sessions.sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def upsert_alert_state(
+    alert_stream: DataFrame, state_path: str, checkpoint: str
+):
+    """Beyond-reference extension: maintain current-alert state keyed on
+    identifier. msgType semantics: Alert/Update upsert the latest row
+    (by sent_ts), Cancel removes the identifier.
+
+    Implemented with ``foreachBatch`` + parquet state rewrite (MERGE
+    without a table format; swap in Delta MERGE where available).
+    """
+    spark = alert_stream.sparkSession
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        incoming = batch.select(
+            "identifier", "msg_type", "sent_ts",
+            F.to_json(F.struct(*[F.col(c) for c in batch.columns])).alias("payload"),
+        )
+        try:
+            current = spark.read.parquet(state_path)
+        except Exception:
+            current = None
+        merged = (
+            incoming
+            if current is None
+            else current.unionByName(incoming, allowMissingColumns=True)
+        )
+        w = Window.partitionBy("identifier").orderBy(F.col("sent_ts").desc())
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        survivors = latest.filter(F.col("msg_type") != "Cancel")
+        survivors.write.mode("overwrite").parquet(state_path + "_next")
+        # atomic-ish swap: rewrite the canonical path from the staged copy
+        spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return (
+        alert_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )

@@ -1,0 +1,110 @@
+"""G1-G5 quirk fixtures + property tests (SURVEY.md §5.2 items 2-3)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.geometry import (
+    centroid,
+    parse_circle,
+    parse_polygon,
+)
+
+
+def _parse(spark, s):
+    df = spark.createDataFrame([(s,)], "p string")
+    return df.select(parse_polygon(F.col("p")).alias("r")).collect()[0]["r"]
+
+
+def _centroid_of(spark, s):
+    df = spark.createDataFrame([(s,)], "p string")
+    return df.select(
+        centroid(parse_polygon(F.col("p"))).alias("c")
+    ).collect()[0]["c"]
+
+
+class TestPolygonParse:
+    def test_valid_open_ring_closed(self, spark):
+        r = _parse(spark, "0,10 1,10 1,11 0,11")
+        assert r == [[10.0, 0.0], [10.0, 1.0], [11.0, 1.0], [11.0, 0.0], [10.0, 0.0]]
+
+    def test_already_closed_not_doubled(self, spark):
+        r = _parse(spark, "0,10 1,10 1,11 0,10")
+        assert len(r) == 4 and r[0] == r[-1]
+
+    def test_js_parsefloat_prefix(self, spark):
+        # JS parseFloat('1.5abc') == 1.5 (task.ts:287-288 semantics)
+        r = _parse(spark, "1.5abc,10 2,10 2,11")
+        assert r[0] == [10.0, 1.5]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "91,10 0,10 1,11",  # lat out of range
+            "0,181 1,10 1,11",  # lon out of range
+            "abc,10 0,10 1,11",  # non-numeric
+            "0 1,10 1,11",  # token without comma
+            "0,10,3 1,10 1,11",  # three parts
+            "0,10 1,10",  # only 2 valid points
+            "",  # empty
+            "   ",  # whitespace only
+        ],
+    )
+    def test_poisoned(self, spark, bad):
+        assert _parse(spark, bad) is None
+
+    def test_whole_polygon_poisoned_by_one_pair(self, spark):
+        # all-or-nothing: 4 valid pairs + 1 invalid → NULL (task.ts:303-305)
+        assert _parse(spark, "0,10 1,10 1,11 0,11 91,0") is None
+
+
+class TestCentroid:
+    def test_square(self, spark):
+        c = _centroid_of(spark, "0,10 1,10 1,11 0,11")
+        assert (c["lon"], c["lat"]) == (10.5, 0.5)
+
+    def test_degenerate_mean_fallback_includes_closing_point(self, spark):
+        # collinear → |area| < 1e-10 → arithmetic mean over the CLOSED ring
+        # (4 points incl. duplicated first, task.ts:364-372)
+        c = _centroid_of(spark, "0,10 0,11 0,12")
+        assert c["lat"] == 0.0
+        assert c["lon"] == pytest.approx((10 + 11 + 12 + 10) / 4.0)
+
+
+class TestCircle:
+    def test_valid(self, spark):
+        df = spark.createDataFrame([("-41.5,174.5 25.5",)], "c string")
+        r = df.select(parse_circle(F.col("c")).alias("r")).collect()[0]["r"]
+        assert (r["lon"], r["lat"], r["radius"]) == (174.5, -41.5, 25.5)
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["-41,174 -1", "-41,174 0", "-41,174", "91,10 5", "x,y 5", ""],
+    )
+    def test_invalid_is_null_not_poison(self, spark, bad):
+        df = spark.createDataFrame([(bad,)], "c string")
+        assert df.select(parse_circle(F.col("c")).alias("r")).collect()[0]["r"] is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-90, 90, allow_nan=False, width=16),
+            st.floats(-180, 180, allow_nan=False, width=16),
+        ),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_property_ring_closed_and_in_bounds(spark, pts):
+    s = " ".join(f"{lat},{lon}" for lat, lon in pts)
+    r = _parse(spark, s)
+    assert r is not None
+    assert r[0] == r[-1]
+    for lon, lat in r:
+        assert -90 <= lat <= 90 and -180 <= lon <= 180
+    c = _centroid_of(spark, s)
+    assert math.isfinite(c["lon"]) and math.isfinite(c["lat"])

@@ -1,0 +1,62 @@
+"""Physical-plan assertions (SURVEY.md §4.2): the optimizations the engine
+relies on at 100 TB must actually appear in the executed plans —
+predicate pushdown into parquet, column pruning, broadcast joins for tiny
+dimensions, and no accidental shuffles in the narrow feature pipeline."""
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = entrymod.queries()["tpch_q1"](spark, sf_dir)
+    plan = _plan(df)
+    # filter reaches the parquet scan…
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # …and the scan reads only the needed columns (no l_orderkey etc.)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_region_revenue_broadcasts_dimensions(spark, sf_dir):
+    df = entrymod.queries()["tpch_region_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    qs = entrymod.queries()
+    assert "LeftSemi" in _plan(qs["tpch_semi"](spark, sf_dir))
+    assert "LeftAnti" in _plan(qs["tpch_anti"](spark, sf_dir))
+
+
+def test_features_pipeline_is_narrow(spark, sf_dir):
+    """The feature fan-out must stay a single narrow pass: exactly one
+    exchange (the deliberate parallelism repartition in the derivation),
+    no joins, no aggregates."""
+    df = entrymod.queries()["cap_features"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
+    df = entrymod.queries()["knn_brute"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_minhash_shuffles_only_band_tuples(spark, sf_dir):
+    """LSH candidate generation must not shuffle document text — the join
+    input projections carry only (id, band_key)."""
+    df = entrymod.queries()["dedup_minhash"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" in plan, "expected a band-key self-join"
+    exchanges = [line for line in plan.split("\n") if "Exchange" in line]
+    assert exchanges, "expected band-key shuffles"
+    for line in exchanges:
+        assert "text#" not in line, f"document text in shuffle: {line}"

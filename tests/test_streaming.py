@@ -1,0 +1,111 @@
+"""Structured Streaming wrappers (SURVEY.md §2.10): file-source feature
+stream with dedup, windowed aggregations, and the Update/Cancel upsert."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.session import read_table
+from etl_capnz_spark.streaming.stream import (
+    read_xml_stream,
+    session_counts,
+    stream_features,
+    tumbling_counts,
+    upsert_alert_state,
+)
+from tests.test_sources import CAP_XML
+
+NOW = "2026-08-13 00:00:00"
+
+
+def _run_stream(df, name, checkpoint, mode="append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_features_dedups_relanded_snapshots(spark, tmp_path):
+    snap = tmp_path / "snaps"
+    snap.mkdir()
+    (snap / "a.xml").write_text(CAP_XML.replace("\n", " "))
+    # the same alert lands twice (re-fetch of the whole feed, task.ts:66)
+    (snap / "b.xml").write_text(CAP_XML.replace("\n", " "))
+    stream = read_xml_stream(spark, str(snap))
+    feats = stream_features(stream, now=NOW)
+    _run_stream(feats, "feat_out", str(tmp_path / "cp"))
+    rows = spark.sql("SELECT feature_id FROM feat_out").collect()
+    ids = sorted(r["feature_id"] for r in rows)
+    assert ids == ["A-1", "A-1-center"]  # duplicates suppressed
+
+
+def test_windowed_aggregations_streaming(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(tmp_path / "events_in"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(tmp_path / "events_in"))
+    )
+    tumb = tumbling_counts(stream)
+    _run_stream(tumb, "tumb_out", str(tmp_path / "cp1"))
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumb_out").collect()
+    }
+    expected = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+        .collect()
+    }
+    # availableNow + append emits only windows below the final watermark;
+    # every emitted window must match the batch computation exactly
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
+
+    sess = session_counts(stream)
+    _run_stream(sess, "sess_out", str(tmp_path / "cp2"))
+    srows = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(srows) > 0
+    assert all(r["n_events"] >= 1 for r in srows)
+
+
+def test_upsert_alert_state(spark, tmp_path):
+    """Alert→Update keeps latest; Cancel tombstones (beyond-reference
+    extension, msgType captured at task.ts:424 but never acted on)."""
+    rows = [
+        ("A", "Alert", "2026-08-01 00:00:00"),
+        ("A", "Update", "2026-08-02 00:00:00"),
+        ("B", "Alert", "2026-08-01 00:00:00"),
+        ("C", "Alert", "2026-08-01 00:00:00"),
+        ("C", "Cancel", "2026-08-03 00:00:00"),
+    ]
+    src = tmp_path / "alerts_in"
+    spark.createDataFrame(
+        [(i, m, t) for i, m, t in rows],
+        "identifier string, msg_type string, sent string",
+    ).withColumn("sent_ts", F.to_timestamp("sent")).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(
+        "identifier string, msg_type string, sent string, sent_ts timestamp"
+    ).parquet(str(src))
+    state = str(tmp_path / "state")
+    q = upsert_alert_state(stream, state, str(tmp_path / "cp3")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    final = {
+        r["identifier"]: r["msg_type"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert final == {"A": "Update", "B": "Alert"}  # C cancelled
