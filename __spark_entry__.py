@@ -49,7 +49,7 @@ from etl_capnz_spark.operators.multimodal import (
     synthesize_media,
 )
 from etl_capnz_spark.operators.sessions import sessionize
-from etl_capnz_spark.operators.similarity import cosine_topk_brute, ivf_topk
+from etl_capnz_spark.operators.similarity import cosine, cosine_topk_brute, ivf_topk
 from etl_capnz_spark.operators.text import (
     detect_language,
     fingerprint,
@@ -543,7 +543,13 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ planted near-duplicates: every doc_id % 10 == 0 gains a
     copy (id + 100000) with two extra tail tokens — exercised by exact and
     fuzzy dedup. Mirrored 1:1 in the oracles' ``aug`` CTE."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # single-file parquet → one input split; spread the CPU-heavy hashing
+    # across cores before the narrow shingle/minhash stages
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" trailing extra tokens")).alias("text"),
@@ -590,30 +596,37 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", "orig_id", 0.5)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with input parallelism (single-file parquet → one split)."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _q_text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return quality_metrics(docs, "text").drop("text")
 
 
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", detect_language(F.col("text")).alias("lang_guess")
     )
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_frequencies(_t(spark, sf_dir, "documents"), "text", top_n=50)
+    return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,7 +643,7 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    media = synthesize_media(_docs(spark, sf_dir))
     return payload_stats(media).select(
         "media_id", "mime", "n_bytes", "is_png", "is_jpeg", "is_riff"
     )
@@ -638,11 +651,100 @@ def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing (stubbed kernel) — rows-only checked."""
-    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    media = synthesize_media(_docs(spark, sf_dir))
     feats = extract_features(media)
     return feats.select(
         "media_id", "mime", "n_bytes", F.round(F.try_element_at(F.col("feature"), F.lit(1)), 6).alias("f0")
     )
+
+
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: pairs within the same planted-original
+    bucket whose 16-bit signatures differ in ≤ 3 bits."""
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "orig_id", F.col("doc_id") % 100000 % 200000
+    )
+    sh = docs.select(
+        "doc_id", "orig_id", simhash16(F.col("text")).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.orig_id") == F.col("b.orig_id"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-identical copies: vec_id % 50 == 7 gains a
+    copy (id + 10000) with +0.01 on the first coordinate."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    near = emb.filter(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(near)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99). Brute force at
+    this size; the corpus side streams while the (small) probe side
+    broadcasts — at scale the IVF/LSH path (knn_ivf) replaces this."""
+    emb = _aug_embeddings(spark, sf_dir)
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+    )
+
+
+def _q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -689,6 +791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "cap_xml_roundtrip": _q_xml_roundtrip,
         "cap_category_broadcast_join": _q_category_broadcast_join,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding": _q_dedup_embedding,
+        "tpch_cube": _q_tpch_cube,
+        "tpch_pivot": _q_tpch_pivot,
     }
 
 
@@ -1025,6 +1131,45 @@ def oracle_sql() -> dict[str, str]:
         "cap_category_broadcast_join": f"""{_DUCK}
             SELECT k, category, {oracles.category_desc_sql()} AS category_desc
             FROM cap""",
+        "dedup_simhash_pairs": f"""{_DUCK_AUG},
+            sh AS (SELECT doc_id, doc_id % 100000 % 200000 AS orig_id,
+                          {oracles.simhash_sql('text')} AS sh FROM aug)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::INT AS hamming
+            FROM sh a JOIN sh b ON a.orig_id = b.orig_id
+                               AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3""",
+        "dedup_embedding": f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            aug AS (
+              SELECT vec_id, v FROM emb
+              UNION ALL
+              SELECT vec_id + 10000,
+                     list_transform(generate_series(1, len(v)),
+                       i -> CASE WHEN i = 1 THEN v[1] + 0.01 ELSE v[i] END)
+              FROM emb WHERE vec_id % 50 = 7
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({oracles.dot_sql('a.v', 'b.v')}
+                           / ({oracles.norm_sql('a.v')} * {oracles.norm_sql('b.v')}),
+                           6) AS sim
+              FROM aug a, aug b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""",
+        "tpch_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "tpch_pivot": """
+            SELECT o_orderstatus,
+                   sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)::BIGINT AS p1,
+                   sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)::BIGINT AS p2,
+                   sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)::BIGINT AS p3,
+                   sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)::BIGINT AS p4,
+                   sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)::BIGINT AS p5
+            FROM orders GROUP BY o_orderstatus""",
         "dedup_exact": f"""{_DUCK_AUG}
             SELECT min(doc_id) AS doc_id FROM aug GROUP BY text""",
         "dedup_minhash": f"""{_DUCK_AUG},

@@ -25,12 +25,17 @@ HEADLINE = [
     "cap_centroid_window",
     "cap_signature",
     "cap_remarks",
+    "cap_xml_roundtrip",
     "feed_links",
     "tpch_q1",
     "tpch_region_revenue",
     "tpch_topk",
     "events_session",
     "events_tumbling",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "knn_brute",
 ]
 
 

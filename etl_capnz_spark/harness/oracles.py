@@ -123,9 +123,23 @@ def shingles_sql(col: str) -> str:
     )
 
 
+def base52_sql(col: str) -> str:
+    """First 52 md5 bits as BIGINT — mirrors dedup._base_hash52."""
+    toks = shingles_sql(col)
+    return (
+        f"list_transform({toks}, "
+        f"s -> ('0x' || substr(md5(s), 1, 13))::BIGINT)"
+    )
+
+
 def minhash_sql(col: str, seed: int) -> str:
-    h = hash32_sql(f"concat('{seed}:', s)")
-    return f"list_aggregate(list_transform({shingles_sql(col)}, s -> {h}), 'min')"
+    """Mirrors dedup.minhash_signature: universal hash family over one
+    base hash per shingle, h_i(x) = (a_i*x + b_i) % 2^52."""
+    a, b = 2 * seed + 1, seed * 97531 + 12345
+    return (
+        f"list_aggregate(list_transform(_mh_base, "
+        f"x -> (x * {a} + {b}) % {1 << 52}), 'min')"
+    )
 
 
 def minhash_bands_sql(
@@ -135,6 +149,9 @@ def minhash_bands_sql(
     dedup.minhash_signatures + the banding in lsh_candidates."""
     mh = ", ".join(
         f"{minhash_sql('text', s)} AS mh{s}" for s in range(num_hashes)
+    )
+    source = (
+        f"(SELECT {id_col}, {base52_sql('text')} AS _mh_base FROM {source})"
     )
     rows_per_band = num_hashes // bands
     arms = []

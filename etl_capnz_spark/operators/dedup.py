@@ -70,27 +70,59 @@ def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
-def _seeded_hash(prefix: str):
-    # NB: a plain `lambda s, seed=seed:` would have arity 2 and PySpark
-    # would bind the second parameter to the ELEMENT INDEX — capture via
-    # closure factory instead.
-    return lambda s: _hash32(F.concat(F.lit(prefix), s))
+# Universal-hash family over one base hash per shingle: h_i(x) = (a_i·x +
+# b_i) mod 2^52, with x the first 52 md5 bits. One md5 per shingle instead
+# of one per (shingle, seed) — 8× less hashing for an 8-hash signature —
+# and a_i·x stays < 2^63 so the arithmetic is overflow-free (ANSI-safe)
+# and bit-identical in the DuckDB oracle.
+_MH_MOD = 1 << 52
+
+
+def _mh_coeffs(seed: int) -> tuple[int, int]:
+    return 2 * seed + 1, seed * 97531 + 12345
+
+
+def _base_hash52(col: Column) -> Column:
+    """First 52 bits (13 hex chars) of md5 as a non-negative bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("bigint")
+
+
+def _mixer(a: int, b: int):
+    # closure factory: a 1-arg lambda for F.transform (extra defaulted
+    # params would change the lambda's arity — see the HOF-index pitfall)
+    return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_MOD)
 
 
 def minhash_signature(col: Column, num_hashes: int = 8) -> list[Column]:
-    """MinHash signature: min over shingles of seeded 32-bit hashes."""
-    shingles = word_shingles(col)
-    sig = []
-    for seed in range(num_hashes):
-        hashed = F.transform(shingles, _seeded_hash(f"{seed}:"))
-        sig.append(F.array_min(hashed).alias(f"mh{seed}"))
-    return sig
+    """MinHash signature columns: min over shingles of the hash family.
+
+    NB: each signature column's expression tree repeats the base-hash
+    computation; prefer :func:`minhash_signatures`, which let-binds the
+    base array in a separate projection so md5 runs once per shingle.
+    """
+    base = F.transform(word_shingles(col), _base_hash52)
+    return [
+        F.array_min(F.transform(base, _mixer(*_mh_coeffs(s)))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    return df.select(id_col, *minhash_signature(F.col(text_col), num_hashes))
+    staged = df.select(
+        id_col,
+        F.transform(word_shingles(F.col(text_col)), _base_hash52).alias("_mh_base"),
+    )
+    return staged.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(F.col("_mh_base"), _mixer(*_mh_coeffs(s)))
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidates(
@@ -99,25 +131,34 @@ def lsh_candidates(
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (id_a < id_b).
 
-    Only (band_key, id) tuples shuffle — never documents.
+    Single-pass shape: each row emits its ``bands`` band keys via ONE
+    array+explode (a per-band union would re-execute the signature
+    pipeline once per band), then a self-equi-join on band_key. Both join
+    sides are the identical plan shuffled on the same key, so Spark
+    materializes ONE exchange and reuses it (ReusedExchange) — the
+    signature computation runs once, and only (band_key, id) tuples ever
+    shuffle, never documents.
     """
     rows_per_band = num_hashes // bands
-    pairs = None
+    keys = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws(
-            ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
-        ).alias("band_key")
-        banded = sig_df.select(F.col(id_col).alias("id"), key)
-        left = banded.alias("l")
-        right = banded.alias("r")
-        cand = (
-            left.join(right, "band_key")
-            .filter(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        keys.append(
+            F.concat_ws(
+                ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
+            )
         )
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    return pairs.distinct()
+    banded = sig_df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
