@@ -48,6 +48,7 @@ from etl_capnz_spark.operators.multimodal import (
     payload_stats,
     synthesize_media,
 )
+from etl_capnz_spark.operators.asof import asof_join
 from etl_capnz_spark.operators.sessions import sessionize
 from etl_capnz_spark.operators.similarity import cosine, cosine_topk_brute, ivf_topk
 from etl_capnz_spark.operators.text import (
@@ -718,6 +719,36 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click gets the latest
+    preceding view's timestamp and value, per user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id", value_cols=["ts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
+def _q_tpch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (continuous definition matches
+    DuckDB's quantile_cont)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
 def _q_tpch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -795,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "tpch_cube": _q_tpch_cube,
         "tpch_pivot": _q_tpch_pivot,
+        "events_asof": _q_events_asof,
+        "tpch_median": _q_tpch_median,
     }
 
 
@@ -1158,6 +1191,19 @@ def oracle_sql() -> dict[str, str]:
               FROM aug a, aug b WHERE a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""",
+        "events_asof": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS view_ts, r."value" AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
+                            WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "tpch_median": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem GROUP BY l_returnflag""",
         "tpch_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,
                    coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n

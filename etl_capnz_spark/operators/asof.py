@@ -1,0 +1,70 @@
+"""As-of join — an operator Spark lacks natively (SURVEY.md guide list).
+
+``asof_join(left, right, on, by)`` attaches to every left row the most
+recent right row with ``right.on <= left.on`` within the same ``by`` group
+(the backward-direction as-of of time-series practice).
+
+Implementation: the union trick — tag both inputs, union, sort by
+(by, on, tag) with ONE hash-partition + sort exchange, then
+``last_value(right payload, ignorenulls) over (partition by BY order by
+ON, tag rows unbounded preceding)`` carries the latest right payload
+forward onto left rows. Compared to the naive range join this is a single
+shuffle of both inputs and no join explosion — the shape that survives
+100 TB (equivalent to what ``pd.merge_asof`` does per group, but
+distributed; an ``applyInPandas`` fallback would lose partial aggregation
+and pay Arrow transfer).
+
+Ties: a right row at exactly left.on is INCLUDED (<=); among equal ``on``
+values the right row sorts first (tag 0 < 1), and among equal right rows
+the last in (on, tie_col) order wins — deterministic given a tie-breaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: left columns + latest ``value_cols`` from right.
+
+    ``on`` and ``by`` must exist in both inputs with identical types.
+    """
+    lt = left.withColumn("_tag", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = right.select(
+        by,
+        on,
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    left_cols = [c for c in left.columns]
+    unioned = lt.select(
+        *left_cols, "_tag", *[f"_r_{c}" for c in value_cols]
+    ).unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *left_cols,
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return out

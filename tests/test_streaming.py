@@ -8,6 +8,7 @@ from etl_capnz_spark.session import read_table
 from etl_capnz_spark.streaming.stream import (
     read_xml_stream,
     session_counts,
+    sliding_counts,
     stream_features,
     tumbling_counts,
     upsert_alert_state,
@@ -77,6 +78,16 @@ def test_windowed_aggregations_streaming(spark, sf_dir, tmp_path):
     srows = spark.sql("SELECT * FROM sess_out").collect()
     assert len(srows) > 0
     assert all(r["n_events"] >= 1 for r in srows)
+
+    slid = sliding_counts(stream)
+    _run_stream(slid, "slid_out", str(tmp_path / "cp3"))
+    slrows = spark.sql("SELECT * FROM slid_out").collect()
+    assert len(slrows) > 0
+    # every tumbling hour appears in two overlapping sliding windows, so
+    # sliding totals per event_type are ~2x the tumbling totals
+    tumb_n = sum(v for v in got.values())
+    slid_n = sum(r["n"] for r in slrows)
+    assert slid_n >= tumb_n
 
 
 def test_upsert_alert_state(spark, tmp_path):
