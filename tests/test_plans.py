@@ -50,6 +50,37 @@ def test_knn_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Bucketing co-locates join keys at write time: a join of two tables
+    bucketed on the same key runs WITHOUT an exchange — the pattern that
+    replaces repeated shuffles of a 100 TB fact table."""
+    from etl_capnz_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("customer_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            spark.table("orders_b").o_custkey
+            == spark.table("customer_b").c_custkey,
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
 def test_dedup_minhash_shuffles_only_band_tuples(spark, sf_dir):
     """LSH candidate generation must not shuffle document text — the join
     input projections carry only (id, band_key)."""
