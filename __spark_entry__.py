@@ -49,6 +49,8 @@ from etl_capnz_spark.operators.multimodal import (
     synthesize_media,
 )
 from etl_capnz_spark.operators.asof import asof_join
+from etl_capnz_spark.operators.rangejoin import range_join_count
+from etl_capnz_spark.operators.udtf import bigrams_lateral
 from etl_capnz_spark.operators.sessions import sessionize
 from etl_capnz_spark.operators.similarity import cosine, cosine_topk_brute, ivf_topk
 from etl_capnz_spark.operators.text import (
@@ -630,6 +632,23 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
+def _q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL (operators/udtf.py) — row generation in
+    Python, oracle-checked against the pure-SQL shingle expansion."""
+    return bigrams_lateral(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface (HLL++ distinct, KLL-style quantiles) — estimates are
+    engine-specific, so this is rows-only checked; the exact twins are
+    tpch_q1 (counts) and tpch_median (percentiles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+
+
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
@@ -739,6 +758,19 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): clicks per user in the
+    10 minutes before each error event."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        errors, clicks, key="user_id", ts="ts", window_seconds=600
+    )
+
+
 def _q_tpch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (continuous definition matches
     DuckDB's quantile_cont)."""
@@ -827,7 +859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_cube": _q_tpch_cube,
         "tpch_pivot": _q_tpch_pivot,
         "events_asof": _q_events_asof,
+        "events_range_join": _q_events_range_join,
         "tpch_median": _q_tpch_median,
+        "text_bigrams_udtf": _q_text_bigrams_udtf,
+        "approx_stats": _q_approx_stats,
     }
 
 
@@ -1191,6 +1226,12 @@ def oracle_sql() -> dict[str, str]:
               FROM aug a, aug b WHERE a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""",
+        "text_bigrams_udtf": f"""
+            SELECT doc_id,
+                   (generate_subscripts(sh, 1) - 1)::INT AS pos,
+                   unnest(sh) AS bigram
+            FROM (SELECT doc_id, {oracles.shingles_sql('text')} AS sh
+                  FROM documents)""",
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
@@ -1199,6 +1240,16 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
                             WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_range_join": """
+            SELECT l.event_id, l.user_id, l.ts, count(r.ts) AS n_in_window
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') l
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) > epoch_us(l.ts) - 600000000
+             AND epoch_us(r.ts) <= epoch_us(l.ts)
+            GROUP BY l.event_id, l.user_id, l.ts""",
         "tpch_median": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
