@@ -662,6 +662,21 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, "vec_id", "embedding", "label", k=5, n_probe=2)
 
 
+def _q_knn_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means IVF training (3 Lloyd rounds) + cell assignment —
+    rows-only checked (iterative float argmin is not ANSI-SQL-expressible
+    at reasonable cost)."""
+    from etl_capnz_spark.operators.similarity import assign_cells, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    return (
+        assign_cells(emb, cents, "vec_id", "embedding")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(_docs(spark, sf_dir))
     return payload_stats(media).select(
@@ -863,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_median": _q_tpch_median,
         "text_bigrams_udtf": _q_text_bigrams_udtf,
         "approx_stats": _q_approx_stats,
+        "knn_kmeans_cells": _q_knn_kmeans_cells,
     }
 
 

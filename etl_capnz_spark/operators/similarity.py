@@ -104,6 +104,84 @@ def centroids_by_label(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for IVF cells.
+
+    Init: the ``k`` lowest-id vectors. Each iteration is two shuffles:
+    assign (broadcast centroids, argmin over k cosine distances — a
+    per-row expression) and recompute (posexplode + two-level hash agg,
+    identical shape to centroids_by_label). The iteration count is a
+    driver-side loop over lazy plans — each round materializes only k×dim
+    doubles at the driver, so the pattern scales to any corpus size.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [
+        (i, r["v"])
+        for i, r in enumerate(
+            vecs.orderBy("id").limit(k).collect()
+        )
+    ]
+    for _ in range(iters):
+        cent_df = F.broadcast(
+            vecs.sparkSession.createDataFrame(
+                cents, "cell int, centroid array<double>"
+            )
+        )
+        scored = vecs.crossJoin(cent_df)
+        w = Window.partitionBy("id").orderBy(
+            F.round(cosine(F.col("v"), F.col("centroid")), 9).desc(), F.col("cell")
+        )
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("id", "v", "cell")
+        )
+        new_cents = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
+            .select(
+                "cell",
+                F.transform(F.col("_sm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+        cents = [(r["cell"], r["centroid"]) for r in new_cents.collect()]
+    return vecs.sparkSession.createDataFrame(
+        cents, "cell int, centroid array<double>"
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (broadcast)."""
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(cosine(F.col("_v"), F.col("centroid")), 9).desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -112,6 +112,48 @@ def session_counts(
     )
 
 
+def running_user_totals(events: DataFrame):
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.10 'stateful ops'): per-user running event count and
+    value sum maintained in keyed state across micro-batches.
+
+    Emits one row per (user, batch) with the cumulative totals — the
+    minimal shape of a streaming feature-store update. State is two
+    numbers per user; at 100 TB keys shard across executors and the HDFS/
+    RocksDB state store checkpoints them.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events_total bigint, value_total double"
+    )
+    state_schema = "n bigint, v double"
+
+    def update(key, pdfs, state):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_total": [n],
+                "value_total": [v],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def upsert_alert_state(
     alert_stream: DataFrame, state_path: str, checkpoint: str
 ):

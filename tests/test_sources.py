@@ -75,6 +75,26 @@ def test_fetch_urls_distributed(spark, http_server):
     assert rows[f"{base}/missing-404ish"]["error"] is not None
 
 
+def test_http_data_source(spark, http_server):
+    """Spark 4 Python Data Source: one partition per URL, reference retry
+    contract inside each partition read."""
+    from etl_capnz_spark.sources import http_source
+
+    base, _ = http_server
+    http_source.register(spark)
+    df = (
+        spark.read.format("capnz_http")
+        .option("urls", f"{base}/ok,{base}/nope")
+        .option("retries", "0")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = {r["url"]: r for r in df.collect()}
+    assert rows[f"{base}/ok"]["body"] == "<alert>ok</alert>"
+    assert rows[f"{base}/ok"]["status"] == 200
+    assert rows[f"{base}/nope"]["error"] is not None
+
+
 CAP_XML = """<alert xmlns="urn:oasis:names:tc:emergency:cap:1.2">
 <identifier>A-1</identifier><sender>met.nz</sender>
 <sent>2026-08-01T00:00:00+00:00</sent><status>Actual</status>

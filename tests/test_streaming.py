@@ -90,6 +90,39 @@ def test_windowed_aggregations_streaming(spark, sf_dir, tmp_path):
     assert slid_n >= tumb_n
 
 
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    with one file per trigger, later batches must emit larger-or-equal
+    running totals, and the final totals must equal the batch aggregate."""
+    from etl_capnz_spark.streaming.stream import running_user_totals
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    src = tmp_path / "ev"
+    # two landed files → two micro-batches
+    half = events.filter("user_id % 2 = 0")
+    rest = events.filter("user_id % 2 = 1")
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    rest.coalesce(1).write.mode("append").parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f1"))
+    )
+    totals = running_user_totals(stream)
+    _run_stream(totals, "totals_out", str(tmp_path / "cps"))
+    rows = spark.sql(
+        "SELECT user_id, max(n_events_total) AS n FROM totals_out GROUP BY 1"
+    ).collect()
+    got = {r["user_id"]: r["n"] for r in rows}
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+
 def test_upsert_alert_state(spark, tmp_path):
     """Alert→Update keeps latest; Cancel tombstones (beyond-reference
     extension, msgType captured at task.ts:424 but never acted on)."""
