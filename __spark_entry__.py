@@ -286,7 +286,7 @@ def _q_feed_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2+T3+T4 over a feed body synthesized per customer row: one RSS CAP
     link, one non-CAP RSS link (dropped), one Atom link, and a duplicate of
     the CAP link (dedup)."""
-    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    customer = read_table(spark, sf_dir, "customer")
     ck = F.col("c_custkey").cast("string")
     body = F.concat(
         F.lit(f"<item><link>{_FEED_DOMAIN}/cap/"), ck, F.lit(".xml</link></item>"),

@@ -247,6 +247,9 @@ def cap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes/row and buys full-cluster parallelism — the same move a real
     pipeline makes before fanning out per-alert work (SURVEY.md §2.1 S2).
     """
+    from etl_capnz_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     orders = orders.select("o_orderkey", "o_orderdate").repartition(
         spark.sparkContext.defaultParallelism

@@ -66,6 +66,18 @@ def get_session(
     return spark
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs the engine's semantics depend on.
+
+    The driver may hand us a session built without our builder (bare
+    defaults), so every entry point re-asserts: UTC session TZ (timestamp
+    formatting determinism) and nanosAsLong (the events table stores
+    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -73,6 +85,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     arrives as a bigint of nanoseconds and is converted to a microsecond
     timestamp by truncation — matching DuckDB's NS→US cast.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
