@@ -753,6 +753,17 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the melt surface, §2.8 twin of tpch_pivot)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click gets the latest
     preceding view's timestamp and value, per user."""
@@ -879,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams_udtf": _q_text_bigrams_udtf,
         "approx_stats": _q_approx_stats,
         "knn_kmeans_cells": _q_knn_kmeans_cells,
+        "tpch_unpivot": _q_tpch_unpivot,
     }
 
 
@@ -1248,6 +1260,15 @@ def oracle_sql() -> dict[str, str]:
                    unnest(sh) AS bigram
             FROM (SELECT doc_id, {oracles.shingles_sql('text')} AS sh
                   FROM documents)""",
+        "tpch_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem""",
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
