@@ -54,9 +54,12 @@ from etl_capnz_spark.operators.udtf import bigrams_lateral
 from etl_capnz_spark.operators.sessions import sessionize
 from etl_capnz_spark.operators.similarity import cosine, cosine_topk_brute, ivf_topk
 from etl_capnz_spark.operators.text import (
+    SENTIMENT_LEXICON,
     detect_language,
     fingerprint,
     quality_metrics,
+    sentiment_scores,
+    tf_idf,
     token_frequencies,
 )
 from etl_capnz_spark.session import read_table
@@ -632,6 +635,14 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
+def _q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sentiment_scores(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tf_idf(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def _q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL (operators/udtf.py) — row generation in
     Python, oracle-checked against the pure-SQL shingle expansion."""
@@ -891,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats": _q_approx_stats,
         "knn_kmeans_cells": _q_knn_kmeans_cells,
         "tpch_unpivot": _q_tpch_unpivot,
+        "text_sentiment": _q_text_sentiment,
+        "text_tfidf": _q_text_tfidf,
     }
 
 
@@ -1260,6 +1273,32 @@ def oracle_sql() -> dict[str, str]:
                    unnest(sh) AS bigram
             FROM (SELECT doc_id, {oracles.shingles_sql('text')} AS sh
                   FROM documents)""",
+        "text_sentiment": f"""
+            WITH lex(token, weight) AS (VALUES {", ".join(
+                f"('{t}', {w})" for t, w in SENTIMENT_LEXICON.items())}),
+            toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents)
+            SELECT doc_id,
+                   sum(coalesce(weight, 0))::BIGINT AS sentiment
+            FROM toks LEFT JOIN lex USING (token)
+            GROUP BY doc_id""",
+        "text_tfidf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+                      FROM toks GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, token, tf,
+                   round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token), n""",
         "tpch_unpivot": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
                    l_quantity AS val FROM lineitem

@@ -100,6 +100,71 @@ def fingerprint(col: Column) -> Column:
     return F.md5(canon)
 
 
+# Tiny sentiment lexicon over the corpus vocabulary — a stand-in for
+# VADER/AFINN; the operator shape (broadcast dim join on exploded tokens +
+# re-aggregate) is what matters at scale.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2,
+    "slow": -2,
+    "big": 1,
+    "small": -1,
+    "error": -3,
+}
+
+
+def sentiment_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Lexicon sentiment: Σ lexicon[token] over all token occurrences.
+
+    Explode → broadcast join against the (tiny) lexicon → hash re-aggregate
+    on the document id. The join is broadcast by construction; the
+    re-aggregation is partial+final, so the shuffle carries one partial
+    sum per (partition, doc)."""
+    spark = df.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame(
+            list(SENTIMENT_LEXICON.items()), "token string, weight int"
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        toks.join(lex, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+            .cast("bigint")
+            .alias("sentiment")
+        )
+    )
+
+
+def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact TF-IDF per (doc, token): tf × ln((N+1)/(df+1)).
+
+    Two aggregations sharing the token key: term frequency per (doc,
+    token), document frequency per token (distinct docs), then a join on
+    token. N (corpus size) is a scalar literal resolved at plan build.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    n_docs = df.count()
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+    return tf.join(dfreq, "token").select(
+        id_col,
+        "token",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
     """Global top-N token frequencies: explode → two-phase hash aggregate.
 
