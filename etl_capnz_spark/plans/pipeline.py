@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_capnz_spark.config import Environment
-from etl_capnz_spark.operators.extract import active_filter, extract_feed_links
+from etl_capnz_spark.operators.extract import (
+    active_filter,
+    extract_feed_links,
+    required_filter,
+)
 from etl_capnz_spark.operators.features import build_features
 from etl_capnz_spark.sources.http import fetch_urls
 from etl_capnz_spark.sources.xml import parse_cap_xml
@@ -48,19 +52,24 @@ class CapPipeline:
         """CAP XML → typed alert rows, timestamps parsed, invalid dropped."""
         alerts = parse_cap_xml(xml_docs, xml_col)
         return (
-            alerts.withColumn("sent_ts", F.to_timestamp("sent"))
-            .withColumn("onset_ts", F.to_timestamp(F.nullif(F.col("onset"), F.lit(""))))
+            alerts.withColumn("sent_ts", F.try_to_timestamp(F.col("sent")))
+            .withColumn("onset_ts", F.try_to_timestamp(F.nullif(F.col("onset"), F.lit(""))))
             .withColumn(
-                "expires_ts", F.to_timestamp(F.nullif(F.col("expires"), F.lit("")))
+                "expires_ts", F.try_to_timestamp(F.nullif(F.col("expires"), F.lit("")))
             )
         )
 
     def features(self, alerts: DataFrame, now=None) -> DataFrame:
         """Active alerts → feature rows. ``now`` injectable for
         deterministic tests; defaults to wall clock like the reference
-        (task.ts:636)."""
+        (task.ts:636).
+
+        ``required_filter`` also drops alerts whose ``sent`` failed
+        timestamp parsing — the reference throws in
+        ``new Date(sent).toISOString()`` during feature build and the
+        per-alert catch skips the alert (task.ts:670, 876-878)."""
         now_col = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
-        return build_features(active_filter(alerts, now_col))
+        return build_features(active_filter(required_filter(alerts), now_col))
 
     def features_from_xml(
         self, xml_docs: DataFrame, xml_col: str = "xml", now=None

@@ -52,10 +52,10 @@ def stream_features(
     """
     alerts = (
         parse_cap_xml(xml_stream)
-        .withColumn("sent_ts", F.to_timestamp("sent"))
-        .withColumn("onset_ts", F.to_timestamp(F.nullif(F.col("onset"), F.lit(""))))
+        .withColumn("sent_ts", F.try_to_timestamp(F.col("sent")))
+        .withColumn("onset_ts", F.try_to_timestamp(F.nullif(F.col("onset"), F.lit(""))))
         .withColumn(
-            "expires_ts", F.to_timestamp(F.nullif(F.col("expires"), F.lit("")))
+            "expires_ts", F.try_to_timestamp(F.nullif(F.col("expires"), F.lit("")))
         )
     )
     if now is not None:

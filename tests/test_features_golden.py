@@ -153,6 +153,34 @@ def test_ring_under_4_points_emits_nothing(spark):
     assert set(out) == set()
 
 
+def test_undecodable_cert_takes_catch_defaults(spark):
+    """atob failure path (task.ts:507-515): issuer 'cap.metservice.com',
+    fingerprint 'Unknown' — but the signature block still renders."""
+    out = _features(spark, x509_certificate="!!!not-base64-at-all!!!")
+    remarks = out["ID1"]["remarks"]
+    assert "Issuer: cap.metservice.com" in remarks
+    assert "Fingerprint: Unknown" in remarks
+    assert "Name: METEOROLOGICAL SERVICE OF NEW ZEALAND LIMITED" in remarks
+
+
+def test_unparseable_sent_drops_alert(spark):
+    """A non-empty but unparseable <sent> passes parseXML but throws in
+    new Date().toISOString() during feature build → the per-alert catch
+    skips the whole alert (task.ts:670, 876-878). Engine equivalent:
+    to_timestamp null → required filter drops it."""
+    from etl_capnz_spark.config import Environment
+    from etl_capnz_spark.plans.pipeline import CapPipeline
+    from tests.test_sources import CAP_XML
+
+    bad = CAP_XML.replace(
+        "<sent>2026-08-01T00:00:00+00:00</sent>", "<sent>not a date</sent>"
+    )
+    docs = spark.createDataFrame([(bad,)], "xml string")
+    pipe = CapPipeline(spark, Environment(rss_url="x"))
+    feats = pipe.features_from_xml(docs, now="2026-08-13 00:00:00")
+    assert feats.count() == 0
+
+
 def test_callsign_fallback_and_links(spark):
     out = _features(spark, headline="", web="https://x.nz/a.xml")
     f = out["ID1"]
