@@ -775,6 +775,41 @@ def _q_tpch_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: 3-row moving average + running sum per user."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.avg("value").over(w.rowsBetween(-2, 0)), 6
+        ).alias("mov_avg3"),
+        F.round(
+            F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            6,
+        ).alias("running_sum"),
+    )
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click gets the latest
     preceding view's timestamp and value, per user."""
@@ -904,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_unpivot": _q_tpch_unpivot,
         "text_sentiment": _q_text_sentiment,
         "text_tfidf": _q_text_tfidf,
+        "tpch_grouping_sets": _q_tpch_grouping_sets,
+        "events_moving_avg": _q_events_moving_avg,
     }
 
 
@@ -1308,6 +1345,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
             FROM lineitem""",
+        "tpch_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg("value") OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                     AS mov_avg3,
+                   round(sum("value") OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+            FROM events""",
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
