@@ -635,6 +635,19 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (whitespace + BPE-ish regex) — the cheap
+    length estimators of a training-data pipeline."""
+    from etl_capnz_spark.operators.text import bpe_token_count, token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sentiment_scores(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -941,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
+        "text_token_counts": _q_text_token_counts,
     }
 
 
@@ -1310,6 +1324,14 @@ def oracle_sql() -> dict[str, str]:
                    unnest(sh) AS bigram
             FROM (SELECT doc_id, {oracles.shingles_sql('text')} AS sh
                   FROM documents)""",
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> ''))::INT AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::INT
+                     AS n_bpe_tokens
+            FROM documents""",
         "text_sentiment": f"""
             WITH lex(token, weight) AS (VALUES {", ".join(
                 f"('{t}', {w})" for t, w in SENTIMENT_LEXICON.items())}),

@@ -33,6 +33,22 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) — the BPE-ish token-count estimator; RE2-
+# compatible (no lookaheads) so the oracle runs the same pattern.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization of raw text (no lowercasing — byte-level
+    BPE is case-sensitive)."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def quality_metrics(df: DataFrame, text_col: str) -> DataFrame:
     """Per-document quality features: length, token stats, punctuation and
     digit ratios, mean token length — the standard cheap pre-filters of a
