@@ -57,6 +57,9 @@ def stream_features(
         .withColumn(
             "expires_ts", F.try_to_timestamp(F.nullif(F.col("expires"), F.lit("")))
         )
+        # unparseable <sent> → alert dropped (batch-path parity; also the
+        # watermark needs a non-null event time)
+        .filter(F.col("sent_ts").isNotNull())
     )
     if now is not None:
         alerts = alerts.filter(
