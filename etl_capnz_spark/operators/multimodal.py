@@ -115,6 +115,57 @@ def extract_features(
     return df.select(*cols).mapInPandas(_decode_batch, _OUT_SCHEMA)
 
 
+_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_offset long, frame_digest string"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling for video/audio payloads via ``mapInPandas``.
+
+    Emits ``n_frames`` evenly spaced frames per media item — the 1→N
+    row-generating shape of a frame-extraction stage. The stub kernel
+    samples byte offsets and hashes a window at each (deterministic);
+    a real decoder (ffmpeg) plugs into the same batch loop. Fan-out is
+    bounded (n_frames×), so downstream repartitioning stays predictable.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real frame decode needs ffmpeg/codec libraries not present in "
+            "this environment"
+        )
+
+    def _sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_offset": [],
+                   "frame_digest": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if not raw:
+                    continue
+                step = max(len(raw) // n_frames, 1)
+                for i in range(min(n_frames, len(raw))):
+                    off = i * step
+                    window = raw[off : off + 64]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_digest"].append(
+                        hashlib.sha1(window).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_sample, _FRAME_SCHEMA)
+
+
 def synthesize_media(documents: DataFrame) -> DataFrame:
     """Build a deterministic media table from the documents table (test
     support): payload = UTF-8 bytes of the text, mime cycled."""

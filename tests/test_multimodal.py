@@ -1,0 +1,53 @@
+"""Multimodal plumbing: payload stats, stubbed feature extraction, frame
+sampling — real Spark-side schema/batching, stubbed codec kernels."""
+
+import pytest
+
+from etl_capnz_spark.operators.multimodal import (
+    extract_features,
+    payload_stats,
+    sample_frames,
+    synthesize_media,
+)
+from etl_capnz_spark.session import read_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synthesize_media(read_table(spark, sf_dir, "documents"))
+
+
+def test_payload_stats_jvm_side(media):
+    rows = payload_stats(media).collect()
+    assert all(r["n_bytes"] > 0 for r in rows)
+    assert not any(r["is_png"] or r["is_jpeg"] or r["is_riff"] for r in rows)
+
+
+def test_extract_features_deterministic(media):
+    a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == 8 for v in a.values())
+    assert all(0.0 <= x <= 1.0 for v in a.values() for x in v)
+
+
+def test_real_decode_is_a_marked_seam(media):
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(media, decode_stub=False)
+
+
+def test_sample_frames_shape(media):
+    frames = sample_frames(media, n_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert by_media
+    for rows in by_media.values():
+        assert len(rows) == 4
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == [0, 1, 2, 3]
+        offs = [r["frame_offset"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
+        assert offs == sorted(offs)
+        assert all(len(r["frame_digest"]) == 16 for r in rows)
