@@ -760,10 +760,17 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.99). Brute force at
     this size; the corpus side streams while the (small) probe side
     broadcasts — at scale the IVF/LSH path (knn_ivf) replaces this."""
-    emb = _aug_embeddings(spark, sf_dir)
+    from etl_capnz_spark.operators.similarity import _dot, _norm
+
+    emb = _aug_embeddings(spark, sf_dir).withColumn(
+        "_n", _norm(F.col("embedding"))
+    )
     a, b = emb.alias("a"), emb.alias("b")
+    # norms precomputed per side (once per vector, not per pair)
     sim = F.round(
-        cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a._n") * F.col("b._n")),
+        6,
     )
     return (
         a.crossJoin(b)

@@ -56,15 +56,22 @@ def cosine_topk_brute(
     excluded. Rounding happens BEFORE ranking with an id tie-break, so the
     ranking is fully deterministic.
     """
+    # Norms are precomputed per SIDE, not per pair: the join then pays only
+    # the dot product per candidate. Same doubles as cosine() — identical
+    # operations on identical operands, just factored out of the join.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
-    )
+    ).withColumn("_cnorm", _norm(F.col("_cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qvec"),
+    ).withColumn("_qnorm", _norm(F.col("_qvec")))
+    sim = F.round(
+        _dot(F.col("_qvec"), F.col("_cvec"))
+        / (F.col("_qnorm") * F.col("_cnorm")),
+        sim_decimals,
     )
-    sim = F.round(cosine(F.col("_qvec"), F.col("_cvec")), sim_decimals)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -214,7 +221,8 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("cell"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
-    )
+    ).withColumn("_cnorm", _norm(F.col("_cvec")))
+    probes = probes.withColumn("_qnorm", _norm(F.col("_qvec")))
     # Equi-join on cell — only the probed fraction of the corpus is scored.
     scored = (
         c.join(F.broadcast(probes), "cell")
@@ -222,7 +230,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("_qvec"), F.col("_cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
