@@ -757,30 +757,19 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99). Brute force at
-    this size; the corpus side streams while the (small) probe side
-    broadcasts — at scale the IVF/LSH path (knn_ivf) replaces this."""
-    from etl_capnz_spark.operators.similarity import _dot, _norm
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99) via bucketed
+    1-D-LSH candidate generation + exact cosine on candidates only
+    (operators/similarity.py:near_dup_pairs). Equi-join on the bucket key —
+    O(n) candidate rows, no CartesianProduct (asserted in test_plans.py);
+    the oracle mirrors the identical bucketing."""
+    from etl_capnz_spark.operators.similarity import near_dup_pairs
 
-    emb = _aug_embeddings(spark, sf_dir).withColumn(
-        "_n", _norm(F.col("embedding"))
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    # norms precomputed per side (once per vector, not per pair)
-    sim = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a._n") * F.col("b._n")),
-        6,
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.99)
+    return near_dup_pairs(
+        _aug_embeddings(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        bucket_width=0.05,
     )
 
 
@@ -1317,12 +1306,27 @@ def oracle_sql() -> dict[str, str]:
                        i -> CASE WHEN i = 1 THEN v[1] + 0.01 ELSE v[i] END)
               FROM emb WHERE vec_id % 50 = 7
             ),
+            -- mirrors near_dup_pairs: 1-D projection (left-fold sum),
+            -- bucket floor(p/0.05), each vector emits keys {{b, b+1}},
+            -- equi-join on key, greatest-bucket filter dedups the match
+            proj AS (
+              SELECT vec_id, v,
+                     {oracles.norm_sql('v')} AS n,
+                     floor(list_reduce(list_prepend(0.0::DOUBLE, v),
+                                       (x, y) -> x + y) / 0.05)::BIGINT AS bkt
+              FROM aug
+            ),
+            keyed AS (
+              SELECT vec_id, v, n, bkt, unnest([bkt, bkt + 1]) AS key
+              FROM proj
+            ),
             pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     round({oracles.dot_sql('a.v', 'b.v')}
-                           / ({oracles.norm_sql('a.v')} * {oracles.norm_sql('b.v')}),
+                     round({oracles.dot_sql('a.v', 'b.v')} / (a.n * b.n),
                            6) AS sim
-              FROM aug a, aug b WHERE a.vec_id < b.vec_id
+              FROM keyed a JOIN keyed b
+                ON a.key = b.key AND a.vec_id < b.vec_id
+              WHERE a.key = greatest(a.bkt, b.bkt)
             )
             SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""",
         "text_bigrams_udtf": f"""

@@ -86,6 +86,69 @@ def cosine_topk_brute(
     )
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    bucket_width: float = 0.05,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs WITHOUT an all-pairs join.
+
+    Candidate generation is a 1-D LSH: project every vector onto the fixed
+    all-ones direction (p = Σ v[i], summed left-to-right so the doubles are
+    dialect-portable), bucket ``b = floor(p / bucket_width)``. Every vector
+    emits the two keys ``{b, b+1}``; candidates come from an EQUI-join on
+    the key, so any pair whose projections differ by ≤ ``bucket_width`` is
+    guaranteed a candidate (floor is monotone → their buckets differ by at
+    most 1). The ``key == greatest(b_a, b_b)`` filter keeps exactly one of
+    the up-to-two key matches per pair — no distinct needed. Exact cosine
+    is then scored on candidates only.
+
+    Scale shape: 2 rows per vector shuffle on the bucket key — O(n) rows,
+    a hash/sort-merge equi-join, never a CartesianProduct (asserted in
+    tests/test_plans.py). Approximate by construction: a sim ≥ threshold
+    pair whose 1-D projections differ by more than ``bucket_width`` is not
+    generated — the standard LSH recall trade-off (near-identical vectors
+    have near-identical coordinate sums, so duplicates-by-perturbation are
+    always captured).
+    """
+    v = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_n", _norm(F.col("_v")))
+        .withColumn(
+            "_p", F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x)
+        )
+        .withColumn("_b", F.floor(F.col("_p") / F.lit(bucket_width)))
+    )
+    keyed = v.withColumn(
+        "_key", F.explode(F.array(F.col("_b"), F.col("_b") + F.lit(1)))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    sim = F.round(
+        _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
+        sim_decimals,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._key") == F.col("b._key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(F.col("a._key") == F.greatest(F.col("a._b"), F.col("b._b")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def centroids_by_label(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     label_col: str = "label",

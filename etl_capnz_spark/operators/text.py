@@ -162,22 +162,34 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Two aggregations sharing the token key: term frequency per (doc,
     token), document frequency per token (distinct docs), then a join on
-    token. N (corpus size) is a scalar literal resolved at plan build.
+    token. N (corpus size) is itself a 1-row aggregate joined in by
+    broadcast — NOT a driver-side ``df.count()``, which would force a full
+    extra scan of the corpus before the real job (two passes at 100 TB).
+    Here all three aggregates run inside one job and the corpus is scanned
+    once per aggregation, never eagerly.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    n_docs = df.count()
+    n = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("token").agg(
         F.countDistinct(id_col).alias("df")
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
-    return tf.join(dfreq, "token").select(
-        id_col,
-        "token",
-        "tf",
-        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    # (N+1)/(df+1) with N carried as a column: same doubles as the former
+    # float literal (bigint + 1.0 is exact far beyond any corpus size).
+    idf = F.log(
+        (F.col("_n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
     )
 
 

@@ -81,6 +81,28 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS customer_b")
 
 
+def test_dedup_embedding_has_no_cartesian_product(spark, sf_dir):
+    """Embedding near-dup candidates come from a bucket-key EQUI-join —
+    O(n) candidate rows. An all-pairs shape (CartesianProduct /
+    BroadcastNestedLoopJoin) here is the textbook 100 TB scale-killer."""
+    df = entrymod.queries()["dedup_embedding"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan, "expected a bucket-key equi-join"
+
+
+def test_tfidf_carries_n_as_broadcast_aggregate(spark, sf_dir):
+    """N must be a 1-row aggregate inside the plan (joined by broadcast),
+    not a driver-side df.count() resolved to a literal at build time — the
+    eager count would force a full extra corpus scan before the real job."""
+    df = entrymod.queries()["text_tfidf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "_n_docs" in plan, "corpus size must be a plan-side aggregate"
+    # the 1-row side arrives via a broadcast join, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_dedup_minhash_shuffles_only_band_tuples(spark, sf_dir):
     """LSH candidate generation must not shuffle document text — the join
     input projections carry only (id, band_key)."""
