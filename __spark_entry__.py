@@ -275,9 +275,41 @@ def _q_geometry_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full F1-F3 fan-out on active alerts (minus the nested ring,
-    which is covered value-exactly by cap_polygon_points)."""
-    cols = [c for c in FEATURE_COLUMNS if c != "ring"]
+    covered value-exactly by cap_polygon_points, and the metadata struct,
+    covered flat by cap_feature_metadata)."""
+    cols = [c for c in FEATURE_COLUMNS if c not in ("ring", "metadata")]
     return build_features(_active(spark, sf_dir)).select(*cols)
+
+
+def _q_feature_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """properties.metadata parity (the 19-field CAP object the reference
+    emits on every feature, task.ts:673-693/825-844, + isCenter on centroid
+    features, task.ts:752-755): one row per emitted feature, struct
+    flattened to columns for the oracle hash."""
+    m = F.col("metadata")
+    return build_features(_active(spark, sf_dir)).select(
+        "feature_id",
+        "is_center",
+        m["sender"].alias("sender"),
+        m["sent"].alias("sent"),
+        m["status"].alias("status"),
+        m["msgType"].alias("msg_type"),
+        m["scope"].alias("scope"),
+        m["category"].alias("category"),
+        m["event"].alias("event"),
+        m["urgency"].alias("urgency"),
+        m["severity"].alias("severity"),
+        m["certainty"].alias("certainty"),
+        m["senderName"].alias("sender_name"),
+        m["headline"].alias("headline"),
+        m["description"].alias("description"),
+        m["instruction"].alias("instruction"),
+        m["responseType"].alias("response_type"),
+        m["onset"].alias("onset"),
+        m["expires"].alias("expires"),
+        m["web"].alias("web"),
+        m["areaDesc"].alias("area_desc"),
+    )
 
 
 # --- feed link extraction (T1-T4) -----------------------------------------
@@ -909,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_circle_parse": _q_circle_parse,
         "cap_geometry_fallback": _q_geometry_fallback,
         "cap_features": _q_features,
+        "cap_feature_metadata": _q_feature_metadata,
         "feed_links": _q_feed_links,
         "tpch_q1": _q_tpch_q1,
         "tpch_region_revenue": _q_tpch_region_revenue,
@@ -1206,6 +1239,35 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN g = 4 THEN lat0::DOUBLE ELSE (-41.0)::DOUBLE END AS lat
             FROM cap WHERE g IN (3, 4, 5, 6)""",
         "cap_features": _features_oracle(remarks_lines),
+        "cap_feature_metadata": f"""{_DUCK},
+            act AS (SELECT * FROM cap WHERE {_ACTIVE_WHERE}),
+            polys AS (
+              SELECT k, CASE WHEN g IN (0, 1) THEN identifier
+                             ELSE identifier || '-0' END AS fid
+              FROM act WHERE g IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT k, identifier || '-1' FROM act WHERE g = 2
+            ),
+            pts AS (
+              SELECT k, identifier AS fid FROM act WHERE g IN (3, 4, 5, 6)
+            ),
+            fids AS (
+              SELECT k, fid, false AS is_center FROM polys
+              UNION ALL
+              SELECT k, fid || '-center', true FROM polys
+              UNION ALL
+              SELECT k, fid, false FROM pts
+            )
+            SELECT f.fid AS feature_id, f.is_center,
+              b.sender,
+              strftime(b.sent_ts, '{_ISO_FMT_DUCK}') AS sent,
+              b.status, b.msg_type, b.scope, b.category, b.event,
+              b.urgency, b.severity, b.certainty, b.sender_name,
+              b.headline, b.description, b.instruction, b.response_type,
+              coalesce(strftime(b.onset_ts, '{_ISO_FMT_DUCK}'), '') AS onset,
+              coalesce(strftime(b.expires_ts, '{_ISO_FMT_DUCK}'), '') AS expires,
+              b.web, b.area_desc
+            FROM fids f JOIN act b ON f.k = b.k""",
         "feed_links": f"""
             SELECT concat('{_FEED_DOMAIN}/cap/', c_custkey, '.xml') AS link
             FROM customer

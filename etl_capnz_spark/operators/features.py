@@ -62,6 +62,7 @@ FEATURE_COLUMNS = [
     "start_iso",
     "stale_iso",
     "icon",
+    "metadata",
     "remarks",
     "link_uid",
     "link_url",
@@ -116,13 +117,56 @@ def _with_common(df: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("_web", F.nullif(F.col("web"), F.lit("")))
+        # properties.metadata — the 19-field CAP object the reference puts
+        # on EVERY feature (task.ts:673-693 polygon, 825-844 point; the
+        # centroid feature spreads the same object + isCenter,
+        # task.ts:752-755 — isCenter is merged at the sink from is_center).
+        # The reference carries the raw XML strings; this engine's alert
+        # table holds parsed timestamps, so sent/onset/expires are DEFINED
+        # as their ISO-8601 UTC rendering ('' when absent, matching the
+        # reference's ''-coalescing of missing fields, task.ts:420-448).
+        .withColumn(
+            "_metadata",
+            F.struct(
+                F.col("sender").alias("sender"),
+                F.coalesce(iso_utc(F.col("sent_ts")), F.lit("")).alias("sent"),
+                F.col("status").alias("status"),
+                F.col("msg_type").alias("msgType"),
+                F.col("scope").alias("scope"),
+                F.col("category").alias("category"),
+                F.col("event").alias("event"),
+                F.col("urgency").alias("urgency"),
+                F.col("severity").alias("severity"),
+                F.col("certainty").alias("certainty"),
+                F.col("sender_name").alias("senderName"),
+                F.col("headline").alias("headline"),
+                F.col("description").alias("description"),
+                F.col("instruction").alias("instruction"),
+                F.col("response_type").alias("responseType"),
+                F.coalesce(iso_utc(F.col("onset_ts")), F.lit("")).alias("onset"),
+                F.coalesce(iso_utc(F.col("expires_ts")), F.lit("")).alias(
+                    "expires"
+                ),
+                F.col("web").alias("web"),
+                F.col("area_desc").alias("areaDesc"),
+            ),
+        )
     )
 
+
+_METADATA_STRUCT = (
+    "struct<sender:string,sent:string,status:string,msgType:string,"
+    "scope:string,category:string,event:string,urgency:string,"
+    "severity:string,certainty:string,senderName:string,headline:string,"
+    "description:string,instruction:string,responseType:string,"
+    "onset:string,expires:string,web:string,areaDesc:string>"
+)
 
 _FEATURE_STRUCT = (
     "struct<feature_id:string,geom_type:string,lon:double,lat:double,"
     "ring:array<array<double>>,callsign:string,cot_type:string,"
     "time_iso:string,start_iso:string,stale_iso:string,icon:string,"
+    f"metadata:{_METADATA_STRUCT},"
     "remarks:string,link_uid:string,link_url:string,stroke:string,"
     "stroke_opacity:double,stroke_width:int,stroke_style:string,"
     "fill:string,fill_opacity:double,is_center:boolean,archived:boolean>"
@@ -163,6 +207,7 @@ def _feature(
         F.col("_start").alias("start_iso"),
         F.col("_stale").alias("stale_iso"),
         (icon if icon is not None else null_s).alias("icon"),
+        F.col("_metadata").alias("metadata"),
         F.col("_remarks").alias("remarks"),
         F.when(F.col("_web").isNotNull(), feature_id).alias("link_uid"),
         F.col("_web").alias("link_url"),

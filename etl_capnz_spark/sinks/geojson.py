@@ -40,7 +40,58 @@ def _geometry_struct():
 
 
 def feature_json(features: DataFrame) -> DataFrame:
-    """One GeoJSON Feature document per row: (feature_id, feature)."""
+    """One GeoJSON Feature document per row: (feature_id, feature).
+
+    Document-shape asymmetries reproduced from the reference:
+
+    * ``properties.metadata`` — the 19-field CAP object on every feature
+      (task.ts:673-693, 825-844), with ``isCenter: true`` merged onto
+      centroid features only (task.ts:752-755; absent otherwise, exactly
+      as the object spread adds the key only there).
+    * polygon features carry FLAT ``stroke``/``fill`` keys, present only
+      when a colour is set (task.ts:723-730).
+    * point-branch features (circle centre / NZ fallback) carry a nested
+      ``style`` object that is ALWAYS present — ``{}`` when no colour,
+      because the reference assigns ``style: baseStyle`` unconditionally
+      with ``baseStyle = {}`` (task.ts:860-868, 870).
+    * centroid features carry neither (task.ts:744-772).
+    """
+    is_polygon = F.col("geom_type") == "Polygon"
+    is_point_branch = (F.col("geom_type") == "Point") & (~F.col("is_center"))
+    meta = F.struct(
+        F.col("metadata.sender").alias("sender"),
+        F.col("metadata.sent").alias("sent"),
+        F.col("metadata.status").alias("status"),
+        F.col("metadata.msgType").alias("msgType"),
+        F.col("metadata.scope").alias("scope"),
+        F.col("metadata.category").alias("category"),
+        F.col("metadata.event").alias("event"),
+        F.col("metadata.urgency").alias("urgency"),
+        F.col("metadata.severity").alias("severity"),
+        F.col("metadata.certainty").alias("certainty"),
+        F.col("metadata.senderName").alias("senderName"),
+        F.col("metadata.headline").alias("headline"),
+        F.col("metadata.description").alias("description"),
+        F.col("metadata.instruction").alias("instruction"),
+        F.col("metadata.responseType").alias("responseType"),
+        F.col("metadata.onset").alias("onset"),
+        F.col("metadata.expires").alias("expires"),
+        F.col("metadata.web").alias("web"),
+        F.col("metadata.areaDesc").alias("areaDesc"),
+        # null unless centroid → to_json drops the key except there
+        F.when(F.col("is_center"), F.lit(True)).alias("isCenter"),
+    )
+    style = F.when(
+        is_point_branch,
+        F.struct(
+            F.col("stroke"),
+            F.col("stroke_opacity").alias("stroke-opacity"),
+            F.col("stroke_width").alias("stroke-width"),
+            F.col("stroke_style").alias("stroke-style"),
+            F.col("fill_opacity").alias("fill-opacity"),
+            F.col("fill"),
+        ),
+    )
     props = F.struct(
         F.col("callsign"),
         F.col("cot_type").alias("type"),
@@ -48,6 +99,7 @@ def feature_json(features: DataFrame) -> DataFrame:
         F.col("start_iso").alias("start"),
         F.col("stale_iso").alias("stale"),
         F.col("icon"),
+        meta.alias("metadata"),
         F.col("remarks"),
         F.when(
             F.col("link_uid").isNotNull(),
@@ -61,12 +113,15 @@ def feature_json(features: DataFrame) -> DataFrame:
                 )
             ),
         ).alias("links"),
-        F.col("stroke"),
-        F.col("stroke_opacity").alias("stroke-opacity"),
-        F.col("stroke_width").alias("stroke-width"),
-        F.col("stroke_style").alias("stroke-style"),
-        F.col("fill"),
-        F.col("fill_opacity").alias("fill-opacity"),
+        # flat styling: polygon features only (reference key order,
+        # fill-opacity BEFORE fill — task.ts:723-730)
+        F.when(is_polygon, F.col("stroke")).alias("stroke"),
+        F.when(is_polygon, F.col("stroke_opacity")).alias("stroke-opacity"),
+        F.when(is_polygon, F.col("stroke_width")).alias("stroke-width"),
+        F.when(is_polygon, F.col("stroke_style")).alias("stroke-style"),
+        F.when(is_polygon, F.col("fill_opacity")).alias("fill-opacity"),
+        F.when(is_polygon, F.col("fill")).alias("fill"),
+        style.alias("style"),
         F.col("archived"),
     )
     # to_json drops NULL fields (ignoreNullFields) — conditional keys like

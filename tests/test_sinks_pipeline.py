@@ -41,6 +41,94 @@ def test_feature_json_shape(spark):
     assert center["properties"]["icon"].startswith("bb4df0a6")
 
 
+METADATA_KEYS = [
+    "sender", "sent", "status", "msgType", "scope", "category", "event",
+    "urgency", "severity", "certainty", "senderName", "headline",
+    "description", "instruction", "responseType", "onset", "expires",
+    "web", "areaDesc",
+]  # task.ts:673-693 spread order
+
+STYLE_KEYS = [
+    "stroke", "stroke-opacity", "stroke-width", "stroke-style",
+    "fill-opacity", "fill",
+]  # task.ts:862-868 (same flat order for polygons, task.ts:723-730)
+
+
+def _docs_by_id(spark, **overrides):
+    import datetime
+    import importlib
+
+    golden = importlib.import_module("tests.test_features_golden")
+    from etl_capnz_spark.operators.features import build_features
+
+    row = {**golden.BASE, **overrides}
+    for ts in ("sent_ts", "onset_ts", "expires_ts"):
+        if isinstance(row[ts], str):
+            row[ts] = datetime.datetime.fromisoformat(row[ts])
+    df = spark.createDataFrame([tuple(row.values())], golden.ALERT_SCHEMA)
+    return {
+        r["feature_id"]: json.loads(r["feature"])
+        for r in feature_json(build_features(df)).collect()
+    }
+
+
+def test_polygon_document_shape_golden(spark):
+    """Byte-level shape parity for the polygon + centroid documents
+    (task.ts:664-773): key ORDER is asserted, not just presence."""
+    out = _docs_by_id(
+        spark,
+        polygons=["0,10 1,10 1,11 0,11"],
+        parameters=[("ColourCodeHex", "#336699")],
+        expires_ts="2026-09-01 00:00:00",
+    )
+    p = out["ID1"]["properties"]
+    assert list(p.keys()) == [
+        "callsign", "type", "time", "start", "stale", "metadata",
+        "remarks", *STYLE_KEYS, "archived",
+    ]  # flat styling, fill-opacity BEFORE fill; no icon, no style object
+    assert list(p["metadata"].keys()) == METADATA_KEYS  # no isCenter
+    assert p["metadata"] == {
+        "sender": "met", "sent": "2026-08-01T00:00:00.000Z",
+        "status": "Actual", "msgType": "Alert", "scope": "Public",
+        "category": "Met", "event": "strongWind", "urgency": "",
+        "severity": "Severe", "certainty": "Likely",
+        "senderName": "MetService", "headline": "Strong Wind Watch",
+        "description": "", "instruction": "", "responseType": "",
+        "onset": "", "expires": "2026-09-01T00:00:00.000Z", "web": "",
+        "areaDesc": "Zone",
+    }
+    assert [p[k] for k in STYLE_KEYS] == ["#336699", 0.5, 3, "solid", 0.4, "#336699"]
+    c = out["ID1-center"]["properties"]
+    assert list(c.keys()) == [
+        "callsign", "type", "time", "start", "stale", "icon", "metadata",
+        "remarks", "archived",
+    ]  # centroid: icon, NO style in any form (task.ts:744-772)
+    assert list(c["metadata"].keys()) == [*METADATA_KEYS, "isCenter"]
+    assert c["metadata"]["isCenter"] is True
+
+
+def test_point_document_nested_style_golden(spark):
+    """Point-branch features nest styling under properties.style with the
+    128/255 opacities (task.ts:860-868); the key is ALWAYS present —
+    {} when no colour (style: baseStyle with baseStyle = {})."""
+    colored = _docs_by_id(
+        spark, circle="-41.5,174.5 30",
+        parameters=[("ColourCodeHex", "#336699")],
+    )["ID1"]["properties"]
+    assert list(colored.keys()) == [
+        "callsign", "type", "time", "start", "icon", "metadata", "remarks",
+        "style", "archived",
+    ]  # no flat stroke/fill keys on point features
+    assert list(colored["style"].keys()) == STYLE_KEYS
+    assert colored["style"] == {
+        "stroke": "#336699", "stroke-opacity": 0.5019607843137255,
+        "stroke-width": 3, "stroke-style": "solid",
+        "fill-opacity": 0.5019607843137255, "fill": "#336699",
+    }
+    plain = _docs_by_id(spark, circle="-41.5,174.5 30")["ID1"]["properties"]
+    assert plain["style"] == {}
+
+
 def test_feature_collection_and_metrics(spark):
     feats = _features(spark)
     fc = json.loads(feature_collection_json(feats))
