@@ -174,6 +174,46 @@ def centroids_by_label(
     )
 
 
+def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means‖-style seeding: farthest-point traversal.
+
+    Seed 0 is the lowest-id vector; each subsequent seed is the vector
+    whose best cosine similarity to the existing seeds is SMALLEST
+    (maximin — the deterministic analogue of k-means++'s d²-weighted
+    sampling, which spreads seeds across the data instead of clumping
+    them like lowest-k-ids). Ties break by id, so the result is stable.
+
+    Distributed shape: the seeds are driver-side constants, so each round
+    is ONE narrow pass — similarity to each seed as literal-array
+    expressions folded with ``greatest`` (no join, no shuffle) — followed
+    by a global top-1 (TakeOrderedAndProject: partial top-1 per
+    partition, k-1 rows ever reach the driver). k-1 corpus passes at
+    init; acceptable for IVF cell counts, and each pass is cheaper than
+    one Lloyd iteration.
+    """
+    first = vecs.orderBy("id").limit(1).collect()[0]
+    seeds: list[list[float]] = [list(first["v"])]
+    for _ in range(1, k):
+        sims = [
+            F.round(
+                cosine(
+                    F.col("v"), F.array(*[F.lit(float(x)) for x in s])
+                ),
+                9,
+            )
+            for s in seeds
+        ]
+        best = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        nxt = (
+            vecs.select("id", "v", best.alias("_maxsim"))
+            .orderBy(F.col("_maxsim").asc(), F.col("id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(list(nxt["v"]))
+    return list(enumerate(seeds))
+
+
 def kmeans_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -183,22 +223,18 @@ def kmeans_fit(
 ) -> DataFrame:
     """Deterministic Lloyd's k-means for IVF cells.
 
-    Init: the ``k`` lowest-id vectors. Each iteration is two shuffles:
-    assign (broadcast centroids, argmin over k cosine distances — a
-    per-row expression) and recompute (posexplode + two-level hash agg,
-    identical shape to centroids_by_label). The iteration count is a
-    driver-side loop over lazy plans — each round materializes only k×dim
-    doubles at the driver, so the pattern scales to any corpus size.
+    Init: deterministic farthest-point seeding (``_maximin_init``). Each
+    iteration is two shuffles: assign (broadcast centroids, argmin over k
+    cosine distances — a per-row expression) and recompute (posexplode +
+    two-level hash agg, identical shape to centroids_by_label). The
+    iteration count is a driver-side loop over lazy plans — each round
+    materializes only k×dim doubles at the driver, so the pattern scales
+    to any corpus size.
     """
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    cents = [
-        (i, r["v"])
-        for i, r in enumerate(
-            vecs.orderBy("id").limit(k).collect()
-        )
-    ]
+    cents = _maximin_init(vecs, k)
     for _ in range(iters):
         cent_df = F.broadcast(
             vecs.sparkSession.createDataFrame(

@@ -29,4 +29,7 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
 def test_kmeans_cells_cover_corpus(spark, sf_dir):
     rows = entrymod._q_knn_kmeans_cells(spark, sf_dir).collect()
     assert sum(r["n_vectors"] for r in rows) == 500
-    assert len(rows) >= 2  # clustering didn't collapse to one cell
+    # maximin seeding spreads the seeds: every cell populated, none
+    # swallowing the corpus (lowest-k-ids init clumped neighbours)
+    assert len(rows) == 8
+    assert max(r["n_vectors"] for r in rows) <= 250
