@@ -197,6 +197,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation over candidate pairs.
+
+    The dedup endgame: LSH/fingerprint candidate PAIRS become dedup GROUPS
+    (every doc labelled with the min doc-id of its component), from which a
+    pipeline keeps one representative per group.
+
+    Scale design: each round is one shuffle-join of (edge → label) plus one
+    hash-aggregate on node id — no adjacency lists on the driver, no
+    all-pairs anything. Rounds converge in O(component diameter), and dedup
+    components are near-stars (a handful of rounds). Convergence is
+    detected by the monotone label sum (labels only ever decrease), so each
+    round costs exactly one extra 1-row action; ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["s"] == labels["id"]).select(
+            F.col("d").alias("id"), F.col("lbl")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
 def simhash16(col: Column) -> Column:
     """16-bit SimHash over whitespace tokens.
 

@@ -244,20 +244,24 @@ def build_features(alerts: DataFrame) -> DataFrame:
     4-way union of projections this computes the expensive per-alert
     columns (remarks, signature, icon) exactly once, needs no shuffle, no
     barrier, and stays a fully narrow pipeline — the shape that scales
-    linearly at 100 TB. Per-polygon parse results are let-bound via a
-    single-element ``transform`` so each polygon string is parsed once.
+    linearly at 100 TB. All polygon strings are parsed ONCE into a
+    materialized ``_rings`` projection (Catalyst keeps a non-cheap alias
+    referenced more than once un-inlined), shared by the poison scan and
+    the feature fan-out; the centroid struct is let-bound per ring.
     """
-    df = _with_common(alerts).withColumn(
-        "_first_bad",
-        F.when(
-            F.size(F.col("polygons")) > 0,
-            F.array_position(
-                F.transform(
-                    F.col("polygons"), lambda s: parse_polygon(s).isNull()
+    df = (
+        _with_common(alerts)
+        .withColumn("_rings", F.transform(F.col("polygons"), parse_polygon))
+        .withColumn(
+            "_first_bad",
+            F.when(
+                F.size(F.col("polygons")) > 0,
+                F.array_position(
+                    F.transform(F.col("_rings"), lambda r: r.isNull()),
+                    True,
                 ),
-                True,
-            ),
-        ).otherwise(F.lit(0)),
+            ).otherwise(F.lit(0)),
+        )
     )
 
     n_poly = F.size(F.col("polygons"))
@@ -269,10 +273,10 @@ def build_features(alerts: DataFrame) -> DataFrame:
         ).otherwise(F.col("identifier"))
 
     def per_ring(ring: Column, i: Column) -> Column:
-        c = centroid(ring)
-        return F.when(
-            ring.isNotNull() & (F.size(ring) >= 4),  # G4
-            F.array(
+        # Let-bind the centroid struct (single-element transform) so the
+        # shoelace fold runs once per ring, not once per field reference.
+        def with_c(c: Column) -> Column:
+            return F.array(
                 _feature(
                     pid(i),
                     "Polygon",
@@ -289,18 +293,19 @@ def build_features(alerts: DataFrame) -> DataFrame:
                     icon=F.col("_icon"),
                     is_center=True,
                 ),
-            ),
+            )
+
+        bound = F.try_element_at(
+            F.transform(F.array(centroid(ring)), with_c), F.lit(1)
+        )
+        return F.when(
+            ring.isNotNull() & (F.size(ring) >= 4),  # G4
+            bound,
         ).otherwise(_empty_features())
 
-    def per_polygon(s: Column, i: Column) -> Column:
+    def per_polygon(ring: Column, i: Column) -> Column:
         kept = (F.col("_first_bad") == 0) | (i + 1 < F.col("_first_bad"))
-        # Let-bind the parsed ring (single-element transform) so the parse
-        # runs once per polygon, not once per downstream reference.
-        bound = F.try_element_at(
-            F.transform(F.array(parse_polygon(s)), lambda r: per_ring(r, i)),
-            F.lit(1),
-        )
-        return F.when(kept, bound).otherwise(_empty_features())
+        return F.when(kept, per_ring(ring, i)).otherwise(_empty_features())
 
     def point_feature(pt_lon: Column, pt_lat: Column) -> Column:
         return _feature(
@@ -314,7 +319,7 @@ def build_features(alerts: DataFrame) -> DataFrame:
             fill_opacity=POINT_OPACITY,
         )
 
-    poly_part = F.flatten(F.transform(F.col("polygons"), per_polygon))
+    poly_part = F.flatten(F.transform(F.col("_rings"), per_polygon))
     fallback = F.when(
         F.col("_first_bad") > 0, F.array(point_feature(F.lit(NZ_CENTER_LON), F.lit(NZ_CENTER_LAT)))
     ).otherwise(_empty_features())

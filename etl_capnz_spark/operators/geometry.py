@@ -66,40 +66,78 @@ def parse_polygon(polygon_str: Column) -> Column:
     NULL means the reference would have thrown (any invalid pair, or fewer
     than 3 valid points) — callers route such alerts to the fallback-point
     branch (F3, task.ts:776-796).
+
+    Expression-shape note (perf, SURVEY.md §8 finding 3): array-HOF lambdas
+    are interpreted, so a subtree referenced N times is EVALUATED N times.
+    The parse is therefore staged — split → floats → validity — so each
+    ``js_parse_float`` runs once per coordinate, and the per-pair array plus
+    the filtered point list are let-bound via single-element ``transform``
+    so the whole pair parse runs once per row regardless of how many times
+    downstream logic references it. Arithmetic and 3-valued-logic structure
+    are identical to the naive form — results are bit-exact.
     """
     raw_pairs = F.split(F.trim(polygon_str), r"\s+")
-    # Per-pair parse into struct(lat, lon, valid).
-    parsed = F.transform(raw_pairs, _parse_pair)
+    # Stage 1: split each pair once.
+    with_parts = F.transform(raw_pairs, _pair_parts)
+    # Stage 2: floats + string-shape test, each computed exactly once.
+    floats = F.transform(with_parts, _pair_floats)
     # Reference: pairs WITHOUT a comma and empty-after-split pairs are
     # silently skipped only when falsy — a non-empty comma-less token is
     # invalid (task.ts:269-273). After split on \s+ of a trimmed string no
     # empty tokens remain, so: invalid := any token failing the pair rules.
-    any_invalid = F.exists(parsed, lambda p: ~p["valid"])
-    points = F.transform(
-        F.filter(parsed, lambda p: p["valid"]),
-        lambda p: F.array(p["lon"], p["lat"]),
-    )
-    closed = _close_ring(points)
-    poisoned = (
-        polygon_str.isNull()
-        | (F.trim(polygon_str) == "")
-        | any_invalid
-        | (F.size(points) < 3)
-    )
-    return F.when(~poisoned, closed)
+    parsed = F.transform(floats, _pair_validity)
+
+    def build(ps: Column) -> Column:
+        any_invalid = F.exists(ps, lambda p: ~p["valid"])
+        points = F.transform(
+            F.filter(ps, lambda p: p["valid"]),
+            lambda p: F.array(p["lon"], p["lat"]),
+        )
+
+        def close(pts: Column) -> Column:
+            poisoned = (
+                polygon_str.isNull()
+                | (F.trim(polygon_str) == "")
+                | any_invalid
+                | (F.size(pts) < 3)
+            )
+            return F.when(~poisoned, _close_ring(pts))
+
+        return F.try_element_at(
+            F.transform(F.array(points), close), F.lit(1)
+        )
+
+    return F.try_element_at(F.transform(F.array(parsed), build), F.lit(1))
 
 
-def _parse_pair(pair: Column) -> Column:
-    parts = F.split(pair, ",", -1)
+def _pair_parts(pair: Column) -> Column:
+    return F.struct(
+        pair.alias("pair"), F.split(pair, ",", -1).alias("parts")
+    )
+
+
+def _pair_floats(s: Column) -> Column:
+    parts = s["parts"]
     lat_str = F.try_element_at(parts, F.lit(1))
     lon_str = F.try_element_at(parts, F.lit(2))
-    lat = js_parse_float(lat_str)
-    lon = js_parse_float(lon_str)
-    valid = (
-        pair.contains(",")
+    shape_ok = (
+        s["pair"].contains(",")
         & (F.size(parts) == 2)
         & (F.trim(lat_str) != "")
         & (F.trim(lon_str) != "")
+    )
+    return F.struct(
+        js_parse_float(lat_str).alias("lat"),
+        js_parse_float(lon_str).alias("lon"),
+        shape_ok.alias("shape_ok"),
+    )
+
+
+def _pair_validity(s: Column) -> Column:
+    lat = s["lat"]
+    lon = s["lon"]
+    valid = (
+        s["shape_ok"]
         & lat.isNotNull()
         & lon.isNotNull()
         & (lat >= -90)
@@ -158,46 +196,80 @@ def centroid(ring: Column) -> Column:
     Matches task.ts:340-378 exactly, including the degenerate-area mean
     fallback (over ALL points incl. the closing duplicate) and the <3-point
     [0,0] guard.
+
+    Expression-shape note (perf): the shoelace terms are staged so the
+    cross product is computed once per edge, the three sums come out of ONE
+    struct-accumulator fold, and every downstream reference reads a
+    let-bound stats struct — the naive form re-ran the whole fold per
+    reference (~6×). Per-element arithmetic order is unchanged, so the
+    doubles are bit-identical.
     """
     n = F.size(ring)
     # Pair consecutive vertices via two slices (cheaper than an indexed
     # fold: HOF lambdas are interpreted, so fewer/simpler lambda bodies win).
     p0s = F.slice(ring, 1, n - 1)
     p1s = F.slice(ring, 2, n - 1)
-    a2 = F.aggregate(
-        F.zip_with(p0s, p1s, lambda p, q: p[0] * q[1] - q[0] * p[1]),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    edges = F.zip_with(
+        p0s, p1s, lambda p, q: F.struct(p.alias("p"), q.alias("q"))
     )
-    cxs = F.aggregate(
-        F.zip_with(
-            p0s, p1s, lambda p, q: (p[0] + q[0]) * (p[0] * q[1] - q[0] * p[1])
+    # Stage 1: cross product once per edge (+ the two coordinate sums).
+    halves = F.transform(
+        edges,
+        lambda e: F.struct(
+            (
+                e["p"][0] * e["q"][1] - e["q"][0] * e["p"][1]
+            ).alias("cross"),
+            (e["p"][0] + e["q"][0]).alias("sx"),
+            (e["p"][1] + e["q"][1]).alias("sy"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    cys = F.aggregate(
-        F.zip_with(
-            p0s, p1s, lambda p, q: (p[1] + q[1]) * (p[0] * q[1] - q[0] * p[1])
+    # Stage 2: weight the sums by the (materialized) cross product.
+    terms = F.transform(
+        halves,
+        lambda t: F.struct(
+            t["cross"].alias("cross"),
+            (t["sx"] * t["cross"]).alias("cx"),
+            (t["sy"] * t["cross"]).alias("cy"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
     )
-    area = a2 * F.lit(0.5)
-    mean_x = F.aggregate(ring, F.lit(0.0), lambda a, p: a + p[0]) / n
-    mean_y = F.aggregate(ring, F.lit(0.0), lambda a, p: a + p[1]) / n
-    degenerate = F.abs(area) < F.lit(DEGENERATE_AREA_EPS)
-    lon = (
-        F.when(n < 3, F.lit(0.0))
-        .when(degenerate, mean_x)
-        .otherwise(cxs / (F.lit(6.0) * area))
+    sums = F.aggregate(
+        terms,
+        F.struct(
+            F.lit(0.0).alias("a2"),
+            F.lit(0.0).alias("cx"),
+            F.lit(0.0).alias("cy"),
+        ),
+        lambda acc, t: F.struct(
+            (acc["a2"] + t["cross"]).alias("a2"),
+            (acc["cx"] + t["cx"]).alias("cx"),
+            (acc["cy"] + t["cy"]).alias("cy"),
+        ),
     )
-    lat = (
-        F.when(n < 3, F.lit(0.0))
-        .when(degenerate, mean_y)
-        .otherwise(cys / (F.lit(6.0) * area))
+    means = F.aggregate(
+        ring,
+        F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y")),
+        lambda a, p: F.struct(
+            (a["x"] + p[0]).alias("x"), (a["y"] + p[1]).alias("y")
+        ),
     )
-    return F.struct(lon.alias("lon"), lat.alias("lat"))
+    stats = F.struct(sums.alias("s"), means.alias("m"), n.alias("n"))
+
+    def finish(st: Column) -> Column:
+        area = st["s"]["a2"] * F.lit(0.5)
+        degenerate = F.abs(area) < F.lit(DEGENERATE_AREA_EPS)
+        lon = (
+            F.when(st["n"] < 3, F.lit(0.0))
+            .when(degenerate, st["m"]["x"] / st["n"])
+            .otherwise(st["s"]["cx"] / (F.lit(6.0) * area))
+        )
+        lat = (
+            F.when(st["n"] < 3, F.lit(0.0))
+            .when(degenerate, st["m"]["y"] / st["n"])
+            .otherwise(st["s"]["cy"] / (F.lit(6.0) * area))
+        )
+        return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+    return F.try_element_at(F.transform(F.array(stats), finish), F.lit(1))
 
 
 def centroid_window(df: DataFrame, id_col: str, ring_col: str) -> DataFrame:
