@@ -37,6 +37,7 @@ from etl_capnz_spark.operators.extract import (
     required_filter,
 )
 from etl_capnz_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidates,
     minhash_signatures,
@@ -624,6 +625,33 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame step 1: LSH candidate pairs -> connected components
+    (min-label propagation; reference has no graph stage — this is the
+    training-data-pipeline extension, SURVEY.md §2.12)."""
+    sigs = minhash_signatures(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    return connected_components(pairs).select("id", "component")
+
+
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup endgame step 2: keep ONE doc per near-dup component (the
+    min-id member); docs in no component survive untouched. Anti-join of
+    the corpus against non-representative members — documents themselves
+    never shuffle on anything but doc_id."""
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs bucketed by the planted
     original/duplicate relationship (bucket = doc_id % 100000 % 200000 —
@@ -957,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_components": _q_dedup_components,
+        "dedup_representatives": _q_dedup_representatives,
         "text_simhash": _q_text_simhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1514,6 +1544,44 @@ def oracle_sql() -> dict[str, str]:
                     THEN len(list_intersect(a.sh, b.sh))::DOUBLE
                          / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
                     ELSE 0.0 END, 6) >= 0.5""",
+        "dedup_components": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            )
+            SELECT id, min(lbl) AS component FROM reach GROUP BY id""",
+        "dedup_representatives": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+            SELECT doc_id, lang FROM aug
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""",
         "text_simhash": f"""
             SELECT doc_id, {oracles.simhash_sql('text')} AS simhash
             FROM documents""",

@@ -59,6 +59,7 @@ def get_session(
         # vectorized parquet reader rejects; read as long and convert
         # (read_events below).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
@@ -76,19 +77,31 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet naive timestamps (isAdjustedToUTC=false) otherwise surface as
+    # TIMESTAMP_NTZ, which time-arithmetic builtins (unix_micros, window)
+    # reject; with UTC session TZ the two types carry identical micros.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with ``nanosAsLong`` it
-    arrives as a bigint of nanoseconds and is converted to a microsecond
-    timestamp by truncation — matching DuckDB's NS→US cast.
+    ``events.ts`` normalizes to TIMESTAMP (micros, UTC session TZ)
+    whichever physical type the generator used: TIMESTAMP(NANOS) arrives
+    as a bigint of nanoseconds under ``nanosAsLong`` and is truncated
+    (matching DuckDB's NS→US cast); TIMESTAMP(MICROS, naive) can surface
+    as TIMESTAMP_NTZ on sessions that cached the table's schema before
+    ``inferTimestampNTZ`` was pinned off, and is cast (same micros under
+    UTC — DuckDB reads the same file as naive TIMESTAMP).
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

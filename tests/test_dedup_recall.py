@@ -59,3 +59,44 @@ def test_embedding_neardup_catches_planted_vectors(spark, sf_dir):
     }
     assert planted
     assert planted <= pairs
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3 and pair 10-11 collapse to min-label components; the
+    isolated edge endpoints keep themselves as labels."""
+    from etl_capnz_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 20), (20, 3)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    # 7-20-3 bridges into the 1-2-3 chain -> one component labelled 1
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (7, 1), (20, 1),
+        (10, 10), (11, 10),
+    }
+
+
+def test_representatives_drop_all_planted_dups(spark, sf_dir):
+    kept = {
+        r["doc_id"]
+        for r in entrymod._q_dedup_representatives(spark, sf_dir).collect()
+    }
+    # every exact copy (id+200000) is LSH-caught and loses to its original
+    # (the original is always in the same component with a smaller id)
+    assert not any(k >= 200000 for k in kept)
+    # exactly the component minima survive, plus every unpaired doc
+    comp = {
+        (r["id"], r["component"])
+        for r in entrymod._q_dedup_components(spark, sf_dir).collect()
+    }
+    losers = {i for i, c in comp if i != c}
+    all_ids = {
+        r["doc_id"]
+        for r in entrymod._docs_with_dups(spark, sf_dir).collect()
+    }
+    assert kept == all_ids - losers
