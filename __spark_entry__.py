@@ -50,11 +50,20 @@ from etl_capnz_spark.operators.multimodal import (
     synthesize_media,
 )
 from etl_capnz_spark.operators.asof import asof_join
+from etl_capnz_spark.operators.sampling import (
+    balanced_sample,
+    deterministic_sample,
+    pack_sequences,
+    stratified_sample,
+    training_order,
+)
 from etl_capnz_spark.operators.rangejoin import range_join_count
 from etl_capnz_spark.operators.udtf import bigrams_lateral
 from etl_capnz_spark.operators.sessions import sessionize
 from etl_capnz_spark.operators.similarity import cosine, cosine_topk_brute, ivf_topk
 from etl_capnz_spark.operators.text import (
+    PII_EMAIL_RE,
+    PII_NUMBER_RE,
     SENTIMENT_LEXICON,
     detect_language,
     fingerprint,
@@ -695,6 +704,84 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
+def _q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% hash sample of documents — reproducible across reruns,
+    partitionings, and engines (no RNG), filter sits on the scan."""
+    return deterministic_sample(
+        _docs(spark, sf_dir), "doc_id", 10
+    ).select("doc_id", "source")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: per-source keep rates (50/25/10%, default 5%) —
+    how a training mix is rebalanced across corpus sources."""
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "source",
+        {"src0": 50, "src1": 25, "src2": 10},
+        default_pct=5,
+    ).select("doc_id", "source")
+
+
+def _q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-class cap on the embeddings labels (30 lowest ids per
+    label) — deterministic class rebalancing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return balanced_sample(emb, "vec_id", "label", 30).select(
+        "vec_id", "label"
+    )
+
+
+def _q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: seeded-md5 sort key -> position.
+    Same seed, same order, on any cluster."""
+    return training_order(_docs(spark, sf_dir), "doc_id", seed="epoch0")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: contiguous first-fill bins of BPE
+    token counts per source shard (budget 512)."""
+    from etl_capnz_spark.operators.text import bpe_token_count
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", 512, "source")
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted PII (emails on id%7==0,
+    phone-ish numbers on id%11==0) so the redaction pass has ground
+    truth to catch."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 11 == 0,
+        F.concat(F.lit(" ph +64 21 "), (d % 1000000 + 1000000).cast("string")),
+    ).otherwise(F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("text")
+    )
+
+
+def _q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: typed placeholder redaction + audit counts."""
+    from etl_capnz_spark.operators.text import pii_counts, redact_pii
+
+    docs = _docs_with_pii(spark, sf_dir)
+    n_email, n_number = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        n_email.alias("n_emails"),
+        n_number.alias("n_numbers"),
+    )
+
+
 def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (whitespace + BPE-ish regex) — the cheap
     length estimators of a training-data pipeline."""
@@ -1014,6 +1101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
         "text_token_counts": _q_text_token_counts,
+        "sample_deterministic": _q_sample_deterministic,
+        "sample_stratified": _q_sample_stratified,
+        "sample_balanced": _q_sample_balanced,
+        "train_order": _q_train_order,
+        "pack_sequences": _q_pack_sequences,
+        "text_pii_redact": _q_text_pii_redact,
     }
 
 
@@ -1435,6 +1528,63 @@ def oracle_sql() -> dict[str, str]:
                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::INT
                      AS n_bpe_tokens
             FROM documents""",
+        "sample_deterministic": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 13))::BIGINT
+                  % 100 < 10""",
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 13))::BIGINT
+                  % 100 <
+                  CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25
+                              WHEN 'src2' THEN 10 ELSE 5 END""",
+        "sample_balanced": """
+            SELECT vec_id, label FROM (
+              SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                       AS rn
+              FROM embeddings)
+            WHERE rn <= 30""",
+        "train_order": """
+            SELECT doc_id,
+                   (row_number() OVER (
+                      ORDER BY md5('epoch0' || doc_id::VARCHAR), doc_id)
+                    - 1)::INT AS position
+            FROM documents""",
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))::INT
+                       AS n_tokens
+              FROM documents)
+            SELECT source, doc_id, n_tokens,
+                   floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) / 512)::BIGINT AS bin
+            FROM t""",
+        "text_pii_redact": f"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN ' ph +64 21 ' || (doc_id % 1000000 + 1000000)::VARCHAR
+                        ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_NUMBER_RE}', '<NUMBER>', 'g') AS redacted,
+                   len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::INT
+                     AS n_emails,
+                   len(regexp_extract_all(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_NUMBER_RE}'))::INT AS n_numbers
+            FROM pii""",
         "text_sentiment": f"""
             WITH lex(token, weight) AS (VALUES {", ".join(
                 f"('{t}', {w})" for t, w in SENTIMENT_LEXICON.items())}),

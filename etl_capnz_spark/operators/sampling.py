@@ -1,0 +1,139 @@
+"""Dataset-assembly operators for training-data pipelines (SURVEY.md §2.12).
+
+The reference engine has no sampling stage; these are the extension
+operators a 100 TB corpus pipeline needs between "deduped documents" and
+"training shards": deterministic sampling (reproducible across reruns and
+engines — no RNG state), class rebalancing, deterministic global shuffle,
+and token-budget sequence packing.
+
+Scale design:
+
+* hash sampling — a narrow filter on a per-row hash: no shuffle, no RNG,
+  pushdown-friendly (the filter sits directly over the scan). The same
+  rows are selected on any cluster size and by the DuckDB oracle, because
+  the selector is md5 (dialect-portable), not xxhash/rand.
+* stratified / balanced sampling — stratified is the same narrow filter
+  with a per-stratum rate; balanced is one shuffle on the label (window
+  row_number), the minimum any exact per-class cap needs. Skewed labels
+  are AQE's problem, not a collect's.
+* training order — ONE global range-partitioned sort on a seeded hash key.
+  This is the idiomatic Spark "deterministic shuffle": executors sample
+  key ranges, each writes one sorted shard, no driver bottleneck.
+* sequence packing — contiguous first-fill packing per shard key: a
+  running-sum window (one shuffle on the shard key) assigns each doc a
+  bin = floor(exclusive_cumsum / budget). Bins can overshoot the budget
+  by at most one document — the standard streaming approximation; exact
+  bin-packing is NP-hard and needs global state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_pct(col: Column, salt: str = "") -> Column:
+    """Deterministic per-row percentile in [0, 100) from md5 bits.
+
+    First 52 bits of ``md5(salt || value)`` modulo 100 — uniform enough
+    for sampling, reproducible in any engine with md5 (DuckDB oracle:
+    ``('0x' || substr(md5(...), 1, 13))::BIGINT % 100``).
+    """
+    basis = F.concat(F.lit(salt), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, pct: int, salt: str = "s1"
+) -> DataFrame:
+    """Keep ~pct% of rows, chosen by id hash — stable across reruns,
+    partitionings, and engines (unlike ``df.sample``, whose RNG is
+    partition-layout-dependent)."""
+    return df.filter(hash_pct(F.col(id_col), salt) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (mixture weighting): each value
+    of ``strata_col`` keeps its own percentage. The rate table is a CASE
+    expression (broadcast-free); sampling itself stays a narrow filter."""
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_pct(F.col(id_col), salt) < rate)
+
+
+def balanced_sample(
+    df: DataFrame, id_col: str, label_col: str, per_label: int
+) -> DataFrame:
+    """Exact per-class cap: keep the ``per_label`` lowest-id rows of every
+    label (deterministic — no RNG, ties impossible on a key column).
+    One shuffle on the label; the window never sees more than one
+    partition's rows per task after AQE skew-splitting."""
+    w = Window.partitionBy(label_col).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_label)
+        .drop("_rn")
+    )
+
+
+def training_order(
+    df: DataFrame, id_col: str, seed: str = "epoch0"
+) -> DataFrame:
+    """Deterministic global shuffle: order rows by a seeded md5 key and
+    emit ``position`` (0-based). Changing ``seed`` reshuffles; the same
+    seed always yields the identical order — reproducible epochs.
+
+    Implementation is ONE global sort (range-partitioned at scale).
+    row_number over a no-partition window is the exact rank; Spark plans
+    it as a single-partition window AFTER the sort, which is fine for the
+    final lightweight (key, id) projection — at shard-writing scale you'd
+    zipWithIndex the sorted shards instead, same order, embarrassingly
+    parallel."""
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).alias("position"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Contiguous token-budget packing: docs are taken in ``id_col`` order
+    (per shard if ``shard_col`` given) and assigned
+    ``bin = floor(exclusive_running_token_sum / budget)``.
+
+    Streaming approximation of first-fit: each bin is a contiguous id
+    range and may overshoot the budget by at most its last document —
+    the shape every large-scale packing pipeline uses, because it needs
+    only a running-sum window (one shuffle), not global bin state."""
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    cols = parts + [
+        id_col,
+        token_col,
+        F.floor(cum_excl / budget).alias("bin"),
+    ]
+    return df.select(*cols)

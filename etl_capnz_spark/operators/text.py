@@ -116,6 +116,38 @@ def fingerprint(col: Column) -> Column:
     return F.md5(canon)
 
 
+# PII scrubbing patterns — RE2-compatible (no lookaround/backrefs) so the
+# DuckDB oracle runs the SAME regex text. Deliberately conservative stand-ins
+# for a production PII pass (presidio-class recognizers slot into the same
+# regexp_replace pipeline shape).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# 8+ digits allowing single space/dash/dot separators, optional +prefix —
+# phone-ish numbers and other long identifiers.
+PII_NUMBER_RE = r"\+?\d(?:[ .-]?\d){7,}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails then long digit sequences with typed placeholder
+    tags. Order matters (emails may contain digits); pure narrow
+    regexp_replace — no shuffle, vectorized JVM-side."""
+    no_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_NUMBER_RE, "<NUMBER>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_numbers) found in the raw text — audit counters for
+    the redaction pass."""
+    n_email = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0))
+    n_number = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>"),
+            F.lit(PII_NUMBER_RE),
+            0,
+        )
+    )
+    return n_email, n_number
+
+
 # Tiny sentiment lexicon over the corpus vocabulary — a stand-in for
 # VADER/AFINN; the operator shape (broadcast dim join on exploded tokens +
 # re-aggregate) is what matters at scale.
