@@ -1,0 +1,81 @@
+"""Properties of the dataset-assembly operators (operators/sampling.py).
+
+The core promise is DETERMINISM UNDER RE-PARTITIONING: unlike df.sample /
+rand(), every selection and ordering here depends only on row values, so
+any cluster layout yields the identical result set.
+"""
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.sampling import (
+    balanced_sample,
+    deterministic_sample,
+    pack_sequences,
+    training_order,
+)
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_sample_invariant_under_partitioning(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = _ids(deterministic_sample(docs, "doc_id", 10))
+    b = _ids(deterministic_sample(docs.repartition(17, "source"), "doc_id", 10))
+    c = _ids(deterministic_sample(docs.coalesce(1), "doc_id", 10))
+    assert a == b == c
+    assert 0 < len(a) < docs.count()
+
+
+def test_sample_salt_changes_selection(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = _ids(deterministic_sample(docs, "doc_id", 10, salt="s1"))
+    b = _ids(deterministic_sample(docs, "doc_id", 10, salt="s2"))
+    assert a != b
+
+
+def test_balanced_cap_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = balanced_sample(emb, "vec_id", "label", 5)
+    per = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["label"]: r["n"]
+        for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    for label, n in full.items():
+        assert per[label] == min(n, 5)
+
+
+def test_training_order_is_permutation_and_seed_sensitive(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    o1 = training_order(docs, "doc_id", seed="epoch0").collect()
+    positions = sorted(r["position"] for r in o1)
+    assert positions == list(range(len(o1)))
+    o2 = {r["doc_id"]: r["position"] for r in
+          training_order(docs, "doc_id", seed="epoch1").collect()}
+    moved = sum(1 for r in o1 if o2[r["doc_id"]] != r["position"])
+    assert moved > len(o1) // 2  # a new seed reshuffles most rows
+
+
+def test_pack_bins_contiguous_and_budget_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.lit(100).alias("n_tokens")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", 512, "source").collect()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        by_shard.setdefault(r["source"], []).append(r)
+    for rows in by_shard.values():
+        # bins are non-decreasing in id order and fill to the budget:
+        # with 100-token docs a 512 budget holds ceil(512/100)=6 at most
+        # (5 full + the overshooting last one)
+        bins = [r["bin"] for r in rows]
+        assert bins == sorted(bins)
+        from collections import Counter
+
+        for _, n in Counter(bins).items():
+            assert n <= 6
