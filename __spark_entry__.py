@@ -833,6 +833,37 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, "vec_id", "embedding", "label", k=5, n_probe=2)
 
 
+def _q_emb_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit signed-random-projection signature per embedding — the
+    bucketing key of the SRP-LSH ANN path (deterministic md5-derived
+    hyperplanes, so exact-oracle-checkable)."""
+    from etl_capnz_spark.operators.similarity import (
+        srp_hyperplanes,
+        srp_signature,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = srp_hyperplanes(16, 64)
+    return emb.select(
+        "vec_id",
+        srp_signature(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("srp_sig"),
+    )
+
+
+def _q_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k: banded signature equi-join for
+    candidates, exact cosine on candidates only. Deterministic planes →
+    the oracle replays the identical bucketing, so even the approximate
+    path is hash-checked."""
+    from etl_capnz_spark.operators.similarity import srp_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return srp_topk(emb, qs, "vec_id", "embedding", k=5, dim=64)
+
+
 def _q_knn_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means IVF training (3 Lloyd rounds) + cell assignment —
     rows-only checked (iterative float argmin is not ANSI-SQL-expressible
@@ -1081,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
+        "emb_srp_signature": _q_emb_srp_signature,
+        "knn_srp": _q_knn_srp,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "cap_xml_roundtrip": _q_xml_roundtrip,
@@ -1786,6 +1819,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY sim DESC, neighbor_id) AS rank
               FROM scored) WHERE rank <= 5""",
+        "emb_srp_signature": f"""
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT vec_id, {oracles.srp_sig_sql('v')} AS srp_sig FROM c""",
+        "knn_srp": f"""
+            WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                        FROM embeddings),
+            sigs AS (
+              SELECT vec_id, v, {oracles.norm_sql('v')} AS nrm,
+                     {oracles.srp_sig_sql('v', 32, 64)} AS sig
+              FROM c0),
+            banded AS (
+              {" UNION ALL ".join(
+                f"SELECT vec_id, v, nrm, {bk} AS bk FROM sigs"
+                for bk in oracles.srp_band_keys_sql('sig', 32, 8))}),
+            q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bk
+                  FROM banded WHERE vec_id % 50 = 0),
+            cand AS (
+              SELECT query_id, c.vec_id AS neighbor_id,
+                     min(round({oracles.dot_sql('qv', 'c.v')}
+                               / (qnrm * c.nrm), 6)) AS sim
+              FROM banded c JOIN q USING (bk)
+              WHERE c.vec_id <> query_id
+              GROUP BY query_id, neighbor_id)
+            SELECT query_id, neighbor_id, sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM cand) WHERE rank <= 5""",
         "media_stats": """
             SELECT doc_id AS media_id,
                    (['image/png', 'image/jpeg', 'audio/wav'])[(doc_id % 3) + 1]

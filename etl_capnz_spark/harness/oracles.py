@@ -210,3 +210,30 @@ def simhash_sql(col: str) -> str:
         )
         bits.append(f"CASE WHEN {contrib} > 0 THEN {1 << j} ELSE 0 END")
     return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def srp_sig_sql(vec: str, n_bits: int = 16, dim: int = 64) -> str:
+    """n-bit SRP signature — mirrors similarity.srp_signature exactly:
+    bit i set iff the left-fold dot(vec, plane_i) >= 0, planes md5-derived
+    (similarity.srp_hyperplanes), literals via repr() so both engines
+    parse the identical double."""
+    from etl_capnz_spark.operators.similarity import srp_hyperplanes
+
+    terms = []
+    for i, plane in enumerate(srp_hyperplanes(n_bits, dim)):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN {dot_sql(vec, lit)} >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def srp_band_keys_sql(sig: str, n_bits: int = 16, bands: int = 2) -> list[str]:
+    """Band-key expressions — mirrors similarity.srp_band_keys (integer
+    div/mod, key = band*2^n_bits + band_value)."""
+    bits_per = n_bits // bands
+    width = 1 << bits_per
+    return [
+        f"({b} * {1 << n_bits} + (({sig}) // {width ** b}) % {width})"
+        for b in range(bands)
+    ]

@@ -113,3 +113,12 @@ def test_dedup_minhash_shuffles_only_band_tuples(spark, sf_dir):
     assert exchanges, "expected band-key shuffles"
     for line in exchanges:
         assert "text#" not in line, f"document text in shuffle: {line}"
+
+
+def test_knn_srp_has_no_cartesian_product(spark, sf_dir):
+    """SRP-LSH top-k must stay a band-key equi-join — never all-pairs."""
+    import __spark_entry__ as entrymod
+
+    plan = entrymod._q_knn_srp(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -33,3 +33,22 @@ def test_kmeans_cells_cover_corpus(spark, sf_dir):
     # swallowing the corpus (lowest-k-ids init clumped neighbours)
     assert len(rows) == 8
     assert max(r["n_vectors"] for r in rows) <= 250
+
+
+def test_srp_recall_vs_brute(spark, sf_dir):
+    brute = _topk_sets(entrymod._q_knn_brute(spark, sf_dir))
+    srp = _topk_sets(entrymod._q_knn_srp(spark, sf_dir))
+    hits = sum(len(brute[q] & srp.get(q, set())) for q in brute)
+    total = sum(len(brute[q]) for q in brute)
+    recall = hits / total
+    # 32-bit / 8-band SRP on weak-neighbour random embeddings: measured
+    # 0.72 at sf0.001 — pin a floor well under it
+    assert recall >= 0.6, f"SRP recall@5 collapsed: {recall:.2f}"
+
+
+def test_srp_signature_stable_and_16bit(spark, sf_dir):
+    rows = entrymod._q_emb_srp_signature(spark, sf_dir).collect()
+    assert all(0 <= r["srp_sig"] < (1 << 16) for r in rows)
+    again = {r["vec_id"]: r["srp_sig"]
+             for r in entrymod._q_emb_srp_signature(spark, sf_dir).collect()}
+    assert all(again[r["vec_id"]] == r["srp_sig"] for r in rows)
