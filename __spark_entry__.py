@@ -661,6 +661,29 @@ def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+def _q_pipeline_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data assembly: quality gate -> MinHash-LSH
+    candidates -> connected components -> one representative per
+    component -> token-budget packing per language shard. Every stage is
+    the production operator; the whole chain stays oracle-checkable."""
+    from etl_capnz_spark.operators.text import bpe_token_count, token_count
+
+    docs = _docs_with_dups(spark, sf_dir)
+    kept = docs.filter(token_count(F.col("text")) >= 5)
+    sigs = minhash_signatures(kept, "text", "doc_id", num_hashes=8)
+    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    reps = kept.join(losers, "doc_id", "left_anti")
+    with_tokens = reps.select(
+        "doc_id", "lang", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", 512, "lang")
+
+
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs bucketed by the planted
     original/duplicate relationship (bucket = doc_id % 100000 % 200000 —
@@ -1105,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
+        "pipeline_dedup_pack": _q_pipeline_dedup_pack,
         "text_simhash": _q_text_simhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1765,6 +1789,45 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
             SELECT doc_id, lang FROM aug
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""",
+        "pipeline_dedup_pack": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
+            kept AS (
+              SELECT * FROM aug
+              WHERE len(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), t -> t <> '')) >= 5
+            ),
+            {oracles.minhash_bands_sql('kept', 'doc_id')},
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            reps AS (
+              SELECT doc_id, lang, text FROM kept
+              WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+            ),
+            toks AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))::INT
+                       AS n_tokens
+              FROM reps)
+            SELECT lang, doc_id, n_tokens,
+                   floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) / 512)::BIGINT AS bin
+            FROM toks""",
         "text_simhash": f"""
             SELECT doc_id, {oracles.simhash_sql('text')} AS simhash
             FROM documents""",

@@ -203,3 +203,65 @@ def upsert_alert_state(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_merge)
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    bound: right rows within ``[left_ts, left_ts + max_delay]``.
+
+    Both sides carry watermarks so Spark can bound the join state store:
+    a buffered left row is dropped once the right watermark passes
+    ``left_ts + max_delay`` — without the time bound the state grows
+    forever, the classic streaming-join OOM. This is Spark's native
+    stream-stream join; at scale state shards by key across executors.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.event_type").alias("right_type"),
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Small-file compaction for a streaming landing directory.
+
+    Streaming parquet sinks write one file per micro-batch per partition;
+    at scale a day of 1-minute triggers is thousands of KB-sized files
+    that wreck scan planning. Rewrite the directory into
+    ``ceil(rows / target_rows_per_file)`` files via a staged copy + swap
+    (swap-by-rewrite here; a table format makes it atomic).
+
+    Returns the output file count. The only driver-side state is two
+    1-row aggregates (count, and the rewrite job itself is fully
+    distributed).
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    staged = path.rstrip("/") + "_compacted"
+    df.repartition(n_files).write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    return n_files

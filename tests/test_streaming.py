@@ -153,3 +153,55 @@ def test_upsert_alert_state(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert final == {"A": "Update", "B": "Alert"}  # C cancelled
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """'error' events join 'click'-side events for the same user within
+    10 minutes — verified against the equivalent static interval join."""
+    from etl_capnz_spark.streaming.stream import interval_join_streams
+
+    events = read_table(spark, sf_dir, "events")
+    left_dir, right_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    lstatic = events.filter(F.col("event_type") == "error")
+    rstatic = events.filter(F.col("event_type") == "view")
+    lstatic.write.mode("overwrite").parquet(left_dir)
+    rstatic.write.mode("overwrite").parquet(right_dir)
+
+    lstream = spark.readStream.schema(lstatic.schema).parquet(left_dir)
+    rstream = spark.readStream.schema(rstatic.schema).parquet(right_dir)
+    joined = interval_join_streams(lstream, rstream)
+    _run_stream(joined, "ssj_out", str(tmp_path / "cp_ssj"))
+    got = spark.sql(
+        "SELECT count(*) AS n FROM ssj_out"
+    ).collect()[0]["n"]
+
+    expected = (
+        lstatic.alias("l")
+        .join(
+            rstatic.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .count()
+    )
+    assert got == expected
+    assert got > 0
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from etl_capnz_spark.streaming.stream import compact_parquet
+
+    land = str(tmp_path / "landing")
+    ev = read_table(spark, sf_dir, "events")
+    # simulate many tiny micro-batch files
+    ev.repartition(40).write.mode("overwrite").parquet(land)
+    import glob
+
+    before = len(glob.glob(land + "/part-*"))
+    assert before >= 40
+    n_before = spark.read.parquet(land).count()
+    n_files = compact_parquet(spark, land, target_rows_per_file=10**9)
+    after = len(glob.glob(land + "/part-*"))
+    assert n_files == 1 and after == 1
+    assert spark.read.parquet(land).count() == n_before
