@@ -388,6 +388,58 @@ def _q_tpch_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way fact join with
+    segment/date filters pushed to the scans, top-10 unshipped orders by
+    revenue. o_orderpriority stands in for o_shippriority (not in the
+    synthetic schema)."""
+    cutoff = "1997-06-30"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a join-side predicate, then a two-level aggregation —
+    customers with zero qualifying orders must survive as c_count=0."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 def _q_tpch_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -918,6 +970,16 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1->N mapInPandas row generation) over synthesized
+    media payloads — rows-only checked (stub kernel hashes byte windows;
+    not SQL-expressible)."""
+    from etl_capnz_spark.operators.multimodal import sample_frames
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return sample_frames(media, n_frames=4)
+
+
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: pairs within the same planted-original
     bucket whose 16-bit signatures differ in ≤ 3 bits."""
@@ -1114,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_links": _q_feed_links,
         "tpch_q1": _q_tpch_q1,
         "tpch_region_revenue": _q_tpch_region_revenue,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_custdist": _q_tpch_custdist,
         "tpch_semi": _q_tpch_semi,
         "tpch_anti": _q_tpch_anti,
         "tpch_topk": _q_tpch_topk,
@@ -1143,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_xml_roundtrip": _q_xml_roundtrip,
         "cap_category_broadcast_join": _q_category_broadcast_join,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "media_frames": _q_media_frames,
         "dedup_embedding": _q_dedup_embedding,
         "tpch_cube": _q_tpch_cube,
         "tpch_pivot": _q_tpch_pivot,
@@ -1473,6 +1538,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name""",
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-06-30'
+              AND l_shipdate > TIMESTAMP '1997-06-30'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC""",
         "tpch_semi": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders
