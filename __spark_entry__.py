@@ -713,6 +713,21 @@ def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: a 10% hash-sampled benchmark set vs
+    the rest of the (dup-augmented) corpus — planted near/exact dups of
+    benchmark docs are the contamination to catch."""
+    from etl_capnz_spark.operators.dedup import ngram_contamination
+    from etl_capnz_spark.operators.sampling import hash_pct
+
+    docs = _docs_with_dups(spark, sf_dir)
+    bench = docs.filter(
+        (hash_pct(F.col("doc_id"), "bench") < 10) & (F.col("doc_id") < 100000)
+    )
+    corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
 def _q_pipeline_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data assembly: quality gate -> MinHash-LSH
     candidates -> connected components -> one representative per
@@ -1193,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
+        "decontaminate": _q_decontaminate,
         "text_simhash": _q_text_simhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1874,6 +1890,31 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
             SELECT doc_id, lang FROM aug
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""",
+        "decontaminate": f"""{_DUCK_AUG},
+            bench AS (
+              SELECT * FROM aug
+              WHERE ('0x' || substr(md5('bench' || doc_id::VARCHAR), 1, 13))::BIGINT
+                    % 100 < 10
+                AND doc_id < 100000
+            ),
+            corpus AS (
+              SELECT * FROM aug
+              WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+            ),
+            cg AS (
+              SELECT doc_id, md5(g) AS gh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct({oracles.ngram_sql('text', 5)})) AS g
+                FROM corpus)
+            ),
+            bg AS (
+              SELECT DISTINCT md5(g) AS gh FROM (
+                SELECT unnest(list_distinct({oracles.ngram_sql('text', 5)})) AS g
+                FROM bench)
+            )
+            SELECT doc_id, count(*) AS n_shared_ngrams
+            FROM cg JOIN bg USING (gh)
+            GROUP BY doc_id""",
         "pipeline_dedup_pack": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
             kept AS (
               SELECT * FROM aug

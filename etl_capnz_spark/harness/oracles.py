@@ -237,3 +237,14 @@ def srp_band_keys_sql(sig: str, n_bits: int = 16, bands: int = 2) -> list[str]:
         f"({b} * {1 << n_bits} + (({sig}) // {width ** b}) % {width})"
         for b in range(bands)
     ]
+
+
+def ngram_sql(col: str, n: int) -> str:
+    """Word n-grams — mirrors dedup.word_shingles(col, n) for any n
+    (indices bounded by the generate_series, so no OOB null concat)."""
+    toks = TOKENS_SQL.format(col=col)
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> {parts})"
+    )

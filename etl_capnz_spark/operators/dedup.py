@@ -266,3 +266,45 @@ def simhash16(col: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("bigint")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Train/test decontamination: corpus documents sharing ≥1 word
+    n-gram with any benchmark document, with the shared-gram count.
+
+    The canonical pre-training hygiene pass (The Pile / GPT-3 style
+    13-gram checks — ``n`` is a dial): benchmark docs must not leak into
+    the training set via near-copies.
+
+    Scale shape: both sides explode to (md5(ngram), id) tuples — the
+    benchmark side distinct'd and typically small enough to broadcast —
+    and meet in an equi-join on the hash. Document text never shuffles;
+    the join carries 16-byte keys. Per-doc hit counts come from one
+    hash-aggregate on the already-partitioned join output.
+    """
+    c_grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("g"),
+    ).select("doc_id", F.md5(F.col("g")).alias("gh"))
+    b_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), n))
+            ).alias("g")
+        )
+        .select(F.md5(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    return (
+        c_grams.join(b_grams, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

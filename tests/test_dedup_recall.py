@@ -100,3 +100,31 @@ def test_representatives_drop_all_planted_dups(spark, sf_dir):
         for r in entrymod._docs_with_dups(spark, sf_dir).collect()
     }
     assert kept == all_ids - losers
+
+
+def test_decontamination_catches_planted_benchmark_copies(spark, sf_dir):
+    """Every exact copy (id+200000) of a benchmark doc appears in the
+    contamination report — verbatim leakage must never be missed."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.sampling import hash_pct
+
+    docs = entrymod._docs_with_dups(spark, sf_dir)
+    bench_ids = {
+        r["doc_id"]
+        for r in docs.filter(
+            (hash_pct(F.col("doc_id"), "bench") < 10)
+            & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    flagged = {
+        r["doc_id"] for r in entrymod._q_decontaminate(spark, sf_dir).collect()
+    }
+    planted_copies = {
+        bid + 200000
+        for bid in bench_ids
+        if bid % 20 == 5  # ids the harness duplicates verbatim
+    }
+    assert planted_copies, "benchmark must contain some duplicated ids"
+    missed = planted_copies - flagged
+    assert not missed, f"verbatim benchmark copies escaped: {sorted(missed)[:5]}"
