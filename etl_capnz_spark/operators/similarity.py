@@ -428,7 +428,14 @@ def srp_topk(
     single-row limit probe reads it once.
     """
     planes = srp_hyperplanes(n_bits, dim or _first_dim(corpus, vec_col))
+
     def prep(df: DataFrame, role: str) -> DataFrame:
+        # The signature (n_bits interpreted dot products) is materialized
+        # as its own projection column BEFORE the band-key explode: the
+        # band keys reference it `bands` times, and interpreted HOFs get
+        # no codegen CSE — inlined, the whole signature would re-evaluate
+        # once per band (measured 8x on the 32-bit config). A non-cheap
+        # alias referenced more than once survives CollapseProject.
         v = F.col(vec_col).cast("array<double>")
         return (
             df.select(
@@ -437,15 +444,13 @@ def srp_topk(
             )
             .withColumn(f"_{role}norm", _norm(F.col(f"_{role}vec")))
             .withColumn(
-                "_bk",
-                F.explode(
-                    srp_band_keys(
-                        srp_signature(F.col(f"_{role}vec"), planes),
-                        n_bits,
-                        bands,
-                    )
-                ),
+                "_sig", srp_signature(F.col(f"_{role}vec"), planes)
             )
+            .withColumn(
+                "_bk",
+                F.explode(srp_band_keys(F.col("_sig"), n_bits, bands)),
+            )
+            .drop("_sig")
         )
 
     c = prep(corpus, "neighbor")
