@@ -1,0 +1,71 @@
+"""Storage-layout sinks: the write-side levers that decide 100 TB scan
+performance.
+
+* ``write_clustered`` — range-partition + sort-within-partitions on the
+  cluster columns before writing parquet. Parquet keeps per-file and
+  per-row-group min/max statistics; when the data is range-clustered,
+  a reader's filter prunes whole files (PushedFilters never touches
+  disk). This is THE difference between "scan 100 TB" and "scan the 40 GB
+  that matches" for time- or key-ranged queries.
+* ``write_training_shards`` — the pipeline endgame: pack documents into
+  token-budget bins (operators/sampling.pack_sequences) and write one
+  directory partition per shard, plus a manifest (shard → docs/tokens)
+  computed from the same DataFrame, so trainers can schedule shards
+  without listing files.
+
+Both are plain DataFrame writers — every byte moves executor-side; the
+driver only issues the jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write parquet range-clustered on ``cluster_cols``.
+
+    ``repartitionByRange`` samples the key distribution (one lightweight
+    Spark job) and assigns contiguous key ranges to partitions, so file
+    min/max stats are disjoint; the in-partition sort tightens row-group
+    stats for row-group-level skipping too.
+    """
+    parts = [F.col(c) for c in cluster_cols]
+    staged = (
+        df.repartitionByRange(*([n_files] if n_files else []), *parts)
+        .sortWithinPartitions(*parts)
+    )
+    staged.write.mode("overwrite").parquet(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shard_col: str = "bin",
+) -> DataFrame:
+    """Write one directory partition per pre-assigned shard and return
+    the manifest (shard → n_docs, n_tokens).
+
+    Input rows already carry the shard assignment (from
+    ``pack_sequences`` or any other binning); ``partitionBy`` routes each
+    shard to its own directory in a single distributed write. The
+    manifest is a 1-row-per-shard aggregate — compute it FROM THE SAME
+    frame so it cannot drift from what was written.
+    """
+    docs.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    return (
+        docs.groupBy(shard_col)
+        .agg(
+            F.count(id_col).alias("n_docs"),
+            F.sum(token_col).alias("n_tokens"),
+        )
+        .orderBy(shard_col)
+    )
