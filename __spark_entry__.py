@@ -1076,6 +1076,37 @@ def _q_tpch_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first 'view' then first 'purchase' at or
+    after it -> conversion flag. ONE hash-partition exchange on user_id:
+    the first-view window and the final aggregation share the
+    partitioning, and there is no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    is_purchase = F.col("event_type") == "purchase"
+    fv = F.min(F.when(is_view, F.col("ts"))).over(w)
+    staged = ev.withColumn("_fv", fv)
+    first_view = F.min(F.when(is_view, F.col("ts")))
+    first_purchase = F.min(
+        F.when(is_purchase & (F.col("ts") >= F.col("_fv")), F.col("ts"))
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            first_view.alias("first_view"),
+            first_purchase.alias("first_purchase_after"),
+        )
+        .withColumn(
+            "converted",
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase_after").isNotNull(),
+        )
+    )
+
+
 def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: 3-row moving average + running sum per user."""
     from pyspark.sql.window import Window
@@ -1238,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
+        "events_funnel": _q_events_funnel,
         "text_token_counts": _q_text_token_counts,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
@@ -1783,6 +1815,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        "events_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS fv
+              FROM events)
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                     AS first_view,
+                   min(CASE WHEN event_type = 'purchase' AND ts >= fv
+                       THEN ts END) AS first_purchase_after,
+                   (min(CASE WHEN event_type = 'view' THEN ts END)
+                      IS NOT NULL
+                    AND min(CASE WHEN event_type = 'purchase' AND ts >= fv
+                        THEN ts END) IS NOT NULL) AS converted
+            FROM e GROUP BY user_id""",
         "events_moving_avg": """
             SELECT event_id, user_id,
                    round(avg("value") OVER (PARTITION BY user_id

@@ -79,3 +79,53 @@ def test_pack_bins_contiguous_and_budget_bounded(spark, sf_dir):
 
         for _, n in Counter(bins).items():
             assert n <= 6
+
+
+# --- property tests (hypothesis) -----------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=900), min_size=1,
+                  max_size=40),
+    budget=st.integers(min_value=100, max_value=1000),
+)
+def test_pack_property_bins_never_overshoot_by_more_than_last_doc(
+    spark, toks, budget
+):
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", budget).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # bins are non-decreasing, start at 0, and a new bin opens exactly
+    # when the exclusive running sum crosses the budget boundary
+    cum = 0
+    for r in out:
+        assert r["bin"] == cum // budget
+        cum += r["n_tokens"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=200,
+    )
+)
+def test_pii_redaction_leaves_no_email_or_long_number(spark, text):
+    import re
+
+    from etl_capnz_spark.operators.text import (
+        PII_EMAIL_RE,
+        PII_NUMBER_RE,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(text,)], "text string")
+    red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+    assert not re.search(PII_EMAIL_RE, red)
+    assert not re.search(PII_NUMBER_RE, red)
