@@ -47,8 +47,15 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # Warm the JVM/IO once so timings measure the engine, not first-touch.
-    qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Full untimed warmup pass: each query has its own generated code, so
+    # warming one query leaves the others paying JIT + page-cache faults in
+    # the timed pass (measured: cold first pass reads ~2x the steady state).
+    # Steady-state is the number that scales — JIT amortizes to zero on a
+    # real cluster run.
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    if warmup:
+        for name in names:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -65,6 +72,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "warmup": "full-pass" if warmup else "none",
             }
         )
     )
