@@ -829,6 +829,16 @@ def _q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order(_docs(spark, sf_dir), "doc_id", seed="epoch0")
 
 
+def _q_train_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave: src0 3x, src1 2x, the rest 1x — any
+    output prefix holds sources in weight proportion."""
+    from etl_capnz_spark.operators.sampling import interleave_sources
+
+    return interleave_sources(
+        _docs(spark, sf_dir), "doc_id", "source", {"src0": 3.0, "src1": 2.0}
+    )
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: contiguous first-fill bins of BPE
     token counts per source shard (budget 512)."""
@@ -1275,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_balanced": _q_sample_balanced,
         "train_order": _q_train_order,
+        "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii_redact,
     }
@@ -1741,6 +1752,19 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY md5('epoch0' || doc_id::VARCHAR), doc_id)
                     - 1)::INT AS position
             FROM documents""",
+        "train_mixture": """
+            WITH pos AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS k,
+                     CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+                          ELSE 1.0 END AS w
+              FROM documents)
+            SELECT doc_id, source,
+                   (row_number() OVER (
+                      ORDER BY k::DOUBLE / w, source, doc_id) - 1)::INT
+                     AS position
+            FROM pos""",
         "pack_sequences": r"""
             WITH t AS (
               SELECT doc_id, source,

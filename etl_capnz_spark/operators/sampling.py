@@ -137,3 +137,35 @@ def pack_sequences(
         F.floor(cum_excl / budget).alias("bin"),
     ]
     return df.select(*cols)
+
+
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted interleave across sources — the "data
+    mixture" ordering of a training run: any prefix of the output
+    contains sources in proportion to their weights (a weight-3 source
+    appears 3x as often as a weight-1 source).
+
+    Classic fractional-position scheme: row k (1-based) of a source gets
+    key k/weight; the global order sorts by key. Two shuffles total
+    (per-source position, then the global range-partitioned sort) and no
+    RNG — the same mixture on any cluster and in the oracle.
+    """
+    w_pos = Window.partitionBy(source_col).orderBy(id_col)
+    weight = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        weight = F.when(F.col(source_col) == value, F.lit(float(wt))).otherwise(
+            weight
+        )
+    key = F.row_number().over(w_pos).cast("double") / weight
+    w_glob = Window.orderBy(key.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        (F.row_number().over(w_glob) - 1).alias("position"),
+    )

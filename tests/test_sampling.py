@@ -129,3 +129,28 @@ def test_pii_redaction_leaves_no_email_or_long_number(spark, text):
     red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
     assert not re.search(PII_EMAIL_RE, red)
     assert not re.search(PII_NUMBER_RE, red)
+
+
+def test_interleave_prefix_respects_weights(spark, sf_dir):
+    from etl_capnz_spark.operators.sampling import interleave_sources
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sorted(
+        interleave_sources(
+            docs, "doc_id", "source", {"src0": 3.0, "src1": 2.0}
+        ).collect(),
+        key=lambda r: r["position"],
+    )
+    # positions are a clean permutation
+    assert [r["position"] for r in out] == list(range(len(out)))
+    # in an early prefix, src0 appears ~3x and src1 ~2x as often as an
+    # unweighted source (exact ratios hold while no source is exhausted)
+    prefix = out[: len(out) // 3]
+    from collections import Counter
+
+    c = Counter(r["source"] for r in prefix)
+    base = sum(v for k, v in c.items() if k not in ("src0", "src1")) / max(
+        1, len(c) - 2
+    )
+    assert c["src0"] > 2.4 * base
+    assert c["src1"] > 1.6 * base
