@@ -1117,6 +1117,26 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; each later day
+    of activity increments (cohort, days-since) distinct-user counts.
+    One user_id exchange for the first-seen window, one aggregation —
+    no self-join. Integer day arithmetic keeps the period dialect-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    return (
+        ev.withColumn("cohort_day", F.date_trunc("day", first_ts))
+        .withColumn(
+            "period", F.datediff(F.to_date("ts"), F.to_date(first_ts))
+        )
+        .groupBy("cohort_day", "period")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: 3-row moving average + running sum per user."""
     from pyspark.sql.window import Window
@@ -1280,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "text_token_counts": _q_text_token_counts,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
@@ -1839,6 +1860,15 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        "events_retention": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     min(ts) OVER (PARTITION BY user_id) AS first_ts
+              FROM events)
+            SELECT date_trunc('day', first_ts)::TIMESTAMP AS cohort_day,
+                   date_diff('day', first_ts::DATE, ts::DATE)::INT AS period,
+                   count(DISTINCT user_id) AS n_active_users
+            FROM e GROUP BY 1, 2""",
         "events_funnel": """
             WITH e AS (
               SELECT user_id, ts, event_type,
