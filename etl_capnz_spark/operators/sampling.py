@@ -98,9 +98,9 @@ def training_order(
     Implementation is ONE global sort (range-partitioned at scale).
     row_number over a no-partition window is the exact rank; Spark plans
     it as a single-partition window AFTER the sort, which is fine for the
-    final lightweight (key, id) projection — at shard-writing scale you'd
-    zipWithIndex the sorted shards instead, same order, embarrassingly
-    parallel."""
+    final lightweight (key, id) projection. At shard-writing scale use
+    :func:`training_order_sharded` — bit-identical positions via a
+    two-phase distributed rank with no global window."""
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     w = Window.orderBy(key.asc(), F.col(id_col).asc())
     return df.select(
@@ -168,4 +168,47 @@ def interleave_sources(
         F.col(id_col),
         F.col(source_col),
         (F.row_number().over(w_glob) - 1).alias("position"),
+    )
+
+
+def training_order_sharded(
+    df: DataFrame, id_col: str, seed: str = "epoch0", n_shards: int = 32
+) -> DataFrame:
+    """Scale path for :func:`training_order`: identical positions without
+    the single-partition global window.
+
+    Two-phase distributed rank (the DataFrame form of zipWithIndex):
+    range-partition + sort on the seeded key, count rows per shard (tiny
+    aggregate — ``n_shards`` rows of driver state), broadcast the prefix
+    offsets back, and rank within each shard under a PER-SHARD window.
+    Every stage is bounded: no executor ever sees more than one shard's
+    rows, no window is global. Positions are bit-identical to
+    ``training_order`` because range partitions are contiguous slices of
+    the same total order.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    staged = (
+        df.select(F.col(id_col), key.alias("_k"))
+        .repartitionByRange(n_shards, F.col("_k"), F.col(id_col))
+        .sortWithinPartitions("_k", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # n_shards rows to the driver — bounded, independent of data size
+    counts = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.lit(0)
+    for pid, off in sorted(offsets.items()):
+        offset_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+            offset_col
+        )
+    w = Window.partitionBy("_pid").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return staged.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1 + offset_col).alias("position"),
     )

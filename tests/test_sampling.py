@@ -154,3 +154,20 @@ def test_interleave_prefix_respects_weights(spark, sf_dir):
     )
     assert c["src0"] > 2.4 * base
     assert c["src1"] > 1.6 * base
+
+
+def test_sharded_training_order_matches_global(spark, sf_dir):
+    from etl_capnz_spark.operators.sampling import training_order_sharded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: r["position"]
+        for r in training_order(docs, "doc_id", seed="epoch0").collect()
+    }
+    got = {
+        r["doc_id"]: r["position"]
+        for r in training_order_sharded(
+            docs, "doc_id", seed="epoch0", n_shards=8
+        ).collect()
+    }
+    assert got == want
