@@ -52,3 +52,41 @@ def test_srp_signature_stable_and_16bit(spark, sf_dir):
     again = {r["vec_id"]: r["srp_sig"]
              for r in entrymod._q_emb_srp_signature(spark, sf_dir).collect()}
     assert all(again[r["vec_id"]] == r["srp_sig"] for r in rows)
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """Persisted IVF index: probes must read ONLY the probed cell
+    directories (PartitionFilters), and every query gets k results."""
+    from etl_capnz_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, path)
+
+    qs = emb.filter("vec_id % 100 = 0")
+    # long pytest tmp paths otherwise truncate the scan's metadata string
+    # before the PartitionFilters entry
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        out = ivf_probe_index(spark, path, qs, k=5, n_probe=2)
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    scan_line = next(
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "/vectors" in ln
+    )
+    assert "cell" in scan_line.split("PartitionFilters")[1][:80]
+    assert " IN " in scan_line.split("PartitionFilters")[1][:80]
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    n_queries = qs.count()
+    assert len(per_query) == n_queries
+    assert all(len(v) == 5 for v in per_query.values())
