@@ -1117,6 +1117,18 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key per event from (user bucket, hour bucket) —
+    the clustering key that makes 2-D box predicates prune files
+    (sinks/storage.py write_clustered + test_storage_jsonl)."""
+    from etl_capnz_spark.sinks.storage import z_value
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("user_id") % 1024
+    y = F.expr("unix_micros(ts) div 3600000000") % 1024
+    return ev.select("event_id", z_value(x, y, 10).alias("zval"))
+
+
 def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day; each later day
     of activity increments (cohort, days-since) distinct-user counts.
@@ -1301,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_zorder": _q_events_zorder,
         "text_token_counts": _q_text_token_counts,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
@@ -1860,6 +1873,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+        "events_zorder": f"""
+            WITH b AS (
+              SELECT event_id,
+                     user_id % 1024 AS x,
+                     (epoch_us(ts) // 3600000000) % 1024 AS y
+              FROM events)
+            SELECT event_id,
+                   ({" | ".join(
+                       f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+                       for i in range(10))})::BIGINT AS zval
+            FROM b""",
         "events_retention": """
             WITH e AS (
               SELECT user_id, ts,

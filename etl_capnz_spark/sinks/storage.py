@@ -69,3 +69,20 @@ def write_training_shards(
         )
         .orderBy(shard_col)
     )
+
+
+def z_value(x, y, bits: int = 16):
+    """Morton/Z-order key: bit-interleave two non-negative int columns
+    (x in even positions, y in odd). Range-clustering on z keeps rows
+    close in BOTH dimensions close on disk, so a 2-D box predicate prunes
+    files that 1-D clustering must read. Pure integer shifts — portable
+    to any SQL dialect, no UDF.
+    """
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xbit = F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return z

@@ -64,3 +64,41 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert good_rows == {1: "hello world", 3: "fine"}
     bad = sorted(r["raw"] for r in quarantine.collect())
     assert bad == sorted(['{"doc_id": 2, "text": "broken', "not json at all"])
+
+
+def test_zorder_clustering_prunes_2d_box(spark, sf_dir, tmp_path):
+    """Z-order-clustered files let a 2-D box predicate skip most files;
+    a hash-partitioned (unclustered) layout forces reading ~all of them."""
+    from pyspark.sql import functions as F2
+
+    from etl_capnz_spark.session import read_table
+    from etl_capnz_spark.sinks.storage import write_clustered, z_value
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F2.col("user_id") % 64).alias("x"),
+        (F2.expr("unix_micros(ts) div 3600000000") % 64).alias("y"),
+    )
+    ev = ev.withColumn("z", z_value(F2.col("x"), F2.col("y"), 6))
+
+    z_dir = str(tmp_path / "by_z")
+    flat_dir = str(tmp_path / "flat")
+    write_clustered(ev, z_dir, ["z"], n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(flat_dir)
+
+    def candidate_files(path):
+        n = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            t = pq.read_table(f, columns=["x", "y"])
+            xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+            if not xs:
+                continue
+            # file overlaps the box x<8, y<8 iff its min corner does
+            if min(xs) < 8 and min(ys) < 8:
+                n += 1
+        return n
+
+    n_z = candidate_files(z_dir)
+    n_flat = candidate_files(flat_dir)
+    assert n_flat >= 12, f"hash layout should spread the box ({n_flat})"
+    assert n_z <= n_flat // 3, f"z-layout must prune: z={n_z} flat={n_flat}"
