@@ -265,3 +265,55 @@ def compact_parquet(
     df.repartition(n_files).write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(path)
     return n_files
+
+
+def incremental_dedup_sink(
+    doc_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental ingest dedup: each micro-batch keeps only documents
+    whose content hash has never been seen — within the batch (min-id
+    wins) or in any previous batch (anti-join against the persisted hash
+    index) — then appends survivors to ``out_path`` and their hashes to
+    the index.
+
+    The cross-batch state is just (hash, id) pairs — 40ish bytes/doc, the
+    smallest state that gives exact dedup. At 100 TB the index lives as a
+    bucketed table on the hash so the anti-join co-locates; here it's
+    plain parquet appends. Exactly-once comes from the streaming
+    checkpoint: a replayed batch re-anti-joins against hashes it already
+    wrote, so replays are no-ops for output rows (hash appends are
+    idempotent-by-value; a table format would make them idempotent
+    physically).
+    """
+    from etl_capnz_spark.operators.dedup import content_hash, exact_dedup
+
+    spark = doc_stream.sparkSession
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        in_batch = exact_dedup(batch, text_col, id_col).withColumn(
+            "_h", content_hash(F.col(text_col))
+        )
+        try:
+            seen = spark.read.parquet(index_path)
+        except Exception:
+            seen = None
+        fresh = (
+            in_batch
+            if seen is None
+            else in_batch.join(seen, in_batch["_h"] == seen["h"], "left_anti")
+        )
+        fresh.drop("_h").write.mode("append").parquet(out_path)
+        fresh.select(F.col("_h").alias("h")).write.mode("append").parquet(
+            index_path
+        )
+
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )

@@ -205,3 +205,53 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     after = len(glob.glob(land + "/part-*"))
     assert n_files == 1 and after == 1
     assert spark.read.parquet(land).count() == n_before
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Docs repeated across micro-batches are dropped by the persisted
+    hash index; within-batch dups keep the min id."""
+    from etl_capnz_spark.streaming.stream import incremental_dedup_sink
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp_incdedup")
+
+    schema = "doc_id BIGINT, text STRING"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = incremental_dedup_sink(
+            stream, out, idx, cp
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    import json as js
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "alpha"},  # in-batch dup -> min id
+                {"doc_id": 3, "text": "beta"},
+            ]
+        )
+    )
+    run_batch()
+    (land / "b2.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 4, "text": "alpha"},  # seen in batch 1 -> drop
+                {"doc_id": 5, "text": "gamma"},
+            ]
+        )
+    )
+    run_batch()
+
+    kept = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
+    }
+    assert kept == {1: "alpha", 3: "beta", 5: "gamma"}
