@@ -183,3 +183,64 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
             F.col("source").alias("source"),
         ).alias("meta"),
     )
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, mime string, width int, height int, "
+    "target_w int, target_h int, resized_sha1 string"
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    mime_col: str = "mime",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize stage via ``mapInPandas`` — the standard pre-embedding
+    normalization (e.g. 224x224 for a vision encoder).
+
+    The Spark-side plumbing is real: Arrow batch transfer, per-batch
+    kernel, typed output schema, 1:1 row mapping (partitioning
+    untouched). The kernel is a documented stub — it derives fake source
+    dims from the payload bytes and hashes a deterministic "resized"
+    window — because no image codec ships in this container; Pillow's
+    ``Image.resize`` drops into the same loop.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real resize needs Pillow/libvips not present in this "
+            "environment; swap the kernel body and pass decode_stub=True "
+            "meanwhile"
+        )
+
+    def _resize_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            w, h, sha = [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                # fake dims derived deterministically from the bytes
+                w.append(64 + (len(raw) % 512))
+                h.append(64 + (hashlib.sha1(raw).digest()[0] * 4))
+                window = raw[: target_w * target_h % max(len(raw), 1)]
+                sha.append(hashlib.sha1(window).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "width": w,
+                    "height": h,
+                    "target_w": [target_w] * len(pdf),
+                    "target_h": [target_h] * len(pdf),
+                    "resized_sha1": sha,
+                }
+            )
+
+    return df.select(id_col, mime_col, payload_col).mapInPandas(
+        _resize_batch, _RESIZE_SCHEMA
+    )

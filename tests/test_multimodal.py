@@ -51,3 +51,21 @@ def test_sample_frames_shape(media):
         offs = [r["frame_offset"] for r in sorted(rows, key=lambda r: r["frame_idx"])]
         assert offs == sorted(offs)
         assert all(len(r["frame_digest"]) == 16 for r in rows)
+
+
+def test_resize_media_plumbing(media):
+    from etl_capnz_spark.operators.multimodal import resize_media
+
+    n_in = media.count()
+    out = resize_media(media, target_w=224, target_h=224)
+    rows = out.collect()
+    assert len(rows) == n_in  # 1:1 row mapping
+    for r in rows:
+        assert r["target_w"] == 224 and r["target_h"] == 224
+        assert r["width"] >= 64 and r["height"] >= 64
+        assert len(r["resized_sha1"]) == 40
+    # deterministic kernel: same input, same output
+    again = {r["media_id"]: r["resized_sha1"] for r in out.collect()}
+    assert all(again[r["media_id"]] == r["resized_sha1"] for r in rows)
+    with pytest.raises(NotImplementedError):
+        resize_media(media, decode_stub=False)
