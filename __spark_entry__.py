@@ -417,6 +417,99 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table snowflake join —
+    region→nation broadcast down the dim chain, customer⋈orders⋈lineitem⋈
+    supplier on the fact side, with the Q5 twist that the supplier must sit
+    in the CUSTOMER's nation (two independent equi-conditions on the same
+    join). Date/region filters sit on the scans; dims broadcast (region,
+    nation are tiny), facts sort-merge/hash on their keys."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority-class shipping stats): orders⋈lineitem
+    with a date-window filter on the fact, conditional (CASE-sum)
+    aggregation by class — o_orderpriority classes stand in for
+    l_shipmode (not in the synthetic schema)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): group-by-HAVING on the
+    fact produces the qualifying key set, which then SEMI-filters the
+    orders⋈customer join — the aggregate-then-rejoin pattern. The HAVING
+    output is small, so it broadcasts into the semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
 def _q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a join-side predicate, then a two-level aggregation —
@@ -903,6 +996,39 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top/dup token and bigram
+    fractions) — the excessive-repetition pre-filter of a corpus pipeline."""
+    from etl_capnz_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(
+        _docs(spark, sf_dir).select("doc_id", "text"), "text", "doc_id"
+    )
+
+
+def _q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LSH dedup: the planted-duplicate "incoming batch"
+    (ids ≥ 100000) against the base corpus — candidates from a two-sided
+    band equi-join, never new×new or all-pairs."""
+    from etl_capnz_spark.operators.dedup import lsh_cross_candidates
+
+    sigs = minhash_signatures(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    new = sigs.filter(F.col("doc_id") >= 100000)
+    base = sigs.filter(F.col("doc_id") < 100000)
+    return lsh_cross_candidates(new, base, "doc_id", num_hashes=8, bands=4)
+
+
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus (codes + scale
+    + reconstruction RMSE) — map-only compression rewrite, exact-checked
+    including every code value."""
+    from etl_capnz_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 def _q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL (operators/udtf.py) — row generation in
     Python, oracle-checked against the pure-SQL shingle expansion."""
@@ -1265,6 +1391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_region_revenue": _q_tpch_region_revenue,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q18": _q_tpch_q18,
         "tpch_custdist": _q_tpch_custdist,
         "tpch_semi": _q_tpch_semi,
         "tpch_anti": _q_tpch_anti,
@@ -1322,6 +1451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
         "text_pii_redact": _q_text_pii_redact,
+        "text_repetition": _q_text_repetition,
+        "dedup_cross": _q_dedup_cross,
+        "emb_quantize": _q_emb_quantize,
     }
 
 
@@ -1643,6 +1775,41 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1997-06-30'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag""",
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
         "tpch_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
               SELECT c_custkey, count(o_orderkey) AS c_count
@@ -2116,6 +2283,70 @@ def oracle_sql() -> dict[str, str]:
                 t -> t <> '')) AS token
               FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "text_repetition": f"""
+            WITH uni AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS g
+              FROM documents),
+            big AS (
+              SELECT doc_id, unnest({oracles.shingles_sql('text')}) AS g
+              FROM documents),
+            uc AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+            um AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                     max(c)::BIGINT AS top_c,
+                     coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS dup_c
+              FROM uc GROUP BY doc_id),
+            bm AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                     max(c)::BIGINT AS top_c,
+                     coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS dup_c
+              FROM bc GROUP BY doc_id)
+            SELECT um.doc_id, n_tokens,
+                   round(um.top_c::DOUBLE / greatest(n_tokens, 1), 6)
+                     AS top_token_frac,
+                   round(um.dup_c::DOUBLE / greatest(n_tokens, 1), 6)
+                     AS dup_token_frac,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(bm.top_c, 0)::DOUBLE
+                         / greatest(coalesce(n_bigrams, 0), 1), 6)
+                     AS top_bigram_frac,
+                   round(coalesce(bm.dup_c, 0)::DOUBLE
+                         / greatest(coalesce(n_bigrams, 0), 1), 6)
+                     AS dup_bigram_frac
+            FROM um LEFT JOIN bm ON um.doc_id = bm.doc_id""",
+        "dedup_cross": f"""{_DUCK_AUG},
+            {oracles.minhash_bands_sql('aug', 'doc_id')}
+            SELECT DISTINCT a.id AS new_id, b.id AS base_id
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.id >= 100000 AND b.id < 100000""",
+        "emb_quantize": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            a AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM v),
+            s AS (
+              SELECT vec_id, v,
+                     CASE WHEN amax > 0 THEN amax / 127.0 END AS scale
+              FROM a),
+            q AS (
+              SELECT vec_id, v, scale,
+                     CASE WHEN scale IS NOT NULL
+                          THEN list_transform(v, x -> round(x / scale)::INT)
+                          ELSE list_transform(v, x -> 0) END AS codes
+              FROM s)
+            SELECT vec_id, codes,
+                   round(coalesce(scale, 0.0), 9) AS scale,
+                   round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, len(v)),
+                             i -> pow(v[i] - codes[i] * coalesce(scale, 0.0),
+                                      2.0))),
+                           (x, y) -> x + y) / len(v)), 6) AS rmse
+            FROM q""",
         "knn_brute": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

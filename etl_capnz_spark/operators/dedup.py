@@ -125,20 +125,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidates(
+def band_keys(
     sig_df: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the signature become a
-    candidate pair (id_a < id_b).
-
-    Single-pass shape: each row emits its ``bands`` band keys via ONE
-    array+explode (a per-band union would re-execute the signature
-    pipeline once per band), then a self-equi-join on band_key. Both join
-    sides are the identical plan shuffled on the same key, so Spark
-    materializes ONE exchange and reuses it (ReusedExchange) — the
-    signature computation runs once, and only (band_key, id) tuples ever
-    shuffle, never documents.
-    """
+    """(id, band_key) rows: each signature emits its ``bands`` band keys
+    via ONE array+explode (a per-band union would re-execute the signature
+    pipeline once per band)."""
     rows_per_band = num_hashes // bands
     keys = []
     for b in range(bands):
@@ -148,9 +140,24 @@ def lsh_candidates(
                 ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
             )
         )
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("band_key")
     )
+
+
+def lsh_candidates(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become a
+    candidate pair (id_a < id_b).
+
+    Single-pass shape: band keys from ONE array+explode (``band_keys``),
+    then a self-equi-join on band_key. Both join sides are the identical
+    plan shuffled on the same key, so Spark materializes ONE exchange and
+    reuses it (ReusedExchange) — the signature computation runs once, and
+    only (band_key, id) tuples ever shuffle, never documents.
+    """
+    banded = band_keys(sig_df, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -158,6 +165,36 @@ def lsh_candidates(
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_cross_candidates(
+    sig_new: DataFrame,
+    sig_base: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus LSH: candidate (new_id, base_id) pairs between an
+    incoming corpus and an existing one — the "dedupe the new crawl
+    against everything already ingested" pass, run before the new data is
+    admitted (CCNet/RefinedWeb-style incremental hygiene).
+
+    Same banding as :func:`lsh_candidates`, but the equi-join is
+    two-sided instead of a self-join, so the candidate space is
+    new × base within a band — never new × new (intra-new dups are the
+    ordinary ``lsh_candidates`` pass) and never all-pairs. At 100 TB the
+    base side's band keys are precomputed and bucketed on band_key at
+    ingest time, so admitting a batch shuffles only the BATCH's keys.
+    """
+    n = band_keys(sig_new, id_col, num_hashes, bands).withColumnRenamed(
+        "id", "new_id"
+    )
+    b = band_keys(sig_base, id_col, num_hashes, bands).withColumnRenamed(
+        "id", "base_id"
+    )
+    return (
+        n.join(b, "band_key").select("new_id", "base_id").distinct()
     )
 
 

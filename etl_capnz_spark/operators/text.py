@@ -225,6 +225,57 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: top/duplicate token
+    fraction and top/duplicate bigram fraction — the standard "excessive
+    repetition" quality filters of a pre-training corpus pipeline
+    (Rae et al. 2021 §A1.1 use the same family of signals).
+
+    Distributed shape: explode to (doc, gram) → two-phase hash aggregate on
+    (doc, gram) → per-doc re-aggregate. Only (id, gram, count) tuples ever
+    shuffle, and the second aggregate rides the partitioning of the first
+    (both group on ``id``), so the re-aggregate is a no-exchange follow-up.
+    A per-row HOF variant (array_distinct + nested filter) would avoid the
+    shuffle but is O(len²) per document — wrong for long documents.
+    """
+    t = F.col(text_col)
+    from etl_capnz_spark.operators.dedup import word_shingles
+
+    uni = df.select(F.col(id_col), F.explode(tokens(t)).alias("g"))
+    big = df.select(F.col(id_col), F.explode(word_shingles(t, 2)).alias("g"))
+
+    def per_doc(grams: DataFrame, name: str) -> DataFrame:
+        c = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        return c.groupBy(id_col).agg(
+            F.sum("c").cast("bigint").alias(f"n_{name}"),
+            F.max("c").cast("bigint").alias(f"_top_{name}"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"_dup_{name}"),
+        )
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num.cast("double") / F.greatest(den, F.lit(1)), 6)
+
+    u = per_doc(uni, "tokens")
+    b = per_doc(big, "bigrams")
+    # Left join: a 1-token document has no bigrams (absent from b).
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    return u.join(b, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        frac(F.col("_top_tokens"), F.col("n_tokens")).alias("top_token_frac"),
+        frac(F.col("_dup_tokens"), F.col("n_tokens")).alias("dup_token_frac"),
+        nb.alias("n_bigrams"),
+        frac(F.coalesce(F.col("_top_bigrams"), F.lit(0)), nb).alias(
+            "top_bigram_frac"
+        ),
+        frac(F.coalesce(F.col("_dup_bigrams"), F.lit(0)), nb).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
     """Global top-N token frequencies: explode → two-phase hash aggregate.
 
