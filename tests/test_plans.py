@@ -122,3 +122,28 @@ def test_knn_srp_has_no_cartesian_product(spark, sf_dir):
     plan = entrymod._q_knn_srp(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_scoring_is_equi_join(spark, sf_dir):
+    """PQ-ADC scoring must join codes to the distance table on
+    (sub, code) — never a cartesian pairing of corpus × queries — and
+    the rerank join must fetch candidates by id equi-join."""
+    plan = _plan(entrymod._q_knn_pq(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_metrics_two_phase_agg(spark, sf_dir):
+    """Repetition signals must partial-aggregate before the shuffle (one
+    row per (doc, gram) per partition, not per occurrence)."""
+    plan = _plan(entrymod._q_text_repetition(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_cross_joins_band_keys_only(spark, sf_dir):
+    """Cross-corpus dedup shuffles only (band_key, id) tuples and never
+    pairs new×new: the join is a two-sided band equi-join."""
+    plan = _plan(entrymod._q_dedup_cross(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

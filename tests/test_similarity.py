@@ -90,3 +90,83 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     n_queries = qs.count()
     assert len(per_query) == n_queries
     assert all(len(v) == 5 for v in per_query.values())
+
+
+def test_pq_rerank_recall_vs_brute_l2(spark, sf_dir):
+    """PQ-ADC shortlist + exact rerank: recall vs brute-force L2 top-5.
+
+    Shortlist of 75 on a 500-vector corpus = 15% scored at full
+    precision; measured recall 0.72 at sf0.001 on the weak-neighbour
+    synthetic embeddings — pin a floor under it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from etl_capnz_spark.operators.similarity import _l2sq
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    brute = _topk_sets(
+        scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 5
+        )
+    )
+    pq = _topk_sets(entrymod._q_knn_pq(spark, sf_dir))
+    assert all(len(v) == 5 for v in pq.values())
+    hits = sum(len(brute[q_] & pq.get(q_, set())) for q_ in brute)
+    recall = hits / sum(len(brute[q_]) for q_ in brute)
+    assert recall >= 0.55, f"PQ rerank recall@5 collapsed: {recall:.2f}"
+
+
+def test_pq_encode_one_code_per_subspace(spark, sf_dir):
+    """Every (vector, subspace) gets exactly one code in [0, n_cells)."""
+    from pyspark.sql import functions as F
+    from etl_capnz_spark.operators.similarity import pq_encode, pq_fit
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    cb = pq_fit(emb, m=4, k=8, iters=1, dim=64)
+    assert cb.count() == 4 * 8
+    codes = pq_encode(emb, cb, m=4, dim=64).collect()
+    assert len(codes) == 100 * 4
+    assert all(0 <= r["code"] < 8 for r in codes)
+    seen = {(r["id"], r["sub"]) for r in codes}
+    assert len(seen) == 100 * 4
+
+
+def test_quantize_int8_bounds_and_error(spark, sf_dir):
+    """int8 codes stay in [-127, 127]; at least one component per vector
+    hits ±127 (the max-abs by construction); reconstruction RMSE is small
+    relative to the scale."""
+    from etl_capnz_spark.operators.similarity import quantize_int8
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = quantize_int8(emb).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert max(abs(c) for c in r["codes"]) == 127
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        assert r["scale"] > 0
+        # quantization error per component is at most scale/2; RMSE must
+        # sit well inside that envelope
+        assert r["rmse"] <= r["scale"]
