@@ -510,6 +510,59 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders pricier than 1.5× their
+    customer's average): the engine expresses it as agg + self-equi-join —
+    exactly what Catalyst's decorrelation rewrites a correlated subquery
+    into; the oracle states the correlated form directly."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("_cust_avg")
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("_cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _q_tpch_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution functions (ntile/percent_rank/cume_dist) per
+    mktsegment over customer balances — the ranking-family surface beyond
+    row_number, fully deterministic via the custkey tie-break."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def _q_tpch_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per-order sorted line-number array
+    (collect_list is unordered by contract — array_sort pins it), with
+    array ops (size / slice / containment) on the aggregate."""
+    lines = F.array_sort(F.collect_list("l_linenumber"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(lines.alias("lines"))
+        .select(
+            "l_orderkey",
+            "lines",
+            F.size("lines").alias("n_lines"),
+            F.slice("lines", 1, 3).alias("first3"),
+            F.array_contains("lines", 4).alias("has_line4"),
+        )
+    )
+
+
 def _q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a join-side predicate, then a two-level aggregation —
@@ -1414,6 +1467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q12": _q_tpch_q12,
         "tpch_q18": _q_tpch_q18,
+        "tpch_above_avg": _q_tpch_above_avg,
+        "tpch_ntile": _q_tpch_ntile,
+        "tpch_order_lines": _q_tpch_order_lines,
         "tpch_custdist": _q_tpch_custdist,
         "tpch_semi": _q_tpch_semi,
         "tpch_anti": _q_tpch_anti,
@@ -1831,6 +1887,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem
               GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "tpch_above_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE o_totalprice > 1.5 * (
+              SELECT avg(o_totalprice) FROM orders i
+              WHERE i.o_custkey = o.o_custkey)""",
+        "tpch_ntile": """
+            SELECT c_custkey, c_mktsegment,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC)""",
+        "tpch_order_lines": """
+            SELECT l_orderkey, lines,
+                   len(lines)::INT AS n_lines,
+                   lines[1:3] AS first3,
+                   list_contains(lines, 4) AS has_line4
+            FROM (
+              SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+              FROM lineitem GROUP BY l_orderkey)""",
         "tpch_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
               SELECT c_custkey, count(o_orderkey) AS c_count

@@ -1,0 +1,167 @@
+"""Streaming micro-benchmarks: throughput of every Structured Streaming
+path in the engine, measured by replaying the driver's ``events`` table as
+a chunked file stream.
+
+Usage::
+
+    python tools/stream_bench.py            # sf0.1 (100k events), 8 chunks
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/stream_bench.py
+
+Each benchmark lands the events parquet re-chunked into N files (one file
+per micro-batch under ``maxFilesPerTrigger=1``), runs the streaming query
+with ``availableNow`` into a memory/parquet sink, and reports wall seconds
+and rows/sec of INPUT throughput (what a capacity plan needs). One JSON
+line on stdout, same contract as bench.py.
+
+What each path exercises:
+
+* tumbling / sliding / session — watermarked window aggregation state
+* dedup_watermark — dropDuplicatesWithinWatermark keyed state
+* stateful_totals — applyInPandasWithState custom per-key state
+* interval_join — stream-stream join with bounded state (two inputs)
+* incremental_dedup — foreachBatch anti-join against a persisted index
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_capnz_spark.session import get_session, read_table  # noqa: E402
+from etl_capnz_spark.streaming.stream import (  # noqa: E402
+    interval_join_streams,
+    running_user_totals,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+N_CHUNKS = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "8"))
+
+
+def _land(spark, sf_dir: str, base: str) -> tuple[str, int]:
+    """Re-chunk events into N files so the file source sees N batches."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = events.count()
+    path = os.path.join(base, "events_chunks")
+    events.repartition(N_CHUNKS).write.mode("overwrite").parquet(path)
+    return path, n
+
+
+def _stream(spark, path: str):
+    static = spark.read.parquet(path)
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def _drain(writer, name: str, checkpoint: str) -> float:
+    t0 = time.time()
+    q = (
+        writer.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session("stream-bench")
+    base = tempfile.mkdtemp(prefix="stream_bench_")
+    results: dict[str, dict[str, float]] = {}
+    try:
+        path, n_rows = _land(spark, sf_dir, base)
+
+        def bench(name: str, make_writer) -> None:
+            cp = os.path.join(base, f"cp_{name}")
+            out = os.path.join(base, f"out_{name}")
+            secs = _drain(make_writer(out), name, cp)
+            results[name] = {
+                "sec": round(secs, 3),
+                "rows_per_sec": round(n_rows / secs, 1),
+            }
+
+        bench(
+            "tumbling",
+            lambda out: tumbling_counts(_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName("b_tumbling")
+            .outputMode("append"),
+        )
+        bench(
+            "sliding",
+            lambda out: sliding_counts(_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName("b_sliding")
+            .outputMode("append"),
+        )
+        bench(
+            "session",
+            lambda out: session_counts(_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName("b_session")
+            .outputMode("append"),
+        )
+        bench(
+            "dedup_watermark",
+            lambda out: _stream(spark, path)
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName("b_dedup")
+            .outputMode("append"),
+        )
+        bench(
+            "stateful_totals",
+            lambda out: running_user_totals(_stream(spark, path))
+            .writeStream.format("memory")
+            .queryName("b_totals")
+            .outputMode("append"),
+        )
+        bench(
+            "interval_join",
+            lambda out: interval_join_streams(
+                _stream(spark, path), _stream(spark, path)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append"),
+        )
+        total = round(sum(v["sec"] for v in results.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_paths_total",
+                    "value": total,
+                    "unit": "sec",
+                    "n_input_rows": n_rows,
+                    "n_chunks": N_CHUNKS,
+                    "paths": results,
+                    "sf": sf,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
