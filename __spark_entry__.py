@@ -1348,6 +1348,26 @@ def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column surface: ``props`` is a JSON string;
+    parse with an EXPLICIT schema via from_json (declared schema = JVM-side
+    vectorized parse, no sampling-based inference pass — the scale-correct
+    pattern; schema inference would be a second full scan at 100 TB),
+    extract, filter on the extracted value, aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: 3-row moving average + running sum per user."""
     from pyspark.sql.window import Window
@@ -1516,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
+        "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_zorder": _q_events_zorder,
@@ -2175,6 +2196,14 @@ def oracle_sql() -> dict[str, str]:
                     AND min(CASE WHEN event_type = 'purchase' AND ts >= fv
                         THEN ts END) IS NOT NULL) AS converted
             FROM e GROUP BY user_id""",
+        "events_props_json": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(k), 6) AS avg_k, max(k) AS max_k
+            FROM (
+              SELECT event_type, CAST(props->>'$.k' AS INT) AS k
+              FROM events)
+            WHERE k >= 10
+            GROUP BY event_type""",
         "events_moving_avg": """
             SELECT event_id, user_id,
                    round(avg("value") OVER (PARTITION BY user_id
