@@ -1178,6 +1178,22 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ serving shape: k-means cells prune WHICH vectors
+    are scored (n_probe of ivf_cells), PQ codes compress HOW (ADC on
+    sub-codes inside probed cells only), exact rerank on the shortlist.
+    Rows-only checked (two iterative trainings); recall pinned in
+    tests/test_similarity.py."""
+    from etl_capnz_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        emb, qs, "vec_id", "embedding", k=5, shortlist=75, ivf_cells=8,
+        n_probe=3, m=8, pq_cells=8, iters=2, dim=64,
+    )
+
+
 def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(_docs(spark, sf_dir))
     return payload_stats(media).select(
@@ -1552,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross": _q_dedup_cross,
         "emb_quantize": _q_emb_quantize,
         "knn_pq": _q_knn_pq,
+        "knn_ivfpq": _q_knn_ivfpq,
     }
 
 

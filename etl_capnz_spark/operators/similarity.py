@@ -811,6 +811,112 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    ivf_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    pq_cells: int = 8,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB serving shape — IVF cells prune WHICH
+    vectors are scored, PQ codes compress HOW they are scored, exact
+    rerank restores precision on the shortlist.
+
+    Pipeline: k-means IVF cells (deterministic maximin + Lloyd) assign
+    every vector a cell; PQ codebooks encode every vector as m sub-codes;
+    a query probes its ``n_probe`` nearest cells and ADC-scores ONLY the
+    codes inside those cells (cell equi-join ∧ (sub, code) equi-join —
+    at 100 TB the codes table is partitioned by cell, so the probe is a
+    partition-pruned scan of compressed codes); the ADC shortlist is
+    reranked with exact L2 fetched by id.
+
+    Cost at scale per query ≈ (corpus/ivf_cells × n_probe) code lookups
+    + shortlist full vectors — multiplicative pruning (IVF fraction ×
+    PQ compression) vs brute force. PQ here quantizes raw vectors, not
+    per-cell residuals (residual PQ needs centered training per cell —
+    same plumbing, more codebooks; documented trade-off).
+    """
+    d = dim or _first_dim(corpus, vec_col)
+    cents = kmeans_fit(corpus, id_col, vec_col, k=ivf_cells, iters=iters)
+    assigned = assign_cells(corpus, cents, id_col, vec_col).withColumnRenamed(
+        id_col, "id"
+    )
+    cb = pq_fit(corpus, id_col, vec_col, m, pq_cells, iters, d)
+    codes = pq_encode(corpus, cb, id_col, vec_col, m, d).join(
+        assigned.withColumnRenamed("cell", "ivf_cell"), "id"
+    )
+    # probe: n_probe nearest IVF cells per query (tiny crossjoin)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(_l2sq(F.col("_qvec"), F.col("centroid")), 9).asc(),
+        F.col("cell"),
+    )
+    probes = (
+        qc.withColumn("_cr", F.row_number().over(wq))
+        .filter(F.col("_cr") <= n_probe)
+        .select("query_id", F.col("cell").alias("ivf_cell"))
+    )
+    # ADC table per query × subspace × pq cell
+    qsubs = _subvectors(
+        q.select(F.col("query_id").alias("qid"), F.col("_qvec")),
+        "qid",
+        "_qvec",
+        m,
+        d // m,
+    )
+    table = qsubs.join(F.broadcast(cb), "sub").select(
+        F.col("id").alias("query_id"),
+        "sub",
+        F.col("cell").alias("code"),
+        F.round(_l2sq(F.col("sv"), F.col("centroid")), 9).alias("d2"),
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "ivf_cell")
+        .join(F.broadcast(table), ["query_id", "sub", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    exact = (
+        short.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("_qvec"), F.col("_cvec")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # --- persisted IVF index ---------------------------------------------------
 
 

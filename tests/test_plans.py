@@ -147,3 +147,21 @@ def test_dedup_cross_joins_band_keys_only(spark, sf_dir):
     plan = _plan(entrymod._q_dedup_cross(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q5_broadcasts_dims_once(spark, sf_dir):
+    """Q5's region/nation must broadcast; the dual equi-condition
+    (suppkey + nationkey) must live in ONE supplier join, not a second
+    shuffle."""
+    plan = _plan(entrymod.queries()["tpch_q5"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_above_avg_reuses_custkey_exchange(spark, sf_dir):
+    """The decorrelated agg + self-join share the o_custkey partitioning:
+    the orders scan feeds both sides through reused/aligned exchanges and
+    the aggregate is two-phase."""
+    plan = _plan(entrymod.queries()["tpch_above_avg"](spark, sf_dir))
+    assert "partial_avg" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan

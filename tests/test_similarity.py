@@ -170,3 +170,46 @@ def test_quantize_int8_bounds_and_error(spark, sf_dir):
         # quantization error per component is at most scale/2; RMSE must
         # sit well inside that envelope
         assert r["rmse"] <= r["scale"]
+
+
+def test_ivfpq_recall_and_full_results(spark, sf_dir):
+    """Composed IVF-PQ: probing 3 of 8 cells with PQ-ADC + rerank must
+    return full top-5 sets and hold a recall floor (measured 0.60 at
+    sf0.001 vs brute-force L2)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from etl_capnz_spark.operators.similarity import _l2sq
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    brute = _topk_sets(
+        scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= 5
+        )
+    )
+    ivfpq = _topk_sets(entrymod._q_knn_ivfpq(spark, sf_dir))
+    assert all(len(v) == 5 for v in ivfpq.values())
+    hits = sum(len(brute[q_] & ivfpq.get(q_, set())) for q_ in brute)
+    recall = hits / sum(len(brute[q_]) for q_ in brute)
+    assert recall >= 0.45, f"IVF-PQ recall@5 collapsed: {recall:.2f}"

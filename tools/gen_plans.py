@@ -32,6 +32,37 @@ NOTES = {
         "input projections carry only (id, band_key) - document text never "
         "enters an Exchange."
     ),
+    "tpch_q5": (
+        "6-table snowflake: region+nation resolve to BroadcastHashJoin "
+        "(tiny dims), facts join on their keys with the dual equi-condition "
+        "(l_suppkey AND c_nationkey) evaluated inside ONE supplier join - "
+        "no extra shuffle for the second condition. Date filter pushed to "
+        "the orders scan."
+    ),
+    "tpch_above_avg": (
+        "The correlated-subquery shape stated as agg + self-equi-join - "
+        "the plan Catalyst decorrelates TO: one partial/final aggregate on "
+        "o_custkey, one equi-join back to orders, both sharing the "
+        "o_custkey partitioning (single exchange reused)."
+    ),
+    "text_repetition": (
+        "Two explode -> two-phase hash-aggregate chains (tokens, bigrams) "
+        "joined on doc_id; partial aggregation means the shuffle carries "
+        "one row per (doc, gram) per partition, never per occurrence. The "
+        "per-doc re-aggregate rides the (doc,gram) partitioning - no "
+        "second exchange per chain."
+    ),
+    "dedup_cross": (
+        "Two-sided LSH band join: each corpus emits (band_key, id) via one "
+        "array+explode; the equi-join on band_key pairs new x base only - "
+        "intra-batch pairs never materialize, and only 16-byte keys "
+        "shuffle, never documents."
+    ),
+    "emb_quantize": (
+        "Map-only compression rewrite: amax/scale/codes/rmse are one "
+        "narrow projection chain - zero exchanges in the whole plan; at "
+        "100 TB this is a pure rewrite pass whose cost is the IO."
+    ),
     "knn_brute": (
         "The query vectors broadcast (BroadcastNestedLoopJoin); the corpus "
         "streams without shuffling. The only exchange is the per-query "
