@@ -1220,6 +1220,19 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, n_frames=4)
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (mapInPandas, Arrow-batched, stub kernel — no image
+    codec in this container) — rows-only checked; 1:1 mapping and
+    determinism pinned in test_multimodal."""
+    from etl_capnz_spark.operators.multimodal import resize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return resize_media(media).select(
+        "media_id", "mime", "width", "height", "target_w", "target_h",
+        "resized_sha1",
+    )
+
+
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: pairs within the same planted-original
     bucket whose 16-bit signatures differ in ≤ 3 bits."""
@@ -1569,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
+        "media_resize": _q_media_resize,
     }
 
 
