@@ -563,6 +563,52 @@ def _q_tpch_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py): the
+    hot-key groupBy rewrite — aggregate on (key, salt) then re-merge on
+    key. The result must equal the plain GROUP BY, which is exactly what
+    the oracle states; the CORRECTNESS row proves salting never changes
+    answers while the plan spreads any hot key over 32 reducers."""
+    from etl_capnz_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_buckets=32,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        "max_price",
+    )
+
+
+def _q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-latest dedup — "current record per key", the SCD-1 /
+    changelog-compaction shape every ingest pipeline needs: one row per
+    customer, the max-(o_orderdate, o_orderkey) order. Window row_number
+    over the key partitioning; at scale this is one hash-partitioned
+    sort per key group, no global sort."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def _q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a join-side predicate, then a two-level aggregation —
@@ -1519,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_above_avg": _q_tpch_above_avg,
         "tpch_ntile": _q_tpch_ntile,
         "tpch_order_lines": _q_tpch_order_lines,
+        "tpch_salted_agg": _q_tpch_salted_agg,
+        "latest_per_key": _q_latest_per_key,
         "tpch_custdist": _q_tpch_custdist,
         "tpch_semi": _q_tpch_semi,
         "tpch_anti": _q_tpch_anti,
@@ -1945,6 +1993,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > 1.5 * (
               SELECT avg(o_totalprice) FROM orders i
               WHERE i.o_custkey = o.o_custkey)""",
+        "tpch_salted_agg": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   sum(l_quantity)::BIGINT AS sum_qty,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag""",
+        "latest_per_key": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1""",
         "tpch_ntile": """
             SELECT c_custkey, c_mktsegment,
                    ntile(4) OVER w AS quartile,
@@ -2499,7 +2557,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE list_transform(v, x -> 0) END AS codes
               FROM s)
             SELECT vec_id, codes,
-                   round(coalesce(scale, 0.0), 9) AS scale,
+                   coalesce(scale, 0.0) AS scale,
                    round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                            list_transform(generate_series(1, len(v)),
                              i -> pow(v[i] - codes[i] * coalesce(scale, 0.0),

@@ -388,10 +388,14 @@ def quantize_int8(
         lambda acc, x: acc + x,
     )
     rmse = F.sqrt(sq_err / F.size(F.col("_v")))
+    # scale is emitted at full precision: it is ONE division on a value
+    # both engines compute identically (bit-portable), and rounding it
+    # would zero out legitimately tiny scales (sub-1e-9 magnitudes) while
+    # their codes are nonzero — the dequantizer's contract would break.
     return staged.select(
         F.col(id_col),
         "codes",
-        F.round(F.coalesce(F.col("_scale"), F.lit(0.0)), 9).alias("scale"),
+        F.coalesce(F.col("_scale"), F.lit(0.0)).alias("scale"),
         F.round(rmse, 6).alias("rmse"),
     )
 

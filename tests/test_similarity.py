@@ -213,3 +213,53 @@ def test_ivfpq_recall_and_full_results(spark, sf_dir):
     hits = sum(len(brute[q_] & ivfpq.get(q_, set())) for q_ in brute)
     recall = hits / sum(len(brute[q_]) for q_ in brute)
     assert recall >= 0.45, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
+
+
+def test_quantize_roundtrip_error_bound_property(spark):
+    """Hypothesis property: for arbitrary finite vectors, every
+    reconstructed component must sit within scale/2 of the original
+    (round-to-nearest guarantee), and codes within [-127, 127]."""
+    from hypothesis import given, settings, strategies as st
+    from etl_capnz_spark.operators.similarity import quantize_int8
+
+    finite = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.lists(finite, min_size=2, max_size=8), min_size=1, max_size=4))
+    def check(vectors):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vectors)],
+            "vec_id int, embedding array<double>",
+        )
+        for r in quantize_int8(df).collect():
+            v = vectors[r["vec_id"]]
+            assert all(-127 <= c <= 127 for c in r["codes"])
+            if r["scale"] == 0.0:
+                assert all(c == 0 for c in r["codes"])
+                continue
+            for x, c in zip(v, r["codes"]):
+                # scale is rounded to 9 decimals in the output; allow that
+                assert abs(float(x) - c * r["scale"]) <= r["scale"] / 2 + 1e-6 * (
+                    1 + abs(float(x))
+                )
+
+    check()
+
+
+def test_props_json_malformed_rows_become_null(spark):
+    """from_json with a declared schema must null out malformed JSON (the
+    permissive T8 semantics at the JSON surface), not throw."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not json"), (3, None), (4, '{"k": "x"}')],
+        "id int, props string",
+    )
+    rows = df.select(
+        "id", F.from_json("props", "k int")["k"].alias("k")
+    ).collect()
+    got = {r["id"]: r["k"] for r in rows}
+    assert got[1] == 5
+    assert got[2] is None and got[3] is None and got[4] is None
