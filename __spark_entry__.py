@@ -510,6 +510,562 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated MAX subquery
+    decorrelated as a window aggregate — one shuffle on p_partkey, no
+    second join back. The part↔supplier link is the DISTINCT
+    (l_partkey, l_suppkey) pair set (the synthetic schema has no
+    partsupp; reference semantics per SURVEY §2.7), suppliers restricted
+    to EUROPE via the broadcast region→nation dim chain, and the winner
+    per part is every supplier tied at the per-part max account balance
+    (exactly the SQL `= (SELECT max(...))` tie semantics)."""
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(eu_supp, pairs.l_suppkey == eu_supp.s_suppkey)
+        .withColumn("_max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_max_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS turned into a
+    LEFT SEMI join — lineitem's qualifying side is projected to the join
+    key only before the semi join, so no lineitem payload ever shuffles.
+    `l_returnflag = 'R'` stands in for the commit<receipt lateness test
+    (those date columns are not in the synthetic schema)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-side query — all
+    three predicates and the 2-column projection push into the parquet
+    reader, then a single partial+final agg. The plan to check: PushedFilters
+    on l_shipdate/l_discount/l_quantity, ReadSchema of exactly two fields."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the same
+    tiny nation dim joins the fact chain TWICE under different roles
+    (supplier nation vs customer nation) — both broadcast, so the only
+    shuffles are the fact⋈fact equi-joins. The disjunctive nation-pair
+    predicate is applied after both dims are attached."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): conditional-aggregation
+    ratio — one pass computes both the nation's volume and the total
+    volume per year (sum(CASE)/sum), no self-join or second scan. Region
+    restriction on the CUSTOMER side, share measured for the SUPPLIER
+    nation, part-type filter on the broadcast part dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_cn_region"),
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("_cn_key"))
+        .join(
+            F.broadcast(region),
+            F.col("_cn_region") == region.r_regionkey,
+        )
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume)
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
+    (broadcast after the filter), supplier nation attached broadcast,
+    profit by (nation, year). `p_retailprice * l_quantity * 0.1` stands
+    in for ps_supplycost * l_quantity (no partsupp in the synthetic
+    schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-windowed fact
+    join over returned lineitems, revenue per customer, top 20 — the
+    group-by keys carry the customer payload columns (classic TPC-H
+    trick: they're functionally dependent on c_custkey, so the grouping
+    is no wider than the key)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value vs a global
+    scalar threshold. The global total is the re-aggregation of the
+    per-part aggregate (1 row, broadcast into the HAVING filter) — NOT a
+    driver-side collect; at scale the per-part aggregate is |parts| rows
+    and Spark recomputes that lineage once for the scalar (persist it if
+    the input scan dominates). Supplier-nation restriction stands in for
+    partsupp's Germany filter, linked through lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    per_part = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("_value"))
+    )
+    total = per_part.agg(
+        (F.sum("_value") * F.lit(0.001)).alias("_threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("_value", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional-aggregation percentage
+    in one pass — sum(CASE promo)/sum(all) over a one-month shipdate
+    window, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the revenue 'view' is a per-
+    supplier aggregate; the scalar MAX over it re-aggregates to 1 row and
+    broadcasts back as an equality filter — tie-preserving, like the SQL
+    `= (SELECT max(...))`. Both sides round to 2dp before comparing so
+    the equality is stable across summation orders."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT
+    supplier) per part attribute triple, with a NOT-IN complaint-supplier
+    exclusion expressed as a LEFT ANTI join (negative s_acctbal stands in
+    for the comment-scan complaint filter). The distinct-count is the
+    expensive part: Spark plans it as a two-phase partial-distinct
+    aggregate keyed on (brand, type, size, suppkey) — no all-rows
+    shuffle."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#4")
+    complaints = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            pairs.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG subquery decorrelates to a per-part aggregate joined
+    back on the part key — lineitem is scanned once for the averages and
+    once for the probe, both scans brand-restricted via the part join
+    before aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    brand_li = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part_avg = brand_li.groupBy(
+        F.col("l_partkey").alias("_avg_key")
+    ).agg((F.avg("l_quantity") * 0.2).alias("_qty_limit"))
+    return (
+        brand_li.join(
+            per_part_avg, brand_li.l_partkey == F.col("_avg_key")
+        )
+        .filter(F.col("l_quantity") < F.col("_qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): three
+    OR'd brand/size/quantity predicate groups spanning both join sides.
+    The per-side conjuncts that hold across ALL branches (p_size >= 1,
+    quantity bounds) are stated separately so Catalyst pushes them to the
+    scans; the disjunction itself evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 1)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 20)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the nested IN-subquery
+    chain becomes a pipeline of aggregates and SEMI joins — parts by name
+    prefix → per-(supplier, part) shipped quantity over a year → suppliers
+    clearing the threshold → semi-filter the nation-restricted supplier
+    dim. Only keys flow between stages; no payload shuffles."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(
+            F.broadcast(part_keys), li.l_partkey == F.col("p_partkey")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == nation.n_nationkey,
+    )
+    return (
+        supp.join(
+            qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS pair over the same fact — a LEFT SEMI join
+    against other-supplier lineitems of the order, then a LEFT ANTI join
+    against other-supplier RETURNED lineitems. Both probes project to
+    (orderkey, suppkey) before joining, so the self-joins move keys only.
+    l_returnflag = 'R' stands in for the receipt>commit lateness test."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_9"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_l2_order"),
+        F.col("l_suppkey").alias("_l2_supp"),
+    ).distinct()
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("_l3_order"),
+        F.col("l_suppkey").alias("_l3_supp"),
+    ).distinct()
+    waiting = (
+        l1.join(orders_f, l1.l_orderkey == orders_f.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("_l2_order"))
+            & (F.col("l_suppkey") != F.col("_l2_supp")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_l3_order"))
+            & (F.col("l_suppkey") != F.col("_l3_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG subquery
+    broadcast as a 1-row threshold + NOT-EXISTS as a LEFT ANTI join
+    against recent orders (customers gone quiet since 1999 — every
+    synthetic customer has SOME order, so the pure no-orders form is
+    vacuous). c_nationkey stands in for the phone country-code substring
+    (no phone column in the synthetic schema)."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(codes)
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def _q_tpch_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery shape (orders pricier than 1.5× their
     customer's average): the engine expresses it as agg + self-equi-join —
@@ -1095,6 +1651,15 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(_docs(spark, sf_dir), "text", "doc_id")
 
 
+def _q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (mean ln p(token), Laplace-smoothed,
+    corpus-self-trained) — the perplexity-proxy filter of a training-data
+    pipeline."""
+    from etl_capnz_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (top/dup token and bigram
     fractions) — the excessive-repetition pre-filter of a corpus pipeline."""
@@ -1562,6 +2127,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "tpch_q12": _q_tpch_q12,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         "tpch_above_avg": _q_tpch_above_avg,
         "tpch_ntile": _q_tpch_ntile,
         "tpch_order_lines": _q_tpch_order_lines,
@@ -1611,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_unpivot": _q_tpch_unpivot,
         "text_sentiment": _q_text_sentiment,
         "text_tfidf": _q_text_tfidf,
+        "text_unigram_lm": _q_text_unigram_lm,
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
         "events_props_json": _q_events_props_json,
@@ -1987,6 +2569,213 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey FROM lineitem
               GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+        "tpch_q2": """
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            JOIN supplier ON ps.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND r_name = 'EUROPE'
+              AND s_acctbal = (
+                SELECT max(s2.s_acctbal)
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+                JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+                JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                WHERE ps2.l_partkey = ps.l_partkey AND r2.r_name = 'EUROPE')
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100""",
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
+        "tpch_q7": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3""",
+        "tpch_q8": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1""",
+        "tpch_q9": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2)
+                     AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC""",
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "tpch_q11": """
+            WITH per_part AS (
+              SELECT l_partkey, sum(l_extendedprice) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_5'
+              GROUP BY l_partkey)
+            SELECT l_partkey AS p_partkey,
+                   round(value, 2) AS part_value
+            FROM per_part
+            WHERE value > (SELECT sum(value) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, p_partkey LIMIT 100""",
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'""",
+        "tpch_q15": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#4'
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "tpch_q17": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l1
+            JOIN part ON l1.l_partkey = p_partkey
+            WHERE p_brand = 'Brand#2'
+              AND l_quantity < (
+                SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)""",
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity >= 1 AND l_quantity <= 30 AND p_size >= 1
+              AND ((p_brand = 'Brand#1' AND p_size <= 5
+                      AND l_quantity <= 11)
+                OR (p_brand = 'Brand#2' AND p_size <= 10
+                      AND l_quantity >= 10 AND l_quantity <= 20)
+                OR (p_brand = 'Brand#3' AND p_size <= 15
+                      AND l_quantity >= 20))""",
+        "tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 50)
+            ORDER BY s_suppkey""",
+        "tpch_q21": """
+            SELECT s_name, count(*) AS numwait
+            FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                  FROM lineitem WHERE l_returnflag = 'R') l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 100""",
+        "tpch_q22": """
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+              AND c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer
+                WHERE c_acctbal > 0.0
+                  AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY 1 ORDER BY 1""",
         "tpch_above_avg": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders o
@@ -2235,6 +3024,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf,
                    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
             FROM tf JOIN dfreq USING (token), n""",
+        "text_unigram_lm": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            freq AS (SELECT token, count(*) AS cnt
+                     FROM toks GROUP BY token),
+            model AS (SELECT sum(cnt) AS total, count(*) AS vocab
+                      FROM freq)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln((cnt + 1.0) / (total + vocab + 0.0))), 6)
+                     AS avg_logprob
+            FROM toks JOIN freq USING (token), model
+            GROUP BY doc_id""",
         "tpch_unpivot": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
                    l_quantity AS val FROM lineitem

@@ -276,6 +276,45 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-self-trained unigram LM score per document: mean ln p(token)
+    with add-one (Laplace) smoothing — the cheap perplexity-proxy quality
+    filter of a pre-training pipeline (CCNet-style LM filtering uses the
+    same shape with a real KenLM; the distributed plumbing is identical).
+
+    p(t) = (count(t) + 1) / (total_tokens + vocab_size).
+
+    Distributed shape: explode → two-phase hash aggregate builds the
+    frequency table (|vocab| rows); the model's two scalars (total, V)
+    re-aggregate that table to ONE row and broadcast; scoring joins the
+    exploded tokens to the frequency table on the token key — an equi-join
+    that AQE sizes at runtime (broadcast when the vocab is small, shuffle
+    otherwise) — then re-aggregates per document. The corpus text itself
+    never shuffles; only (id, token) pairs do.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("_cnt"))
+    model = freq.agg(
+        F.sum("_cnt").alias("_total"),
+        F.count("*").alias("_vocab"),
+    )
+    logp = F.log(
+        (F.col("_cnt") + F.lit(1.0))
+        / (F.col("_total") + F.col("_vocab") + F.lit(0.0))
+    )
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(model))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
     """Global top-N token frequencies: explode → two-phase hash aggregate.
 

@@ -32,6 +32,11 @@ def norm(v):
     return v
 
 qs, os_ = mod.queries(), mod.oracle_sql()
+only = set(sys.argv[1:])
+if only:
+    unknown = only - set(qs)
+    assert not unknown, f'unknown query names: {sorted(unknown)}'
+    qs = {k: v for k, v in qs.items() if k in only}
 fails = 0
 for name, fn in qs.items():
     t0=time.time()

@@ -100,6 +100,47 @@ NOTES = {
         "(queries broadcast), exact cosine only on candidates. No "
         "CartesianProduct - the all-pairs scan never exists."
     ),
+    "tpch_q2": (
+        "Correlated-MAX decorrelated as a window aggregate: ONE exchange "
+        "on p_partkey serves both the max and the tie-filter - no second "
+        "join back to the subquery. EUROPE suppliers resolve through two "
+        "BroadcastHashJoins; the distinct (partkey, suppkey) pair set is "
+        "the only wide shuffle."
+    ),
+    "tpch_q6": (
+        "The pure-scan query: all three predicates land in PushedFilters, "
+        "ReadSchema is exactly the two aggregated columns, and the whole "
+        "plan is scan -> partial agg -> 1-row exchange -> final agg. The "
+        "100 TB cost is the IO after row-group pruning - nothing else."
+    ),
+    "tpch_q8": (
+        "Market-share ratio in ONE pass: sum(CASE)/sum over the same "
+        "groups, so the nation share needs no self-join or second scan. "
+        "The nation dim enters twice (customer role broadcast + supplier "
+        "role broadcast); only the three fact joins shuffle."
+    ),
+    "tpch_q16": (
+        "COUNT(DISTINCT) plans as two-phase partial-distinct: first "
+        "aggregate keyed (brand,type,size,suppkey) dedups map-side, the "
+        "second counts - the shuffle never carries duplicate suppliers. "
+        "The complaint NOT-IN is a BroadcastHashJoin LeftAnti, not a "
+        "null-aware nested loop, because the exclusion list is non-null "
+        "by construction."
+    ),
+    "tpch_q21": (
+        "EXISTS + NOT-EXISTS as LeftSemi + LeftAnti over (orderkey, "
+        "suppkey) projections of the same fact - the self-joins shuffle "
+        "16-byte key pairs, never lineitem payloads, and the non-equi "
+        "supplier<>supplier conjunct rides inside the equi-join on "
+        "orderkey as a join-condition filter."
+    ),
+    "tpch_q11": (
+        "Global-threshold HAVING: the scalar is the re-aggregation of the "
+        "per-part aggregate, broadcast back as a 1-row crossJoin - no "
+        "driver collect, no single-partition window. The lineage below "
+        "the per-part agg is computed twice (scalar + probe); at real "
+        "scale persist that |parts|-row intermediate."
+    ),
     "sample_deterministic": (
         "The md5-hash sample is a pure Filter directly over the scan - no "
         "shuffle, no RNG state, no sample() partition dependence. At 100 "
