@@ -1710,6 +1710,33 @@ def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_approx_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg) —
+    THE 100 TB distinct-count pattern: per-group sketches are built in one
+    two-phase aggregation, then re-aggregated with hll_union_agg to the
+    global estimate WITHOUT touching the raw data again. Sketch bytes are
+    what shuffles (one ~KB blob per group per partition), never user ids.
+    Estimates are engine-specific → rows-only checked; the accuracy pin
+    (±5% of exact, union ≡ merge of parts) lives in
+    tests/test_sampling.py::test_hll_union_accuracy."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("_sk").alias("approx_users"),
+    )
+    overall = (
+        per_type.agg(F.hll_union_agg("_sk").alias("_sk"))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("_sk").alias("approx_users"),
+        )
+    )
+    return est.unionByName(overall)
+
+
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
@@ -2188,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_median": _q_tpch_median,
         "text_bigrams_udtf": _q_text_bigrams_udtf,
         "approx_stats": _q_approx_stats,
+        "approx_hll_union": _q_approx_hll_union,
         "knn_kmeans_cells": _q_knn_kmeans_cells,
         "tpch_unpivot": _q_tpch_unpivot,
         "text_sentiment": _q_text_sentiment,

@@ -158,6 +158,62 @@ def test_tpch_q5_broadcasts_dims_once(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q2_window_decorrelation(spark, sf_dir):
+    """Q2's correlated MAX must run as a window aggregate over the
+    p_partkey partitioning — no second join back to a subquery — with the
+    EUROPE dim chain broadcast."""
+    plan = _plan(entrymod.queries()["tpch_q2"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pure-IO query: every predicate pushed to the scan, scan
+    pruned to the 4 referenced columns, no join anywhere."""
+    plan = _plan(entrymod.queries()["tpch_q6"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+    assert "Join" not in plan
+
+
+def test_tpch_q16_distinct_two_phase_and_anti(spark, sf_dir):
+    """Q16's COUNT(DISTINCT) must partial-aggregate (dedup map-side
+    before the shuffle) and the NOT-IN exclusion must be a broadcast
+    anti join, not a nested loop."""
+    plan = _plan(entrymod.queries()["tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_self_joins_shuffle_keys_only(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS self-joins must be semi/anti joins whose
+    exchanges carry only (orderkey, suppkey) — never lineitem payload
+    columns — and never degrade to a cartesian shape."""
+    plan = _plan(entrymod.queries()["tpch_q21"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.split("\n"):
+        if "Exchange" in line:
+            assert "l_extendedprice#" not in line
+            assert "l_quantity#" not in line
+
+
+def test_tpch_q11_scalar_threshold_is_plan_side(spark, sf_dir):
+    """Q11's global threshold must be a 1-row aggregate living inside the
+    plan (broadcast into the filter), not a driver-side collect resolved
+    to a literal."""
+    plan = _plan(entrymod.queries()["tpch_q11"](spark, sf_dir))
+    assert "_threshold" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_above_avg_reuses_custkey_exchange(spark, sf_dir):
     """The decorrelated agg + self-join share the o_custkey partitioning:
     the orders scan feeds both sides through reused/aligned exchanges and

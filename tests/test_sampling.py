@@ -171,3 +171,36 @@ def test_sharded_training_order_matches_global(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_hll_union_accuracy(spark, sf_dir):
+    """The HLL estimates must land within 5% of exact distinct counts,
+    and the hll_union_agg of the per-group sketches must estimate the
+    GLOBAL distinct — i.e. sketches really merge (the property that lets
+    100 TB distinct-counts re-aggregate without rescanning raw data)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.session import read_table
+
+    rows = {
+        r["event_type"]: r["approx_users"]
+        for r in entrymod.queries()["approx_hll_union"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(rows) == set(exact)
+    for key, want in exact.items():
+        assert abs(rows[key] - want) <= max(2, 0.05 * want), (
+            key,
+            rows[key],
+            want,
+        )

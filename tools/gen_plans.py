@@ -109,9 +109,10 @@ NOTES = {
     ),
     "tpch_q6": (
         "The pure-scan query: all three predicates land in PushedFilters, "
-        "ReadSchema is exactly the two aggregated columns, and the whole "
-        "plan is scan -> partial agg -> 1-row exchange -> final agg. The "
-        "100 TB cost is the IO after row-group pruning - nothing else."
+        "ReadSchema is pruned to the 4 referenced columns (2 aggregated + "
+        "2 filter-only), and the whole plan is scan -> partial agg -> "
+        "1-row exchange -> final agg. The 100 TB cost is the IO after "
+        "row-group pruning - nothing else."
     ),
     "tpch_q8": (
         "Market-share ratio in ONE pass: sum(CASE)/sum over the same "
