@@ -2056,6 +2056,53 @@ def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key z-score outlier detection: every event against its user's
+    mean/stddev via ONE window partitioning (both moments share the
+    exchange) — the anomaly pre-filter of a telemetry/training pipeline.
+    Users with a single event have null stddev and are excluded by the
+    null-rejecting |z| predicate, matching SQL semantics."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp(
+        "value"
+    ).over(w)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the bipartite
+    part↔supplier link graph (both directions, edges = DISTINCT lineitem
+    pairs) — the link-authority signal a crawl-corpus pipeline uses for
+    quality-weighted source sampling. 3 power iterations, damping 0.85;
+    deterministic, so the oracle unrolls the SAME iterations as CTEs and
+    matches exactly."""
+    from etl_capnz_spark.operators.graph import pagerank
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    edges = pairs.select(p.alias("src"), s.alias("dst")).unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click gets the latest
     preceding view's timestamp and value, per user."""
@@ -2223,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": _q_text_unigram_lm,
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
+        "events_outliers": _q_events_outliers,
+        "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -3135,6 +3184,67 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "events_outliers": """
+            SELECT event_id, user_id, "value", round(z, 6) AS z
+            FROM (
+              SELECT event_id, user_id, "value",
+                     ("value" - avg("value") OVER (PARTITION BY user_id))
+                     / stddev_samp("value") OVER (PARTITION BY user_id)
+                       AS z
+              FROM events)
+            WHERE abs(round(z, 6)) > 2.5""",
+        "graph_pagerank": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            edges AS (
+              SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+              FROM pairs
+              UNION ALL
+              SELECT 's:' || l_suppkey, 'p:' || l_partkey FROM pairs),
+            nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+              UNION
+              SELECT DISTINCT dst FROM edges),
+            deg AS (SELECT src, count(*) AS out_deg FROM edges
+                    GROUP BY src),
+            r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+            r1 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE)
+                     + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE)
+                       AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(r.rank / d.out_deg) AS contrib
+                FROM r0 r
+                JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src
+                GROUP BY e.dst) c ON n.node = c.node),
+            r2 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE)
+                     + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE)
+                       AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(r.rank / d.out_deg) AS contrib
+                FROM r1 r
+                JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src
+                GROUP BY e.dst) c ON n.node = c.node),
+            r3 AS (
+              SELECT n.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE)
+                     + 0.85::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE)
+                       AS rank
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(r.rank / d.out_deg) AS contrib
+                FROM r2 r
+                JOIN deg d ON r.node = d.src
+                JOIN edges e ON r.node = e.src
+                GROUP BY e.dst) c ON n.node = c.node)
+            SELECT node, round(rank, 6) AS rank FROM r3""",
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
