@@ -1571,6 +1571,44 @@ def _q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis top-n
+    by ln(u)/w keys, deterministic md5 uniforms) — inclusion ∝ n_chars;
+    plans as TakeOrderedAndProject, no global sort."""
+    from etl_capnz_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("_es_key", 6).alias("es_key"),
+    )
+
+
+def _q_sql_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL NOT IN against a NULLABLE subquery column — the null-aware
+    anti join (a plain LeftAnti is WRONG here: one NULL in the list must
+    empty the result under three-valued logic). nullif keeps the column
+    nullable by schema while null-free in this data, so the query is
+    non-empty AND the planner must still pick the null-aware strategy.
+    Also exercises the engine's SQL-string surface (temp views +
+    spark.sql)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_nia")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_nia")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_cust
+        FROM v_cust_nia
+        WHERE c_custkey NOT IN (
+          SELECT nullif(o_custkey, -1) FROM v_orders_nia
+          WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
 def _q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: seeded-md5 sort key -> position.
     Same seed, same order, on any cluster."""
@@ -2280,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
         "sample_balanced": _q_sample_balanced,
+        "sample_weighted": _q_sample_weighted,
+        "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "train_order": _q_train_order,
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
@@ -3022,6 +3062,25 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "sample_weighted": """
+            SELECT doc_id, source, n_chars, round(key, 6) AS es_key
+            FROM (
+              SELECT doc_id, source, n_chars,
+                     ln((('0x' || substr(md5('w1' || doc_id::VARCHAR),
+                                         1, 13))::BIGINT::DOUBLE
+                         + 1.0::DOUBLE)
+                        / 4503599627370498.0::DOUBLE)
+                     / n_chars::DOUBLE AS key
+              FROM documents)
+            ORDER BY key DESC, doc_id LIMIT 50""",
+        "sql_not_in_nullaware": """
+            SELECT c_mktsegment, count(*) AS n_cust
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT nullif(o_custkey, -1) FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment""",
         "train_order": """
             SELECT doc_id,
                    (row_number() OVER (

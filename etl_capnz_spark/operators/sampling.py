@@ -88,6 +88,41 @@ def balanced_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "w1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    (A-ES) keys: each row gets key = ln(u)/w with u ∈ (0,1) a
+    deterministic md5-derived uniform, and the top-n rows by key are the
+    sample — inclusion probability proportional to weight, no
+    replacement, one pass.
+
+    Scale shape: the key is a narrow per-row expression; the top-n plans
+    as TakeOrderedAndProject (per-partition heaps, then a single n-row
+    merge on the driver side of the exchange) — no global sort, no
+    window, no shuffle of the losing rows. Deterministic hash randomness
+    (like ``hash_pct``) keeps the sample stable across reruns,
+    partitionings, and engines; swap the salt to draw a fresh sample.
+
+    Weights must be > 0 (ln(u) < 0, so larger w ⇒ key closer to 0 ⇒
+    ranked higher).
+    """
+    basis = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast("bigint")
+    # u in (0,1): 52 hash bits shifted into the open interval.
+    u = (h + F.lit(1.0)) / F.lit(float(2**52) + 2.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_es_key", key)
+        .orderBy(F.col("_es_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
 def training_order(
     df: DataFrame, id_col: str, seed: str = "epoch0"
 ) -> DataFrame:

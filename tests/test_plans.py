@@ -221,3 +221,63 @@ def test_above_avg_reuses_custkey_exchange(spark, sf_dir):
     plan = _plan(entrymod.queries()["tpch_above_avg"](spark, sf_dir))
     assert "partial_avg" in plan or "partial" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Efraimidis–Spirakis top-n must plan as TakeOrderedAndProject
+    (per-partition heaps + n-row merge), never a global Sort of the
+    losing rows."""
+    plan = _plan(entrymod.queries()["sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """SQL NOT IN over a nullable subquery column must pick the
+    null-aware anti join strategy — a plain LeftAnti would silently
+    return wrong (non-empty) results when the list contains a NULL."""
+    plan = _plan(entrymod.queries()["sql_not_in_nullaware"](spark, sf_dir))
+    # BroadcastHashJoin prints the isNullAwareAntiJoin flag as a bare
+    # trailing boolean: "..., LeftAnti, BuildRight, true".
+    assert "LeftAnti, BuildRight, true" in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Spark injects a bloom filter from the selective dim side into the
+    fact scan when the thresholds allow it — at 100 TB this prunes fact
+    rows BEFORE the shuffle. Local data is far below the default size
+    thresholds, so lower them to prove the rewrite fires; real-scale
+    inputs trigger it with stock settings."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.session import read_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower()
+        assert "bloom_filter_agg" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
