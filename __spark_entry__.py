@@ -1571,6 +1571,62 @@ def _q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audit_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent per-source table fingerprint
+    (operators/audit.py): count + commutative sum/min/max of a 52-bit
+    deterministic row hash — two clusters compare copies of a 100 TB
+    table by exchanging O(groups) rows, not data."""
+    from etl_capnz_spark.operators.audit import table_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return table_fingerprint(docs, "source", "doc_id", "lang", "n_chars")
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation (operators/audit.py): classify
+    every key as added/removed/changed/unchanged via ONE full-outer join
+    that shuffles only (key, row-hash) pairs. The 'after' snapshot is the
+    orders table with deterministic simulated drift: keys ≡0 (mod 97)
+    deleted, ≡0 (mod 101) repriced, plus key+10M clones of ≡0 (mod 103)
+    inserted. Prices hash as integer cents — double→string formatting is
+    engine-specific; integers are not."""
+    from etl_capnz_spark.operators.audit import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    before = orders.select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    after_cents = F.when(
+        F.col("o_orderkey") % 101 == 0, cents + F.lit(1000)
+    ).otherwise(cents)
+    after = kept.select(
+        "o_orderkey", after_cents.alias("cents"), "o_orderstatus"
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        cents.alias("cents"),
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(
+        before,
+        after.unionByName(inserts),
+        "o_orderkey",
+        "cents",
+        "o_orderstatus",
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
 def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis top-n
     by ln(u)/w keys, deterministic md5 uniforms) — inclusion ∝ n_chars;
@@ -2320,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_balanced": _q_sample_balanced,
         "sample_weighted": _q_sample_weighted,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
+        "audit_fingerprint": _q_audit_fingerprint,
+        "snapshot_diff": _q_snapshot_diff,
         "train_order": _q_train_order,
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
@@ -3073,6 +3131,58 @@ def oracle_sql() -> dict[str, str]:
                      / n_chars::DOUBLE AS key
               FROM documents)
             ORDER BY key DESC, doc_id LIMIT 50""",
+        "audit_fingerprint": """
+            SELECT source, count(*) AS n_rows,
+                   sum(h)::BIGINT AS hash_sum,
+                   min(h) AS hash_min, max(h) AS hash_max
+            FROM (
+              SELECT source,
+                     ('0x' || substr(md5(concat_ws('|',
+                        coalesce(doc_id::VARCHAR, 'NULL'),
+                        coalesce(lang, 'NULL'),
+                        coalesce(n_chars::VARCHAR, 'NULL'))), 1, 13)
+                     )::BIGINT AS h
+              FROM documents)
+            GROUP BY source""",
+        "snapshot_diff": """
+            WITH base AS (
+              SELECT o_orderkey,
+                     round(o_totalprice * 100)::BIGINT AS cents,
+                     o_orderstatus
+              FROM orders),
+            before_h AS (
+              SELECT o_orderkey AS k,
+                     ('0x' || substr(md5(concat_ws('|',
+                        coalesce(cents::VARCHAR, 'NULL'),
+                        coalesce(o_orderstatus, 'NULL'))), 1, 13)
+                     )::BIGINT AS h
+              FROM base),
+            after_rows AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 101 = 0 THEN cents + 1000
+                          ELSE cents END AS cents,
+                     o_orderstatus
+              FROM base WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, cents, o_orderstatus
+              FROM base WHERE o_orderkey % 103 = 0),
+            after_h AS (
+              SELECT o_orderkey AS k,
+                     ('0x' || substr(md5(concat_ws('|',
+                        coalesce(cents::VARCHAR, 'NULL'),
+                        coalesce(o_orderstatus, 'NULL'))), 1, 13)
+                     )::BIGINT AS h
+              FROM after_rows),
+            diff AS (
+              SELECT coalesce(b.k, a.k) AS o_orderkey,
+                     CASE WHEN b.h IS NULL THEN 'added'
+                          WHEN a.h IS NULL THEN 'removed'
+                          WHEN b.h <> a.h THEN 'changed'
+                          ELSE 'unchanged' END AS change_type
+              FROM before_h b FULL OUTER JOIN after_h a ON b.k = a.k)
+            SELECT change_type, count(*) AS n,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM diff GROUP BY change_type ORDER BY change_type""",
         "sql_not_in_nullaware": """
             SELECT c_mktsegment, count(*) AS n_cust
             FROM customer
