@@ -1509,6 +1509,17 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", "orig_id", 0.5)
 
 
+def _q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering
+    (operators/dedup.py setsim_prefix_pairs): every token-set pair with
+    Jaccard ≥ 0.9, complete (no LSH misses), but candidates come from a
+    rare-token prefix equi-join instead of the oracle's O(n²) cross
+    join — same answer, scalable plan."""
+    from etl_capnz_spark.operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(_docs(spark, sf_dir), "text", "doc_id", 0.9)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with input parallelism (single-file parquet → one split)."""
     return _t(spark, sf_dir, "documents").repartition(
@@ -2329,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_setsim": _q_dedup_setsim,
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
@@ -3456,6 +3468,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b USING (band_key)
             WHERE a.id < b.id""",
+        "dedup_setsim": r"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS s
+              FROM documents)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.s, b.s))::DOUBLE
+                           / (len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)))::DOUBLE,
+                           6) AS jaccard
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.9""",
         "dedup_jaccard": f"""{_DUCK_AUG},
             base AS (
               SELECT doc_id AS id, doc_id % 100000 % 200000 AS bucket,

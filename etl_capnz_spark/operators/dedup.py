@@ -234,6 +234,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family — Bayardo et al., WWW'07): ALL token-set pairs
+    with Jaccard ≥ t, no false negatives, without the all-pairs scan.
+
+    Prefix principle: order every set by one global total order (here:
+    ascending global token frequency, rarest first, token as tie-break);
+    two sets with Jaccard ≥ t MUST share at least one token among each
+    side's first ``n - ceil(t·n) + 1`` tokens. So candidates come from an
+    EQUI-join on prefix tokens — rare tokens generate few pairs (that's
+    why frequency order beats lexicographic) — and an exact
+    intersect/union verify keeps only true pairs.
+
+    Distributed shape: token-frequency aggregate (two-phase) → per-doc
+    sort by (freq, token) → prefix explode → equi-join on the prefix
+    token emitting ONLY (id_a, id_b) → distinct → hash-join the two
+    token-set arrays back by id for the exact verify. Candidate
+    generation shuffles key pairs; full arrays move only for surviving
+    candidates. The oracle states the O(n²) brute-force form — results
+    are identical because prefix filtering is exact.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"),
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("_f"))
+    ordered = (
+        toks.join(freq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_f"), F.col("token")))
+            ).alias("_st")
+        )
+    )
+    sets = ordered.select(
+        "id",
+        F.transform(F.col("_st"), lambda x: x["token"]).alias("s"),
+        F.size("_st").alias("n"),
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
+    ).cast("int")
+    pref = sets.select(
+        "id", F.explode(F.slice("s", 1, prefix_len)).alias("ptok")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "ptok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
