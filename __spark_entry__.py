@@ -1520,6 +1520,113 @@ def _q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_prefix_pairs(_docs(spark, sf_dir), "text", "doc_id", 0.9)
 
 
+def _q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verify on LSH candidates: the string-
+    distance family (levenshtein) as the exact check behind the banded
+    candidate generator. Spark's 3-arg levenshtein early-exits past the
+    bound (O(k·min(m,n)) not O(m·n)) and returns -1 — texts move only
+    for candidate pairs, never in the band shuffle."""
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    cand = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb", 40).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from the id
+    hash — stable across reruns, partitionings, and engines; a given doc
+    NEVER migrates between splits when the corpus grows (the property
+    row-number splits lack)."""
+    from etl_capnz_spark.operators.sampling import hash_pct
+
+    pct = hash_pct(F.col("doc_id"), "split1")
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", split.alias("split")
+    )
+
+
+def _q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build: token → (document frequency, sorted posting
+    array) — the search-index artifact of a corpus pipeline. Two-phase
+    distinct + aggregate; collect_list order is partition-dependent, so
+    array_sort pins determinism (same discipline as every collect in
+    this repo)."""
+    from etl_capnz_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return toks.groupBy("token").agg(
+        F.count("*").alias("df_docs"),
+        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+def _q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token PMI (pointwise mutual information) — the
+    collocation statistic behind phrase mining / tokenizer-merge scoring:
+    ln( p(w1,w2) / (p(w1)·p(w2)) ) from one bigram aggregate, one unigram
+    aggregate joined twice, and 1-row totals broadcast into the
+    arithmetic (no driver-side counts)."""
+    from etl_capnz_spark.operators.dedup import word_shingles
+    from etl_capnz_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    big_all = (
+        docs.select(F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    big = big_all.filter(F.col("n_ab") >= 5)
+    # totals re-aggregate the two count tables (|vocab| and |bigram-types|
+    # rows), not the corpus — no extra scan of the raw text.
+    totals = uni.agg(F.sum("n_w").alias("_t_uni")).crossJoin(
+        big_all.agg(F.sum("n_ab").alias("_t_big"))
+    )
+    w1 = F.split(F.col("bg"), " ")[0]
+    w2 = F.split(F.col("bg"), " ")[1]
+    u1 = uni.select(F.col("w").alias("_w1"), F.col("n_w").alias("_n1"))
+    u2 = uni.select(F.col("w").alias("_w2"), F.col("n_w").alias("_n2"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("_t_big"))
+        / ((F.col("_n1") / F.col("_t_uni")) * (F.col("_n2") / F.col("_t_uni")))
+    )
+    return (
+        big.select(w1.alias("_w1"), w2.alias("_w2"), "n_ab")
+        .join(u1, "_w1")
+        .join(u2, "_w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_w1").alias("w1"),
+            F.col("_w2").alias("w2"),
+            "n_ab",
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with input parallelism (single-file parquet → one split)."""
     return _t(spark, sf_dir, "documents").repartition(
@@ -2341,6 +2448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_setsim": _q_dedup_setsim,
+        "dedup_fuzzy_edit": _q_dedup_fuzzy_edit,
+        "train_split": _q_train_split,
+        "text_inverted_index": _q_text_inverted_index,
+        "text_pmi": _q_text_pmi,
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
@@ -3468,6 +3579,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b USING (band_key)
             WHERE a.id < b.id""",
+        "train_split": """
+            SELECT doc_id, source,
+                   CASE WHEN ('0x' || substr(md5('split1' || doc_id::VARCHAR),
+                              1, 13))::BIGINT % 100 < 80 THEN 'train'
+                        WHEN ('0x' || substr(md5('split1' || doc_id::VARCHAR),
+                              1, 13))::BIGINT % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "text_inverted_index": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS token
+              FROM documents)
+            SELECT token, count(*) AS df_docs,
+                   list(doc_id ORDER BY doc_id) AS postings
+            FROM toks GROUP BY token""",
+        "text_pmi": rf"""
+            WITH uni AS (
+              SELECT w, count(*) AS n_w FROM (
+                SELECT unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '')) AS w
+                FROM documents) GROUP BY w),
+            big_all AS (
+              SELECT bg, count(*) AS n_ab FROM (
+                SELECT unnest({oracles.shingles_sql('text')}) AS bg
+                FROM documents)
+              GROUP BY bg),
+            tot AS (
+              SELECT (SELECT sum(n_w) FROM uni)::BIGINT AS t_uni,
+                     (SELECT sum(n_ab) FROM big_all)::BIGINT AS t_big)
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2, n_ab,
+                   round(ln((n_ab / t_big)
+                         / ((u1.n_w / t_uni) * (u2.n_w / t_uni))), 6)
+                     AS pmi
+            FROM big_all
+            JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
+            JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w, tot
+            WHERE n_ab >= 5""",
         "dedup_setsim": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(list_filter(
@@ -3482,6 +3634,18 @@ def oracle_sql() -> dict[str, str]:
                            6) AS jaccard
               FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
             WHERE jaccard >= 0.9""",
+        "dedup_fuzzy_edit": f"""{_DUCK_AUG},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id)
+            SELECT id_a, id_b,
+                   levenshtein(ta.text, tb.text)::INT AS edit_dist
+            FROM cand
+            JOIN aug ta ON cand.id_a = ta.doc_id
+            JOIN aug tb ON cand.id_b = tb.doc_id
+            WHERE levenshtein(ta.text, tb.text) <= 40""",
         "dedup_jaccard": f"""{_DUCK_AUG},
             base AS (
               SELECT doc_id AS id, doc_id % 100000 % 200000 AS bucket,
