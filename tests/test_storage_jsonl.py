@@ -102,3 +102,35 @@ def test_zorder_clustering_prunes_2d_box(spark, sf_dir, tmp_path):
     n_flat = candidate_files(flat_dir)
     assert n_flat >= 12, f"hash layout should spread the box ({n_flat})"
     assert n_z <= n_flat // 3, f"z-layout must prune: z={n_z} flat={n_flat}"
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink parity: the engine reads and writes ORC with the
+    same DataFrame surface as parquet (a lake migration often mixes
+    both) — schema and values survive the round trip."""
+    out = str(tmp_path / "orc")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: files written before a column existed
+    read back as NULL for that column under mergeSchema — the pattern
+    that lets a 100 TB landing zone evolve without rewriting history."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, v string"
+    ).write.parquet(out + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v", "score", "batch"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5

@@ -142,6 +142,37 @@ NOTES = {
         "the per-part agg is computed twice (scalar + probe); at real "
         "scale persist that |parts|-row intermediate."
     ),
+    "dedup_setsim": (
+        "Exact PPJoin: freq-ordered prefix tokens feed an equi-join that "
+        "emits ONLY (id_a, id_b); the token-set arrays re-join by id for "
+        "the exact verify, so full arrays move only for surviving "
+        "candidates. No CartesianProduct anywhere - the oracle's O(n^2) "
+        "form never exists in the plan, yet the answer is identical."
+    ),
+    "graph_pagerank": (
+        "Three power iterations = three (join + partial-aggregated sum) "
+        "stages chained in one plan, each shuffling node keys only. At "
+        "real scale, localCheckpoint every few iterations truncates the "
+        "growing lineage (same discipline as connected components)."
+    ),
+    "text_pmi": (
+        "Two two-phase aggregates (unigrams, bigrams) + the bigram table "
+        "re-joined to the unigram counts twice; both corpus totals are "
+        "re-aggregations of the count tables broadcast as 1-row sides - "
+        "the raw text is scanned once per aggregate and never for the "
+        "totals."
+    ),
+    "sample_weighted": (
+        "Efraimidis-Spirakis keys are a narrow per-row expression; the "
+        "top-n is TakeOrderedAndProject - per-partition heaps then an "
+        "n-row merge, no global sort, losing rows never shuffle."
+    ),
+    "snapshot_diff": (
+        "One full-outer equi-join comparing per-side row hashes - only "
+        "(key, 52-bit hash) pairs cross the exchange, never payloads; "
+        "the classify-and-count is a two-phase aggregate over the join "
+        "output."
+    ),
     "sample_deterministic": (
         "The md5-hash sample is a pure Filter directly over the scan - no "
         "shuffle, no RNG state, no sample() partition dependence. At 100 "
