@@ -2247,6 +2247,27 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema VARIANT surface (Spark 4): parse_json → VARIANT binary
+    encoding, typed path extraction via variant_get — the schema-on-read
+    answer when the JSON shape is NOT known up front (the declared-schema
+    twin is events_props_json; variant shreds once and extracts many
+    times without re-parsing)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 7 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: 3-row moving average + running sum per user."""
     from pyspark.sql.window import Window
@@ -2488,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_grouping_sets": _q_tpch_grouping_sets,
         "events_moving_avg": _q_events_moving_avg,
         "events_outliers": _q_events_outliers,
+        "events_variant": _q_events_variant,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
@@ -3476,6 +3498,14 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "events_variant": """
+            SELECT event_type, count(*) AS n,
+                   sum(k)::BIGINT AS sum_k
+            FROM (SELECT event_type,
+                         json_extract(props, '$.k')::INT AS k
+                  FROM events)
+            WHERE k % 7 = 0
+            GROUP BY event_type ORDER BY event_type""",
         "events_outliers": """
             SELECT event_id, user_id, "value", round(z, 6) AS z
             FROM (

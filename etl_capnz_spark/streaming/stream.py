@@ -157,6 +157,68 @@ def running_user_totals(events: DataFrame):
     )
 
 
+def running_user_totals_tws(events: DataFrame):
+    """The same running totals on Spark 4's ``transformWithStateInPandas``
+    — the successor to ``applyInPandasWithState``: state is declared as
+    named, typed handles (here one ValueState) on a StatefulProcessor
+    object instead of a positional tuple, and the runtime REQUIRES the
+    RocksDB state store provider (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` before starting the query —
+    exactly what a 100 TB keyed-state deployment runs anyway, since the
+    default HDFS-backed store keeps state on-heap).
+
+    Kept alongside :func:`running_user_totals` so both stateful APIs stay
+    exercised; output contract is identical. NOTE: the TWS runtime talks
+    protobuf to its Python driver worker — pyspark lists protobuf as an
+    optional dependency, so running (not building) this query requires
+    it installed; tests skip where it's absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("v", DoubleType())]
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                n, v = self._state.get()
+            else:
+                n, v = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [n],
+                    "value_total": [v],
+                }
+            )
+
+        def close(self):
+            pass
+
+    out_schema = (
+        "user_id bigint, n_events_total bigint, value_total double"
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(), out_schema, "append", "none"
+    )
+
+
 def upsert_alert_state(
     alert_stream: DataFrame, state_path: str, checkpoint: str
 ):

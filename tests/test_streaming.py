@@ -255,3 +255,85 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
         r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()
     }
     assert kept == {1: "alpha", 3: "beta", 5: "gamma"}
+
+
+def test_stateful_running_totals_tws(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState
+    running totals: same per-user state across micro-batches, declared
+    via a StatefulProcessor + ValueState on the RocksDB store.
+
+    The TWS runtime speaks protobuf to its Python driver worker, and
+    pyspark declares protobuf an OPTIONAL dependency ("Optional for
+    Spark Connect and transformWithState", pyspark setup metadata) — so
+    this skips where the package is absent rather than stubbing the
+    whole API out."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="pyspark's optional protobuf dep (required only by "
+        "transformWithState) is not installed in this environment",
+    )
+    from etl_capnz_spark.streaming.stream import running_user_totals_tws
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    src = tmp_path / "ev_tws"
+    half = events.filter("user_id % 2 = 0")
+    rest = events.filter("user_id % 2 = 1")
+    half.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    rest.coalesce(1).write.mode("append").parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f1"))
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = running_user_totals_tws(stream)
+        _run_stream(totals, "totals_tws_out", str(tmp_path / "cps_tws"))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    rows = spark.sql(
+        "SELECT user_id, max(n_events_total) AS n FROM totals_tws_out"
+        " GROUP BY 1"
+    ).collect()
+    got = {r["user_id"]: r["n"] for r in rows}
+    expected = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_tws_query_builds_without_protobuf(spark, sf_dir, tmp_path):
+    """Constructing the transformWithStateInPandas plan (analysis +
+    output schema) must not need the optional protobuf dep — only
+    RUNNING the query does."""
+    from etl_capnz_spark.streaming.stream import running_user_totals_tws
+
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "tws_src")
+    events.limit(5).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    df = running_user_totals_tws(stream)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events_total",
+        "value_total",
+    ]
