@@ -1783,6 +1783,30 @@ def _q_sql_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-side recursive CTE (Spark 4 WITH RECURSIVE): walk every
+    supplier up the implicit binary hierarchy parent = floor(key/2) to
+    the root and report the depth — the iterative-closure surface as
+    declarative SQL rather than a driver loop (the driver-loop twin is
+    dedup_components, where until now only the DuckDB oracle recursed).
+    Each recursion step is one self-join the optimizer plans like any
+    other; state per step is (id, cur, depth) keys only."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT s_suppkey AS id, s_suppkey AS cur, 0 AS depth
+          FROM v_supp_rec
+          UNION ALL
+          SELECT id, CAST(floor(cur / 2.0) AS BIGINT), depth + 1
+          FROM anc WHERE cur > 1
+        )
+        SELECT id AS s_suppkey, max(depth) AS depth_to_root
+        FROM anc GROUP BY id ORDER BY s_suppkey
+        """
+    )
+
+
 def _q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle: seeded-md5 sort key -> position.
     Same seed, same order, on any cluster."""
@@ -2247,6 +2271,31 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the BUILTIN session_window aggregate —
+    the engine-native twin of the hand-rolled gaps-and-islands
+    `events_session` (operators/sessions.py). Boundary semantics differ
+    by design: session_window starts a new session at delta ≥ gap (the
+    window is [start, last+gap)), the islands form at delta > gap; the
+    oracle mirrors the BUILTIN's ≥. session_end is last event + gap."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def _q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-schema VARIANT surface (Spark 4): parse_json → VARIANT binary
     encoding, typed path extraction via variant_get — the schema-on-read
@@ -2510,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": _q_events_moving_avg,
         "events_outliers": _q_events_outliers,
         "events_variant": _q_events_variant,
+        "events_session_builtin": _q_events_session_builtin,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
@@ -2523,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
+        "sql_recursive_closure": _q_sql_recursive_closure,
         "train_order": _q_train_order,
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
@@ -3328,6 +3379,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT change_type, count(*) AS n,
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
             FROM diff GROUP BY change_type ORDER BY change_type""",
+        "sql_recursive_closure": """
+            WITH RECURSIVE anc AS (
+              SELECT s_suppkey AS id, s_suppkey AS cur, 0 AS depth
+              FROM supplier
+              UNION ALL
+              SELECT id, CAST(floor(cur / 2.0) AS BIGINT), depth + 1
+              FROM anc WHERE cur > 1
+            )
+            SELECT id AS s_suppkey, max(depth) AS depth_to_root
+            FROM anc GROUP BY id ORDER BY s_suppkey""",
         "sql_not_in_nullaware": """
             SELECT c_mktsegment, count(*) AS n_cust
             FROM customer
@@ -3498,6 +3559,24 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "events_session_builtin": """
+            WITH marked AS (
+              SELECT user_id, ts, "value",
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            ids AS (
+              SELECT user_id, ts, "value",
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   round(sum("value"), 6) AS value_sum
+            FROM ids GROUP BY user_id, sid""",
         "events_variant": """
             SELECT event_type, count(*) AS n,
                    sum(k)::BIGINT AS sum_k
