@@ -1973,6 +1973,55 @@ def _q_approx_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.unionByName(overall)
 
 
+def _q_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (bitmap_construct_agg
+    / bitmap_or_agg / bitmap_count) — the precomputed-distinct-cube
+    pattern: per-bucket bitmaps aggregate exactly like HLL sketches
+    (approx_hll_union) but with NO error, and the global row re-aggregates
+    the per-group bitmaps with OR instead of rescanning raw data. The
+    oracle is plain COUNT(DISTINCT): values match exactly."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("_bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("_pos"),
+        )
+        .groupBy("event_type", "_bkt")
+        .agg(F.expr("bitmap_construct_agg(_pos)").alias("_bm"))
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(_bm)")).cast("bigint").alias("n_users")
+    )
+    merged = (
+        per_bucket.groupBy("_bkt")
+        .agg(F.expr("bitmap_or_agg(_bm)").alias("_bm"))
+        .agg(
+            F.sum(F.expr("bitmap_count(_bm)")).cast("bigint").alias("n_users")
+        )
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(merged)
+
+
+def _q_tpch_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG ... WITHIN GROUP — deterministic ordered string
+    aggregation per group (the report-formatting surface; DISTINCT +
+    explicit ORDER BY keep it engine-portable)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_la")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n_orders
+        FROM v_orders_la
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
@@ -2550,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams_udtf": _q_text_bigrams_udtf,
         "approx_stats": _q_approx_stats,
         "approx_hll_union": _q_approx_hll_union,
+        "distinct_bitmap": _q_distinct_bitmap,
+        "tpch_listagg": _q_tpch_listagg,
         "knn_kmeans_cells": _q_knn_kmeans_cells,
         "tpch_unpivot": _q_tpch_unpivot,
         "text_sentiment": _q_text_sentiment,
@@ -3559,6 +3610,19 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "distinct_bitmap": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'ALL', count(DISTINCT user_id) FROM events""",
+        "tpch_listagg": """
+            SELECT o_orderpriority,
+                   string_agg(DISTINCT o_orderstatus, ','
+                              ORDER BY o_orderstatus) AS statuses,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority""",
         "events_session_builtin": """
             WITH marked AS (
               SELECT user_id, ts, "value",
