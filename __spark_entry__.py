@@ -2320,6 +2320,68 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clean_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe dirty-data parsing: Spark 4 runs ANSI mode (a bad cast
+    THROWS), so ingestion paths use try_cast → NULL + quarantine counts
+    instead. One in seven synthesized order-key strings gets a trailing
+    'x'; the query parses what it can and audits the rest — the
+    row-level-error-isolation discipline of T8, applied to type casts."""
+    orders = _t(spark, sf_dir, "orders")
+    dirty = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("x")).otherwise(
+            F.lit("")
+        ),
+    )
+    parsed = dirty.try_cast("bigint")
+    return (
+        orders.select(
+            "o_orderstatus", parsed.alias("_p")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("_p").alias("n_parsed"),
+            F.sum(
+                F.when(F.col("_p").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_quarantined"),
+            F.sum("_p").cast("bigint").alias("sum_parsed"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_events_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling via a generated date spine: sequence() builds each
+    user's full day range between first and last activity, explodes, and
+    a left anti join against actual active days counts the silent days —
+    the calendar-densification pattern behind retention/streak metrics.
+    The spine is generated per-key JVM-side (sequence + explode), never a
+    driver-side calendar table."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    spans = days.groupBy("user_id").agg(
+        F.min("day").alias("_d0"),
+        F.max("day").alias("_d1"),
+        F.count("*").alias("n_active_days"),
+    )
+    spine = spans.select(
+        "user_id",
+        "n_active_days",
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        spine.join(days, ["user_id", "day"], "left_anti")
+        .groupBy("user_id", "n_active_days")
+        .agg(F.count("*").alias("n_gap_days"))
+        .select("user_id", "n_active_days", "n_gap_days")
+    )
+
+
 def _q_events_session_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization via the BUILTIN session_window aggregate —
     the engine-native twin of the hand-rolled gaps-and-islands
@@ -2611,6 +2673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": _q_events_outliers,
         "events_variant": _q_events_variant,
         "events_session_builtin": _q_events_session_builtin,
+        "clean_try_cast": _q_clean_try_cast,
+        "events_date_spine": _q_events_date_spine,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
@@ -3610,6 +3674,37 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "clean_try_cast": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   count(p) AS n_parsed,
+                   sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_quarantined,
+                   sum(p)::BIGINT AS sum_parsed
+            FROM (SELECT o_orderstatus,
+                         TRY_CAST(o_orderkey::VARCHAR ||
+                                  CASE WHEN o_orderkey % 7 = 0
+                                       THEN 'x' ELSE '' END
+                                  AS BIGINT) AS p
+                  FROM orders)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        "events_date_spine": """
+            WITH days AS (
+              SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+            spans AS (
+              SELECT user_id, min(day) AS d0, max(day) AS d1,
+                     count(*) AS n_active_days
+              FROM days GROUP BY user_id),
+            spine AS (
+              SELECT user_id, n_active_days,
+                     unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY))::DATE AS day
+              FROM spans)
+            SELECT user_id, n_active_days, count(*) AS n_gap_days
+            FROM spine s
+            WHERE NOT EXISTS (
+              SELECT 1 FROM days d
+              WHERE d.user_id = s.user_id AND d.day = s.day)
+            GROUP BY user_id, n_active_days""",
         "distinct_bitmap": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
