@@ -695,7 +695,7 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): LIKE-filtered part dim
-    (broadcast after the filter), supplier nation attached broadcast,
+    (joined on the part key), supplier nation attached broadcast,
     profit by (nation, year). `p_retailprice * l_quantity * 0.1` stands
     in for ps_supplycost * l_quantity (no partsupp in the synthetic
     schema)."""
@@ -786,7 +786,8 @@ def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (promotion effect): conditional-aggregation percentage
     in one pass — sum(CASE promo)/sum(all) over a one-month shipdate
-    window, part dim broadcast."""
+    window. part is SF-proportional (NOT hint-broadcast — at 100 TB it is
+    fact-sized); AQE picks broadcast vs shuffle from runtime stats."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
@@ -794,7 +795,7 @@ def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -861,7 +862,7 @@ def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(part, pairs.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(complaints),
+            complaints,
             pairs.l_suppkey == complaints.s_suppkey,
             "left_anti",
         )
@@ -882,7 +883,7 @@ def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     brand_li = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     per_part_avg = brand_li.groupBy(
@@ -928,7 +929,7 @@ def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(branch)
         .agg(
             F.round(
@@ -955,7 +956,7 @@ def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qualified = (
         li.join(
-            F.broadcast(part_keys), li.l_partkey == F.col("p_partkey")
+            part_keys, li.l_partkey == F.col("p_partkey")
         )
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("_qty"))
