@@ -1580,6 +1580,18 @@ def _q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 10 learned
+    merges over the corpus word-frequency table. Iterative argmax is a
+    bounded 1-row collect per merge (k-means-centroid sanction); raw text
+    is scanned exactly once. Not SQL-expressible (iterative greedy
+    rewrite) → rows-only here; tests/test_bpe.py pins the merge sequence
+    EXACTLY against a pure-Python reference implementation."""
+    from etl_capnz_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_docs(spark, sf_dir), "text", num_merges=10)
+
+
 def _q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token PMI (pointwise mutual information) — the
     collocation statistic behind phrase mining / tokenizer-merge scoring:
@@ -2634,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "text_inverted_index": _q_text_inverted_index,
         "text_pmi": _q_text_pmi,
+        "bpe_merges": _q_bpe_merges,
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
