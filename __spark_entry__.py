@@ -1942,6 +1942,25 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
+def _q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): 64-d embeddings → top-4
+    components. Fit reduces each partition to one (count, Σx, ΣxᵀX)
+    partial — the n×d data never concentrates; eigen runs on the d×d
+    driver matrix; projection is a narrow JVM-side expression. Eigen is
+    not SQL-expressible → rows-only; tests/test_pca.py pins fit AND
+    projections against numpy exactly (shared sign convention)."""
+    from etl_capnz_spark.operators.pca import pca_fit, pca_transform
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb, "embedding", 64, 4)
+    out = pca_transform(emb, "embedding", mean, comps)
+    return out.select(
+        "vec_id",
+        "label",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca4"),
+    )
+
+
 def _q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL (operators/udtf.py) — row generation in
     Python, oracle-checked against the pure-SQL shingle expansion."""
@@ -2710,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "dedup_cross": _q_dedup_cross,
         "emb_quantize": _q_emb_quantize,
+        "emb_pca": _q_emb_pca,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         "media_resize": _q_media_resize,

@@ -112,6 +112,63 @@ def bpe_train(
     return merges, vocab
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Apply learned merges to tokenize text — the MAP stage that runs
+    over the full 100 TB corpus once training is done.
+
+    Each word splits to characters (+ end-of-word) and the merges apply
+    in rank order as a chain of shuffle-free folds; the whole encoder is
+    ONE narrow column expression, so it composes with scans, pushdown,
+    and whatever else the pipeline does — no UDF, no shuffle, no state.
+    Returns the input plus ``bpe_tokens array<string>`` and
+    ``n_bpe_subwords int`` columns.
+    """
+    from etl_capnz_spark.operators.text import tokens
+
+    def encode_word(word):
+        sym = F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: word.substr(i, F.lit(1)),
+            ),
+            F.array(F.lit(END_OF_WORD)),
+        )
+        def fold_step(left, right):
+            merged = left + right
+
+            def step(acc, c):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (c == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(c)))
+
+            return step
+
+        for _, left, right, _ in merges:
+            sym = F.aggregate(
+                sym,
+                F.array().cast("array<string>"),
+                fold_step(left, right),
+            )
+        return sym
+
+    toks = F.flatten(
+        F.transform(tokens(F.col(text_col)), encode_word)
+    )
+    return df.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_subwords", F.size("bpe_tokens")
+    )
+
+
 def bpe_merges_df(
     df: DataFrame, text_col: str, num_merges: int = 10
 ) -> DataFrame:

@@ -60,3 +60,41 @@ def test_bpe_matches_reference_on_documents(spark, sf_dir):
         r["word"]: list(r["symbols"]) for r in vocab.collect()
     }
     assert got_tab == ref_vocab
+
+
+def _ref_encode(texts, merges):
+    out = []
+    for t in texts:
+        toks = []
+        for w in t.lower().strip().split():
+            if not w:
+                continue
+            s = list(w) + [END_OF_WORD]
+            for _, a, b, _c in merges:
+                new = []
+                for c in s:
+                    if new and new[-1] == a and c == b:
+                        new[-1] = a + b
+                    else:
+                        new.append(c)
+                s = new
+            toks.extend(s)
+        out.append(toks)
+    return out
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    from etl_capnz_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").orderBy(
+        "doc_id"
+    )
+    rows = docs.select("doc_id", "text").collect()
+    texts = [r["text"] for r in rows]
+    merges, _ = _ref_bpe(texts, 6)
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(docs, "text", merges).collect()
+    }
+    want = dict(zip((r["doc_id"] for r in rows), _ref_encode(texts, merges)))
+    assert got == want

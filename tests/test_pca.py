@@ -1,0 +1,80 @@
+"""Distributed PCA (operators/pca.py) vs numpy on the same data: the
+partition-partial covariance must equal the single-machine computation,
+and projections must match under the shared sign convention."""
+
+import numpy as np
+import pytest
+
+
+def _numpy_pca(x, k):
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / x.shape[0] - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.abs(v).argmax())
+        if v[j] < 0:
+            v = -v
+        comps.append(v)
+    ratios = [float(evals[i] / evals.sum()) for i in order]
+    return mean, np.array(comps), ratios
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    from etl_capnz_spark.operators.pca import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(5)
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    k = 4
+    mean, comps, ratios = pca_fit(emb, "embedding", x.shape[1], k)
+    ref_mean, ref_comps, ref_ratios = _numpy_pca(x, k)
+
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(ratios, ref_ratios, atol=1e-9)
+    assert np.allclose(np.abs(comps), np.abs(ref_comps), atol=1e-7)
+
+    got = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_transform(emb, "embedding", mean, comps)
+        .select("vec_id", "pca")
+        .collect()
+    }
+    ref_proj = (x - ref_mean) @ ref_comps.T
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    # rebuild reference keyed by id (collect order differs post-repartition)
+    emb_rows = emb.select("vec_id", "embedding").collect()
+    for row in emb_rows:
+        v = np.array(row["embedding"], dtype=np.float64)
+        want = (v - ref_mean) @ ref_comps.T
+        assert np.allclose(got[row["vec_id"]], want, atol=1e-7), row["vec_id"]
+    assert len(got) == len(ids)
+
+
+def test_pca_top_components_capture_variance(spark, sf_dir):
+    """The projected variance per component must equal the eigenvalue —
+    i.e. the distributed fit really diagonalizes the covariance."""
+    from etl_capnz_spark.operators.pca import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    mean, comps, ratios = pca_fit(emb, "embedding", x.shape[1], 3)
+    proj = np.array(
+        [
+            r["pca"]
+            for r in pca_transform(emb, "embedding", mean, comps)
+            .select("pca")
+            .collect()
+        ]
+    )
+    cov = np.cov(x.T, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(proj.var(axis=0), evals, rtol=1e-6)
+    assert ratios[0] >= ratios[1] >= ratios[2] > 0
