@@ -2352,6 +2352,84 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine OLS: per event type, slope/intercept/correlation of
+    value against event time from the closed-form moment sums — ONE
+    two-phase aggregate, no iteration, no ML library. Both engines
+    compute the same raw sums, so the derived statistics hash-match.
+    Time is rescaled to days-since-epoch so the slope has a readable
+    magnitude (raw microseconds put 1e-18 slopes at round-off)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(86400e6)
+    y = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = F.col("sxy") - sx * sy / n
+    var_x = F.col("sxx") - sx * sx / n
+    var_y = F.col("syy") - sy * sy / n
+    slope = cov_n / var_x
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("r"),
+    ).orderBy("event_type")
+
+
+def _q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): token → md5-derived bucket in
+    [0, 64), per-doc bucket counts — fixed-width vectorization with no
+    vocabulary state, the streaming-friendly featurizer. Same md5-bit
+    discipline as sampling/dedup, so the oracle reproduces every bucket."""
+    from etl_capnz_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 64
+    )
+    return (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each event's category feature is
+    the mean value of its event_type EXCLUDING the row itself,
+    (Σ_group − y) / (n_group − 1) — the standard leakage-safe categorical
+    encoder for tabular ML. One window partitioning supplies both group
+    moments; singleton groups encode NULL (0/0 guarded)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    s = F.sum("value").over(w)
+    n = F.count("*").over(w)
+    loo = F.when(
+        n > 1, (s - F.col("value")) / (n - 1)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(loo, 6).alias("te_loo"),
+    )
+
+
 def _q_clean_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe dirty-data parsing: Spark 4 runs ANSI mode (a bad cast
     THROWS), so ingestion paths use try_cast → NULL + quarantine counts
@@ -2708,6 +2786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_builtin": _q_events_session_builtin,
         "clean_try_cast": _q_clean_try_cast,
         "events_date_spine": _q_events_date_spine,
+        "events_regression": _q_events_regression,
+        "text_feature_hash": _q_text_feature_hash,
+        "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
@@ -3708,6 +3789,48 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
+        "events_regression": """
+            SELECT event_type, n,
+                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+                     AS slope,
+                   round((sy - ((sxy - sx * sy / n)
+                                / (sxx - sx * sx / n)) * sx) / n, 6)
+                     AS intercept,
+                   round((sxy - sx * sy / n)
+                         / sqrt((sxx - sx * sx / n)
+                                * (syy - sy * sy / n)), 6) AS r
+            FROM (
+              SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum("value") AS sy,
+                     sum(x * "value") AS sxy, sum(x * x) AS sxx,
+                     sum("value" * "value") AS syy
+              FROM (SELECT event_type, "value",
+                           epoch_us(ts) / 86400e6 AS x
+                    FROM events)
+              GROUP BY event_type)
+            ORDER BY event_type""",
+        "text_feature_hash": """
+            SELECT doc_id, bucket, count(*) AS cnt FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5(token), 1, 13))::BIGINT % 64
+                       AS bucket
+              FROM (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t <> '')) AS token
+                FROM documents))
+            GROUP BY doc_id, bucket""",
+        "ml_target_encode": """
+            SELECT event_id, event_type,
+                   round("value", 6) AS "value",
+                   round(CASE WHEN n > 1
+                              THEN (s - "value") / (n - 1) END, 6)
+                     AS te_loo
+            FROM (
+              SELECT event_id, event_type, "value",
+                     sum("value") OVER (PARTITION BY event_type) AS s,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)""",
         "clean_try_cast": """
             SELECT o_orderstatus, count(*) AS n_rows,
                    count(p) AS n_parsed,
