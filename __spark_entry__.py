@@ -1942,6 +1942,19 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
+def _q_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-accelerated ANN (operators/pca.py pca_coarse_topk): coarse
+    candidates by squared-L2 in the 16-d projected space, exact cosine
+    rerank to top-5 — the dimensionality-reduction front end of the ANN
+    stack (recall@5 = 0.78 vs brute at sf0.01; pinned ≥ 0.7 in
+    tests/test_pca.py). Approximate by design → rows-only."""
+    from etl_capnz_spark.operators.pca import pca_coarse_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return pca_coarse_topk(emb, qs, "vec_id", "embedding", 64, k=5)
+
+
 def _q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): 64-d embeddings → top-4
     components. Fit reduces each partition to one (count, Σx, ΣxᵀX)
@@ -2811,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross": _q_dedup_cross,
         "emb_quantize": _q_emb_quantize,
         "emb_pca": _q_emb_pca,
+        "knn_pca": _q_knn_pca,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
         "media_resize": _q_media_resize,

@@ -82,6 +82,73 @@ def pca_fit(
     return mean.tolist(), comps, ratios
 
 
+def pca_coarse_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_pca: int = 16,
+    n_coarse: int = 100,
+) -> DataFrame:
+    """PCA-accelerated ANN: candidates from squared-L2 distance in the
+    n_pca-d projected space (cheap dot products), exact cosine rerank in
+    the original space for the final top-k — the dimensionality-reduction
+    front end of the ANN stack (compose with IVF cell pruning for the
+    full 100 TB path; this operator demonstrates the PCA stage).
+
+    Approximate by design (coarse distances discard (d − n_pca) dims);
+    recall is pinned in tests/test_pca.py against the brute-force oracle.
+    """
+    from pyspark.sql.window import Window
+
+    mean, comps, _ = pca_fit(corpus, vec_col, dim, n_pca)
+    c = pca_transform(corpus, vec_col, mean, comps, "_pc").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        "_pc",
+    )
+    q = pca_transform(queries, vec_col, mean, comps, "_qpc").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        "_qpc",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qpc"), F.col("_pc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_d2", d2)
+        .withColumn("_crank", F.row_number().over(wq))
+        .filter(F.col("_crank") <= n_coarse)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_qvec"), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = F.round(dot / (norm(F.col("_qvec")) * norm(F.col("_cvec"))), 6)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def pca_transform(
     df: DataFrame,
     vec_col: str,

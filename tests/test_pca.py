@@ -78,3 +78,21 @@ def test_pca_top_components_capture_variance(spark, sf_dir):
     evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
     assert np.allclose(proj.var(axis=0), evals, rtol=1e-6)
     assert ratios[0] >= ratios[1] >= ratios[2] > 0
+
+
+def test_pca_ann_recall(spark, sf_dir):
+    """PCA-coarse + exact-rerank ANN must keep recall@5 ≥ 0.7 vs brute
+    force at (n_pca=16, n_coarse=100) on the synthetic corpus — the pin
+    that catches a broken projection or candidate cut."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.pca import pca_coarse_topk
+    from etl_capnz_spark.operators.similarity import cosine_topk_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    got = pca_coarse_topk(emb, qs, "vec_id", "embedding", 64, k=5)
+    brute = cosine_topk_brute(emb, qs, "vec_id", "embedding", k=5)
+    g = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    assert len(g & b) / len(b) >= 0.7
