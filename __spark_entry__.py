@@ -2639,6 +2639,35 @@ def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pd.merge_asof tolerance): a
+    click only keeps its preceding view if it is ≤ 10 minutes old —
+    stale carries null out in a post-window projection, zero extra
+    shuffles (operators/asof.py)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["ts", "value"],
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
 def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/rangejoin.py): clicks per user in the
     10 minutes before each error event."""
@@ -2799,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_builtin": _q_events_session_builtin,
         "clean_try_cast": _q_clean_try_cast,
         "events_date_spine": _q_events_date_spine,
+        "events_asof_tolerance": _q_events_asof_tolerance,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "ml_target_encode": _q_ml_target_encode,
@@ -3979,6 +4009,17 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
+                            WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_asof_tolerance": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE
+                        THEN r.ts END AS view_ts,
+                   CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE
+                        THEN r."value" END AS view_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events

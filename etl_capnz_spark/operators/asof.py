@@ -32,11 +32,20 @@ def asof_join(
     on: str,
     by: str,
     value_cols: list[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: left columns + latest ``value_cols`` from right.
 
     ``on`` and ``by`` must exist in both inputs with identical types.
+
+    ``tolerance_seconds`` (pd.merge_asof's ``tolerance``): when set, a
+    carried match older than the window is nulled out — the payload
+    columns AND the carried timestamp together, so a stale match looks
+    exactly like no match. Adds zero shuffles: it is a post-window
+    projection over the already-carried ``asof_{on}``.
     """
+    if tolerance_seconds is not None and on not in value_cols:
+        value_cols = [on, *value_cols]
     lt = left.withColumn("_tag", F.lit(1))
     for c in value_cols:
         lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
@@ -67,4 +76,15 @@ def asof_join(
         *left_cols,
         *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"asof_{on}"))
+        ) <= tolerance_seconds * 1_000_000
+        out = out.select(
+            *left_cols,
+            *[
+                F.when(fresh, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
     return out
