@@ -2668,6 +2668,55 @@ def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the EARLIEST following view
+    per user — the same one-exchange union-sort-carry plan as backward,
+    sort order reversed (operators/asof.py direction='forward')."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["ts", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("next_view_ts"),
+        F.col("asof_value").alias("next_view_value"),
+    )
+
+
+def _q_events_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: trailing-10-minute count and sum
+    per user — the value-range frame (RANGE BETWEEN INTERVAL ... AND
+    CURRENT ROW) as opposed to the ROWS frames of events_moving_avg.
+    Expressed over unix microseconds so the frame bound is exact."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10min"),
+        F.round(F.sum("value").over(w), 6).alias("sum_10min"),
+    )
+
+
 def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/rangejoin.py): clicks per user in the
     10 minutes before each error event."""
@@ -2829,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_try_cast": _q_clean_try_cast,
         "events_date_spine": _q_events_date_spine,
         "events_asof_tolerance": _q_events_asof_tolerance,
+        "events_asof_forward": _q_events_asof_forward,
+        "events_rolling_range": _q_events_rolling_range,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "ml_target_encode": _q_ml_target_encode,
@@ -4025,6 +4076,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
                             WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_asof_forward": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS next_view_ts, r."value" AS next_view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
+                            WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "events_rolling_range": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_10min,
+                   round(sum("value") OVER w, 6) AS sum_10min
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 600000000 PRECEDING
+                               AND CURRENT ROW)""",
         "events_range_join": """
             SELECT l.event_id, l.user_id, l.ts, count(r.ts) AS n_in_window
             FROM (SELECT event_id, user_id, ts FROM events

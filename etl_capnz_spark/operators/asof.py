@@ -33,17 +33,25 @@ def asof_join(
     by: str,
     value_cols: list[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left columns + latest ``value_cols`` from right.
+    """As-of join: left columns + nearest ``value_cols`` from right.
+
+    ``direction='backward'`` (default) attaches the LATEST right row with
+    ``right.on <= left.on``; ``'forward'`` the EARLIEST right row with
+    ``right.on >= left.on`` — same union-sort-carry plan with the sort
+    order reversed, so both directions cost one exchange.
 
     ``on`` and ``by`` must exist in both inputs with identical types.
 
     ``tolerance_seconds`` (pd.merge_asof's ``tolerance``): when set, a
-    carried match older than the window is nulled out — the payload
+    carried match further than the window is nulled out — the payload
     columns AND the carried timestamp together, so a stale match looks
     exactly like no match. Adds zero shuffles: it is a post-window
     projection over the already-carried ``asof_{on}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     if tolerance_seconds is not None and on not in value_cols:
         value_cols = [on, *value_cols]
     lt = left.withColumn("_tag", F.lit(1))
@@ -60,9 +68,12 @@ def asof_join(
         *left_cols, "_tag", *[f"_r_{c}" for c in value_cols]
     ).unionByName(rt, allowMissingColumns=True)
 
+    on_order = (
+        F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("_tag").asc())
+        .orderBy(on_order, F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -77,9 +88,10 @@ def asof_join(
         *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
     if tolerance_seconds is not None:
-        fresh = (
-            F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"asof_{on}"))
-        ) <= tolerance_seconds * 1_000_000
+        gap = F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"asof_{on}"))
+        if direction == "forward":
+            gap = -gap
+        fresh = gap <= tolerance_seconds * 1_000_000
         out = out.select(
             *left_cols,
             *[
