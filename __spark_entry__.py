@@ -2668,6 +2668,63 @@ def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances (operators/graph.py bfs_distances): 3 hops from
+    suppliers 1-3 over the bipartite part↔supplier graph — frontier
+    expansion with visited pruning (each node expands once); the oracle
+    states the recursive-CTE UNION ALL form with min(dist), which is
+    provably the same answer."""
+    from etl_capnz_spark.operators.graph import bfs_distances
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    # Materialize the edge list once — every hop joins against it, and
+    # recomputing the distinct-pairs shuffle per hop triples the cost.
+    # (The persist-the-edges discipline of any iterative graph traversal;
+    # GraphX does the same.)
+    edges = (
+        pairs.select(p.alias("src"), s.alias("dst"))
+        .unionByName(pairs.select(s.alias("src"), p.alias("dst")))
+        .localCheckpoint()
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 3)
+        .select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp values at their group's p05/p95 (exact
+    interpolated percentiles — same family as tpch_median) and compare
+    raw vs clamped means. The per-group percentile table is #groups
+    rows → broadcast back; clamping is a narrow projection."""
+    ev = _t(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("_p05"),
+        F.percentile("value", 0.95).alias("_p95"),
+    )
+    clamped = F.greatest(
+        F.col("_p05"), F.least(F.col("_p95"), F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("wins_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each click gets the EARLIEST following view
     per user — the same one-exchange union-sort-carry plan as backward,
@@ -2880,6 +2937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": _q_events_asof_tolerance,
         "events_asof_forward": _q_events_asof_forward,
         "events_rolling_range": _q_events_rolling_range,
+        "graph_bfs": _q_graph_bfs,
+        "events_winsorize": _q_events_winsorize,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "ml_target_encode": _q_ml_target_encode,
@@ -4076,6 +4135,34 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
                             WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "graph_bfs": """
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            edges AS (
+              SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+              FROM pairs
+              UNION ALL
+              SELECT 's:' || l_suppkey, 'p:' || l_partkey FROM pairs),
+            bfs AS (
+              SELECT 's:' || s_suppkey AS node, 0 AS dist
+              FROM supplier WHERE s_suppkey <= 3
+              UNION ALL
+              SELECT e.dst, b.dist + 1
+              FROM bfs b JOIN edges e ON b.node = e.src
+              WHERE b.dist < 3)
+            SELECT node, min(dist)::INT AS dist FROM bfs GROUP BY node""",
+        "events_winsorize": """
+            SELECT e.event_type, count(*) AS n,
+                   round(avg("value"), 6) AS raw_mean,
+                   round(avg(greatest(p05, least(p95, "value"))), 6)
+                     AS wins_mean
+            FROM events e
+            JOIN (SELECT event_type,
+                         quantile_cont("value", 0.05) AS p05,
+                         quantile_cont("value", 0.95) AS p95
+                  FROM events GROUP BY event_type) q
+              ON e.event_type = q.event_type
+            GROUP BY e.event_type ORDER BY e.event_type""",
         "events_asof_forward": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS next_view_ts, r."value" AS next_view_value

@@ -22,6 +22,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Minimum hop distance from a seed set, up to ``max_hops`` — BFS as
+    iterative frontier expansion. Each hop is one equi-join (frontier ⋈
+    edges on src) + a LEFT ANTI join against the visited set, so a node
+    expands exactly ONCE (the visited-pruning that keeps dense graphs
+    from re-expanding every round — the scale-correct BFS shape; an
+    unpruned expansion is exponential in hop count on cyclic graphs).
+
+    ``seeds`` has one column ``node``. Returns (node, dist) for every
+    node within ``max_hops``. The DuckDB oracle states the UNION ALL
+    recursive-CTE form with min(dist) — identical results, because
+    visited pruning never changes the MINIMUM distance.
+    """
+    visited = seeds.select("node").withColumn("dist", F.lit(0))
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per source node. ``edges`` has columns (src, dst)."""
     return edges.groupBy("src").agg(F.count("*").alias("out_deg"))

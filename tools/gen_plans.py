@@ -167,6 +167,22 @@ NOTES = {
         "top-n is TakeOrderedAndProject - per-partition heaps then an "
         "n-row merge, no global sort, losing rows never shuffle."
     ),
+    "events_asof_forward": (
+        "Forward as-of: the SAME union + one-exchange sort-carry plan as "
+        "the backward join, with the sort order reversed - no second "
+        "strategy, no join node, direction is just an ORDER BY flip."
+    ),
+    "events_regression": (
+        "OLS from closed-form moments: ONE two-phase hash aggregate "
+        "computes all six sums; slope/intercept/r are a driver-free "
+        "post-projection. No iteration, no ML library, no extra pass."
+    ),
+    "distinct_bitmap": (
+        "Exact distinct as mergeable state: per-(group, bucket) bitmaps "
+        "partial-aggregate map-side like any hash agg; the ALL row is a "
+        "re-aggregation (bitmap OR) of the per-group bitmaps - raw data "
+        "is scanned once for every grain."
+    ),
     "snapshot_diff": (
         "One full-outer equi-join comparing per-side row hashes - only "
         "(key, 52-bit hash) pairs cross the exchange, never payloads; "
