@@ -2668,6 +2668,80 @@ def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid-cell bucketing (the Sedona-class
+    operator core Spark lacks): points land in 1° cells, each point
+    probes its 3×3 cell neighborhood through an EQUI-join, and exact
+    haversine verifies ≤ 50 km — candidates are O(density), never the
+    all-pairs O(n²) the oracle states. Latitudes are clamped to ±60° so
+    a 1° lon cell (≥ 55 km there) always covers the radius. Points are
+    md5-synthesized from customer keys (engine-portable determinism);
+    geometry G1-G5 covers the reference's real coordinates."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def h(salt: str) -> F.Column:
+        basis = F.concat(F.lit(salt), F.col("c_custkey").cast("string"))
+        return F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast(
+            "bigint"
+        )
+
+    lat = (h("lat") % 1200000) / 10000.0 - 60.0
+    lon = (h("lon") % 3400000) / 10000.0 - 170.0
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat).cast("int").alias("cy"),
+        F.floor(lon).cast("int").alias("cx"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    probes = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(offsets).alias("o"),
+        F.col("cy").alias("_cy"),
+        F.col("cx").alias("_cx"),
+    ).select(
+        "id_a",
+        "lat_a",
+        "lon_a",
+        (F.col("_cy") + F.col("o.dy")).alias("cy"),
+        (F.col("_cx") + F.col("o.dx")).alias("cx"),
+    )
+    right = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    rad = lambda c: F.radians(c)  # noqa: E731
+    dlat = rad(F.col("lat_b")) - rad(F.col("lat_a"))
+    dlon = rad(F.col("lon_b")) - rad(F.col("lon_a"))
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rad(F.col("lat_a")))
+        * F.cos(rad(F.col("lat_b")))
+        * F.sin(dlon / 2) ** 2
+    )
+    dist_km = F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
+    return (
+        probes.join(right, ["cy", "cx"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(dist_km, 6).alias("dist_km")
+        )
+        .filter(F.col("dist_km") <= 50.0)
+    )
+
+
 def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distances (operators/graph.py bfs_distances): 3 hops from
     suppliers 1-3 over the bipartite part↔supplier graph — frontier
@@ -2939,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_range": _q_events_rolling_range,
         "graph_bfs": _q_graph_bfs,
         "events_winsorize": _q_events_winsorize,
+        "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "ml_target_encode": _q_ml_target_encode,
@@ -4135,6 +4210,26 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
                             WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "geo_radius_join": """
+            WITH pts AS (
+              SELECT c_custkey AS id,
+                     (('0x' || substr(md5('lat' || c_custkey::VARCHAR),
+                       1, 13))::BIGINT % 1200000) / 10000.0 - 60.0 AS lat,
+                     (('0x' || substr(md5('lon' || c_custkey::VARCHAR),
+                       1, 13))::BIGINT % 3400000) / 10000.0 - 170.0 AS lon
+              FROM customer)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(2 * 6371.0 * asin(sqrt(
+                     sin((radians(b.lat) - radians(a.lat)) / 2) ^ 2
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * sin((radians(b.lon) - radians(a.lon)) / 2) ^ 2)),
+                     6) AS dist_km
+            FROM pts a JOIN pts b ON a.id < b.id
+            WHERE round(2 * 6371.0 * asin(sqrt(
+                    sin((radians(b.lat) - radians(a.lat)) / 2) ^ 2
+                    + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * sin((radians(b.lon) - radians(a.lon)) / 2) ^ 2)),
+                  6) <= 50.0""",
         "graph_bfs": """
             WITH RECURSIVE pairs AS (
               SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -281,3 +281,13 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
+    """The spatial radius join must probe 3x3 grid cells through an
+    EQUI-join — candidates O(density), never the O(n^2) cross join the
+    oracle states."""
+    plan = _plan(entrymod.queries()["geo_radius_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
