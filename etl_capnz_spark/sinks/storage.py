@@ -86,3 +86,64 @@ def z_value(x, y, bits: int = 16):
             F.shiftleft(ybit, 2 * i + 1)
         )
     return z
+
+
+def merge_aggregate_state(
+    spark,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental view maintenance for a distributive rollup: merge a
+    new batch's partial aggregate into a persisted per-key state table —
+    (count, sums) per key — WITHOUT recomputing history.
+
+    The algebra: count and sum are distributive, so
+    ``state ⊕ agg(batch)`` is a full-outer equi-join on the keys with
+    coalesce-add, and the result equals aggregating all batches from
+    scratch (pinned in tests/test_storage_jsonl.py). Only per-key
+    aggregate rows move — the batch is pre-aggregated before touching
+    state, and history is never re-read beyond the state table itself.
+    At 100 TB the state lives bucketed on the keys so the merge join is
+    shuffle-free; avg/ratios derive from (sum, count) at read time
+    (store the pieces, not the quotient).
+
+    Writes the merged state back (overwrite via a staging subdir +
+    re-read, since parquet can't overwrite its own input in place) and
+    returns the merged state DataFrame.
+    """
+    import os
+    import shutil
+
+    part = batch.groupBy(*key_cols).agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+    )
+    agg_cols = ["n", *[f"sum_{c}" for c in sum_cols]]
+    try:
+        state = spark.read.parquet(state_path)
+        merged = (
+            state.select(
+                *key_cols, *[F.col(c).alias(f"_s_{c}") for c in agg_cols]
+            )
+            .join(part, key_cols, "full_outer")
+            .select(
+                *key_cols,
+                *[
+                    (
+                        F.coalesce(F.col(f"_s_{c}"), F.lit(0))
+                        + F.coalesce(F.col(c), F.lit(0))
+                    ).alias(c)
+                    for c in agg_cols
+                ],
+            )
+        )
+    except Exception:
+        merged = part
+    staging = state_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(state_path):
+        shutil.rmtree(state_path)
+    os.rename(staging, state_path)
+    return spark.read.parquet(state_path)

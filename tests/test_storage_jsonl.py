@@ -134,3 +134,31 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 9.5
+
+
+def test_merge_aggregate_state_equals_recompute(spark, sf_dir, tmp_path):
+    """Incremental rollup maintenance: merging three event batches into
+    the state table one at a time must equal aggregating everything from
+    scratch — the distributive-algebra contract of the delta-merge."""
+    from etl_capnz_spark.session import read_table
+    from etl_capnz_spark.sinks.storage import merge_aggregate_state
+
+    ev = read_table(spark, sf_dir, "events")
+    state = str(tmp_path / "rollup_state")
+    final = None
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        final = merge_aggregate_state(
+            spark, batch, state, ["event_type"], ["value"]
+        )
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 6))
+        for r in final.collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
