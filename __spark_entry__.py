@@ -2774,6 +2774,25 @@ def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=3)
 
 
+def _q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part profile: activity by (day-of-week, hour-of-day) —
+    the datetime-extraction surface (hour/dayofweek/date_trunc family).
+    Spark numbers dayofweek 1=Sunday; DuckDB 0=Sunday — the oracle maps
+    explicitly rather than trusting dialect defaults."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 def _q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization: clamp values at their group's p05/p95 (exact
     interpolated percentiles — same family as tpch_median) and compare
@@ -3013,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_range": _q_events_rolling_range,
         "graph_bfs": _q_graph_bfs,
         "events_winsorize": _q_events_winsorize,
+        "events_hourly_profile": _q_events_hourly_profile,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
@@ -4246,6 +4266,12 @@ def oracle_sql() -> dict[str, str]:
               FROM bfs b JOIN edges e ON b.node = e.src
               WHERE b.dist < 3)
             SELECT node, min(dist)::INT AS dist FROM bfs GROUP BY node""",
+        "events_hourly_profile": """
+            SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+                   count(*) AS n,
+                   round(avg("value"), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_winsorize": """
             SELECT e.event_type, count(*) AS n,
                    round(avg("value"), 6) AS raw_mean,
