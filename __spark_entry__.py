@@ -1446,6 +1446,27 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "component")
 
 
+def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY metric: the duplicate-cluster size distribution
+    (how many clusters of size 2, 3, …) — what you inspect before
+    deciding keep-one-per-cluster is safe (a giant cluster usually means
+    boilerplate, not true duplication). Two nested aggregates over the
+    components output; each is a cheap re-aggregation of already-keyed
+    rows."""
+    sigs = minhash_signatures(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup endgame step 2: keep ONE doc per near-dup component (the
     min-id member); docs in no component survive untouched. Anti-join of
@@ -2986,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": _q_text_pmi,
         "bpe_merges": _q_bpe_merges,
         "dedup_components": _q_dedup_components,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_representatives": _q_dedup_representatives,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
         "decontaminate": _q_decontaminate,
@@ -4436,6 +4458,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
             )
             SELECT id, min(lbl) AS component FROM reach GROUP BY id""",
+        "dedup_cluster_sizes": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            comp AS (
+              SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+            SELECT cluster_size, count(*) AS n_clusters FROM (
+              SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component)
+            GROUP BY cluster_size ORDER BY cluster_size""",
         "dedup_representatives": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
             {oracles.minhash_bands_sql('aug', 'doc_id')},
             pairs AS (
