@@ -98,3 +98,17 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     }
     want = dict(zip((r["doc_id"] for r in rows), _ref_encode(texts, merges)))
     assert got == want
+
+
+def test_bpe_fold_preserves_concatenation(spark):
+    """Invariant: merging never loses or reorders characters — after any
+    merge sequence, concatenating a word's symbols reproduces
+    word + END_OF_WORD. Checked over every vocab word after training."""
+    texts = [
+        "aaa aab abab baba abba low lower lowest newest lowlow",
+        "banana bandana ana nab aaa abab",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    _, vocab = bpe_train(df, "text", num_merges=10)
+    for r in vocab.collect():
+        assert "".join(r["symbols"]) == r["word"] + END_OF_WORD, r["word"]

@@ -291,3 +291,26 @@ def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine's join-strategy levers: the SAME equi-join plans as
+    SortMergeJoin under hint('merge') and ShuffledHashJoin under
+    hint('shuffle_hash') — the explicit controls for when AQE's choice
+    needs overriding (e.g. avoiding sort on pre-bucketed huge sides)."""
+    from etl_capnz_spark.session import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        merged = orders.join(
+            cust.hint("merge"), orders.o_custkey == cust.c_custkey
+        )
+        hashed = orders.join(
+            cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+        )
+        assert "SortMergeJoin" in _plan(merged)
+        assert "ShuffledHashJoin" in _plan(hashed)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
