@@ -2441,6 +2441,40 @@ def _q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier inference at scale, fully JVM-side: hashed
+    token features (the same 64-bucket hashing trick as
+    text_feature_hash) dotted with a weight vector, through a sigmoid —
+    the quality/toxicity-classifier seam of a corpus pipeline. A real
+    model swaps in learned weights via the same broadcast join; here the
+    weights derive deterministically from the bucket index (Knuth
+    multiplicative hash) so the oracle reproduces every score — no
+    Python touches the corpus path either way."""
+    from etl_capnz_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 64
+    )
+    weight = (
+        ((bucket * F.lit(2654435761)) % 1000).cast("double") / 1000.0 - 0.5
+    )
+    margin = tok.groupBy("doc_id").agg(
+        F.sum(weight).alias("_m"), F.count("*").alias("n_tokens")
+    )
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("_m") / F.col("n_tokens")))
+    )
+    return margin.select(
+        "doc_id", "n_tokens", F.round(score, 6).alias("quality_score")
+    )
+
+
 def _q_ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding: each event's category feature is
     the mean value of its event_type EXCLUDING the row itself,
@@ -3058,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
+        "text_classifier_score": _q_text_classifier_score,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4091,6 +4126,22 @@ def oracle_sql() -> dict[str, str]:
                   t -> t <> '')) AS token
                 FROM documents))
             GROUP BY doc_id, bucket""",
+        "text_classifier_score": """
+            SELECT doc_id, n_tokens,
+                   round(1.0 / (1.0 + exp(-(m / n_tokens))), 6)
+                     AS quality_score
+            FROM (
+              SELECT doc_id,
+                     sum((((('0x' || substr(md5(token), 1, 13))::BIGINT
+                            % 64) * 2654435761) % 1000)::DOUBLE / 1000.0
+                         - 0.5) AS m,
+                     count(*) AS n_tokens
+              FROM (
+                SELECT doc_id, unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t <> '')) AS token
+                FROM documents)
+              GROUP BY doc_id)""",
         "ml_target_encode": """
             SELECT event_id, event_type,
                    round("value", 6) AS "value",
