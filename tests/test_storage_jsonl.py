@@ -162,3 +162,35 @@ def test_merge_aggregate_state_equals_recompute(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_csv_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """CSV ingestion with row-level error isolation (the T8 discipline on
+    a different format): PERMISSIVE mode parses what it can, lands the
+    raw text of broken rows in _corrupt_record, and good rows flow
+    through untouched — no thrown job, auditable quarantine."""
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "data.csv").write_text(
+        "id,val\n1,10\n2,notanumber\n3,30\nbadrow\n"
+    )
+    df = (
+        spark.read.option("header", "true")
+        .schema("id int, val int, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(src))
+    ).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert {(r["id"], r["val"]) for r in good.collect()} == {
+            (1, 10),
+            (3, 30),
+        }
+        assert sorted(r["_corrupt_record"] for r in bad.collect()) == [
+            "2,notanumber",
+            "badrow",
+        ]
+    finally:
+        df.unpersist()
