@@ -204,3 +204,42 @@ def test_hll_union_accuracy(spark, sf_dir):
             rows[key],
             want,
         )
+
+
+def test_samples_invariant_to_partitioning(spark, sf_dir):
+    """Hash-based sampling/splitting must select the SAME rows no matter
+    how the input is partitioned — the property that distinguishes the
+    md5 selectors from df.sample()'s partition-seeded RNG (and what makes
+    samples reproducible across clusters and reruns)."""
+    from etl_capnz_spark.operators.sampling import (
+        deterministic_sample,
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df_variant in (docs.repartition(1), docs.repartition(13, "source")):
+        det = {
+            r["doc_id"]
+            for r in deterministic_sample(df_variant, "doc_id", 10).collect()
+        }
+        base = {
+            r["doc_id"]
+            for r in deterministic_sample(docs, "doc_id", 10).collect()
+        }
+        assert det == base
+        w = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df_variant.select("doc_id", "n_chars"),
+                "doc_id",
+                "n_chars",
+                20,
+            ).collect()
+        }
+        wbase = {
+            r["doc_id"]
+            for r in weighted_sample(
+                docs.select("doc_id", "n_chars"), "doc_id", "n_chars", 20
+            ).collect()
+        }
+        assert w == wbase
