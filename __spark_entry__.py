@@ -2441,6 +2441,22 @@ def _q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-exact: deterministic P6 PPM payloads
+    (pixel byte = closed-form function of doc_id) are parsed by the
+    engine's numpy mapInPandas decoder — header, dims, RGB plane,
+    channel means — while the DuckDB oracle recomputes the means from
+    the pixel FORMULA, never seeing a decoder. Proves the multimodal
+    path end-to-end with an honest codec (operators/multimodal.py)."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_ppm_features,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir))
+    return decode_ppm_features(media)
+
+
 def _q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-classifier inference at scale, fully JVM-side: hashed
     token features (the same 64-bucket hashing trick as
@@ -3093,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "text_classifier_score": _q_text_classifier_score,
+        "media_ppm_decode": _q_media_ppm_decode,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4126,6 +4143,20 @@ def oracle_sql() -> dict[str, str]:
                   t -> t <> '')) AS token
                 FROM documents))
             GROUP BY doc_id, bucket""",
+        "media_ppm_decode": """
+            SELECT doc_id AS media_id, 8 AS width, 6 AS height,
+                   round(avg(CASE WHEN i % 3 = 0 THEN val END), 6)
+                     AS mean_r,
+                   round(avg(CASE WHEN i % 3 = 1 THEN val END), 6)
+                     AS mean_g,
+                   round(avg(CASE WHEN i % 3 = 2 THEN val END), 6)
+                     AS mean_b
+            FROM (
+              SELECT doc_id, i,
+                     ((doc_id * 7 + i * 13) % 256)::DOUBLE AS val
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 143)) AS i))
+            GROUP BY doc_id""",
         "text_classifier_score": """
             SELECT doc_id, n_tokens,
                    round(1.0 / (1.0 + exp(-(m / n_tokens))), 6)

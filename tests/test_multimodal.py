@@ -69,3 +69,20 @@ def test_resize_media_plumbing(media):
     assert all(again[r["media_id"]] == r["resized_sha1"] for r in rows)
     with pytest.raises(NotImplementedError):
         resize_media(media, decode_stub=False)
+
+
+def test_ppm_decode_real_and_isolates_malformed(spark):
+    """The PPM path is a REAL decoder: a hand-built P6 image yields its
+    true dims and channel means; malformed payloads yield NULL dims
+    without failing the batch (row-level isolation)."""
+    from etl_capnz_spark.operators.multimodal import decode_ppm_features
+
+    good = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 50, 60, 70])
+    rows = [(1, bytearray(good)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_ppm_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (2, 1)
+    assert got[1]["mean_r"] == 30.0  # (10+50)/2
+    assert got[1]["mean_g"] == 40.0
+    assert got[1]["mean_b"] == 50.0
+    assert got[2]["width"] is None and got[2]["mean_r"] is None
