@@ -2457,6 +2457,19 @@ def _q_media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_features(media)
 
 
+def _q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-exact: deterministic RIFF/PCM WAV
+    payloads parsed by the engine's chunk-walking numpy decoder (rate,
+    channels, duration, RMS) while the oracle recomputes RMS from the
+    closed-form sample function — the audio twin of media_ppm_decode."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_wav_features,
+        synthesize_wav_media,
+    )
+
+    return decode_wav_features(synthesize_wav_media(_docs(spark, sf_dir)))
+
+
 def _q_text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-classifier inference at scale, fully JVM-side: hashed
     token features (the same 64-bucket hashing trick as
@@ -3110,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hash": _q_text_feature_hash,
         "text_classifier_score": _q_text_classifier_score,
         "media_ppm_decode": _q_media_ppm_decode,
+        "media_wav_decode": _q_media_wav_decode,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4156,6 +4170,17 @@ def oracle_sql() -> dict[str, str]:
                      ((doc_id * 7 + i * 13) % 256)::DOUBLE AS val
               FROM documents,
                    (SELECT unnest(generate_series(0, 143)) AS i))
+            GROUP BY doc_id""",
+        "media_wav_decode": """
+            SELECT doc_id AS media_id, 8000 AS sample_rate,
+                   1 AS n_channels, 64 AS n_samples,
+                   round(64 / 8000.0, 6) AS duration_s,
+                   round(sqrt(avg(s * s)), 6) AS rms
+            FROM (
+              SELECT doc_id, i,
+                     (((doc_id * 31 + i * 17) % 2048) - 1024)::DOUBLE AS s
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 63)) AS i))
             GROUP BY doc_id""",
         "text_classifier_score": """
             SELECT doc_id, n_tokens,

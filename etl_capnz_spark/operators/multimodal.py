@@ -334,3 +334,129 @@ def decode_ppm_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, _PPM_DECODE_SCHEMA)
+
+
+# --- a REAL audio codec path: WAV (RIFF/PCM) -------------------------------
+# Like PPM for images: canonical WAV is chunked headers + raw PCM samples,
+# parseable with struct/numpy alone — the audio half of the honest-codec
+# story (soundfile/ffmpeg slot into the same kernel for compressed audio).
+
+WAV_RATE, WAV_N = 8000, 64
+_WAV_DECODE_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, n_samples int, "
+    "duration_s double, rms double"
+)
+
+
+def synthesize_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payloads (test support):
+    sample[i] = ((doc_id·31 + i·17) mod 2048) − 1024 — closed-form, so
+    the oracle recomputes RMS without an audio decoder."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                s = np.array(
+                    [
+                        ((int(doc_id) * 31 + i * 17) % 2048) - 1024
+                        for i in range(WAV_N)
+                    ],
+                    dtype="<i2",
+                )
+                data = s.tobytes()
+                fmt = struct.pack(
+                    "<4sIHHIIHH",
+                    b"fmt ",
+                    16,
+                    1,  # PCM
+                    1,  # mono
+                    WAV_RATE,
+                    WAV_RATE * 2,
+                    2,
+                    16,
+                )
+                payload = (
+                    struct.pack(
+                        "<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE"
+                    )
+                    + fmt
+                    + struct.pack("<4sI", b"data", len(data))
+                    + data
+                )
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def decode_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """ACTUAL audio decode: walk the RIFF chunks, read fmt (rate,
+    channels, bit depth), frombuffer the PCM data, emit duration and RMS
+    amplitude. Malformed payloads → NULL fields, row-level isolation."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    raw = bytes(payload)
+                    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                    pos, rate, nch, bits, data = 12, None, None, None, None
+                    while pos + 8 <= len(raw):
+                        cid, size = struct.unpack(
+                            "<4sI", raw[pos : pos + 8]
+                        )
+                        body = raw[pos + 8 : pos + 8 + size]
+                        if cid == b"fmt ":
+                            (_fmt, nch, rate, _br, _ba, bits) = (
+                                struct.unpack("<HHIIHH", body[:16])
+                            )
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + size + (size % 2)
+                    assert rate and nch == 1 and bits == 16 and data
+                    s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                    out["sample_rate"].append(int(rate))
+                    out["n_channels"].append(int(nch))
+                    out["n_samples"].append(len(s))
+                    out["duration_s"].append(
+                        round(len(s) / float(rate), 6)
+                    )
+                    out["rms"].append(
+                        round(float(np.sqrt((s**2).mean())), 6)
+                    )
+                except Exception:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_s",
+                        "rms",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, _WAV_DECODE_SCHEMA)

@@ -86,3 +86,32 @@ def test_ppm_decode_real_and_isolates_malformed(spark):
     assert got[1]["mean_g"] == 40.0
     assert got[1]["mean_b"] == 50.0
     assert got[2]["width"] is None and got[2]["mean_r"] is None
+
+
+def test_wav_decode_real_and_isolates_malformed(spark):
+    """The WAV path is a REAL decoder: a hand-built RIFF/PCM file yields
+    its true rate/duration/RMS; junk bytes yield NULLs without failing
+    the batch."""
+    import struct
+
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import decode_wav_features
+
+    samples = np.array([100, -100, 300, -300], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 4000, 8000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    rows = [(1, bytearray(wav)), (2, bytearray(b"RIFFjunk"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_wav_features(df).collect()}
+    assert got[1]["sample_rate"] == 4000
+    assert got[1]["n_samples"] == 4
+    assert got[1]["duration_s"] == 0.001
+    assert got[1]["rms"] == round(float(np.sqrt((samples.astype(float) ** 2).mean())), 6)
+    assert got[2]["sample_rate"] is None
