@@ -7,12 +7,17 @@ so payload bytes cross the JVM↔Python boundary once per batch, not per row,
 and the operator composes with Spark partitioning (repartition before, so a
 few huge files don't serialize the stage).
 
-The image/audio codec libraries are NOT in this container, so the decode
+Codec status: TWO formats decode for REAL with no external library —
+plain PPM images (``decode_ppm_features``: header + RGB plane via numpy)
+and RIFF/PCM WAV audio (``decode_wav_features``: chunk walk + PCM RMS) —
+both oracle-exact in the driver contract. For compressed formats
+(JPEG/PNG/MP3/video) the libraries are NOT in this container, so that
 kernel is stubbed: ``decode_stub=True`` produces a deterministic fake
-feature vector from the payload bytes; passing ``decode_stub=False`` raises
-``NotImplementedError`` at plan-build time (clearly marked seam where
-Pillow/soundfile plug in). Everything Spark-side — schema, batching,
-partitioning, UDF signature — is real and tested.
+feature vector from the payload bytes; ``decode_stub=False`` raises
+``NotImplementedError`` at plan-build time (the seam where
+Pillow/soundfile plug in — same mapInPandas shape the real codecs use).
+Everything Spark-side — schema, batching, partitioning, UDF signature —
+is real and tested.
 """
 
 from __future__ import annotations
