@@ -2457,6 +2457,19 @@ def _q_media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_features(media)
 
 
+def _q_media_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode, oracle-exact: YUV4MPEG2 payloads
+    (3 mono frames of 4×2 luma, closed-form bytes) parsed by the
+    chunk-walking numpy decoder — header tokens, FRAME markers, luma
+    means — completing the image/audio/VIDEO honest-codec trio."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_y4m_features,
+        synthesize_y4m_media,
+    )
+
+    return decode_y4m_features(synthesize_y4m_media(_docs(spark, sf_dir)))
+
+
 def _q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, oracle-exact: deterministic RIFF/PCM WAV
     payloads parsed by the engine's chunk-walking numpy decoder (rate,
@@ -3124,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier_score": _q_text_classifier_score,
         "media_ppm_decode": _q_media_ppm_decode,
         "media_wav_decode": _q_media_wav_decode,
+        "media_y4m_decode": _q_media_y4m_decode,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4170,6 +4184,15 @@ def oracle_sql() -> dict[str, str]:
                      ((doc_id * 7 + i * 13) % 256)::DOUBLE AS val
               FROM documents,
                    (SELECT unnest(generate_series(0, 143)) AS i))
+            GROUP BY doc_id""",
+        "media_y4m_decode": """
+            SELECT doc_id AS media_id, 4 AS width, 2 AS height,
+                   3 AS n_frames,
+                   round(avg(((doc_id * 11 + f * 29 + i * 13) % 256
+                             )::DOUBLE), 6) AS mean_luma
+            FROM documents,
+                 (SELECT unnest(generate_series(0, 2)) AS f),
+                 (SELECT unnest(generate_series(0, 7)) AS i)
             GROUP BY doc_id""",
         "media_wav_decode": """
             SELECT doc_id AS media_id, 8000 AS sample_rate,

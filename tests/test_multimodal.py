@@ -115,3 +115,18 @@ def test_wav_decode_real_and_isolates_malformed(spark):
     assert got[1]["duration_s"] == 0.001
     assert got[1]["rms"] == round(float(np.sqrt((samples.astype(float) ** 2).mean())), 6)
     assert got[2]["sample_rate"] is None
+
+
+def test_y4m_decode_real_and_isolates_malformed(spark):
+    """The Y4M path is a REAL container parser: a hand-built 2-frame
+    video yields its true dims/frame count/luma mean; junk yields NULLs."""
+    from etl_capnz_spark.operators.multimodal import decode_y4m_features
+
+    f0, f1 = bytes([10, 20]), bytes([30, 40])
+    y4m = b"YUV4MPEG2 W2 H1 F25:1 Cmono\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    rows = [(1, bytearray(y4m)), (2, bytearray(b"YUV4MPEG2 garbage"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_y4m_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (2, 1, 2)
+    assert got[1]["mean_luma"] == 25.0
+    assert got[2]["width"] is None
