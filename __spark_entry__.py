@@ -2470,6 +2470,18 @@ def _q_media_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_y4m_features(synthesize_y4m_media(_docs(spark, sf_dir)))
 
 
+def _q_media_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame video extraction (1→N fan-out): one row per FRAME
+    of each Y4M payload with its luma mean — frame sampling on an
+    honestly-decoded container, oracle-exact per frame."""
+    from etl_capnz_spark.operators.multimodal import (
+        extract_y4m_frames,
+        synthesize_y4m_media,
+    )
+
+    return extract_y4m_frames(synthesize_y4m_media(_docs(spark, sf_dir)))
+
+
 def _q_media_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, oracle-exact: deterministic RIFF/PCM WAV
     payloads parsed by the engine's chunk-walking numpy decoder (rate,
@@ -3138,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ppm_decode": _q_media_ppm_decode,
         "media_wav_decode": _q_media_wav_decode,
         "media_y4m_decode": _q_media_y4m_decode,
+        "media_y4m_frames": _q_media_y4m_frames,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4185,6 +4198,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents,
                    (SELECT unnest(generate_series(0, 143)) AS i))
             GROUP BY doc_id""",
+        "media_y4m_frames": """
+            SELECT doc_id AS media_id, f::INT AS frame_idx,
+                   round(avg(((doc_id * 11 + f * 29 + i * 13) % 256
+                             )::DOUBLE), 6) AS mean_luma
+            FROM documents,
+                 (SELECT unnest(generate_series(0, 2)) AS f),
+                 (SELECT unnest(generate_series(0, 7)) AS i)
+            GROUP BY doc_id, f""",
         "media_y4m_decode": """
             SELECT doc_id AS media_id, 4 AS width, 2 AS height,
                    3 AS n_frames,

