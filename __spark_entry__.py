@@ -2470,6 +2470,18 @@ def _q_media_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_y4m_features(synthesize_y4m_media(_docs(spark, sf_dir)))
 
 
+def _q_media_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL windowed audio features: per-16-sample RMS energy over the
+    decoded PCM plane (4 windows per 64-sample payload) — the spectral
+    front-end shape, oracle-exact via the closed-form sample function."""
+    from etl_capnz_spark.operators.multimodal import (
+        synthesize_wav_media,
+        wav_energy_windows,
+    )
+
+    return wav_energy_windows(synthesize_wav_media(_docs(spark, sf_dir)))
+
+
 def _q_media_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, oracle-exact: nearest-neighbor 8×6 → 4×3 on
     the decoded PPM plane (numpy index mapping), then channel means of
@@ -3165,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_y4m_decode": _q_media_y4m_decode,
         "media_y4m_frames": _q_media_y4m_frames,
         "media_ppm_resize": _q_media_ppm_resize,
+        "media_wav_windows": _q_media_wav_windows,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "events_props_json": _q_events_props_json,
@@ -4212,6 +4225,15 @@ def oracle_sql() -> dict[str, str]:
               FROM documents,
                    (SELECT unnest(generate_series(0, 143)) AS i))
             GROUP BY doc_id""",
+        "media_wav_windows": """
+            SELECT doc_id AS media_id, (i // 16)::INT AS window_idx,
+                   round(sqrt(avg(s * s)), 6) AS rms
+            FROM (
+              SELECT doc_id, i,
+                     (((doc_id * 31 + i * 17) % 2048) - 1024)::DOUBLE AS s
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 63)) AS i))
+            GROUP BY doc_id, i // 16""",
         "media_ppm_resize": """
             SELECT doc_id AS media_id, 8 AS src_w, 6 AS src_h,
                    4 AS out_w, 3 AS out_h,

@@ -691,3 +691,51 @@ def resize_ppm(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_resize, _PPM_RESIZE_SCHEMA)
+
+
+_WAV_WINDOW_SCHEMA = "media_id long, window_idx int, rms double"
+
+
+def wav_energy_windows(
+    df: DataFrame,
+    window: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL windowed audio features: per-window RMS energy over the
+    decoded PCM plane (the first step of any spectral/VAD front end —
+    an FFT drops into the same reshape). 1→N fan-out bounded by
+    n_samples/window."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _windows(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "window_idx": [], "rms": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    raw = bytes(payload)
+                    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                    pos, data = 12, None
+                    while pos + 8 <= len(raw):
+                        cid, size = struct.unpack("<4sI", raw[pos : pos + 8])
+                        if cid == b"data":
+                            data = raw[pos + 8 : pos + 8 + size]
+                        pos += 8 + size + (size % 2)
+                    s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                    n_win = len(s) // window
+                    w = s[: n_win * window].reshape(n_win, window)
+                    rms = np.sqrt((w**2).mean(axis=1))
+                    for i, r in enumerate(rms):
+                        out["media_id"].append(mid)
+                        out["window_idx"].append(i)
+                        out["rms"].append(round(float(r), 6))
+                except Exception:
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(None)
+                    out["rms"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_windows, _WAV_WINDOW_SCHEMA)
