@@ -2908,6 +2908,31 @@ def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=3)
 
 
+def _q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a cumulative-distinct
+    state machine: distinct-over-time reduces to first-seen hour per user
+    (one aggregate) + per-hour counts + a running sum — the standard
+    rewrite that turns an unbounded-state problem into two cheap
+    aggregates and a tiny window (#hours rows)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("hour")
+    )
+    per_hour = first_seen.groupBy("hour").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_hour.select(
+        "hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
 def _q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-part profile: activity by (day-of-week, hour-of-day) —
     the datetime-extraction surface (hour/dayofweek/date_trunc family).
@@ -3168,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": _q_graph_bfs,
         "events_winsorize": _q_events_winsorize,
         "events_hourly_profile": _q_events_hourly_profile,
+        "events_cumulative_users": _q_events_cumulative_users,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
@@ -4491,6 +4517,15 @@ def oracle_sql() -> dict[str, str]:
               FROM bfs b JOIN edges e ON b.node = e.src
               WHERE b.dist < 3)
             SELECT node, min(dist)::INT AS dist FROM bfs GROUP BY node""",
+        "events_cumulative_users": """
+            SELECT hour, new_users,
+                   sum(new_users) OVER (ORDER BY hour
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+            FROM (
+              SELECT hour, count(*) AS new_users FROM (
+                SELECT user_id, min(date_trunc('hour', ts)) AS hour
+                FROM events GROUP BY user_id)
+              GROUP BY hour)""",
         "events_hourly_profile": """
             SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
                    count(*) AS n,

@@ -167,6 +167,19 @@ NOTES = {
         "top-n is TakeOrderedAndProject - per-partition heaps then an "
         "n-row merge, no global sort, losing rows never shuffle."
     ),
+    "geo_radius_join": (
+        "Spatial radius join as a grid-cell EQUI-join: each point "
+        "explodes to its 3x3 cell neighborhood (bounded 9x fan-out of "
+        "keys), candidates come from the (cy, cx) hash join, and exact "
+        "haversine filters after - no CartesianProduct; candidate count "
+        "scales with point density, not n^2."
+    ),
+    "events_cumulative_users": (
+        "Distinct-over-time without unbounded state: first-seen per user "
+        "(one two-phase aggregate) -> per-hour counts -> running sum "
+        "over #hours rows. The single-partition window at the end is "
+        "over the TINY hour domain, not the events."
+    ),
     "events_asof_forward": (
         "Forward as-of: the SAME union + one-exchange sort-carry plan as "
         "the backward join, with the sort order reversed - no second "
