@@ -40,6 +40,7 @@ from etl_capnz_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     lsh_candidates,
+    lsh_cross_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
@@ -1166,6 +1167,70 @@ def _q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build — the warehouse twin of `latest_per_key`
+    (SCD-1): turn a changelog into versioned validity intervals. Every
+    event is a new version of its user's state; ``valid_to`` is the NEXT
+    version's start (lead), NULL on the current row. ONE hash exchange on
+    user_id feeds both window functions (row_number + lead share the
+    partitioning and sort), no self-join. At 100 TB this is the standard
+    merge pattern for slowly-changing dimensions built from CDC feeds."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "event_type",
+        "value",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the supplier co-supply graph
+    (suppliers linked when they supply the same part). The classic
+    shuffle-bound graph benchmark, with the standard 6x work cut: edges
+    are kept only as (lo, hi) with lo < hi, and triangles are enumerated
+    once as a < b < c via two equi-joins (wedge build + closing-edge
+    probe). No CartesianProduct; both joins hash-partition on a node key.
+    Per-node counts: each triangle credits all three corners — the
+    clustering-coefficient numerator used for graph-quality scoring."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_partkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("lo"), F.col("b.l_suppkey").alias("hi")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.hi") == F.col("e2.lo"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo"))
+            & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("na"),
+            F.col("e1.hi").alias("nb"),
+            F.col("e2.hi").alias("nc"),
+        )
+    )
+    corners = (
+        tri.select(F.col("na").alias("node"))
+        .unionAll(tri.select(F.col("nb").alias("node")))
+        .unionAll(tri.select(F.col("nc").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
 def _q_tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a join-side predicate, then a two-level aggregation —
@@ -1496,6 +1561,67 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
+
+
+def _q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest hygiene: dedupe an incoming batch against the
+    ALREADY-ADMITTED corpus (CCNet/RefinedWeb-style). The planted-dup
+    rows (ids >= 100000) play the "new crawl"; the raw documents are the
+    base. Candidates come from a two-sided LSH band join
+    (operators/dedup.py lsh_cross_candidates) — new x base within a band
+    only, never new x new and never all-pairs. At 100 TB the base band
+    keys are precomputed and bucketed at ingest, so admitting a batch
+    shuffles only the batch's keys."""
+    docs = _docs_with_dups(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") < 100000)
+    new = docs.filter(F.col("doc_id") >= 100000)
+    sig_base = minhash_signatures(base, "text", "doc_id", num_hashes=8)
+    sig_new = minhash_signatures(new, "text", "doc_id", num_hashes=8)
+    return lsh_cross_candidates(sig_new, sig_base, "doc_id", 8, 4)
+
+
+def _q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup WITH reassembly: split each doc into
+    non-overlapping 10-token chunks, keep only the corpus-wide FIRST
+    occurrence of every distinct chunk (ordered by doc_id, then position),
+    and stitch each doc's surviving chunks back together in order.
+
+    Two hash exchanges — one on the chunk text (global first-occurrence
+    winner via row_number), one on doc_id (reassembly) — both the natural
+    partition keys at 100 TB. No joins: the winner filter and the rebuild
+    read the same exploded rows. A degenerate hot chunk (e.g. the empty
+    string) would skew the first exchange; blank chunks are filtered
+    before the shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    ex = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.size(chunks).alias("n_total"),
+            F.posexplode(chunks).alias("pos", "chunk"),
+        )
+        .filter(F.col("chunk") != "")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return kept.groupBy("doc_id", "n_total").agg(
+        F.count("*").alias("n_kept"), rebuilt.alias("clean_text")
+    )
 
 
 def _q_pipeline_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2933,6 +3059,43 @@ def _q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing (MATCH_RECOGNIZE-style) sequence pattern:
+    per user, order the event stream deterministically (ts, then event_id
+    for ties), encode each event as one character (the five event types
+    have distinct initials: v/c/p/s/e), and regex-match the journey —
+    here 'a view later followed by a purchase with no error in between'
+    (``v[^e]*p``).
+
+    ONE exchange on user_id: sort_array(collect_list(struct(ts, id, chr)))
+    builds the ordered journey inside the aggregate — no window, no
+    self-join. State per key is bounded by that user's event count; a
+    production CEP over unbounded streams caps it (slice the array) or
+    moves to transformWithState — both surfaces exist in
+    streaming/stream.py."""
+    ev = _t(spark, sf_dir, "events")
+    step = F.substring("event_type", 1, 1)
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", step.alias("c")))
+            ),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), journey.alias("journey"))
+        .select(
+            "user_id",
+            "n_events",
+            "journey",
+            F.col("journey").rlike("v[^e]*p").alias("matched"),
+        )
+    )
+
+
 def _q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-part profile: activity by (day-of-week, hour-of-day) —
     the datetime-extraction surface (hour/dayofweek/date_trunc family).
@@ -3147,6 +3310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_representatives": _q_dedup_representatives,
+        "dedup_cross_corpus": _q_dedup_cross_corpus,
+        "dedup_chunk_spans": _q_dedup_chunk_spans,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
         "decontaminate": _q_decontaminate,
         "text_simhash": _q_text_simhash,
@@ -3194,6 +3359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorize": _q_events_winsorize,
         "events_hourly_profile": _q_events_hourly_profile,
         "events_cumulative_users": _q_events_cumulative_users,
+        "events_pattern": _q_events_pattern,
+        "scd2_intervals": _q_scd2_intervals,
+        "graph_triangles": _q_graph_triangles,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
@@ -4526,6 +4694,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, min(date_trunc('hour', ts)) AS hour
                 FROM events GROUP BY user_id)
               GROUP BY hour)""",
+        "scd2_intervals": """
+            SELECT user_id,
+                   row_number() OVER w AS version,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   event_type, "value",
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "graph_triangles": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            edges AS (
+              SELECT DISTINCT a.l_suppkey AS lo, b.l_suppkey AS hi
+              FROM pairs a JOIN pairs b USING (l_partkey)
+              WHERE a.l_suppkey < b.l_suppkey),
+            tri AS (
+              SELECT e1.lo AS na, e1.hi AS nb, e2.hi AS nc
+              FROM edges e1
+              JOIN edges e2 ON e1.hi = e2.lo
+              JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+            corners AS (
+              SELECT na AS node FROM tri
+              UNION ALL SELECT nb FROM tri
+              UNION ALL SELECT nc FROM tri)
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY node""",
+        "events_pattern": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey,
+                   regexp_matches(
+                     string_agg(substr(event_type, 1, 1), ''
+                                ORDER BY ts, event_id),
+                     'v[^e]*p') AS matched
+            FROM events GROUP BY user_id""",
         "events_hourly_profile": """
             SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
                    count(*) AS n,
@@ -4739,6 +4943,32 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
             SELECT doc_id, lang FROM aug
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""",
+        "dedup_cross_corpus": f"""{_DUCK_AUG},
+            {oracles.minhash_bands_sql('aug', 'doc_id')}
+            SELECT DISTINCT n.id AS new_id, b.id AS base_id
+            FROM banded n JOIN banded b USING (band_key)
+            WHERE n.id >= 100000 AND b.id < 100000""",
+        "dedup_chunk_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE len(string_split(text, ' ')) > 0
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     ((len(t) + 9) // 10)::INT AS n_total,
+                     i::INT AS pos,
+                     array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM toks, unnest(range((len(t) + 9) // 10)) AS u(i)
+            ),
+            kept AS (
+              SELECT *, row_number()
+                       OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+              FROM chunks WHERE chunk <> ''
+            )
+            SELECT doc_id, n_total, count(*) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+            FROM kept WHERE rn = 1
+            GROUP BY doc_id, n_total""",
         "decontaminate": f"""{_DUCK_AUG},
             bench AS (
               SELECT * FROM aug

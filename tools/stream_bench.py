@@ -68,7 +68,13 @@ def _stream(spark, path: str):
     )
 
 
-def _drain(writer, name: str, checkpoint: str) -> float:
+def _drain(writer, name: str, checkpoint: str) -> tuple[float, list[float]]:
+    """Run to completion; return (wall seconds, per-batch latencies ms).
+
+    Latency = ``durationMs.triggerExecution`` from each micro-batch's
+    StreamingQueryProgress — the end-to-end time the engine spent on that
+    batch (planning + state ops + sink commit). recentProgress keeps the
+    last 100 batches, far above our chunk counts."""
     t0 = time.time()
     q = (
         writer.option("checkpointLocation", checkpoint)
@@ -76,7 +82,23 @@ def _drain(writer, name: str, checkpoint: str) -> float:
         .start()
     )
     q.awaitTermination()
-    return time.time() - t0
+    wall = time.time() - t0
+    lat = [
+        float(p["durationMs"]["triggerExecution"])
+        for p in (json.loads(j) for j in (pp.json for pp in q.recentProgress))
+        if p.get("numInputRows", 0) > 0 and "triggerExecution" in p["durationMs"]
+    ]
+    return wall, lat
+
+
+def _pctl(xs: list[float], f: float) -> float:
+    """Exact interpolated percentile (matches numpy 'linear')."""
+    if not xs:
+        return float("nan")
+    s = sorted(xs)
+    k = (len(s) - 1) * f
+    lo, hi = int(k), min(int(k) + 1, len(s) - 1)
+    return s[lo] + (s[hi] - s[lo]) * (k - lo)
 
 
 def main() -> None:
@@ -92,10 +114,14 @@ def main() -> None:
         def bench(name: str, make_writer) -> None:
             cp = os.path.join(base, f"cp_{name}")
             out = os.path.join(base, f"out_{name}")
-            secs = _drain(make_writer(out), name, cp)
+            secs, lat = _drain(make_writer(out), name, cp)
             results[name] = {
                 "sec": round(secs, 3),
                 "rows_per_sec": round(n_rows / secs, 1),
+                "n_batches": len(lat),
+                "batch_ms_p50": round(_pctl(lat, 0.50), 1),
+                "batch_ms_p95": round(_pctl(lat, 0.95), 1),
+                "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
             }
 
         bench(
