@@ -2273,6 +2273,23 @@ def _q_knn_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means cells →
+    within-cell exact cosine ≥ 0.999 → components → min-id survivor.
+    Planted exact-copy embeddings (vec_id % 10 == 0, id + 100000) are the
+    duplicates to prune; every original must survive. Rows-only checked
+    (iterative k-means is not SQL-expressible); the prune guarantee is
+    pinned in tests/test_similarity.py."""
+    from etl_capnz_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    return semantic_dedup(corpus, "vec_id", "embedding", k=8, iters=2)
+
+
 def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact rerank: deterministic PQ
     codebooks (farthest-point + Lloyd, all m subspaces trained in one
@@ -3312,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _q_dedup_representatives,
         "dedup_cross_corpus": _q_dedup_cross_corpus,
         "dedup_chunk_spans": _q_dedup_chunk_spans,
+        "dedup_semantic": _q_dedup_semantic,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
         "decontaminate": _q_decontaminate,
         "text_simhash": _q_text_simhash,

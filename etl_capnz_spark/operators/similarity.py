@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_capnz_spark.operators.dedup import connected_components
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -342,6 +344,62 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means, score exact cosine only WITHIN each
+    cluster, union near-duplicate pairs into components, and keep one
+    representative (deterministic min-id) per component.
+
+    Scale shape: the pairwise stage is an equi-join on the cell id, so
+    candidate volume is Σ|cell|² — bounded by (n/k)·n for balanced cells,
+    and k is grown with the corpus (the published algorithm's own design:
+    cluster count scales so cluster size stays fixed). Never an all-pairs
+    join across cells; the k-means driver state is k×dim doubles.
+
+    Returns the SURVIVING rows as (id, cell) — the pruned corpus a
+    training pipeline feeds downstream.
+    """
+    cents = kmeans_fit(corpus, id_col, vec_col, k=k, iters=iters)
+    cells = assign_cells(corpus, cents, id_col, vec_col)
+    vecs = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .join(cells, id_col)
+        .withColumn("_n", _norm(F.col("_v")))
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sim = F.round(
+        _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    losers = (
+        connected_components(pairs)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return cells.join(losers, id_col, "left_anti").select(id_col, "cell")
 
 
 def quantize_int8(

@@ -263,3 +263,32 @@ def test_props_json_malformed_rows_become_null(spark):
     got = {r["id"]: r["k"] for r in rows}
     assert got[1] == 5
     assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_semantic_dedup_prunes_planted_copies(spark):
+    """SemDeDup guarantee: exact-copy embeddings land in the same k-means
+    cell (identical vectors -> identical argmin), score cosine 1.0, and
+    are pruned — the min-id original always survives; vectors with no
+    near-dup are untouched."""
+    from etl_capnz_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(80)
+    )
+    from pyspark.sql import functions as F
+
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    n_orig = emb.count()
+    n_dups = dups.count()
+    kept = semantic_dedup(corpus, "vec_id", "embedding", k=4, iters=1)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    # every planted copy pruned, every original kept
+    assert all(i + 100000 not in kept_ids for i in range(0, 80, 10))
+    assert len(kept_ids) == n_orig
+    assert n_dups > 0
+    assert all(r["vec_id"] in kept_ids for r in emb.select("vec_id").collect())
