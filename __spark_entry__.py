@@ -40,7 +40,6 @@ from etl_capnz_spark.operators.dedup import (
     connected_components,
     exact_dedup,
     lsh_candidates,
-    lsh_cross_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
@@ -1561,23 +1560,6 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.join(bench.select("doc_id"), "doc_id", "left_anti")
     return ngram_contamination(corpus, bench, "text", "doc_id", n=5)
-
-
-def _q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest hygiene: dedupe an incoming batch against the
-    ALREADY-ADMITTED corpus (CCNet/RefinedWeb-style). The planted-dup
-    rows (ids >= 100000) play the "new crawl"; the raw documents are the
-    base. Candidates come from a two-sided LSH band join
-    (operators/dedup.py lsh_cross_candidates) — new x base within a band
-    only, never new x new and never all-pairs. At 100 TB the base band
-    keys are precomputed and bucketed at ingest, so admitting a batch
-    shuffles only the batch's keys."""
-    docs = _docs_with_dups(spark, sf_dir)
-    base = docs.filter(F.col("doc_id") < 100000)
-    new = docs.filter(F.col("doc_id") >= 100000)
-    sig_base = minhash_signatures(base, "text", "doc_id", num_hashes=8)
-    sig_new = minhash_signatures(new, "text", "doc_id", num_hashes=8)
-    return lsh_cross_candidates(sig_new, sig_base, "doc_id", 8, 4)
 
 
 def _q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3327,7 +3309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_representatives": _q_dedup_representatives,
-        "dedup_cross_corpus": _q_dedup_cross_corpus,
         "dedup_chunk_spans": _q_dedup_chunk_spans,
         "dedup_semantic": _q_dedup_semantic,
         "pipeline_dedup_pack": _q_pipeline_dedup_pack,
@@ -4961,11 +4942,6 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
             SELECT doc_id, lang FROM aug
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""",
-        "dedup_cross_corpus": f"""{_DUCK_AUG},
-            {oracles.minhash_bands_sql('aug', 'doc_id')}
-            SELECT DISTINCT n.id AS new_id, b.id AS base_id
-            FROM banded n JOIN banded b USING (band_key)
-            WHERE n.id >= 100000 AND b.id < 100000""",
         "dedup_chunk_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents

@@ -220,6 +220,40 @@ NOTES = {
         "anti-join + packing window reuse the doc_id partitioning. "
         "Documents' text shuffles exactly once (packing window)."
     ),
+    "dedup_chunk_spans": (
+        "C4-style span dedup: chunking is a narrow array expression; the "
+        "exploded rows shuffle TWICE on the natural keys - once on chunk "
+        "text (global first-occurrence row_number), once on doc_id "
+        "(ordered reassembly). No join anywhere: winner filter and "
+        "rebuild read the same exploded stream. Blank chunks are dropped "
+        "pre-shuffle so the degenerate hot key never enters an Exchange."
+    ),
+    "events_pattern": (
+        "CEP as ONE hash-aggregate: sort_array(collect_list(struct)) "
+        "builds each user's ordered journey inside the agg - no window "
+        "sort, no self-join; the regex match is a projection after. "
+        "Partial aggregation ships per-partition event lists, so the "
+        "exchange carries each event exactly once."
+    ),
+    "scd2_intervals": (
+        "SCD-2 build: row_number and lead share ONE partitioning+sort "
+        "(user_id, ts, event_id) - a single Exchange feeds a single "
+        "Window operator computing both; is_current is a free projection."
+    ),
+    "graph_triangles": (
+        "Triangle enumeration with the ordered-edge 6x cut: edges kept "
+        "only as lo<hi; wedge join partitions on the shared node, closing "
+        "probe re-partitions on (lo,hi). Corner credit is a union + one "
+        "final hash-agg. All joins are hash equi-joins - no "
+        "CartesianProduct at any scale."
+    ),
+    "dedup_semantic": (
+        "SemDeDup: pairwise cosine is confined to k-means cells (equi-"
+        "join on cell id) - candidate volume is sum(|cell|^2), bounded by "
+        "growing k with the corpus; component labels and the survivor "
+        "anti-join ride the vec_id partitioning. k-means itself "
+        "materializes only k x dim doubles per round at the driver."
+    ),
 }
 
 
