@@ -1563,47 +1563,15 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style global span dedup WITH reassembly: split each doc into
-    non-overlapping 10-token chunks, keep only the corpus-wide FIRST
-    occurrence of every distinct chunk (ordered by doc_id, then position),
-    and stitch each doc's surviving chunks back together in order.
-
-    Two hash exchanges — one on the chunk text (global first-occurrence
-    winner via row_number), one on doc_id (reassembly) — both the natural
-    partition keys at 100 TB. No joins: the winner filter and the rebuild
-    read the same exploded rows. A degenerate hot chunk (e.g. the empty
-    string) would skew the first exchange; blank chunks are filtered
-    before the shuffle."""
-    from pyspark.sql.window import Window
+    """C4-style global span dedup WITH reassembly (operators/dedup.py
+    chunk_span_dedup): corpus-wide first occurrence of every 10-token
+    chunk survives; each doc is stitched back together in order.
+    Invariants (subset/order/uniqueness/idempotence) pinned in
+    tests/test_chunk_spans.py."""
+    from etl_capnz_spark.operators.dedup import chunk_span_dedup
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(toks) / F.lit(10)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-    )
-    ex = (
-        docs.filter(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.size(chunks).alias("n_total"),
-            F.posexplode(chunks).alias("pos", "chunk"),
-        )
-        .filter(F.col("chunk") != "")
-    )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    rebuilt = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-            lambda s: s["chunk"],
-        ),
-        " ",
-    )
-    return kept.groupBy("doc_id", "n_total").agg(
-        F.count("*").alias("n_kept"), rebuilt.alias("clean_text")
-    )
+    return chunk_span_dedup(docs, "text", "doc_id", chunk_tokens=10)
 
 
 def _q_pipeline_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1921,6 +1889,23 @@ def _q_sql_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+        """
+    )
+
+
+def _q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL GROUP BY ALL (Spark 4): group on every non-aggregate select
+    item — the analyzer derives (l_returnflag, l_linestatus) from the
+    projection. Plans exactly like the explicit GROUP BY (partial/final
+    hash aggregate); purely an analyzer surface, shared with DuckDB."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM v_li_gba
+        GROUP BY ALL
         """
     )
 
@@ -3386,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
         "sql_recursive_closure": _q_sql_recursive_closure,
+        "sql_group_by_all": _q_sql_group_by_all,
         "train_order": _q_train_order,
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
@@ -4193,6 +4179,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT change_type, count(*) AS n,
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
             FROM diff GROUP BY change_type ORDER BY change_type""",
+        "sql_group_by_all": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ALL""",
         "sql_recursive_closure": """
             WITH RECURSIVE anc AS (
               SELECT s_suppkey AS id, s_suppkey AS cur, 0 AS depth

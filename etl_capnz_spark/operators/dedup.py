@@ -380,6 +380,60 @@ def simhash16(col: Column) -> Column:
     return out.cast("bigint")
 
 
+def chunk_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """C4-style global span dedup with order-preserving reassembly.
+
+    Split each document into non-overlapping ``chunk_tokens``-token
+    chunks, keep only the corpus-wide FIRST occurrence of every distinct
+    chunk (ordered by doc id, then position), and stitch each document's
+    surviving chunks back together in their original order. Returns
+    (id, n_total, n_kept, clean_text); a document whose every chunk was
+    seen earlier elsewhere disappears entirely (fully-duplicate doc).
+
+    Scale shape: chunking is a narrow array expression. The exploded rows
+    shuffle exactly TWICE on the natural keys — once on the chunk text
+    (global first-occurrence winner via row_number), once on the doc id
+    (ordered reassembly). No joins: the winner filter and the rebuild
+    read the same exploded stream. Blank chunks are filtered before the
+    first exchange so the one degenerate hot key never shuffles.
+    """
+    n = chunk_tokens
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * n + 1, n), " "),
+    )
+    ex = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            id_col,
+            F.size(chunks).alias("n_total"),
+            F.posexplode(chunks).alias("pos", "chunk"),
+        )
+        .filter(F.col("chunk") != "")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+            lambda s: s["chunk"],
+        ),
+        " ",
+    )
+    return kept.groupBy(id_col, "n_total").agg(
+        F.count("*").alias("n_kept"), rebuilt.alias("clean_text")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
