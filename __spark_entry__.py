@@ -1893,6 +1893,27 @@ def _q_sql_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (Spark 4): each
+    customer's single most expensive order, stated as a lateral
+    per-row subquery. Catalyst decorrelates this to the same windowed
+    top-1 plan as `latest_per_key` — one hash-partitioned sort on the
+    correlation key, no per-row re-execution (the naive reading would be
+    #customers separate queries). DuckDB runs the identical text."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_ord_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1) t
+        """
+    )
+
+
 def _q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL GROUP BY ALL (Spark 4): group on every non-aggregate select
     item — the analyzer derives (l_returnflag, l_linestatus) from the
@@ -2441,6 +2462,102 @@ def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_view").isNotNull()
             & F.col("first_purchase_after").isNotNull(),
         )
+    )
+
+
+def _q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel TIMING: among converting users (first view → first purchase
+    at-or-after it), the distribution of time-to-convert per event-type
+    cohort is summarized with exact interpolated percentiles. Reuses the
+    single-exchange funnel shape (window + agg share the user_id
+    partitioning), then one tiny aggregate over #users rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    is_view = F.col("event_type") == "view"
+    is_purchase = F.col("event_type") == "purchase"
+    fv = F.min(F.when(is_view, F.col("ts"))).over(w)
+    staged = ev.withColumn("_fv", fv)
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("first_view"),
+        F.min(
+            F.when(is_purchase & (F.col("ts") >= F.col("_fv")), F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lat_s = (
+        F.unix_micros(F.col("first_purchase"))
+        - F.unix_micros(F.col("first_view"))
+    ) / F.lit(1000000.0)
+    conv = per_user.filter(
+        F.col("first_view").isNotNull() & F.col("first_purchase").isNotNull()
+    ).select(lat_s.alias("latency_s"))
+    return conv.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("latency_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", 0.9), 4).alias("p90_s"),
+        F.round(F.avg("latency_s"), 4).alias("mean_s"),
+    )
+
+
+def _q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic warehouse customer scoring: per
+    customer recency (latest order date), frequency (order count),
+    monetary (total spend), each cut into quintiles with ntile, then
+    segment counts. One exchange on o_custkey for the base aggregate;
+    the three ntile windows ride a single global sort each over #customer
+    rows (at 100 TB: range-partitioned sort, not a single partition —
+    ntile over an unpartitioned window is the documented trade; the
+    segment-count output is tiny)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    )
+    f = F.ntile(5).over(
+        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    )
+    scored = base.select(
+        "o_custkey", r.alias("r_quintile"), f.alias("f_quintile"),
+        m.alias("m_quintile"),
+    )
+    return (
+        scored.groupBy("r_quintile", "f_quintile", "m_quintile")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — gaps-and-islands
+    on the CALENDAR (distinct active days; day − dense row_number is
+    constant within a streak). Two window passes over one user_id
+    exchange (same partitioning, different sorts merge into one shuffle),
+    then a per-user max."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = F.date_sub(F.col("day"), F.row_number().over(w))
+    streaks = (
+        days.withColumn("_g", grp)
+        .groupBy("user_id", "_g")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
     )
 
 
@@ -3345,6 +3462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative_users": _q_events_cumulative_users,
         "events_pattern": _q_events_pattern,
         "scd2_intervals": _q_scd2_intervals,
+        "events_funnel_latency": _q_events_funnel_latency,
+        "orders_rfm": _q_orders_rfm,
+        "events_streak": _q_events_streak,
         "graph_triangles": _q_graph_triangles,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
@@ -3372,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "sql_recursive_closure": _q_sql_recursive_closure,
         "sql_group_by_all": _q_sql_group_by_all,
+        "sql_lateral_topk": _q_sql_lateral_topk,
         "train_order": _q_train_order,
         "train_mixture": _q_train_mixture,
         "pack_sequences": _q_pack_sequences,
@@ -4179,6 +4300,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT change_type, count(*) AS n,
                    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
             FROM diff GROUP BY change_type ORDER BY change_type""",
+        "sql_lateral_topk": """
+            SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            FROM customer c, LATERAL (
+              SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 1) t""",
         "sql_group_by_all": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n,
@@ -4712,6 +4840,61 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT nc FROM tri)
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node""",
+        "events_funnel_latency": """
+            WITH e AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS fv
+              FROM events),
+            pu AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS first_view,
+                     min(CASE WHEN event_type = 'purchase' AND ts >= fv
+                         THEN ts END) AS first_purchase
+              FROM e GROUP BY user_id),
+            conv AS (
+              SELECT (epoch_us(first_purchase) - epoch_us(first_view))
+                     / 1000000.0 AS latency_s
+              FROM pu
+              WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL)
+            SELECT count(*) AS n_converted,
+                   round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+                   round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+                   round(avg(latency_s), 4) AS mean_s
+            FROM conv""",
+        "orders_rfm": """
+            WITH base AS (
+              SELECT o_custkey, max(o_orderdate) AS last_order,
+                     count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS spend
+              FROM orders GROUP BY o_custkey),
+            scored AS (
+              SELECT o_custkey,
+                     ntile(5) OVER (ORDER BY last_order DESC, o_custkey)
+                       AS r_quintile,
+                     ntile(5) OVER (ORDER BY n_orders DESC, o_custkey)
+                       AS f_quintile,
+                     ntile(5) OVER (ORDER BY spend DESC, o_custkey)
+                       AS m_quintile
+              FROM base)
+            SELECT r_quintile, f_quintile, m_quintile,
+                   count(*) AS n_customers
+            FROM scored GROUP BY 1, 2, 3""",
+        "events_streak": """
+            WITH days AS (
+              SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+            s AS (
+              SELECT user_id, day,
+                     day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INT) AS g
+              FROM days),
+            st AS (
+              SELECT user_id, g, count(*) AS len
+              FROM s GROUP BY user_id, g)
+            SELECT user_id, max(len) AS longest_streak,
+                   count(*) AS n_streaks
+            FROM st GROUP BY user_id""",
         "events_pattern": """
             SELECT user_id, count(*) AS n_events,
                    string_agg(substr(event_type, 1, 1), ''
