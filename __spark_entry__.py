@@ -2561,6 +2561,89 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 part pairs co-occurring in orders,
+    scored by lift = P(a,b) / (P(a)·P(b)). The pair join is a self
+    equi-join on l_orderkey with a < b — candidate volume is
+    Σ|basket|²/2, bounded by the small per-order line count (TPC-H ≤ 7),
+    NOT corpus²; per-part supports and the order total are tiny
+    aggregates broadcast into the lift projection. Deterministic top-k
+    tie-break (count desc, part_a, part_b)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    supp = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    total = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    lift = F.round(
+        (F.col("n_pair") * F.col("n_orders"))
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select("part_a", "part_b", "n_pair", lift.alias("lift"))
+        .orderBy(
+            F.col("n_pair").desc(), "part_a", "part_b"
+        )
+        .limit(20)
+    )
+
+
+def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): customers cut into spend deciles
+    (ntile over the per-customer aggregate — #customers rows, range-
+    partitioned sort at scale), each decile's share of total revenue.
+    The share denominator is a 1-row aggregate broadcast into the
+    projection — no second scan."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    )
+    total = spend.agg(F.sum("spend").alias("_total"))
+    return (
+        spend.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("spend"), 2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
 def _q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order key per event from (user bucket, hour bucket) —
     the clustering key that makes 2-D box predicates prune files
@@ -3465,6 +3548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_latency": _q_events_funnel_latency,
         "orders_rfm": _q_orders_rfm,
         "events_streak": _q_events_streak,
+        "basket_lift": _q_basket_lift,
+        "revenue_pareto": _q_revenue_pareto,
         "graph_triangles": _q_graph_triangles,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
@@ -4881,6 +4966,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_quintile, f_quintile, m_quintile,
                    count(*) AS n_customers
             FROM scored GROUP BY 1, 2, 3""",
+        "basket_lift": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS n_pair
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            supp AS (
+              SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+            tot AS (
+              SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+            SELECT part_a, part_b, n_pair,
+                   round((n_pair * n_orders)::DOUBLE
+                         / (sa.n_part * sb.n_part), 6) AS lift
+            FROM pairs
+            JOIN supp sa ON sa.l_partkey = part_a
+            JOIN supp sb ON sb.l_partkey = part_b
+            CROSS JOIN tot
+            ORDER BY n_pair DESC, part_a, part_b
+            LIMIT 20""",
+        "revenue_pareto": """
+            WITH spend AS (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+              FROM orders GROUP BY o_custkey),
+            cut AS (
+              SELECT o_custkey, spend,
+                     ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+                       AS decile
+              FROM spend),
+            tot AS (SELECT sum(spend) AS total FROM spend)
+            SELECT decile, count(*) AS n_customers,
+                   round(sum(spend), 2) AS revenue,
+                   round(round(sum(spend), 2) / total, 6) AS share
+            FROM cut CROSS JOIN tot
+            GROUP BY decile, total""",
         "events_streak": """
             WITH days AS (
               SELECT DISTINCT user_id, ts::DATE AS day FROM events),

@@ -19,6 +19,7 @@ def get_session(
     app_name: str = "etl_capnz_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -62,6 +63,10 @@ def get_session(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
+    # Creation-time-only confs (e.g. spark.scheduler.mode=FAIR for
+    # multi-tenant benches) — no effect if a session already exists.
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
