@@ -1810,6 +1810,46 @@ def _q_audit_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint(docs, "source", "doc_id", "lang", "n_chars")
 
 
+def _q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite (operators/audit.py
+    check_constraints): not-null, uniqueness, range and accepted-set
+    checks fold into ONE aggregate over one scan of orders; the
+    referential check orders.o_custkey → customer.c_custkey is a
+    broadcast anti-join count unioned in. The per-run quality gate a
+    100 TB ingest pipeline runs before admitting a batch."""
+    from etl_capnz_spark.operators.audit import check_constraints, fk_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    suite = check_constraints(
+        orders,
+        not_null=["o_custkey", "o_orderdate"],
+        unique=["o_orderkey"],
+        checks={
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+    fk = fk_violations(orders, "o_custkey", cust, "c_custkey")
+    return suite.unionByName(
+        fk.select(F.lit("fk:o_custkey->c_custkey").alias("check"), "violations")
+    ).orderBy("check")
+
+
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/audit.py profile_table):
+    nulls / distincts / min / max for four events columns computed in a
+    SINGLE aggregate (no per-column scans), exploded to one row per
+    column. The double column is pre-cast to DECIMAL(18,6) so min/max
+    stringification is dialect-stable."""
+    from etl_capnz_spark.operators.audit import profile_table
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    return profile_table(ev, ["user_id", "event_type", "value", "ts"])
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style snapshot reconciliation (operators/audit.py): classify
     every key as added/removed/changed/unchanged via ONE full-outer join
@@ -3550,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streak": _q_events_streak,
         "basket_lift": _q_basket_lift,
         "revenue_pareto": _q_revenue_pareto,
+        "audit_constraints": _q_audit_constraints,
+        "table_profile": _q_table_profile,
         "graph_triangles": _q_graph_triangles,
         "geo_radius_join": _q_geo_radius_join,
         "events_regression": _q_events_regression,
@@ -4966,6 +5008,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_quintile, f_quintile, m_quintile,
                    count(*) AS n_customers
             FROM scored GROUP BY 1, 2, 3""",
+        "audit_constraints": """
+            SELECT * FROM (
+              SELECT 'not_null:o_custkey' AS "check",
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'not_null:o_orderdate',
+                     sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                       ::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'unique:o_orderkey',
+                     (count(o_orderkey) - count(DISTINCT o_orderkey))
+                       ::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'check:totalprice_positive',
+                     sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                         THEN 0 ELSE 1 END)::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'check:valid_status',
+                     sum(CASE WHEN coalesce(
+                           o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                         THEN 0 ELSE 1 END)::BIGINT
+              FROM orders
+              UNION ALL
+              SELECT 'fk:o_custkey->c_custkey',
+                     (SELECT count(*) FROM orders o
+                      WHERE o_custkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+                       ::BIGINT
+            ) ORDER BY "check" """,
+        "table_profile": """
+            WITH ev AS (
+              SELECT user_id, event_type,
+                     "value"::DECIMAL(18,6) AS val, ts
+              FROM events)
+            SELECT 'user_id' AS "column",
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_nulls,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct,
+                   min(user_id)::VARCHAR AS min_s,
+                   max(user_id)::VARCHAR AS max_s
+            FROM ev
+            UNION ALL
+            SELECT 'event_type',
+                   sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                     ::BIGINT,
+                   count(DISTINCT event_type)::BIGINT,
+                   min(event_type)::VARCHAR, max(event_type)::VARCHAR
+            FROM ev
+            UNION ALL
+            SELECT 'value',
+                   sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT val)::BIGINT,
+                   min(val)::VARCHAR, max(val)::VARCHAR
+            FROM ev
+            UNION ALL
+            SELECT 'ts',
+                   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT ts)::BIGINT,
+                   min(ts)::VARCHAR, max(ts)::VARCHAR
+            FROM ev""",
         "basket_lift": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -84,3 +84,109 @@ def snapshot_diff(
         bh.join(ah, "_k", "full_outer")
         .select(F.col("_k").alias(key_col), status.alias("change_type"))
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    checks: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Deequ-style declarative data-quality suite, evaluated in ONE pass.
+
+    ``not_null`` columns, ``unique`` columns (violations = rows beyond
+    the first per duplicated value), and arbitrary named boolean
+    ``checks`` (violation when the predicate is FALSE or NULL) all fold
+    into a single aggregate: conditional sums plus count-distincts —
+    one scan, one (partial/final) hash aggregate, no per-check jobs.
+    Returns (check, violations) rows, one per constraint.
+
+    Referential-integrity checks need a second table and are a separate
+    anti-join count (:func:`fk_violations`) — union the results.
+    """
+    aggs: list[Column] = []
+    names: list[str] = []
+    for c in not_null:
+        names.append(f"not_null:{c}")
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+        )
+    for c in unique:
+        names.append(f"unique:{c}")
+        aggs.append(
+            (
+                F.count(F.col(c)) - F.countDistinct(F.col(c))
+            ).cast("bigint")
+        )
+    for name, pred in (checks or {}).items():
+        names.append(f"check:{name}")
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            ).cast("bigint")
+        )
+    row = df.agg(*[a.alias(f"_c{i}") for i, a in enumerate(aggs)])
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check"), F.col(f"_c{i}").alias("violations")
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    ex = row.select(F.explode(pairs).alias("_e"))
+    return ex.select("_e.check", "_e.violations")
+
+
+def fk_violations(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    """Referential-integrity violation count: child keys with no parent
+    (NULL child keys are not violations — SQL FK semantics). One
+    anti-join; with a dimension-sized parent this broadcasts."""
+    orphans = (
+        child.filter(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("violations"))
+    )
+    return orphans.select(
+        F.lit(f"fk:{child_key}->{parent_key}").alias("check"), "violations"
+    )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiler: null count, distinct count, min and max
+    (stringified for a uniform schema) for every requested column —
+    ALL columns' stats in a single aggregate (no per-column scans), then
+    a constant-sized explode to (column, n_nulls, n_distinct, min_s,
+    max_s) rows. The profile every ingestion run should emit."""
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_n_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"_d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("n_nulls"),
+                F.col(f"_d_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_s"),
+                F.col(f"_max_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(pairs).alias("_e")).select(
+        "_e.column", "_e.n_nulls", "_e.n_distinct", "_e.min_s", "_e.max_s"
+    )

@@ -53,3 +53,56 @@ def test_snapshot_diff_null_value_perturbs_hash(spark):
     )
     got = snapshot_diff(before, after, "k", "v").collect()[0]
     assert got["change_type"] == "changed"
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """The quality suite must COUNT violations, not just pass on clean
+    data: plant nulls, duplicate keys, out-of-range and out-of-set
+    values, and an orphaned foreign key, and pin every count."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import check_constraints, fk_violations
+
+    rows = [
+        (1, 10, 5.0, "O"),
+        (2, None, -1.0, "F"),   # null custkey, negative price
+        (2, 11, 0.0, "X"),      # duplicate key, zero price, bad status
+        (3, 99, 2.5, "P"),      # orphan custkey (99 has no parent)
+        (4, 10, None, "O"),     # null price -> range check violation
+    ]
+    child = spark.createDataFrame(
+        rows, "k int, custkey int, price double, status string"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "custkey int")
+
+    suite = check_constraints(
+        child,
+        not_null=["custkey"],
+        unique=["k"],
+        checks={
+            "price_positive": F.col("price") > 0,
+            "valid_status": F.col("status").isin("O", "F", "P"),
+        },
+    )
+    got = {r["check"]: r["violations"] for r in suite.collect()}
+    assert got["not_null:custkey"] == 1
+    assert got["unique:k"] == 1          # one extra row beyond the first
+    assert got["check:price_positive"] == 3  # -1, 0, NULL
+    assert got["check:valid_status"] == 1    # 'X'
+    fk = fk_violations(child, "custkey", parent, "custkey").collect()[0]
+    assert fk["violations"] == 1        # custkey 99 (NULL is not a violation)
+
+
+def test_profile_table_counts(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_capnz_spark.operators.audit import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, s string"
+    )
+    got = {r["column"]: r for r in profile_table(df, ["x", "s"]).collect()}
+    assert got["x"]["n_nulls"] == 1 and got["x"]["n_distinct"] == 2
+    assert got["x"]["min_s"] == "1" and got["x"]["max_s"] == "2"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_s"] == "a" and got["s"]["max_s"] == "b"
