@@ -305,6 +305,25 @@ def interval_join_streams(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame,
+    dimension: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (bounded) dimension
+    table — the ubiquitous "add the user/customer attributes" stage.
+
+    Stream-static joins are STATELESS in Spark: the static side is
+    re-planned per micro-batch (broadcast when small), no watermark or
+    state store involved, so there is nothing to bound — this is the
+    cheap join and should be preferred over stream-stream whenever one
+    side is a slowly-changing table. Left join keeps stream rows with no
+    dimension match (nulls), mirroring the batch semantics.
+    """
+    return events.join(F.broadcast(dimension), key, how)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
 ) -> int:

@@ -337,3 +337,39 @@ def test_tws_query_builds_without_protobuf(spark, sf_dir, tmp_path):
         "n_events_total",
         "value_total",
     ]
+
+
+def test_stream_static_dimension_enrich(spark, tmp_path):
+    """Stream-static join (enrich_with_dimension): stateless per-batch
+    broadcast of the dimension; stream rows with no match survive with
+    nulls (left join), and the streamed result equals the batch join."""
+    from etl_capnz_spark.streaming.stream import enrich_with_dimension
+
+    events = spark.createDataFrame(
+        [(1, "view", 10.0), (2, "click", 5.0), (3, "view", 1.0), (1, "buy", 2.0)],
+        "user_id int, event_type string, value double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id int, tier string"
+    )
+    src = tmp_path / "ev_in"
+    events.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = enrich_with_dimension(stream, dim, "user_id")
+    assert out.isStreaming
+    _run_stream(out, "enriched_out", str(tmp_path / "cp_enrich"))
+    got = {
+        (r["user_id"], r["event_type"]): r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"]): r["tier"]
+        for r in enrich_with_dimension(events, dim, "user_id").collect()
+    }
+    assert got == batch
+    assert got[(3, "view")] is None  # unmatched stream row kept, null tier
+    assert got[(1, "view")] == "gold"
