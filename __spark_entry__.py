@@ -2601,6 +2601,31 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day WITHOUT a 7-way self-join
+    or a sliding COUNT DISTINCT window (unbounded state): each (day,
+    user) pair is exploded to the 7 window-end days it contributes to
+    (bounded 7x fan-out of the small daily-distinct table), then one
+    count-distinct per day. The join against observed days trims the
+    tail past the calendar. Two exchanges total, both on tiny keys."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
 def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     scored by lift = P(a,b) / (P(a)·P(b)). The pair join is a self
@@ -3589,6 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm": _q_orders_rfm,
         "events_streak": _q_events_streak,
         "basket_lift": _q_basket_lift,
+        "events_wau": _q_events_wau,
         "revenue_pareto": _q_revenue_pareto,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -5074,6 +5100,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ts)::BIGINT,
                    min(ts)::VARCHAR, max(ts)::VARCHAR
             FROM ev""",
+        "events_wau": """
+            WITH daily AS (
+              SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+            contrib AS (
+              SELECT day + i::INT AS wday, user_id
+              FROM daily, unnest(range(7)) AS u(i)),
+            days AS (SELECT DISTINCT day AS wday FROM daily)
+            SELECT wday, count(DISTINCT user_id) AS wau
+            FROM contrib JOIN days USING (wday)
+            GROUP BY wday""",
         "basket_lift": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
