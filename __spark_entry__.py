@@ -2626,6 +2626,35 @@ def _q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of `events_wau`: per-DAY HLL sketches built once
+    (the materialization a warehouse stores per partition), then the
+    7-day rolling distinct is a SKETCH MERGE per window — no re-scan of
+    raw events per window, no unbounded distinct state. Rows-only
+    (estimates are sketch-config-specific); accuracy vs the exact WAU is
+    pinned ±5% in tests/test_sampling.py."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "_sk",
+    )
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+            .cast("bigint")
+            .alias("approx_wau")
+        )
+    )
+
+
 def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     scored by lift = P(a,b) / (P(a)·P(b)). The pair join is a self
@@ -3615,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streak": _q_events_streak,
         "basket_lift": _q_basket_lift,
         "events_wau": _q_events_wau,
+        "events_wau_hll": _q_events_wau_hll,
         "revenue_pareto": _q_revenue_pareto,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,

@@ -243,3 +243,27 @@ def test_samples_invariant_to_partitioning(spark, sf_dir):
             ).collect()
         }
         assert w == wbase
+
+
+def test_wau_hll_tracks_exact(spark, sf_dir):
+    """Windowed sketch-merge WAU must track the exact rolling distinct
+    within 5% on every day — the per-day sketches really merge across
+    the 7-day window (the pattern that answers any rolling window from
+    stored per-partition sketches without rescanning raw events)."""
+    import __spark_entry__ as entrymod
+
+    approx = {
+        r["wday"]: r["approx_wau"]
+        for r in entrymod.queries()["events_wau_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["wday"]: r["wau"]
+        for r in entrymod.queries()["events_wau"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, want in exact.items():
+        assert abs(approx[day] - want) <= max(2, 0.05 * want), (
+            day,
+            approx[day],
+            want,
+        )
