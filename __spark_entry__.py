@@ -3157,6 +3157,33 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as events_asof, through the cogrouped
+    pandas surface (groupBy.cogroup.applyInPandas + pd.merge_asof per
+    key) — the Python seam for per-group logic too imperative for
+    columns. Shares events_asof's oracle, so the seam is held to the
+    same bit-exact standard as the expression form."""
+    from etl_capnz_spark.operators.asof import cogroup_asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = cogroup_asof_join(
+        clicks, views, on="ts", by="user_id", value_cols=["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    )
+
+
 def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click gets the latest
     preceding view's timestamp and value, per user."""
@@ -3645,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": _q_basket_lift,
         "events_wau": _q_events_wau,
         "events_wau_hll": _q_events_wau_hll,
+        "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -4933,6 +4961,14 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY e.dst) c ON n.node = c.node)
             SELECT node, round(rank, 6) AS rank FROM r3""",
         "events_asof": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS view_ts, r."value" AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
+                            WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_asof_cogroup": """
             SELECT l.event_id, l.user_id, l.ts,
                    r.ts AS view_ts, r."value" AS view_value
             FROM (SELECT event_id, user_id, ts FROM events

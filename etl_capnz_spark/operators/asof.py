@@ -100,3 +100,81 @@ def asof_join(
             ],
         )
     return out
+
+
+def cogroup_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join via COGROUPED pandas (the PySpark
+    ``groupBy(...).cogroup(...).applyInPandas`` surface): both inputs are
+    hash-partitioned on ``by`` and each key's two row groups meet in ONE
+    pandas callback running ``pd.merge_asof`` — the per-group algorithm
+    of time-series practice, distributed.
+
+    Same answer as :func:`asof_join` (pinned in tests/test_asof_rangejoin
+    and by the shared driver oracle). Trade-offs vs the expression form:
+    one exchange per side (same as the union trick) but Arrow transfer +
+    Python execution per group, and no whole-stage codegen — the
+    expression form is the hot-path choice; this one exists for logic
+    too imperative to express in columns, and as the engine's cogroup
+    API coverage.
+
+    Scale: state per task is one ``by``-group's rows (both sides) in
+    memory — the natural cogroup bound; skewed keys need salting before
+    the cogroup, like any keyed aggregate.
+    """
+    import pandas as pd
+
+    rtypes = dict(right.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in left.dtypes]
+        + [f"asof_{c} {rtypes[c]}" for c in value_cols]
+    )
+    lcols = [c for c, _ in left.dtypes]
+    # Pre-rename the right side: cogroup serialization resolves columns
+    # by NAME, and a name shared by both sides (here the `on` column)
+    # reaches the pandas callback only once — the right frame arrives
+    # without its copy. Distinct names sidestep the collision.
+    rsel = [on] + [c for c in value_cols if c != on]
+    right_r = right.select(
+        F.col(by), *[F.col(c).alias(f"_r_{c}") for c in rsel]
+    )
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(
+                columns=lcols + [f"asof_{c}" for c in value_cols]
+            )
+        l = l.sort_values(on, kind="mergesort")
+        if r.empty:
+            for c in value_cols:
+                l[f"asof_{c}"] = None
+            return l
+        r = r[[f"_r_{c}" for c in rsel]]
+        r = r.sort_values(
+            list(r.columns), kind="mergesort"
+        )  # total order -> deterministic tie winner
+        merged = pd.merge_asof(
+            l,
+            r,
+            left_on=on,
+            right_on=f"_r_{on}",
+            direction="backward",
+        )
+        # Unmatched left rows: merge_asof yields NaN/NaT — force true
+        # NULLs (object dtype) so float columns don't surface NaN where
+        # the expression form (and SQL) produce NULL.
+        for c in value_cols:
+            col = merged[f"_r_{c}"]
+            merged[f"asof_{c}"] = col.astype(object).where(col.notna(), None)
+        return merged[lcols + [f"asof_{c}" for c in value_cols]]
+
+    return (
+        left.groupBy(F.col(by))
+        .cogroup(right_r.groupBy(F.col(by)))
+        .applyInPandas(merge, out_schema)
+    )

@@ -91,3 +91,42 @@ def test_range_join_zero_matches(spark):
     out = range_join_count(left, right, key="key", ts="ts", window_seconds=600)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n_in_window"] == 0
+
+def test_cogroup_asof_equals_expression_form(spark, sf_dir):
+    """The cogrouped-pandas as-of (merge_asof per key) must return
+    exactly the expression form's answer — same nulls for unmatched
+    rows, same tie handling on this data."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.asof import asof_join, cogroup_asof_join
+    from etl_capnz_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    cols = ["event_id", "user_id", "ts", "asof_ts", "asof_value"]
+    a = sorted(
+        map(
+            tuple,
+            asof_join(
+                clicks, views, on="ts", by="user_id", value_cols=["ts", "value"]
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            cogroup_asof_join(
+                clicks, views, on="ts", by="user_id", value_cols=["ts", "value"]
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 0
