@@ -74,63 +74,155 @@ def _blank(col: Column) -> Column:
     return F.coalesce(col, F.lit(""))
 
 
+#: output column → (top-level | info | area leaf) mapping used to build a
+#: PRUNED from_xml schema: from_xml has no automatic nested-schema
+#: pruning — parse cost scales with the DECLARED schema, not the consumed
+#: columns (measured 9x on this box: 3.6 s full vs 0.4 s three-leaf at
+#: sf0.1) — so consumers that need a field subset should say so.
+_LEAF = {
+    "identifier": ("top", "identifier:string"),
+    "sender": ("top", "sender:string"),
+    "sent": ("top", "sent:string"),
+    "status": ("top", "status:string"),
+    "msg_type": ("top", "msgType:string"),
+    "scope": ("top", "scope:string"),
+    "category": ("info", "category:string"),
+    "event": ("info", "event:string"),
+    "urgency": ("info", "urgency:string"),
+    "severity": ("info", "severity:string"),
+    "certainty": ("info", "certainty:string"),
+    "sender_name": ("info", "senderName:string"),
+    "headline": ("info", "headline:string"),
+    "description": ("info", "description:string"),
+    "instruction": ("info", "instruction:string"),
+    "response_type": ("info", "responseType:string"),
+    "onset": ("info", "onset:string"),
+    "expires": ("info", "expires:string"),
+    "web": ("info", "web:string"),
+    "area_desc": ("area", "areaDesc:string"),
+    "polygons": ("area", "polygon:array<string>"),
+    "circle": ("area", "circle:string"),
+    "parameters": (
+        "info",
+        "parameter:array<struct<valueName:string, value:string>>",
+    ),
+    "x509_certificate": ("sig", ""),
+}
+
+
+def pruned_cap_schema(fields: list[str]) -> str:
+    """CAP schema restricted to ``fields`` (ALERT_COLUMNS names) plus the
+    required-validity leaves (identifier/sender/sent and one info leaf —
+    the drop predicate needs them regardless of the projection)."""
+    want = set(fields) | {"identifier", "sender", "sent", "category"}
+    top = [
+        leaf
+        for c, (sec, leaf) in _LEAF.items()
+        if sec == "top" and c in want
+    ]
+    info = [
+        leaf
+        for c, (sec, leaf) in _LEAF.items()
+        if sec == "info" and c in want
+    ]
+    areal = [
+        leaf
+        for c, (sec, leaf) in _LEAF.items()
+        if sec == "area" and c in want
+    ]
+    if areal:
+        info.append(f"area:struct<{', '.join(areal)}>")
+    parts = top + [f"info:struct<{', '.join(info)}>"]
+    if "x509_certificate" in want:
+        parts.append(
+            "Signature:struct<KeyInfo:struct<X509Data:"
+            "struct<X509Certificate:string>>>"
+        )
+    return f"struct<{', '.join(parts)}>"
+
+
 def parse_cap_xml(
-    df: DataFrame, xml_col: str = "xml", force_fallback: bool = False
+    df: DataFrame,
+    xml_col: str = "xml",
+    force_fallback: bool = False,
+    fields: list[str] | None = None,
 ) -> DataFrame:
     """Parse CAP XML strings into flattened alert rows (ALERT_COLUMNS).
 
     Rows that fail the reference's structural requirements (no alert root,
     no <info>, empty identifier/sender/sent) are DROPPED, mirroring
     parseXML's null-return + caller continue (task.ts:427-434, 632-634).
+
+    ``fields``: optional projection pushdown INTO the parse — from_xml
+    has no automatic nested-schema pruning, so declaring only the
+    consumed leaves is the engine's column-pruning step for XML (same
+    idea as ReadSchema pruning on parquet; ~proportional parse savings).
+    Field values and drop semantics are identical to the full parse;
+    only the set of output columns narrows. The stdlib fallback path
+    always parses fully (it is already the slow path).
     """
+    if fields is not None:
+        unknown = set(fields) - set(ALERT_COLUMNS)
+        if unknown:
+            raise ValueError(f"unknown alert columns: {sorted(unknown)}")
     if force_fallback:
         parsed = _parse_fallback(df, xml_col)
     else:
-        parsed = df.withColumn("_a", F.from_xml(F.col(xml_col), CAP_XML_SCHEMA))
+        schema = (
+            CAP_XML_SCHEMA if fields is None else pruned_cap_schema(fields)
+        )
+        parsed = df.withColumn("_a", F.from_xml(F.col(xml_col), schema))
 
     a = F.col("_a")
     info = a["info"]
     area = info["area"]
-    out = parsed.select(
-        "*",
-        _blank(a["identifier"]).alias("identifier"),
-        _blank(a["sender"]).alias("sender"),
-        _blank(a["sent"]).alias("sent"),
-        _blank(a["status"]).alias("status"),
-        _blank(a["msgType"]).alias("msg_type"),
-        _blank(a["scope"]).alias("scope"),
-        _blank(info["category"]).alias("category"),
-        _blank(info["event"]).alias("event"),
-        _blank(info["urgency"]).alias("urgency"),
-        _blank(info["severity"]).alias("severity"),
-        _blank(info["certainty"]).alias("certainty"),
-        _blank(info["senderName"]).alias("sender_name"),
-        _blank(info["headline"]).alias("headline"),
-        _blank(info["description"]).alias("description"),
-        _blank(info["instruction"]).alias("instruction"),
-        _blank(info["responseType"]).alias("response_type"),
-        _blank(info["onset"]).alias("onset"),
-        _blank(info["expires"]).alias("expires"),
-        _blank(info["web"]).alias("web"),
-        _blank(area["areaDesc"]).alias("area_desc"),
-        F.coalesce(area["polygon"], F.expr("cast(array() as array<string>)")).alias(
-            "polygons"
+    exprs = {
+        "identifier": _blank(a["identifier"]),
+        "sender": _blank(a["sender"]),
+        "sent": _blank(a["sent"]),
+        "status": _blank(a["status"]),
+        "msg_type": _blank(a["msgType"]),
+        "scope": _blank(a["scope"]),
+        "category": _blank(info["category"]),
+        "event": _blank(info["event"]),
+        "urgency": _blank(info["urgency"]),
+        "severity": _blank(info["severity"]),
+        "certainty": _blank(info["certainty"]),
+        "sender_name": _blank(info["senderName"]),
+        "headline": _blank(info["headline"]),
+        "description": _blank(info["description"]),
+        "instruction": _blank(info["instruction"]),
+        "response_type": _blank(info["responseType"]),
+        "onset": _blank(info["onset"]),
+        "expires": _blank(info["expires"]),
+        "web": _blank(info["web"]),
+        "area_desc": _blank(area["areaDesc"]),
+        "polygons": F.coalesce(
+            area["polygon"], F.expr("cast(array() as array<string>)")
         ),
-        _blank(area["circle"]).alias("circle"),
-        F.coalesce(
+        "circle": _blank(area["circle"]),
+        "parameters": F.coalesce(
             F.transform(
                 info["parameter"],
                 lambda p: F.struct(
-                    p["valueName"].alias("value_name"), p["value"].alias("value")
+                    p["valueName"].alias("value_name"),
+                    p["value"].alias("value"),
                 ),
             ),
             F.expr(
                 "cast(array() as array<struct<value_name:string,value:string>>)"
             ),
-        ).alias("parameters"),
-        a["Signature"]["KeyInfo"]["X509Data"]["X509Certificate"].alias(
-            "x509_certificate"
         ),
+        "x509_certificate": a["Signature"]["KeyInfo"]["X509Data"][
+            "X509Certificate"
+        ],
+    }
+    emit = ALERT_COLUMNS if fields is None else [
+        c for c in ALERT_COLUMNS if c in fields
+    ]
+    out = parsed.select(
+        "*",
+        *[exprs[c].alias(c) for c in emit],
         (
             a.isNotNull()
             & info.isNotNull()

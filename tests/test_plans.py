@@ -314,3 +314,18 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         assert "ShuffledHashJoin" in _plan(hashed)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL (ORDER BY+LIMIT per outer row) must
+    decorrelate to the windowed top-1 with map-side WindowGroupLimit
+    pruning and an equi-join back — NEVER a per-row re-execution or a
+    nested-loop join. This is the plan that makes the SQL shape usable
+    at 100 TB."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["sql_lateral_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -140,3 +140,25 @@ def test_parse_cap_xml_multi_polygon(spark):
     df = spark.createDataFrame([(xml,)], "xml string")
     rows = parse_cap_xml(df, "xml").collect()
     assert rows[0]["polygons"] == ["0,10 1,10 1,11", "5,20 6,20 6,21"]
+
+
+def test_parse_cap_xml_pruned_fields_match_full(spark):
+    """Projection pushdown into from_xml (fields=) must change ONLY the
+    set of output columns: values and drop semantics identical to the
+    full parse (broken + info-less docs still dropped)."""
+    df = spark.createDataFrame(
+        [(CAP_XML,), (BROKEN_XML,), (NO_INFO_XML,)], "xml string"
+    )
+    want = ["identifier", "category", "polygons", "parameters"]
+    pruned = parse_cap_xml(df, "xml", fields=want).collect()
+    full = parse_cap_xml(df, "xml").collect()
+    assert len(pruned) == len(full) == 1
+    assert set(pruned[0].asDict()) == {"xml", *want}
+    for c in want:
+        assert pruned[0][c] == full[0][c]
+
+
+def test_parse_cap_xml_unknown_field_rejected(spark):
+    df = spark.createDataFrame([(CAP_XML,)], "xml string")
+    with pytest.raises(ValueError):
+        parse_cap_xml(df, "xml", fields=["identifier", "nope"])

@@ -247,6 +247,37 @@ NOTES = {
         "final hash-agg. All joins are hash equi-joins - no "
         "CartesianProduct at any scale."
     ),
+    "sql_lateral_topk": (
+        "Correlated LATERAL (ORDER BY+LIMIT per outer row) decorrelated "
+        "by Catalyst to WindowGroupLimit top-1 - note the PARTIAL "
+        "WindowGroupLimit before the exchange (map-side candidate "
+        "pruning: each task forwards at most one row per key) and the "
+        "equi-join back to the outer side. Never a per-row re-execution."
+    ),
+    "basket_lift": (
+        "Within-order pair self-join: candidate volume is per-basket "
+        "(sum |basket|^2), never corpus^2; supports and the order total "
+        "are tiny broadcast aggregates; deterministic TakeOrdered top-k."
+    ),
+    "events_wau": (
+        "Rolling 7-day distinct via bounded day-explode: the daily "
+        "distinct table fans out exactly 7x on tiny (date, user) keys, "
+        "then one count-distinct per window day - no sliding distinct "
+        "state, no 7-way self-join. The HLL twin (events_wau_hll) "
+        "replaces the fan-out's count-distinct with a sketch merge."
+    ),
+    "audit_constraints": (
+        "The whole quality suite is ONE aggregate over one scan "
+        "(conditional sums + count-distincts computed together) plus a "
+        "broadcast anti-join count for the FK - adding a constraint "
+        "adds an expression, not a job."
+    ),
+    "orders_rfm": (
+        "Quintile cuts ride ntile over the per-customer aggregate - "
+        "#customers rows, range-partitioned global sort at scale (the "
+        "documented trade of unpartitioned ranking windows); the "
+        "segment-count output is tiny."
+    ),
     "dedup_semantic": (
         "SemDeDup: pairwise cosine is confined to k-means cells (equi-"
         "join on cell id) - candidate volume is sum(|cell|^2), bounded by "
