@@ -251,7 +251,17 @@ def build_features(alerts: DataFrame) -> DataFrame:
     """
     df = (
         _with_common(alerts)
-        .withColumn("_rings", F.transform(F.col("polygons"), parse_polygon))
+        # explode(array(...)) = once-per-row barrier: the parsed rings
+        # are referenced by the poison scan AND the fan-out, and the
+        # parse is a large interpreted HOF tree that optimizer rewrites
+        # can otherwise duplicate into each reference (same pathology as
+        # from_xml — see sources/xml.py; measured ~2x here).
+        .select(
+            "*",
+            F.explode(
+                F.array(F.transform(F.col("polygons"), parse_polygon))
+            ).alias("_rings"),
+        )
         .withColumn(
             "_first_bad",
             F.when(
