@@ -2793,8 +2793,10 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized parse, no sampling-based inference pass — the scale-correct
     pattern; schema inference would be a second full scan at 100 TB),
     extract, filter on the extracted value, aggregate per event type."""
+    from etl_capnz_spark.functions.exprs import once_per_row
+
     ev = _t(spark, sf_dir, "events")
-    k = F.from_json(F.col("props"), "k int")["k"]
+    k = once_per_row(F.from_json(F.col("props"), "k int")["k"])
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k") >= 10)
@@ -3091,9 +3093,11 @@ def _q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer when the JSON shape is NOT known up front (the declared-schema
     twin is events_props_json; variant shreds once and extracts many
     times without re-parsing)."""
+    from etl_capnz_spark.functions.exprs import once_per_row
+
     ev = _t(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
-    k = F.variant_get(v, "$.k", "int")
+    k = once_per_row(F.variant_get(v, "$.k", "int"))
     return (
         ev.select("event_type", k.alias("k"))
         .filter(F.col("k") % 7 == 0)

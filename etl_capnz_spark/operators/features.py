@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_capnz_spark.functions.exprs import once_per_row
 from etl_capnz_spark.functions.lookups import event_icon
 from etl_capnz_spark.functions.remarks import remarks
 from etl_capnz_spark.functions.signature import color_code, signature_struct
@@ -251,15 +252,15 @@ def build_features(alerts: DataFrame) -> DataFrame:
     """
     df = (
         _with_common(alerts)
-        # explode(array(...)) = once-per-row barrier: the parsed rings
-        # are referenced by the poison scan AND the fan-out, and the
-        # parse is a large interpreted HOF tree that optimizer rewrites
-        # can otherwise duplicate into each reference (same pathology as
-        # from_xml — see sources/xml.py; measured ~2x here).
+        # once_per_row barrier (functions/exprs.py): the parsed rings are
+        # referenced by the poison scan AND the fan-out, and the parse is
+        # a large interpreted HOF tree that optimizer rewrites can
+        # otherwise duplicate into each reference (measured ~20% of the
+        # feature build).
         .select(
             "*",
-            F.explode(
-                F.array(F.transform(F.col("polygons"), parse_polygon))
+            once_per_row(
+                F.transform(F.col("polygons"), parse_polygon)
             ).alias("_rings"),
         )
         .withColumn(

@@ -171,20 +171,15 @@ def parse_cap_xml(
         schema = (
             CAP_XML_SCHEMA if fields is None else pruned_cap_schema(fields)
         )
-        # explode(array(...)) is a deliberate ONCE-PER-ROW barrier: the
-        # downstream projection references the parsed struct ~12 times,
-        # and CollapseProject would otherwise inline the from_xml call
-        # into every reference — measured 10x parse re-evaluation
-        # (2.05 s vs 0.22 s single-ref at sf0.1). A Generate node
-        # evaluates the parse once and hands the struct attribute to the
-        # projection. A null struct (broken document) still yields its
-        # one row (array(null) explodes to null), preserving the
-        # drop-predicate semantics.
+        # once_per_row barrier: the downstream projection references the
+        # parsed struct ~12 times, and optimizer rewrites would re-run
+        # the (non-codegen) from_xml per reference — measured 10x
+        # (2.05 s vs 0.22 s single-ref at sf0.1). See functions/exprs.py.
+        from etl_capnz_spark.functions.exprs import once_per_row
+
         parsed = df.select(
             "*",
-            F.explode(
-                F.array(F.from_xml(F.col(xml_col), schema))
-            ).alias("_a"),
+            once_per_row(F.from_xml(F.col(xml_col), schema)).alias("_a"),
         )
 
     a = F.col("_a")

@@ -329,3 +329,37 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_once_per_row_pins_single_evaluation(spark):
+    """functions/exprs.py once_per_row: a non-codegen parse referenced by
+    several downstream expressions must appear ONCE in the physical plan
+    behind the Generate barrier; without it the optimizer inlines the
+    parse into every reference."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.functions.exprs import once_per_row
+
+    df = spark.createDataFrame([('{"k": 1, "v": 2}',)], "js string")
+    parsed = F.from_json(F.col("js"), "k int, v int")
+
+    def extract(staged):
+        return (
+            staged.select(
+                "*",
+                F.col("_p")["k"].alias("k"),
+                F.col("_p")["v"].alias("v"),
+                (
+                    F.col("_p").isNotNull() & (F.col("_p")["k"] > 0)
+                ).alias("_valid"),
+            )
+            .filter(F.col("_valid"))
+            .drop("_p", "_valid")
+        )
+
+    plain = extract(df.withColumn("_p", parsed))
+    pinned = extract(df.select("*", once_per_row(parsed).alias("_p")))
+    # predicate pushdown substitutes the parse into each filter clause
+    assert _plan(plain).count("from_json") > 1  # the pathology exists
+    assert _plan(pinned).count("from_json") == 1  # the barrier pins it
+    assert plain.collect() == pinned.collect()
