@@ -2618,6 +2618,35 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimation over the event stream:
+    P(next_type | type) from consecutive event pairs per user. ONE
+    exchange on user_id feeds the lead() window; pair counts and the
+    per-state totals come from one aggregation plus a broadcast of the
+    tiny (5-row) state totals into the probability projection."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (
+        ev.select(F.col("event_type").alias("src"), nxt.alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("_t"))
+    return (
+        pairs.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+        )
+    )
+
+
 def _q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users (WAU) per day WITHOUT a 7-way self-join
     or a sliding COUNT DISTINCT window (unbounded state): each (day,
@@ -3693,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": _q_basket_lift,
         "events_wau": _q_events_wau,
         "events_wau_hll": _q_events_wau_hll,
+        "events_markov": _q_events_markov,
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "audit_constraints": _q_audit_constraints,
@@ -5187,6 +5217,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ts)::BIGINT,
                    min(ts)::VARCHAR, max(ts)::VARCHAR
             FROM ev""",
+        "events_markov": """
+            WITH pairs AS (
+              SELECT event_type AS src,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+              FROM events),
+            cnt AS (
+              SELECT src, dst, count(*) AS n FROM pairs
+              WHERE dst IS NOT NULL GROUP BY src, dst),
+            tot AS (SELECT src, sum(n) AS t FROM cnt GROUP BY src)
+            SELECT src, dst, n, round(n / t, 6) AS p
+            FROM cnt JOIN tot USING (src)""",
         "events_wau": """
             WITH daily AS (
               SELECT DISTINCT ts::DATE AS day, user_id FROM events),

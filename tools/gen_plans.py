@@ -11,9 +11,11 @@ NOTES = {
     "cap_features": (
         "Single narrow pass: scan -> derivation -> one repartition "
         "(parallelism for single-file input; at real scale this exchange "
-        "disappears) -> per-alert enrichment -> array<feature> build -> ONE "
-        "Generate (explode). No join, no aggregate, no extra shuffle - "
-        "linear scaling shape."
+        "disappears) -> per-alert enrichment -> array<feature> build -> "
+        "fan-out Generate (explode). A second inner Generate is the "
+        "once_per_row barrier pinning the polygon parse to one "
+        "evaluation per alert (functions/exprs.py). No join, no "
+        "aggregate, no extra shuffle - linear scaling shape."
     ),
     "tpch_q1": (
         "Filter is pushed into the parquet scan (PushedFilters on "
