@@ -2618,6 +2618,58 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth: aggregate to the (tiny)
+    quarter series first, THEN window with lag over it — the windowing
+    happens on #quarters rows, not on the fact table. Growth is rounded
+    against a NULLIF-guarded previous quarter."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("yr", "qtr")
+    prev = F.lag("revenue").over(w)
+    return q.select(
+        "yr",
+        "qtr",
+        "revenue",
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)), 6
+        ).alias("qoq_growth"),
+    )
+
+
+def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per event
+    type, median(value), then MAD = median(|value - median|), flag rows
+    with |v - med| > 3 * 1.4826 * MAD. Two exact-percentile aggregates
+    over the same grouping (broadcast back between them — group count is
+    tiny); the z-score twin is events_outliers. MAD survives the heavy
+    tails that wreck stddev-based cutoffs."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("_med")), 0.5).alias("_mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    thresh = F.lit(3 * 1.4826) * F.col("_mad")
+    return (
+        scored.filter(F.abs(F.col("value") - F.col("_med")) > thresh)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            F.round(F.min("value"), 6).alias("min_out"),
+            F.round(F.max("value"), 6).alias("max_out"),
+        )
+    )
+
+
 def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimation over the event stream:
     P(next_type | type) from consecutive event pairs per user. ONE
@@ -3723,6 +3775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau": _q_events_wau,
         "events_wau_hll": _q_events_wau_hll,
         "events_markov": _q_events_markov,
+        "tpch_qoq_growth": _q_tpch_qoq_growth,
+        "events_anomaly_mad": _q_events_anomaly_mad,
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "audit_constraints": _q_audit_constraints,
@@ -5217,6 +5271,33 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ts)::BIGINT,
                    min(ts)::VARCHAR, max(ts)::VARCHAR
             FROM ev""",
+        "tpch_qoq_growth": """
+            WITH q AS (
+              SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1, 2)
+            SELECT yr, qtr, revenue,
+                   round((revenue - lag(revenue) OVER w)
+                         / nullif(lag(revenue) OVER w, 0.0), 6)
+                     AS qoq_growth
+            FROM q WINDOW w AS (ORDER BY yr, qtr)""",
+        "events_anomaly_mad": """
+            WITH med AS (
+              SELECT event_type, quantile_cont("value", 0.5) AS m
+              FROM events GROUP BY event_type),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e."value" - med.m), 0.5) AS d
+              FROM events e JOIN med USING (event_type)
+              GROUP BY e.event_type)
+            SELECT e.event_type, count(*) AS n_outliers,
+                   round(min(e."value"), 6) AS min_out,
+                   round(max(e."value"), 6) AS max_out
+            FROM events e
+            JOIN med USING (event_type)
+            JOIN mad USING (event_type)
+            WHERE abs(e."value" - med.m) > 3 * 1.4826 * mad.d
+            GROUP BY e.event_type""",
         "events_markov": """
             WITH pairs AS (
               SELECT event_type AS src,
