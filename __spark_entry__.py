@@ -2618,6 +2618,70 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time analysis: per event type, exact percentiles of
+    the gap between a user's consecutive events. One user_id exchange
+    for the lag window, then a tiny per-type aggregate — the workload
+    behind session-gap tuning and arrival-rate modeling."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / F.lit(1000000.0)
+    gaps = ev.select("event_type", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_s", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", 0.95), 4).alias("p95_s"),
+        F.round(F.avg("gap_s"), 4).alias("mean_s"),
+    )
+
+
+def _q_parts_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue; cumulative
+    revenue share cuts A (first 80%), B (to 95%), C (rest). The running
+    sum windows over the per-part aggregate (#parts rows — range-
+    partitioned global sort at scale), and the class counts are tiny.
+    Cumulative share uses the PREVIOUS row's cumsum (strictly-before
+    semantics) so the part that crosses a boundary still belongs to the
+    higher class — the textbook rule, and deterministic under ties via
+    the part-key tie-break."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # All arithmetic in integer CENTS (rounded per line item): float sums
+    # are partition-order-dependent and flip the last cent / a rounding
+    # boundary between engines — integers are exact and associative.
+    line_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(line_cents).alias("cents"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    total = rev.agg(F.sum("cents").alias("_t"))
+    before = F.coalesce(
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    classed = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("_share_before", before / F.col("_t"))
+        .withColumn(
+            "abc",
+            F.when(F.col("_share_before") < 0.80, "A")
+            .when(F.col("_share_before") < 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        (F.sum("cents") / F.lit(100.0)).alias("class_revenue"),
+    )
+
+
 def _q_tpch_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarter-over-quarter revenue growth: aggregate to the (tiny)
     quarter series first, THEN window with lag over it — the windowing
@@ -3776,6 +3840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau_hll": _q_events_wau_hll,
         "events_markov": _q_events_markov,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
+        "events_interarrival": _q_events_interarrival,
+        "parts_abc_class": _q_parts_abc_class,
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
@@ -5271,6 +5337,39 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ts)::BIGINT,
                    min(ts)::VARCHAR, max(ts)::VARCHAR
             FROM ev""",
+        "events_interarrival": """
+            WITH gaps AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                     / 1000000.0 AS gap_s
+              FROM events)
+            SELECT event_type, count(*) AS n_gaps,
+                   round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+                   round(quantile_cont(gap_s, 0.95), 4) AS p95_s,
+                   round(avg(gap_s), 4) AS mean_s
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY event_type""",
+        "parts_abc_class": """
+            WITH rev AS (
+              SELECT l_partkey,
+                     sum(round(l_extendedprice * (1 - l_discount) * 100)
+                         ::BIGINT) AS cents
+              FROM lineitem GROUP BY l_partkey),
+            tot AS (SELECT sum(cents) AS t FROM rev),
+            classed AS (
+              SELECT cents,
+                     coalesce(sum(cents) OVER (
+                       ORDER BY cents DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::DOUBLE / t AS share_before
+              FROM rev CROSS JOIN tot)
+            SELECT CASE WHEN share_before < 0.80 THEN 'A'
+                        WHEN share_before < 0.95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   count(*) AS n_parts,
+                   sum(cents) / 100.0 AS class_revenue
+            FROM classed GROUP BY 1""",
         "tpch_qoq_growth": """
             WITH q AS (
               SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
