@@ -2618,6 +2618,63 @@ def _q_events_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test, in-engine: users split into arms by id
+    parity (the deterministic stand-in for an assignment column),
+    success = the user ever purchased; closed-form pooled-variance z
+    statistic from the four counts. ONE aggregation to per-user flags,
+    one tiny per-arm rollup, arithmetic on a 2-row frame — the
+    experiment-analysis readout with no pandas round-trip."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        # success = heavy purchaser (>= 15 purchases): with this dense
+        # synthetic stream EVERY user purchases at least once, which
+        # degenerates a pure did-purchase metric to pool=1, se=0
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 15,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    )
+    arms = (
+        per_user.withColumn(
+            "arm", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"), F.col("n_converted").alias("ca")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"), F.col("n_converted").alias("cb")
+    )
+    j = a.crossJoin(b)
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    pa = F.col("ca") / na_d
+    pb = F.col("cb") / nb_d
+    pool = (F.col("ca") + F.col("cb")) / (na_d + nb_d)
+    se = F.sqrt(
+        pool * (1 - pool) * (F.lit(1.0) / na_d + F.lit(1.0) / nb_d)
+    )
+    return j.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round((pa - pb) / se, 6).alias("z_stat"),
+    )
+
+
 def _q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time analysis: per event type, exact percentiles of
     the gap between a user's consecutive events. One user_id exchange
@@ -3841,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": _q_events_markov,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
         "events_interarrival": _q_events_interarrival,
+        "events_ab_test": _q_events_ab_test,
         "parts_abc_class": _q_parts_abc_class,
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_asof_cogroup": _q_events_asof_cogroup,
@@ -5337,6 +5395,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ts)::BIGINT,
                    min(ts)::VARCHAR, max(ts)::VARCHAR
             FROM ev""",
+        "events_ab_test": """
+            WITH per_user AS (
+              SELECT user_id,
+                     CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) >= 15
+                          THEN 1 ELSE 0 END AS converted
+              FROM events GROUP BY user_id),
+            arms AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS arm,
+                     count(*) AS n, sum(converted)::BIGINT AS c
+              FROM per_user GROUP BY 1),
+            j AS (
+              SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+              FROM (SELECT n, c FROM arms WHERE arm = 'A') a
+              CROSS JOIN (SELECT n, c FROM arms WHERE arm = 'B') b)
+            SELECT na, ca, nb, cb,
+                   round(ca / na, 6) AS rate_a,
+                   round(cb / nb, 6) AS rate_b,
+                   round((ca / na - cb / nb)
+                         / sqrt(((ca + cb)::DOUBLE / (na + nb))
+                                * (1 - (ca + cb)::DOUBLE / (na + nb))
+                                * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+            FROM j""",
         "events_interarrival": """
             WITH gaps AS (
               SELECT event_type,
