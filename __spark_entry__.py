@@ -140,14 +140,20 @@ def _q_color_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_capnz_spark.functions.exprs import once_per_row
+
     df = cap_alerts(spark, sf_dir).filter(F.col("x509_certificate").isNotNull())
-    sig = signature_struct(F.col("x509_certificate"))
-    return df.select(
+    # Generate barrier: 4 field extractions would otherwise re-run the
+    # whole regex+unbase64+sha2 chain each (projection collapse)
+    staged = df.select(
+        "k", once_per_row(signature_struct(F.col("x509_certificate"))).alias("_sig")
+    )
+    return staged.select(
         "k",
-        sig["issuer"].alias("issuer"),
-        sig["subject"].alias("subject"),
-        sig["valid_until"].alias("valid_until"),
-        sig["fingerprint"].alias("fingerprint"),
+        F.col("_sig")["issuer"].alias("issuer"),
+        F.col("_sig")["subject"].alias("subject"),
+        F.col("_sig")["valid_until"].alias("valid_until"),
+        F.col("_sig")["fingerprint"].alias("fingerprint"),
     )
 
 
@@ -171,9 +177,14 @@ def _q_nz_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_remarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_capnz_spark.functions.exprs import once_per_row
+
     df = cap_alerts(spark, sf_dir)
-    sig = signature_struct(F.col("x509_certificate"))
-    return df.select(
+    staged = df.select(
+        "*", once_per_row(signature_struct(F.col("x509_certificate"))).alias("_sig")
+    )
+    sig = F.col("_sig")
+    return staged.select(
         "k",
         remarks(
             F.col("description"),
@@ -1109,13 +1120,19 @@ def _q_tpch_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(lines.alias("lines"))
+        .agg(lines.alias("_lines"))
         .select(
             "l_orderkey",
-            "lines",
-            F.size("lines").alias("n_lines"),
-            F.slice("lines", 1, 3).alias("first3"),
-            F.array_contains("lines", 4).alias("has_line4"),
+            # serialize array outputs: the driver's pandas canonicalizer
+            # sort_values() dies on unhashable list cells (CORRECTNESS_r02)
+            F.array_join(F.col("_lines").cast("array<string>"), ",").alias(
+                "lines"
+            ),
+            F.size("_lines").alias("n_lines"),
+            F.array_join(
+                F.slice("_lines", 1, 3).cast("array<string>"), ","
+            ).alias("first3"),
+            F.array_contains("_lines", 4).alias("has_line4"),
         )
     )
 
@@ -1690,7 +1707,11 @@ def _q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return toks.groupBy("token").agg(
         F.count("*").alias("df_docs"),
-        F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        # serialized posting list — the driver canonicalizer can't sort
+        # list cells, so the contract surface is the joined string
+        F.array_join(
+            F.array_sort(F.collect_list("doc_id")).cast("array<string>"), ","
+        ).alias("postings"),
     )
 
 
@@ -2131,7 +2152,16 @@ def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     including every code value."""
     from etl_capnz_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = quantize_int8(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    # contract projection serializes the codes array — the driver's pandas
+    # canonicalizer cannot sort list cells; the operator API keeps the array
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        *[c for c in out.columns if c not in ("vec_id", "codes")],
+    )
 
 
 def _q_knn_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,10 +2189,15 @@ def _q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     mean, comps, _ = pca_fit(emb, "embedding", 64, 4)
     out = pca_transform(emb, "embedding", mean, comps)
+    # serialized projection (rows-only entry, but the driver canonicalizer
+    # still sorts every column — list cells would TypeError)
     return out.select(
         "vec_id",
         "label",
-        F.transform("pca", lambda x: F.round(x, 6)).alias("pca4"),
+        F.array_join(
+            F.transform("pca", lambda x: F.round(x, 6)).cast("array<string>"),
+            ",",
+        ).alias("pca4"),
     )
 
 
@@ -4533,9 +4568,10 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY c_mktsegment
                          ORDER BY c_acctbal ASC, c_custkey ASC)""",
         "tpch_order_lines": """
-            SELECT l_orderkey, lines,
+            SELECT l_orderkey,
+                   coalesce(array_to_string(lines, ','), '') AS lines,
                    len(lines)::INT AS n_lines,
-                   lines[1:3] AS first3,
+                   coalesce(array_to_string(lines[1:3], ','), '') AS first3,
                    list_contains(lines, 4) AS has_line4
             FROM (
               SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
@@ -5644,7 +5680,8 @@ def oracle_sql() -> dict[str, str]:
                 t -> t <> '')) AS token
               FROM documents)
             SELECT token, count(*) AS df_docs,
-                   list(doc_id ORDER BY doc_id) AS postings
+                   coalesce(array_to_string(
+                     list(doc_id ORDER BY doc_id), ','), '') AS postings
             FROM toks GROUP BY token""",
         "text_pmi": rf"""
             WITH uni AS (
@@ -5951,7 +5988,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN list_transform(v, x -> round(x / scale)::INT)
                           ELSE list_transform(v, x -> 0) END AS codes
               FROM s)
-            SELECT vec_id, codes,
+            SELECT vec_id,
+                   coalesce(array_to_string(codes, ','), '') AS codes,
                    coalesce(scale, 0.0) AS scale,
                    round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
                            list_transform(generate_series(1, len(v)),

@@ -80,7 +80,14 @@ FEATURE_COLUMNS = [
 
 def _with_common(df: DataFrame) -> DataFrame:
     """Shared per-alert computed columns (C2-C9, X2, X3)."""
-    sig = signature_struct(F.nullif(F.col("x509_certificate"), F.lit("")))
+    # once_per_row: the signature chain (2× regexp_replace + unbase64 +
+    # sha2 + 3× regexp_extract, all interpreted non-codegen exprs) is
+    # referenced 5× by _remarks below; without the Generate barrier,
+    # projection collapse re-evaluates the whole chain per reference
+    # (same pushdown-duplication pathology as the XML parse, r2).
+    sig = once_per_row(
+        signature_struct(F.nullif(F.col("x509_certificate"), F.lit("")))
+    )
     return (
         df.withColumn("_color", color_code(F.col("parameters")))
         .withColumn("_sig", sig)

@@ -42,7 +42,21 @@ for name, fn in qs.items():
     t0=time.time()
     qdf = fn(spark, sf)
     cols = sorted(qdf.columns)
-    srows = sorted([tuple(norm(r[c]) for c in cols) for r in qdf.collect()], key=repr)
+    raw = qdf.collect()
+    # Faithful driver-canonicalizer probe: the round driver does
+    # pandas.sort_values over every output column before hashing; a
+    # list/dict cell raises "unhashable type" there (CORRECTNESS_r02,
+    # tpch_order_lines). Reproduce that exact path on the raw values.
+    try:
+        import pandas as _pd
+        _pdf = _pd.DataFrame([[r[c] for c in cols] for r in raw], columns=cols)
+        if len(_pdf):
+            _pdf.sort_values(by=cols)
+    except Exception as e:
+        print(f'  {name}: ** CANONICALIZER-UNSAFE ** {type(e).__name__}: {e}')
+        fails += 1
+        continue
+    srows = sorted([tuple(norm(r[c]) for c in cols) for r in raw], key=repr)
     if name not in os_:
         print(f'  {name}: rows-only n={len(srows)} ({time.time()-t0:.1f}s)'); continue
     res = con.execute(os_[name]); dcols = [d[0] for d in res.description]
