@@ -1,0 +1,112 @@
+"""Golden tests for HTML main-text extraction (operators/html.py):
+hand-built pages with nav/footer chrome, scripts, comments, entities,
+and nested markup — the adversarial shapes the line-density rule and
+block-drop regexes must survive (VERDICT r2 item 3)."""
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.html import (
+    decode_entities,
+    extract_main_text,
+    main_text,
+    strip_tags,
+)
+
+PAGE = """<html><head>
+<title>My Page</title>
+<style>
+body { color: red; }
+</style>
+<script src="a.js"></script>
+</head>
+<body>
+<nav class="top"><a href="/">Home</a> | <a href="/x">Products</a></nav>
+<header><h1>Welcome</h1></header>
+<!-- analytics
+tracking comment -->
+<div id="main">
+<p>This is the first real paragraph of body content here.</p>
+<p>The second paragraph has <b>nested <i>inline</i> markup</b> and keeps going with more words.</p>
+<p>Short teaser</p>
+<ul><li>One</li><li>Two</li></ul>
+<p>Entities: &amp; &lt;x&gt; &quot;q&quot; &#39;s&#39; and several more words follow here.</p>
+</div>
+<script>
+var x = "<p>not content</p>";
+</script>
+<aside>Related links sidebar</aside>
+<footer>(c) 2026 Corp | Privacy | Terms</footer>
+</body></html>"""
+
+
+def _one(spark, col_expr, value):
+    return spark.createDataFrame([(value,)], "html string").select(
+        col_expr.alias("out")
+    ).collect()[0]["out"]
+
+
+def test_main_text_keeps_prose_drops_chrome(spark):
+    out = _one(spark, main_text(F.col("html")), PAGE)
+    lines = out.split("\n")
+    assert lines[0] == "This is the first real paragraph of body content here."
+    assert (
+        lines[1]
+        == "The second paragraph has nested inline markup and keeps going"
+        " with more words."
+    )
+    assert lines[2] == 'Entities: & <x> "q" \'s\' and several more words follow here.'
+    assert len(lines) == 3
+    # chrome and non-text payloads are gone entirely
+    for bad in ("Home", "Welcome", "var x", "color: red", "Privacy",
+                "Related links", "tracking", "Short teaser", "One"):
+        assert bad not in out
+
+
+def test_strip_tags_block_boundaries_become_newlines(spark):
+    out = _one(
+        spark,
+        strip_tags(F.col("html")),
+        "<div><p>alpha beta</p><p>gamma</p></div>",
+    )
+    assert [l.strip() for l in out.split("\n") if l.strip()] == [
+        "alpha beta",
+        "gamma",
+    ]
+
+
+def test_entity_decode_amp_last(spark):
+    # &amp;lt; must become the literal text "&lt;", never "<"
+    out = _one(spark, decode_entities(F.col("html")), "a &amp;lt; b &lt; c")
+    assert out == "a &lt; b < c"
+
+
+def test_unclosed_script_drops_remainder_not_crash(spark):
+    # a script block with no closing tag: the block-drop regex cannot
+    # match (non-greedy needs the terminator), so the tag strip handles
+    # the tags and the inline payload stays subject to the line gate
+    html = "<p>good line with at least five words</p><script>var a=1;"
+    out = _one(spark, main_text(F.col("html")), html)
+    assert out == "good line with at least five words"
+
+
+def test_extract_main_text_audit_columns(spark):
+    df = spark.createDataFrame([(1, PAGE), (2, "<nav>Home | About</nav>")],
+                               "doc_id int, html string")
+    out = {r["doc_id"]: r for r in
+           extract_main_text(df, "html", "text").collect()}
+    assert out[1]["n_lines_kept"] == 3
+    assert 0 < out[1]["extract_ratio"] < 1
+    # chrome-only page: empty text, zero lines, ratio 0
+    assert out[2]["text"] == ""
+    assert out[2]["n_lines_kept"] == 0
+    assert out[2]["extract_ratio"] == 0.0
+
+
+def test_extraction_is_map_only(spark):
+    df = spark.createDataFrame([(1, PAGE)], "doc_id int, html string")
+    plan = (
+        extract_main_text(df, "html", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
