@@ -2954,8 +2954,13 @@ def _q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a sliding COUNT DISTINCT window (unbounded state): each (day,
     user) pair is exploded to the 7 window-end days it contributes to
     (bounded 7x fan-out of the small daily-distinct table), then one
-    count-distinct per day. The join against observed days trims the
-    tail past the calendar. Two exchanges total, both on tiny keys."""
+    count-distinct per day. The window-end domain is the FULL calendar
+    sequence(min(day), max(day)) — ADVICE r2: joining against observed
+    days silently dropped interior zero-activity days even when users
+    were active in the prior 6; now EVERY calendar day appears, with
+    wau=0 when its whole 7-day window is empty (aggregate first, then
+    left-join from the tiny calendar — both join sides are day-sized).
+    Days past the calendar tail are still trimmed."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.select(
         F.to_date("ts").alias("day"), "user_id"
@@ -2966,11 +2971,14 @@ def _q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wday"),
         "user_id",
     )
-    days = daily.select(F.col("day").alias("wday")).distinct()
-    return (
-        contrib.join(F.broadcast(days), "wday")
-        .groupBy("wday")
-        .agg(F.countDistinct("user_id").alias("wau"))
+    wau_by_day = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").alias("_wau")
+    )
+    cal = daily.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    ).select(F.explode(F.sequence("_d0", "_d1")).alias("wday"))
+    return cal.join(F.broadcast(wau_by_day), "wday", "left").select(
+        "wday", F.coalesce(F.col("_wau"), F.lit(0)).alias("wau")
     )
 
 
@@ -5628,10 +5636,15 @@ def oracle_sql() -> dict[str, str]:
             contrib AS (
               SELECT day + i::INT AS wday, user_id
               FROM daily, unnest(range(7)) AS u(i)),
-            days AS (SELECT DISTINCT day AS wday FROM daily)
-            SELECT wday, count(DISTINCT user_id) AS wau
-            FROM contrib JOIN days USING (wday)
-            GROUP BY wday""",
+            wau_by_day AS (
+              SELECT wday, count(DISTINCT user_id) AS wau
+              FROM contrib GROUP BY wday),
+            days AS (
+              SELECT unnest(generate_series(min(day), max(day),
+                            INTERVAL 1 DAY))::DATE AS wday
+              FROM daily)
+            SELECT wday, coalesce(wau, 0)::BIGINT AS wau
+            FROM days LEFT JOIN wau_by_day USING (wday)""",
         "basket_lift": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -71,9 +71,16 @@ def asof_join(
     on_order = (
         F.col(on).asc() if direction == "backward" else F.col(on).desc()
     )
+    # Deterministic tie-break among equal right rows (ADVICE r2): order
+    # the tied right rows by their payload columns ascending (nulls
+    # last) so last_value carries the max-payload row — the same total
+    # order cogroup_asof_join's full-column pandas sort produces, making
+    # the bit-exact equivalence claim hold on tied data.
+    # (no `on` key needed: tied rows share it by definition)
+    tie_break = [F.col(f"_r_{c}").asc_nulls_last() for c in value_cols]
     w = (
         Window.partitionBy(by)
-        .orderBy(on_order, F.col("_tag").asc())
+        .orderBy(on_order, F.col("_tag").asc(), *tie_break)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

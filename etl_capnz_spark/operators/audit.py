@@ -106,10 +106,15 @@ def check_constraints(
     """
     aggs: list[Column] = []
     names: list[str] = []
+    # F.sum over ZERO rows is NULL — coalesce to 0 so a quality gate run
+    # on an empty batch reports 0 violations instead of failing open
+    # (ADVICE r2: a consumer testing `violations > 0` never sees NULL).
     for c in not_null:
         names.append(f"not_null:{c}")
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("bigint")
         )
     for c in unique:
         names.append(f"unique:{c}")
@@ -121,9 +126,17 @@ def check_constraints(
     for name, pred in (checks or {}).items():
         names.append(f"check:{name}")
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).cast("bigint")
+        )
+    if not aggs:
+        raise ValueError(
+            "check_constraints needs at least one constraint "
+            "(not_null, unique, or checks)"
         )
     row = df.agg(*[a.alias(f"_c{i}") for i, a in enumerate(aggs)])
     pairs = F.array(
@@ -167,7 +180,10 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs: list[Column] = []
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: empty table profiles to 0 nulls, not NULL
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"_n_{c}"),
             F.countDistinct(F.col(c)).cast("bigint").alias(f"_d_{c}"),

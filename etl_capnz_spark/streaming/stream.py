@@ -310,18 +310,34 @@ def enrich_with_dimension(
     dimension: DataFrame,
     key: str = "user_id",
     how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Stream-static join: enrich a stream with a (bounded) dimension
     table — the ubiquitous "add the user/customer attributes" stage.
 
     Stream-static joins are STATELESS in Spark: the static side is
-    re-planned per micro-batch (broadcast when small), no watermark or
-    state store involved, so there is nothing to bound — this is the
-    cheap join and should be preferred over stream-stream whenever one
-    side is a slowly-changing table. Left join keeps stream rows with no
-    dimension match (nulls), mirroring the batch semantics.
+    re-planned per micro-batch, no watermark or state store involved, so
+    there is nothing to bound — this is the cheap join and should be
+    preferred over stream-stream whenever one side is a slowly-changing
+    table. Left join keeps stream rows with no dimension match (nulls),
+    mirroring the batch semantics.
+
+    ``broadcast`` (ADVICE r2): ``None`` (default) lets Catalyst/AQE pick
+    the strategy from the dimension's size estimate — a large dimension
+    must NOT be force-broadcast (driver/executor OOM). ``True`` pins the
+    hint for the inner/left cases where the caller KNOWS the table is
+    small; it is rejected for join types that cannot broadcast the
+    dimension side ('right'/'full' preserve the dimension, so the hint
+    would be silently unsatisfiable).
     """
-    return events.join(F.broadcast(dimension), key, how)
+    if broadcast:
+        if how in ("right", "full", "outer", "full_outer", "right_outer"):
+            raise ValueError(
+                f"broadcast=True unsupported for how={how!r}: the "
+                "preserved dimension side cannot be broadcast"
+            )
+        return events.join(F.broadcast(dimension), key, how)
+    return events.join(dimension, key, how)
 
 
 def compact_parquet(

@@ -130,3 +130,27 @@ def test_cogroup_asof_equals_expression_form(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """ADVICE r2: multiple right rows at the SAME timestamp in one by-
+    group — both forms must deterministically pick the max-payload row
+    (the full-column sort order of the pandas path), regardless of
+    partition/plan order."""
+    from etl_capnz_spark.operators.asof import cogroup_asof_join
+
+    left = _left(spark, [(1, 7, _ts("2026-01-01 10:00:00"))])
+    right = _right(
+        spark,
+        [
+            (7, _ts("2026-01-01 09:00:00"), 3.0),
+            (7, _ts("2026-01-01 09:00:00"), 1.0),
+            (7, _ts("2026-01-01 09:00:00"), 2.0),
+        ],
+    ).repartition(4)  # scatter the ties across partitions
+    expr = asof_join(left, right, on="ts", by="key", value_cols=["v"]).collect()
+    pand = cogroup_asof_join(
+        left, right, on="ts", by="key", value_cols=["v"]
+    ).collect()
+    assert expr[0]["asof_v"] == 3.0
+    assert pand[0]["asof_v"] == 3.0

@@ -373,3 +373,53 @@ def test_stream_static_dimension_enrich(spark, tmp_path):
     assert got == batch
     assert got[(3, "view")] is None  # unmatched stream row kept, null tier
     assert got[(1, "view")] == "gold"
+
+
+def test_enrich_broadcast_opt_in(spark):
+    """ADVICE r2: broadcast is opt-in — default leaves the strategy to
+    Catalyst/AQE; broadcast=True pins the hint where satisfiable and is
+    rejected for join types that preserve the dimension side."""
+    import pytest
+
+    from etl_capnz_spark.streaming.stream import enrich_with_dimension
+
+    events = spark.createDataFrame(
+        [(1, "view")], "user_id int, event_type string"
+    )
+    dim = spark.createDataFrame([(1, "gold")], "user_id int, tier string")
+    hinted = enrich_with_dimension(events, dim, "user_id", broadcast=True)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # right/full would silently drop the hint — fail loudly instead
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="broadcast"):
+            enrich_with_dimension(events, dim, "user_id", how, broadcast=True)
+    # default: no forced hint; the join still computes the same rows
+    rows = enrich_with_dimension(events, dim, "user_id").collect()
+    assert rows[0]["tier"] == "gold"
+
+
+def test_check_constraints_empty_batch_reports_zero(spark):
+    """ADVICE r2: a quality gate on an EMPTY batch must report 0
+    violations (not NULL — fail-open for `violations > 0` consumers),
+    and an empty constraint list is a loud error."""
+    import pytest
+
+    from etl_capnz_spark.operators.audit import check_constraints, profile_table
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "k int, v string")
+    out = {
+        r["check"]: r["violations"]
+        for r in check_constraints(
+            empty,
+            not_null=["v"],
+            unique=["k"],
+            checks={"v_nonempty": F.col("v") != ""},
+        ).collect()
+    }
+    assert out == {"not_null:v": 0, "unique:k": 0, "check:v_nonempty": 0}
+    prof = profile_table(empty, ["k"]).collect()[0]
+    assert prof["n_nulls"] == 0 and prof["n_distinct"] == 0
+    with pytest.raises(ValueError, match="at least one constraint"):
+        check_constraints(empty)
