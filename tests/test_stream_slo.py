@@ -1,0 +1,93 @@
+"""Streaming latency SLO envelope (STREAM_SLO.json / STREAM_SLO.md):
+replay a small event stream through representative stateful paths and
+pin each path's measured p95 batch latency inside the recorded sf0.1
+budget. The test data is ~10× smaller than the recording, so a breach
+here is an unambiguous regression (state blow-up, lost watermark,
+accidental Python hot path), never noise."""
+
+import json
+import os
+import time
+
+import pytest
+
+from etl_capnz_spark.session import read_table
+
+SLO_PATH = os.path.join(os.path.dirname(__file__), "..", "STREAM_SLO.json")
+
+
+def _budget(path_name: str) -> float:
+    with open(SLO_PATH) as f:
+        slo = json.load(f)
+    return float(slo["paths"][path_name]["p95_budget_ms"])
+
+
+def _pctl(xs, f):
+    s = sorted(xs)
+    k = (len(s) - 1) * f
+    lo, hi = int(k), min(int(k) + 1, len(s) - 1)
+    return s[lo] + (s[hi] - s[lo]) * (k - lo)
+
+
+def _replay(spark, tmp_path, transform, name):
+    events = read_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / f"in_{name}")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(f"slo_{name}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lat = [
+        float(p["durationMs"]["triggerExecution"])
+        for p in (json.loads(pp.json) for pp in q.recentProgress)
+        if p.get("numInputRows", 0) > 0 and "triggerExecution" in p["durationMs"]
+    ]
+    assert lat, f"{name}: no batches with input rows recorded"
+    return _pctl(lat, 0.95)
+
+
+def test_slo_artifact_covers_every_benched_path():
+    with open(SLO_PATH) as f:
+        slo = json.load(f)
+    assert set(slo["paths"]) == {
+        "tumbling",
+        "sliding",
+        "session",
+        "dedup_watermark",
+        "stateful_totals",
+        "interval_join",
+    }
+    for name, p in slo["paths"].items():
+        assert p["p95_budget_ms"] >= p["measured_p95_ms"], name
+
+
+@pytest.mark.parametrize("path_name", ["tumbling", "stateful_totals"])
+def test_p95_within_budget(spark, tmp_path, path_name):
+    from etl_capnz_spark.streaming.stream import (
+        running_user_totals,
+        tumbling_counts,
+    )
+
+    transform = {
+        "tumbling": tumbling_counts,
+        "stateful_totals": running_user_totals,
+    }[path_name]
+    p95 = _replay(spark, tmp_path, transform, path_name)
+    budget = _budget(path_name)
+    assert p95 <= budget, (
+        f"{path_name}: p95 {p95:.0f} ms exceeds SLO budget {budget:.0f} ms "
+        f"on 1/10th-size data — regression"
+    )
