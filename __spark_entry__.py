@@ -1902,6 +1902,48 @@ def _q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-href extraction → inlink counts (operators/html.py
+    extract_links) — the crawl-frontier / link-graph feed that pairs
+    with extract_main_text to complete the crawl ingest story. Each doc
+    is wrapped with three deterministic outlinks derived from doc_id in
+    BOTH engines; each engine extracts with its own regex engine. One
+    explode + one two-phase hash agg on the (short) href strings."""
+    from etl_capnz_spark.operators.html import extract_links
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><p>See '),
+        F.lit('<a href="/doc/'),
+        ((d * 3 + 1) % 1000).cast("string"),
+        F.lit('">one</a>, <a href="/doc/'),
+        F.lit(""),
+        ((d * 3 + 2) % 1000).cast("string"),
+        F.lit('">two</a> and <a class="x" href="/doc/'),
+        ((d * 7) % 1000).cast("string"),
+        F.lit('">three</a>.</p></body></html>'),
+    )
+    wrapped = _docs(spark, sf_dir).select("doc_id", html.alias("html"))
+    return (
+        wrapped.select(F.explode(extract_links(F.col("html"))).alias("href"))
+        .groupBy("href")
+        .agg(F.count("*").alias("n_refs"))
+    )
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/text.py
+    chunk_tokens): window 40, stride 25 → every document becomes its
+    context-window chunks incl. the final partial — the splitter stage
+    of a training/RAG pipeline. Narrow 1→k generation, no shuffle;
+    chunk_idx = start/stride needs no window function."""
+    from etl_capnz_spark.operators.text import chunk_tokens
+
+    return chunk_tokens(
+        _docs(spark, sf_dir), "text", "doc_id", window=40, stride=25
+    )
+
+
 def _q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% hash sample of documents — reproducible across reruns,
     partitionings, and engines (no RNG), filter sits on the scan."""
@@ -3985,6 +4027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_topk": _q_token_topk,
         "extract_main_text": _q_extract_main_text,
+        "html_outlinks": _q_html_outlinks,
+        "chunk_documents": _q_chunk_documents,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6091,6 +6135,42 @@ def oracle_sql() -> dict[str, str]:
                    round(len(text) / greatest(len(html), 1), 6)
                      AS extract_ratio
             FROM kept""",
+        "html_outlinks": """
+            WITH wrapped AS (
+              SELECT doc_id,
+                     '<html><body><nav><a href="/">Home</a></nav><p>See ' ||
+                     '<a href="/doc/' || ((doc_id * 3 + 1) % 1000)::VARCHAR ||
+                     '">one</a>, <a href="/doc/' ||
+                     ((doc_id * 3 + 2) % 1000)::VARCHAR ||
+                     '">two</a> and <a class="x" href="/doc/' ||
+                     ((doc_id * 7) % 1000)::VARCHAR ||
+                     '">three</a>.</p></body></html>' AS html
+              FROM documents)
+            SELECT href, count(*) AS n_refs FROM (
+              SELECT unnest(regexp_extract_all(html,
+                '<a\\s[^>]*href="([^"]+)"', 1)) AS href
+              FROM wrapped)
+            GROUP BY href""",
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS toks
+              FROM documents),
+            nz AS (
+              SELECT doc_id, toks, len(toks) AS n
+              FROM toks WHERE len(toks) > 0),
+            st AS (
+              SELECT doc_id, toks, n, unnest(range(0, n, 25)) AS s
+              FROM nz)
+            SELECT doc_id,
+                   (s / 25)::INT AS chunk_idx,
+                   s::INT AS start,
+                   array_to_string(
+                     list_slice(toks, s + 1, least(s + 40, n)), ' ')
+                     AS chunk_text,
+                   least(40, n - s)::INT AS n_chunk_tokens
+            FROM st""",
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

@@ -57,6 +57,17 @@ _ENTITIES: list[tuple[str, str]] = [
 ]
 
 
+# Anchor href extraction — the crawl-frontier feed. Same regex-over-
+# markup discipline as the reference's feed-link extraction
+# (task.ts:563-578), RE2 ∩ Java portable (no lookaround).
+_HREF_RE = r'<a\s[^>]*href="([^"]+)"'
+
+
+def extract_links(col: Column) -> Column:
+    """All anchor hrefs of an HTML column, in document order."""
+    return F.regexp_extract_all(col, F.lit(_HREF_RE), 1)
+
+
 def decode_entities(col: Column) -> Column:
     """Decode the common HTML entities (ordered chain, ``&amp;`` last)."""
     out = col

@@ -328,3 +328,49 @@ def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFram
         .orderBy(F.col("n").desc(), "token")
         .limit(top_n)
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window splitter of
+    a training-data / retrieval pipeline: each document becomes
+    ``ceil(n_tokens / stride)`` chunks of up to ``window`` tokens, each
+    chunk starting ``stride`` tokens after the previous (overlap =
+    ``window - stride``). The final partial chunk is kept (training
+    pipelines pad it; retrieval wants the tail text).
+
+    Pure array HOFs: sequence() over starts + one posexplode per
+    document — a narrow 1→k row generation with NO shuffle; chunk_idx is
+    ``start / stride`` so it is deterministic without window functions.
+    Empty/whitespace-only documents produce zero chunks.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size("_toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            id_col,
+            (F.col("start") / stride).cast("int").alias("chunk_idx"),
+            "start",
+            F.array_join(
+                F.slice("_toks", F.col("start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(window), F.size("_toks") - F.col("start")
+            ).alias("n_chunk_tokens"),
+        )
+    )

@@ -110,3 +110,49 @@ def test_extraction_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_extract_links_order_and_attrs(spark):
+    from etl_capnz_spark.operators.html import extract_links
+
+    html = ('<a href="/a">1</a> <a class="z" href="/b">2</a>'
+            " <a name=x>no href</a> <ahref='/bogus'>")
+    out = _one(spark, extract_links(F.col("html")), html)
+    assert list(out) == ["/a", "/b"]
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from etl_capnz_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id int, text string",
+    )
+    rows = sorted(
+        chunk_tokens(df, "text", "doc_id", window=4, stride=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    got = [
+        (r["doc_id"], r["chunk_idx"], r["start"], r["chunk_text"],
+         r["n_chunk_tokens"])
+        for r in rows
+    ]
+    assert got == [
+        (1, 0, 0, "a b c d", 4),
+        (1, 1, 2, "c d e f", 4),
+        (1, 2, 4, "e f g", 3),    # final partial kept
+        (1, 3, 6, "g", 1),
+        (4, 0, 0, "x", 1),        # single-token doc -> one chunk
+    ]  # empty/whitespace docs produce zero chunks
+
+
+def test_chunk_tokens_rejects_bad_params(spark):
+    import pytest
+
+    from etl_capnz_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "text", "doc_id", window=0, stride=2)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "text", "doc_id", window=4, stride=0)
