@@ -49,8 +49,15 @@ def color_code(parameters: Column) -> Column:
 
 
 def clean_cert(cert: Column) -> Column:
-    """Strip ``&#13;`` entities and whitespace (task.ts:484)."""
-    return F.regexp_replace(F.regexp_replace(cert, "&#13;", ""), r"\s", "")
+    """Strip ``&#13;`` entities and whitespace (task.ts:484).
+
+    Single alternation pass instead of two regexp_replace scans over the
+    ~1.5 KB payload — equivalent to entity-first-then-whitespace because
+    a single non-overlapping sweep removes exactly the contiguous
+    ``&#13;`` runs the first pass would have, and removal of either
+    pattern cannot create a new match for the other within one pass.
+    """
+    return F.regexp_replace(cert, r"&#13;|\s", "")
 
 
 def signature_struct(cert: Column) -> Column:
