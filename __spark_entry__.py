@@ -1944,6 +1944,56 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py): scheme/host lowercase,
+    default-port drop, empty path → '/', query-param sort, fragment
+    strip. Four deterministic messy-URL families are built from doc_id
+    in BOTH engines (case soup, :80/:443, unsorted + trailing-& params,
+    a non-http scheme that must keep its port); each engine then runs
+    its own normalizer. Map-only regex/split/sort — no shuffle."""
+    from etl_capnz_spark.operators.urls import normalize_url
+
+    d = F.col("doc_id")
+    h = (d % 50).cast("string")
+    q = (d % 3).cast("string")
+    raw = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Example"), h, F.lit(".COM:80/a/b?z=9&a="),
+                q, F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("https://CDN"), h, F.lit(".net:443")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("http://site"), h, F.lit(".org/path?b=2&a="), q, F.lit("&")),
+        )
+        .otherwise(F.concat(F.lit("ftp://files"), h, F.lit(".org:21/x")))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", raw.alias("url"))
+        .select("doc_id", "url", normalize_url(F.col("url")).alias("url_norm"))
+    )
+
+
+def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixture (operators/sampling.py
+    temperature_mixture, α=1/2): per-source sqrt weighting + md5-ppm
+    hash sampling — large sources down-weighted, small up-weighted, the
+    multilingual-pretraining mixing rule. Exact-checkable because the
+    weights use IEEE-exact sqrt, rates round to 6 dp, and the sampler is
+    the engine-portable md5 bucket."""
+    from etl_capnz_spark.operators.sampling import temperature_mixture
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return temperature_mixture(docs, "doc_id", "source", target_rows=200)
+
+
 def _q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% hash sample of documents — reproducible across reruns,
     partitionings, and engines (no RNG), filter sits on the scan."""
@@ -4029,6 +4079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": _q_extract_main_text,
         "html_outlinks": _q_html_outlinks,
         "chunk_documents": _q_chunk_documents,
+        "url_normalize": _q_url_normalize,
+        "mixture_temperature": _q_mixture_temperature,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6171,6 +6223,61 @@ def oracle_sql() -> dict[str, str]:
                      AS chunk_text,
                    least(40, n - s)::INT AS n_chunk_tokens
             FROM st""",
+        "url_normalize": """
+            WITH raw AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'HTTP://Example' || (doc_id % 50)::VARCHAR ||
+                              '.COM:80/a/b?z=9&a=' || (doc_id % 3)::VARCHAR ||
+                              '#frag'
+                  WHEN 1 THEN 'https://CDN' || (doc_id % 50)::VARCHAR ||
+                              '.net:443'
+                  WHEN 2 THEN 'http://site' || (doc_id % 50)::VARCHAR ||
+                              '.org/path?b=2&a=' || (doc_id % 3)::VARCHAR ||
+                              '&'
+                  ELSE 'ftp://files' || (doc_id % 50)::VARCHAR || '.org:21/x'
+                END AS url
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+                regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM raw),
+            norm AS (
+              SELECT doc_id, url, scheme, hostport,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END AS host,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(query, '&'), p -> p <> '')), '&') AS qs
+              FROM parts)
+            SELECT doc_id, url,
+              CASE WHEN scheme <> '' AND hostport <> ''
+                   THEN scheme || '://' || host || path ||
+                        CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+              END AS url_norm
+            FROM norm""",
+        "mixture_temperature": """
+            WITH counts AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source),
+            tot AS (SELECT sum(sqrt(n)) AS sumw FROM counts),
+            rates AS (
+              SELECT source,
+                     round(least(1.0, 200.0 * sqrt(n) / sumw / n), 6) AS rate
+              FROM counts, tot)
+            SELECT doc_id, source
+            FROM documents JOIN rates USING (source)
+            WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
+                    % 1000000
+                  < round(rate * 1000000)::BIGINT""",
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

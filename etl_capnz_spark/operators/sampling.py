@@ -247,3 +247,57 @@ def training_order_sharded(
         F.col(id_col),
         (F.row_number().over(w) - 1 + offset_col).alias("position"),
     )
+
+
+def hash_ppm(col: Column, salt: str = "") -> Column:
+    """Deterministic per-row bucket in [0, 1e6) — :func:`hash_pct` at
+    parts-per-million resolution for fine-grained rates."""
+    basis = F.concat(F.lit(salt), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast("bigint")
+        % 1_000_000
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_rows: int,
+    salt: str = "t1",
+) -> DataFrame:
+    """Temperature-weighted corpus mixture (T=2 ⇒ α=1/2 up/down-weighting
+    à la multilingual pretraining): source ``s`` receives weight
+    ``sqrt(n_s) / Σ sqrt(n_s)`` — large sources are down-weighted, small
+    ones up-weighted relative to proportional sampling — and is then
+    hash-sampled at rate ``min(1, target_rows·w_s / n_s)``.
+
+    Deterministic end to end: per-source counts → sqrt weights (sqrt is
+    IEEE-exact, and the rate is rounded to 6 dp so the ppm threshold is
+    an engine-portable integer) → md5-bucket filter. No driver state:
+    counts stay distributed (tiny per-source aggregate broadcast back);
+    sampling is a narrow filter, so at 100 TB this is one metadata-sized
+    agg plus a map-only pass.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    tot = counts.agg(F.sum(F.sqrt("_n")).alias("_sumw"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.sqrt("_n")
+                / F.col("_sumw")
+                / F.col("_n"),
+            ),
+            6,
+        ).alias("_rate"),
+    )
+    # round() before the bigint cast: Spark's double→bigint TRUNCATES
+    # while DuckDB's ROUNDS, and 0.123456*1e6 can land at 123455.99…;
+    # explicit round keeps the ppm threshold engine-portable
+    threshold = F.round(F.col("_rate") * 1_000_000, 0).cast("bigint")
+    return df.join(F.broadcast(rates), source_col).filter(
+        hash_ppm(F.col(id_col), salt) < threshold
+    ).drop("_rate")

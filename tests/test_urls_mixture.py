@@ -1,0 +1,86 @@
+"""Edge pins for URL canonicalization and temperature mixture sampling."""
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.sampling import temperature_mixture
+from etl_capnz_spark.operators.urls import normalize_url
+
+
+def _norm(spark, url):
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(normalize_url(F.col("url")).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+def test_normalize_url_cases(spark):
+    cases = {
+        # case + default port + fragment + unsorted params
+        "HTTP://Example.COM:80/a/b?z=9&a=1#frag":
+            "http://example.com/a/b?a=1&z=9",
+        # https default port, empty path
+        "https://CDN.Net:443": "https://cdn.net/",
+        # trailing & produces an empty param that must drop
+        "http://x.org/p?b=2&a=1&": "http://x.org/p?a=1&b=2",
+        # non-default port kept; non-http scheme keeps ANY port
+        "http://x.org:8080/p": "http://x.org:8080/p",
+        "ftp://files.org:21/x": "ftp://files.org:21/x",
+        # already canonical: fixpoint
+        "http://example.com/a/b?a=1&z=9": "http://example.com/a/b?a=1&z=9",
+        # no query, no port
+        "https://a.b/c": "https://a.b/c",
+    }
+    for raw, want in cases.items():
+        assert _norm(spark, raw) == want, raw
+    # non-URL strings → null
+    assert _norm(spark, "not a url") is None
+    assert _norm(spark, "/relative/path") is None
+
+
+def test_normalize_url_idempotent(spark):
+    df = spark.createDataFrame(
+        [("HTTP://A.COM:80/x?b=2&a=1#f",), ("https://B.net:443",)],
+        "url string",
+    )
+    once = df.select(normalize_url(F.col("url")).alias("url"))
+    twice = once.select(normalize_url(F.col("url")).alias("url"))
+    assert once.collect() == twice.collect()
+
+
+def test_temperature_mixture_shape(spark, sf_dir):
+    from etl_capnz_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_mixture(docs, "doc_id", "source", target_rows=100)
+    rows = out.collect()
+    # roughly the target (hash sampling is binomial around the rate)
+    assert 50 <= len(rows) <= 200
+    # temperature weighting: every source with >= a handful of docs is
+    # represented (sqrt up-weights the small ones)
+    n_sources = docs.select("source").distinct().count()
+    got_sources = {r["source"] for r in rows}
+    assert len(got_sources) == n_sources
+    # deterministic: same salt, same sample
+    again = temperature_mixture(docs, "doc_id", "source", target_rows=100)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    # small sources keep a HIGHER fraction than large ones
+    frac = {
+        r["source"]: r["kept"] / r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .join(
+            out.groupBy("source").agg(F.count("*").alias("kept")), "source"
+        )
+        .collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    smallest = min(sizes, key=sizes.get)
+    largest = max(sizes, key=sizes.get)
+    if sizes[smallest] * 4 <= sizes[largest]:  # only when sizes differ enough
+        assert frac[smallest] > frac[largest]
