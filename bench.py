@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash",
     "text_quality",
     "knn_brute",
+    # round 3: crawl ingest stages (HTML extraction + context chunking)
+    "extract_main_text",
+    "chunk_documents",
 ]
 
 

@@ -352,3 +352,23 @@ def _parse_fallback(df: DataFrame, xml_col: str) -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_parse_batch, full_schema)
+
+
+def with_timestamps(df: DataFrame) -> DataFrame:
+    """Derive ``sent_ts`` / ``onset_ts`` / ``expires_ts`` from the CAP
+    ISO-8601 string fields — the adapter between the raw parse (strings,
+    '' when absent) and the timestamp-typed operators (T6 expiry filter,
+    C4/C5 formatting, feature fan-out).
+
+    ``try_to_timestamp`` keeps the T8 per-record error-isolation
+    discipline under ANSI mode: an unparseable timestamp becomes NULL
+    (→ the alert flows to the defaults/fallback paths) instead of
+    failing the job.
+    """
+    out = df
+    for c in ("sent", "onset", "expires"):
+        out = out.withColumn(
+            f"{c}_ts",
+            F.try_to_timestamp(F.nullif(F.col(c), F.lit(""))),
+        )
+    return out
