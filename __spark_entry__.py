@@ -1994,6 +1994,30 @@ def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "source", target_rows=200)
 
 
+def _q_ts_similarity_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity, exact tier (operators/timeseries.py):
+    per-user daily activity resampled to 8 equal buckets of the user's
+    own span, L2 distance against a literal ramp query series, top-20
+    (TakeOrderedAndProject). The Catalyst-expressible first pass of a
+    TS-similarity stack (PAPERS.md EDBT'19/ICDE'21 family); the
+    alignment-invariant DTW tier is `ts_similarity_dtw`."""
+    from etl_capnz_spark.operators.timeseries import daily_series, l2_topk
+
+    series = daily_series(_t(spark, sf_dir, "events"))
+    return l2_topk(series, [float(i + 1) for i in range(8)], k=20)
+
+
+def _q_ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW top-k (Sakoe-Chiba band 2) over the same series — imperative
+    O(n·m) DP through the sanctioned mapInPandas seam; exactness pinned
+    vs a pure-Python reference in tests/test_timeseries.py (BPE-style
+    discipline) → rows-only here."""
+    from etl_capnz_spark.operators.timeseries import daily_series, dtw_topk
+
+    series = daily_series(_t(spark, sf_dir, "events"))
+    return dtw_topk(series, [float(i + 1) for i in range(8)], k=20, band=2)
+
+
 def _q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~10% hash sample of documents — reproducible across reruns,
     partitionings, and engines (no RNG), filter sits on the scan."""
@@ -4081,6 +4105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "url_normalize": _q_url_normalize,
         "mixture_temperature": _q_mixture_temperature,
+        "ts_similarity_l2": _q_ts_similarity_l2,
+        "ts_similarity_dtw": _q_ts_similarity_dtw,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6278,6 +6304,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
                     % 1000000
                   < round(rate * 1000000)::BIGINT""",
+        "ts_similarity_l2": """
+            WITH daily AS (
+              SELECT user_id, ts::DATE AS day, sum(value) AS day_v
+              FROM events GROUP BY user_id, ts::DATE),
+            w AS (
+              SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY user_id),
+            b AS (
+              SELECT d.user_id,
+                     floor(date_diff('day', w.d0, d.day) * 8
+                           / (date_diff('day', w.d0, w.d1) + 1))::INT
+                       AS bucket,
+                     d.day_v
+              FROM daily d JOIN w USING (user_id)),
+            bv AS (
+              SELECT user_id, bucket, round(avg(day_v), 6) AS bv
+              FROM b GROUP BY user_id, bucket),
+            grid AS (
+              SELECT user_id, unnest(range(8))::INT AS bucket FROM w),
+            filled AS (
+              SELECT g.user_id, g.bucket, coalesce(bv.bv, 0.0) AS bv
+              FROM grid g LEFT JOIN bv USING (user_id, bucket)),
+            series AS (
+              SELECT user_id, list(bv ORDER BY bucket) AS vals
+              FROM filled GROUP BY user_id)
+            SELECT user_id,
+                   round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(range(8), i ->
+                       (vals[i + 1] - (i + 1)::DOUBLE)
+                       * (vals[i + 1] - (i + 1)::DOUBLE))),
+                     (acc, x) -> acc + x)), 6) AS dist
+            FROM series
+            ORDER BY dist ASC, user_id ASC
+            LIMIT 20""",
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

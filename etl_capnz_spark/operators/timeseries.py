@@ -1,0 +1,188 @@
+"""Time-series similarity search (north-star extension, SURVEY.md §2.12,
+cf. PAPERS.md: EDBT'19 streaming TS similarity, ICDE'21 REPOSE top-k).
+
+Per-entity activity series (here: a user's daily event values) compared
+against a query series, two tiers mirroring the ANN stack's
+brute/approx split:
+
+* ``l2_topk`` — exact L2 over fixed-length resampled series: fully
+  Catalyst-expressible (zip_with + fold), oracle-checkable, and the
+  cheap first-pass filter of every TS-similarity system.
+* ``dtw_topk`` — Dynamic Time Warping with an optional Sakoe-Chiba
+  band: the alignment-invariant distance (shifts/speed changes don't
+  penalize). The O(n·m) DP is imperative → the sanctioned
+  ``mapInPandas`` seam (Arrow-batched, numpy DP per row); everything
+  around it (series build, top-k) stays JVM-side. Exactness is pinned
+  in tests against a pure-Python reference (BPE-style discipline).
+
+Series build (``daily_series``) is engine-portable: per-user days are
+bucketed into ``n_buckets`` equal slices of the user's own [min_day,
+max_day] span, bucket value = avg of the day sums, missing buckets 0 —
+deterministic, no RNG, the same arithmetic in the DuckDB oracle.
+
+Scale: the series table is one row per entity (corpus >> series), the
+query side is a broadcast literal, distances are map-only, and top-k
+plans as TakeOrderedAndProject — no global sort, no shuffle of losers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def daily_series(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """One fixed-length activity series per user: (user, vals[n_buckets]).
+
+    bucket = floor((day - user_min_day) * n / (span_days + 1)) — each
+    user's own time range is split into ``n`` equal slices, so series
+    compare SHAPE, not absolute calendar position. Values are rounded to
+    6 dp (avg is a float; rounding keeps the series dialect-portable).
+    """
+    daily = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.to_date(ts_col).alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").alias("day_v"))
+    )
+    w = (
+        daily.groupBy("user_id").agg(
+            F.min("day").alias("_d0"), F.max("day").alias("_d1")
+        )
+    )
+    bucketed = (
+        daily.join(w, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff("day", "_d0")
+                * n_buckets
+                / (F.datediff("_d1", "_d0") + 1)
+            )
+            .cast("int")
+            .alias("bucket"),
+            "day_v",
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.round(F.avg("day_v"), 6).alias("bv"))
+    )
+    grid = w.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket")
+    )
+    filled = grid.join(bucketed, ["user_id", "bucket"], "left").select(
+        "user_id", "bucket", F.coalesce("bv", F.lit(0.0)).alias("bv")
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "bv"))),
+                lambda s: s["bv"],
+            ).alias("vals")
+        )
+    )
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_topk(
+    series: DataFrame, query_vals: list[float], k: int = 5
+) -> DataFrame:
+    """Exact L2 top-k against a literal query series (broadcast-free:
+    the query is a constant array expression). Deterministic tie-break
+    on user_id; distance rounded BEFORE ranking."""
+    q = F.array(*[F.lit(float(x)) for x in query_vals])
+    return (
+        series.select(
+            "user_id", F.round(_l2(F.col("vals"), q), 6).alias("dist")
+        )
+        .orderBy(F.col("dist").asc(), F.col("user_id").asc())
+        .limit(k)
+    )
+
+
+def dtw_reference(a: list[float], b: list[float], band: int | None = None) -> float:
+    """Pure-Python DTW (squared-step, sqrt at the end) — the exactness
+    oracle for :func:`dtw_topk` and a readable spec of the DP."""
+    import math
+
+    n, m = len(a), len(b)
+    inf = float("inf")
+    prev = [inf] * (m + 1)
+    prev[0] = 0.0
+    for i in range(1, n + 1):
+        cur = [inf] * (m + 1)
+        lo = 1 if band is None else max(1, i - band)
+        hi = m if band is None else min(m, i + band)
+        for j in range(lo, hi + 1):
+            cost = (a[i - 1] - b[j - 1]) ** 2
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return math.sqrt(prev[m])
+
+
+def dtw_topk(
+    series: DataFrame,
+    query_vals: list[float],
+    k: int = 5,
+    band: int | None = None,
+) -> DataFrame:
+    """DTW top-k via the sanctioned Arrow seam: ``mapInPandas`` computes
+    the per-row DP with numpy (vectorized over the inner loop), the
+    surrounding plan stays JVM-side and the top-k is
+    TakeOrderedAndProject. ``band`` = Sakoe-Chiba half-width (None =
+    unconstrained)."""
+    import numpy as np
+
+    q = np.asarray(query_vals, dtype=np.float64)
+    bd = band
+
+    def compute(batches):
+        import pandas as pd
+
+        m = len(q)
+        for pdf in batches:
+            dists = []
+            for vals in pdf["vals"]:
+                a = np.asarray(vals, dtype=np.float64)
+                n = len(a)
+                prev = np.full(m + 1, np.inf)
+                prev[0] = 0.0
+                for i in range(1, n + 1):
+                    cur = np.full(m + 1, np.inf)
+                    lo = 1 if bd is None else max(1, i - bd)
+                    hi = m if bd is None else min(m, i + bd)
+                    # vectorized inner loop: costs for the open band
+                    cost = (a[i - 1] - q[lo - 1 : hi]) ** 2
+                    # cur[j-1] dependency forces a scan, but numpy
+                    # handles the min(prev[j], prev[j-1]) half
+                    base = np.minimum(prev[lo : hi + 1], prev[lo - 1 : hi])
+                    running = np.inf
+                    for idx in range(hi - lo + 1):
+                        running = cost[idx] + min(base[idx], running)
+                        cur[lo + idx] = running
+                    prev = cur
+                dists.append(float(np.sqrt(prev[m])))
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "dist": np.round(dists, 6)}
+            )
+
+    scored = series.mapInPandas(compute, "user_id bigint, dist double")
+    return scored.orderBy(F.col("dist").asc(), F.col("user_id").asc()).limit(k)

@@ -1,0 +1,70 @@
+"""Time-series similarity pins (operators/timeseries.py): the
+distributed DTW must be EXACTLY the pure-Python reference (same DP,
+same band), and the series build + L2 tier get shape/invariant pins."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.timeseries import (
+    daily_series,
+    dtw_reference,
+    dtw_topk,
+    l2_topk,
+)
+from etl_capnz_spark.session import read_table
+
+
+def test_dtw_reference_known_values():
+    # identical series → 0
+    assert dtw_reference([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == 0.0
+    # time-shifted ramp aligns almost freely (DTW ≪ L2)
+    a = [0.0, 1.0, 2.0, 3.0, 4.0]
+    b = [0.0, 0.0, 1.0, 2.0, 3.0]
+    assert dtw_reference(a, b) == 1.0  # one unmatched step of cost 1²
+    l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    assert dtw_reference(a, b) < l2
+    # band=0 degenerates to the diagonal = plain L2
+    assert abs(dtw_reference(a, b, band=0) - l2) < 1e-12
+
+
+def test_distributed_dtw_equals_reference(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [4.0, 3.0, 2.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 2.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, vals array<double>")
+    q = [1.0, 2.0, 3.0, 4.0]
+    for band in (None, 1, 2):
+        got = {
+            r["user_id"]: r["dist"]
+            for r in dtw_topk(df, q, k=10, band=band).collect()
+        }
+        want = {
+            uid: round(dtw_reference(vals, q, band=band), 6)
+            for uid, vals in rows
+        }
+        assert got == want, f"band={band}"
+
+
+def test_daily_series_shape_and_determinism(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    s = daily_series(ev)
+    rows = s.collect()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users
+    assert all(len(r["vals"]) == 8 for r in rows)
+    again = {r["user_id"]: r["vals"] for r in daily_series(ev).collect()}
+    assert {r["user_id"]: r["vals"] for r in rows} == again
+
+
+def test_l2_topk_plans_take_ordered(spark, sf_dir):
+    s = daily_series(read_table(spark, sf_dir, "events"))
+    out = l2_topk(s, [1.0] * 8, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows == sorted(rows, key=lambda r: (r["dist"], r["user_id"]))
