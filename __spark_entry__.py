@@ -3335,6 +3335,31 @@ def _q_media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_features(media)
 
 
+def _q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup via perceptual (average) hash over the REAL PPM
+    decoder (operators/multimodal.py phash_ppm): payloads are planted
+    with exact duplicate images (pixel seed = doc_id % 100, media_id
+    unique), hashed through the Arrow kernel, and clustered by hash —
+    the shuffle carries (id, 3-hex hash), never pixels. Hash kernel is
+    imperative numpy → rows-only; tests/test_multimodal.py pins the
+    distributed hashes EXACTLY against phash_reference and the cluster
+    structure against the planted seeds."""
+    from etl_capnz_spark.operators.multimodal import (
+        phash_ppm,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir), seed_mod=100)
+    hashed = phash_ppm(media)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_id").alias("representative_id"),
+        )
+    )
+
+
 def _q_media_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container decode, oracle-exact: YUV4MPEG2 payloads
     (3 mono frames of 4×2 luma, closed-form bytes) parsed by the
@@ -4171,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hash": _q_text_feature_hash,
         "text_classifier_score": _q_text_classifier_score,
         "media_ppm_decode": _q_media_ppm_decode,
+        "media_phash_dedup": _q_media_phash_dedup,
         "media_wav_decode": _q_media_wav_decode,
         "media_y4m_decode": _q_media_y4m_decode,
         "media_y4m_frames": _q_media_y4m_frames,

@@ -266,20 +266,26 @@ _PPM_DECODE_SCHEMA = (
 )
 
 
-def synthesize_ppm_media(documents: DataFrame) -> DataFrame:
+def synthesize_ppm_media(
+    documents: DataFrame, seed_mod: int | None = None
+) -> DataFrame:
     """Deterministic P6 PPM payloads (test support): 8×6 RGB where
-    byte[i] = (doc_id·7 + i·13) mod 256 — a closed-form pixel function,
-    so an oracle can recompute channel means WITHOUT a decoder."""
+    byte[i] = (seed·7 + i·13) mod 256 — a closed-form pixel function,
+    so an oracle can recompute channel means WITHOUT a decoder.
+
+    ``seed_mod`` plants EXACT duplicate images: the pixel seed becomes
+    ``doc_id % seed_mod`` while ``media_id`` stays the unique doc_id —
+    the ground truth for image-dedup tests (same seed ⇒ identical
+    payload bytes)."""
     import pandas as pd
 
     def _gen(batches: Iterator) -> Iterator:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) if seed_mod is None else int(doc_id) % seed_mod
                 n = PPM_W * PPM_H * 3
-                body = bytes(
-                    (int(doc_id) * 7 + i * 13) % 256 for i in range(n)
-                )
+                body = bytes((seed * 7 + i * 13) % 256 for i in range(n))
                 payloads.append(
                     b"P6\n%d %d\n255\n" % (PPM_W, PPM_H) + body
                 )
@@ -739,3 +745,65 @@ def wav_energy_windows(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_windows, _WAV_WINDOW_SCHEMA)
+
+
+# --- perceptual image hashing: average-hash over the REAL PPM decoder ------
+
+def phash_reference(payload: bytes, grid_w: int = 4, grid_h: int = 3) -> str:
+    """Pure-Python average-hash spec (the exactness oracle for
+    :func:`phash_ppm`): decode P6, grayscale (channel mean), crop to
+    block multiples, block means, bit = block > global block mean,
+    row-major bits → zero-padded hex. Malformed payload → raises."""
+    import numpy as np
+
+    raw = bytes(payload)
+    assert raw.startswith(b"P6")
+    parts = raw.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    assert int(parts[2]) == 255
+    px = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    gray = px.mean(axis=2)
+    bh, bw = h // grid_h, w // grid_w
+    gray = gray[: grid_h * bh, : grid_w * bw]
+    blocks = gray.reshape(grid_h, bh, grid_w, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, f"0{(grid_w * grid_h + 3) // 4}x")
+
+
+def phash_ppm(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid_w: int = 4,
+    grid_h: int = 3,
+) -> DataFrame:
+    """Perceptual (average) hash per image — the image half of the
+    dedup story: identical images hash identically, near-identical ones
+    (small brightness shifts) usually collide too, so hash-groupBy is
+    image-level exact+near dedup at any scale (the shuffle carries only
+    (id, 3-hex-char hash), never pixels).
+
+    Same Arrow seam and row-isolation discipline as
+    :func:`decode_ppm_features`; the DP-free kernel is a handful of
+    numpy reshapes per image. Compressed formats slot into the same
+    kernel via PIL/ffmpeg (the honestly-guarded seam, see module head).
+    """
+    import pandas as pd
+
+    def _hash(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"media_id": [], "phash": []}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    out["phash"].append(
+                        phash_reference(payload, grid_w, grid_h)
+                    )
+                except Exception:
+                    out["phash"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_hash, "media_id long, phash string")

@@ -130,3 +130,39 @@ def test_y4m_decode_real_and_isolates_malformed(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (2, 1, 2)
     assert got[1]["mean_luma"] == 25.0
     assert got[2]["width"] is None
+
+
+def test_phash_matches_reference_and_clusters_planted_dups(spark, sf_dir):
+    """Distributed phash == pure-Python reference per image, and planted
+    duplicates (pixel seed = doc_id % 7) cluster exactly by seed."""
+    from etl_capnz_spark.operators.multimodal import (
+        phash_ppm,
+        phash_reference,
+        synthesize_ppm_media,
+    )
+    from etl_capnz_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(40)
+    media = synthesize_ppm_media(docs, seed_mod=7).cache()
+    got = {r["media_id"]: r["phash"] for r in phash_ppm(media).collect()}
+    for r in media.collect():
+        assert got[r["media_id"]] == phash_reference(bytes(r["payload"]))
+    # same seed -> identical payload -> identical hash: clusters must
+    # refine the seed partition (hash collisions across seeds allowed,
+    # splits within a seed are NOT)
+    seed_to_hashes = {}
+    for mid, h in got.items():
+        seed_to_hashes.setdefault(mid % 7, set()).add(h)
+    assert all(len(hs) == 1 for hs in seed_to_hashes.values())
+    media.unpersist()
+
+
+def test_phash_malformed_payload_isolated(spark):
+    from etl_capnz_spark.operators.multimodal import phash_ppm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"P6\n8 6\n255\n" + bytes(144))), (2, bytearray(b"nope"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r["phash"] for r in phash_ppm(df).collect()}
+    assert rows[1] is not None and rows[2] is None
