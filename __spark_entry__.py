@@ -3734,6 +3734,66 @@ def _q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join (operators/geometry.py point_in_ring): md5-
+    synthesized station points × parsed CAP alert polygons. Candidates
+    come from a 1° grid equi-join — each polygon is exploded over its
+    bbox cells (unit squares → ≤4 cells), each point lands in one cell —
+    then the exact ray-cast HOF decides. O(density) candidates, never
+    points × polygons; the same plan shape as geo_radius_join, which is
+    how a Sedona-class engine runs containment at 100 TB."""
+    from etl_capnz_spark.operators.geometry import (
+        parse_polygon,
+        point_in_ring,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+
+    def h(salt: str) -> F.Column:
+        basis = F.concat(F.lit(salt), F.col("c_custkey").cast("string"))
+        return F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast("bigint")
+
+    lat = (h("plat") % 600000) / 10000.0 - 45.0
+    lon = (h("plon") % 290000) / 10000.0 + 150.0
+    pts = cust.select(
+        F.col("c_custkey").alias("station_id"),
+        lon.alias("px"),
+        lat.alias("py"),
+        F.floor(lon).cast("int").alias("cx"),
+        F.floor(lat).cast("int").alias("cy"),
+    )
+    rings = (
+        cap_alerts(spark, sf_dir)
+        .select("k", F.posexplode("polygons").alias("poly_idx", "_ps"))
+        .select("k", "poly_idx", parse_polygon(F.col("_ps")).alias("ring"))
+        .filter(F.col("ring").isNotNull())
+    )
+    lons = F.transform("ring", lambda p: F.element_at(p, 1))
+    lats = F.transform("ring", lambda p: F.element_at(p, 2))
+    cells = rings.select(
+        "k",
+        "poly_idx",
+        "ring",
+        F.explode(
+            F.sequence(
+                F.floor(F.array_min(lons)).cast("int"),
+                F.floor(F.array_max(lons)).cast("int"),
+            )
+        ).alias("cx"),
+        F.sequence(
+            F.floor(F.array_min(lats)).cast("int"),
+            F.floor(F.array_max(lats)).cast("int"),
+        ).alias("_cys"),
+    ).select(
+        "k", "poly_idx", "ring", "cx", F.explode("_cys").alias("cy")
+    )
+    return (
+        pts.join(cells, ["cx", "cy"])
+        .filter(point_in_ring(F.col("px"), F.col("py"), F.col("ring")))
+        .select("station_id", "k", "poly_idx")
+    )
+
+
 def _q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius self-join via grid-cell bucketing (the Sedona-class
     operator core Spark lacks): points land in 1° cells, each point
@@ -4192,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "graph_triangles": _q_graph_triangles,
         "geo_radius_join": _q_geo_radius_join,
+        "geo_point_in_polygon": _q_geo_point_in_polygon,
         "events_regression": _q_events_regression,
         "text_feature_hash": _q_text_feature_hash,
         "text_classifier_score": _q_text_classifier_score,
@@ -5503,6 +5564,37 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
                             WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "geo_point_in_polygon": f"""{_DUCK},
+            rings AS (
+              SELECT k, 0 AS poly_idx,
+                     [[lon0::DOUBLE, lat0::DOUBLE],
+                      [lon0::DOUBLE, (lat0+1)::DOUBLE],
+                      [(lon0+1)::DOUBLE, (lat0+1)::DOUBLE],
+                      [(lon0+1)::DOUBLE, lat0::DOUBLE],
+                      [lon0::DOUBLE, lat0::DOUBLE]] AS ring
+              FROM cap WHERE g IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT k, 1,
+                     [[lon0::DOUBLE, lat0::DOUBLE],
+                      [lon0::DOUBLE, (lat0+2)::DOUBLE],
+                      [(lon0+2)::DOUBLE, lat0::DOUBLE],
+                      [lon0::DOUBLE, lat0::DOUBLE]]
+              FROM cap WHERE g = 2),
+            pts AS (
+              SELECT c_custkey AS station_id,
+                     (('0x' || substr(md5('plon' || c_custkey::VARCHAR),
+                       1, 13))::BIGINT % 290000) / 10000.0 + 150.0 AS px,
+                     (('0x' || substr(md5('plat' || c_custkey::VARCHAR),
+                       1, 13))::BIGINT % 600000) / 10000.0 - 45.0 AS py
+              FROM customer)
+            SELECT station_id, k, poly_idx
+            FROM pts, rings
+            WHERE len(list_filter(range(1, len(ring)), i ->
+                    CASE WHEN (ring[i][2] > py) != (ring[i+1][2] > py)
+                         THEN px < ring[i][1] + (ring[i+1][1] - ring[i][1])
+                                   * (py - ring[i][2])
+                                   / (ring[i+1][2] - ring[i][2])
+                         ELSE false END)) % 2 = 1""",
         "geo_radius_join": """
             WITH pts AS (
               SELECT c_custkey AS id,

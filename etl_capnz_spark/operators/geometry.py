@@ -330,3 +330,36 @@ def fallback_point() -> Column:
     return F.struct(
         F.lit(NZ_CENTER_LON).alias("lon"), F.lit(NZ_CENTER_LAT).alias("lat")
     )
+
+
+def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-casting point-in-polygon test over a CLOSED [lon,lat] ring
+    (the :func:`parse_polygon` output shape) — crossing parity of a
+    horizontal ray from (px, py).
+
+    Pure array-HOF: one filter over the ring's edge indices, O(ring)
+    per test with no UDF, so a grid-bucketed candidate join + this
+    predicate is the scalable point-in-polygon join (Sedona-class
+    surface). The edge test is the classic
+    ``(y1 > py) != (y2 > py) AND px < x1 + (x2-x1)(py-y1)/(y2-y1)``;
+    the division is guarded by the parity condition (y1 ≠ y2 inside
+    the branch). Boundary points follow crossing-parity convention —
+    deterministic, and dialect-portable because the oracle runs the
+    identical arithmetic.
+    """
+    edges = F.sequence(F.lit(1), F.size(ring) - 1)
+
+    def crosses(i: Column) -> Column:
+        p1 = F.element_at(ring, i)
+        p2 = F.element_at(ring, i + 1)
+        x1, y1 = F.element_at(p1, 1), F.element_at(p1, 2)
+        x2, y2 = F.element_at(p2, 1), F.element_at(p2, 2)
+        # CASE guard, not AND: ANSI mode THROWS on double div-by-zero
+        # (horizontal edges have y1 == y2) and Spark's And does not
+        # short-circuit; CaseWhen branches ARE lazily evaluated
+        return F.when(
+            (y1 > py) != (y2 > py),
+            px < x1 + (x2 - x1) * (py - y1) / (y2 - y1),
+        ).otherwise(F.lit(False))
+
+    return F.size(F.filter(edges, crosses)) % 2 == 1

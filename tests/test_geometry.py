@@ -108,3 +108,51 @@ def test_property_ring_closed_and_in_bounds(spark, pts):
         assert -90 <= lat <= 90 and -180 <= lon <= 180
     c = _centroid_of(spark, s)
     assert math.isfinite(c["lon"]) and math.isfinite(c["lat"])
+
+
+def test_point_in_ring_cases(spark):
+    """Ray-cast containment: interior/exterior/boundary conventions on a
+    unit square and a concave polygon."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.geometry import point_in_ring
+
+    square = [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]
+    # concave "L": contains (0.25,0.25), NOT (0.75,0.75)
+    ell = [[0.0, 0.0], [0.0, 1.0], [0.5, 1.0], [0.5, 0.5],
+           [1.0, 0.5], [1.0, 0.0], [0.0, 0.0]]
+    cases = [
+        (square, 0.5, 0.5, True),
+        (square, 1.5, 0.5, False),
+        (square, 0.5, -0.1, False),
+        # crossing-parity boundary convention: bottom-left in, top-right out
+        (square, 0.0, 0.0, True),
+        (square, 1.0, 1.0, False),
+        (ell, 0.25, 0.25, True),
+        (ell, 0.75, 0.75, False),
+        (ell, 0.75, 0.25, True),
+    ]
+    df = spark.createDataFrame(
+        [(i, ring, px, py) for i, (ring, px, py, _) in enumerate(cases)],
+        "i int, ring array<array<double>>, px double, py double",
+    )
+    got = {
+        r["i"]: r["inside"]
+        for r in df.select(
+            "i",
+            point_in_ring(F.col("px"), F.col("py"), F.col("ring")).alias(
+                "inside"
+            ),
+        ).collect()
+    }
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}"
+
+
+def test_point_in_polygon_join_is_equi_join(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["geo_point_in_polygon"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
