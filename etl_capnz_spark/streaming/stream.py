@@ -485,3 +485,36 @@ def incremental_dedup_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_merge)
     )
+
+
+def crawl_ingest_stream(
+    html_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_tokens: int = 10,
+):
+    """Streaming crawl ingest — the round-3 crawl stages composed into
+    one continuous pipeline: HTML main-text extraction (operators/html)
+    → token-count quality gate → manifest-logged incremental exact
+    dedup (:func:`incremental_dedup_sink`). Each micro-batch of landed
+    pages becomes deduplicated, extracted plain text.
+
+    Stateless until the sink (extraction and the gate are map-only per
+    batch); all cross-batch state is the sink's hash index, so the
+    stream scales exactly as the batch pipeline does. Read the output
+    with :func:`read_incremental_output`.
+    """
+    from etl_capnz_spark.operators.html import extract_main_text
+    from etl_capnz_spark.operators.text import token_count
+
+    extracted = extract_main_text(
+        html_stream.select(id_col, html_col), html_col, "text", min_words
+    ).select(id_col, "text", "n_lines_kept", "extract_ratio")
+    gated = extracted.filter(token_count(F.col("text")) >= min_tokens)
+    return incremental_dedup_sink(
+        gated, out_path, index_path, checkpoint, "text", id_col
+    )

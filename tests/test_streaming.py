@@ -486,3 +486,53 @@ def test_check_constraints_empty_batch_reports_zero(spark):
     assert prof["n_nulls"] == 0 and prof["n_distinct"] == 0
     with pytest.raises(ValueError, match="at least one constraint"):
         check_constraints(empty)
+
+
+def test_crawl_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming crawl ingest: landed HTML pages are extracted, quality-
+    gated, and cross-batch deduplicated — same page re-crawled in a
+    later batch is dropped by the hash index; chrome-only pages fail
+    the token gate."""
+    import json
+
+    from etl_capnz_spark.streaming.stream import (
+        crawl_ingest_stream,
+        read_incremental_output,
+    )
+
+    land = tmp_path / "pages"
+    land.mkdir()
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    body = ("this is a real article paragraph with plenty of words "
+            "to clear both the line gate and the token gate easily")
+    page = (f"<html><body><nav>Home | About</nav><p>{body}</p>"
+            "<footer>(c) corp</footer></body></html>")
+    chrome_only = "<html><body><nav>Home | About | Contact</nav></body></html>"
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, html STRING")
+            .json(str(land))
+        )
+        q = (
+            crawl_ingest_stream(stream, out, idx, cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join([
+            json.dumps({"doc_id": 1, "html": page}),
+            json.dumps({"doc_id": 2, "html": chrome_only}),
+        ])
+    )
+    run()
+    (land / "b2.jsonl").write_text(
+        json.dumps({"doc_id": 3, "html": page})  # re-crawl -> dup
+    )
+    run()
+    rows = read_incremental_output(spark, out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["text"] == body
