@@ -1994,6 +1994,29 @@ def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "source", target_rows=200)
 
 
+def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): history and
+    the newly-landed slice (split on a deterministic day boundary) are
+    aggregated SEPARATELY into mergeable partials (count / cents-sum /
+    min / max) and merged — the oracle states the full recompute, so the
+    CORRECTNESS row proves merge(rollup(old), rollup(new)) ==
+    rollup(all) exactly. At 100 TB the old side is the stored key-sized
+    rollup: cost is O(new partition), not O(history)."""
+    from etl_capnz_spark.operators.rollup import (
+        merge_rollups,
+        partial_rollup,
+        rollup_with_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    keys = ["day", "event_type"]
+    old = partial_rollup(ev.filter(F.dayofmonth("day") <= 20), keys)
+    new = partial_rollup(ev.filter(F.dayofmonth("day") > 20), keys)
+    return rollup_with_avg(merge_rollups(old, new, keys), keys)
+
+
 def _q_ts_similarity_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity, exact tier (operators/timeseries.py):
     per-user daily activity resampled to 8 equal buckets of the user's
@@ -4192,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _q_mixture_temperature,
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
+        "incremental_rollup": _q_incremental_rollup,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6422,6 +6446,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
                     % 1000000
                   < round(rate * 1000000)::BIGINT""",
+        "incremental_rollup": """
+            SELECT ts::DATE AS day, event_type,
+                   count(*) AS n,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+                   min(round(value * 100)::BIGINT) AS min_cents,
+                   max(round(value * 100)::BIGINT) AS max_cents,
+                   round(sum(round(value * 100)::BIGINT)::DOUBLE
+                         / count(*) / 100.0, 6) AS avg_value
+            FROM events
+            GROUP BY ts::DATE, event_type""",
         "ts_similarity_l2": """
             WITH daily AS (
               SELECT user_id, ts::DATE AS day, sum(value) AS day_v
