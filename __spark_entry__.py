@@ -109,46 +109,15 @@ def entry(spark: SparkSession) -> DataFrame:
     only (id, band_key) tuples; texts move only for candidate pairs;
     components iterate on the verified edge list with localCheckpoint-
     truncated lineage), so the expensive fan-out runs on deduplicated
-    representatives only."""
-    from etl_capnz_spark.operators.dedup import (
-        connected_components,
-        lsh_candidates,
-        minhash_signatures,
-        word_shingles,
-    )
+    representatives only. The chain is the fluent library API
+    (etl_capnz_spark/pipeline.py, SURVEY §3.3 entry point c) — one
+    implementation serves entry(), the CLI, and library users."""
+    from etl_capnz_spark.pipeline import Pipeline
 
     alerts = _active(spark, "/root/testdata/sf0.001")
-    docs = alerts.select(
-        F.col("k").alias("doc_id"),
-        F.concat_ws(
-            " ", "headline", "description", "instruction"
-        ).alias("text"),
+    return (
+        Pipeline.from_alerts(alerts).deduplicated(0.85).to_features().df
     )
-    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
-    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
-    sh = docs.select(
-        "doc_id", F.array_distinct(word_shingles(F.col("text"))).alias("sh")
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_sb"))
-    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
-    union = F.size(F.array_union(F.col("_sa"), F.col("_sb")))
-    verified = (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(
-            (union > 0)
-            & (inter.cast("double") / union.cast("double") >= 0.85)
-        )
-        .select("id_a", "id_b")
-    )
-    losers = (
-        connected_components(verified)
-        .filter(F.col("id") != F.col("component"))
-        .select(F.col("id").alias("k"))
-    )
-    reps = alerts.join(losers, "k", "left_anti")
-    return build_features(reps)
 
 
 # ---------------------------------------------------------------------------
