@@ -305,6 +305,45 @@ def interval_join_streams(
     )
 
 
+def interval_left_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the "did a follow-up
+    happen?" shape: every left row is emitted; unmatched ones surface
+    with NULL right columns only once the right watermark passes
+    ``left_ts + max_delay`` (before that the engine cannot know no
+    match is coming). Same bounded state as the inner form — outer
+    semantics change WHEN unmatched rows emit, not what is stored.
+    Requires the time-interval condition (this one) or equal event-time
+    columns; without a bound Spark rejects outer stream-stream joins
+    because unmatched rows could never be finalized.
+    """
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias("left_ts"),
+        F.col(f"r.{right_ts}").alias("right_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.event_type").alias("right_type"),
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dimension: DataFrame,

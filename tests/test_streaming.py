@@ -536,3 +536,55 @@ def test_crawl_ingest_stream_end_to_end(spark, tmp_path):
     rows = read_incremental_output(spark, out).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["text"] == body
+
+
+def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
+    """Left-outer interval join: matched pairs equal the static left
+    join's matches, and lefts with no right within the window surface
+    with NULL right columns once the watermark passes."""
+    from etl_capnz_spark.streaming.stream import interval_left_join_streams
+
+    events = read_table(spark, sf_dir, "events")
+    lstatic = events.filter(F.col("event_type") == "error")
+    rstatic = events.filter(F.col("event_type") == "view")
+    ldir, rdir = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    lstatic.write.mode("overwrite").parquet(ldir)
+    rstatic.write.mode("overwrite").parquet(rdir)
+    joined = interval_left_join_streams(
+        spark.readStream.schema(lstatic.schema).parquet(ldir),
+        spark.readStream.schema(rstatic.schema).parquet(rdir),
+    )
+    _run_stream(joined, "ssloj_out", str(tmp_path / "cp_ssloj"))
+    got = spark.sql("SELECT * FROM ssloj_out").collect()
+
+    expected_matched = (
+        lstatic.alias("l")
+        .join(
+            rstatic.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .count()
+    )
+    n_left = lstatic.count()
+    n_left_matched = (
+        lstatic.alias("l")
+        .join(
+            rstatic.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")),
+            "left_semi",
+        )
+        .count()
+    )
+    matched = [r for r in got if r["right_ts"] is not None]
+    nulls = [r for r in got if r["right_ts"] is None]
+    assert len(matched) == expected_matched
+    # every unmatched left below the final watermark emits exactly once
+    # with nulls; availableNow leaves only tail rows (past the final
+    # watermark) unemitted
+    assert len(nulls) <= n_left - n_left_matched
+    assert len(nulls) > 0
+    assert all(r["right_type"] is None for r in nulls)

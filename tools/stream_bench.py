@@ -38,6 +38,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from etl_capnz_spark.session import get_session, read_table  # noqa: E402
 from etl_capnz_spark.streaming.stream import (  # noqa: E402
+    crawl_ingest_stream,
     interval_join_streams,
     running_user_totals,
     session_counts,
@@ -170,6 +171,50 @@ def main() -> None:
             .option("path", out)
             .outputMode("append"),
         )
+        # crawl ingest: HTML pages (documents wrapped in the contract's
+        # crawl template) → extraction → gate → manifest dedup sink.
+        docs = read_table(spark, sf_dir, "documents")
+        html = F.concat(
+            F.lit("<html><body><nav><a href='/'>Home</a></nav><p>"),
+            F.col("text"),
+            F.lit("</p><script>var x=1;</script><footer>(c)</footer>"
+                  "</body></html>"),
+        )
+        html_path = os.path.join(base, "html_chunks")
+        docs.select("doc_id", html.alias("html")).repartition(
+            N_CHUNKS
+        ).write.mode("overwrite").json(html_path)
+        n_docs = docs.count()
+        cp_c = os.path.join(base, "cp_crawl")
+        t0 = time.time()
+        q = (
+            crawl_ingest_stream(
+                spark.readStream.schema("doc_id bigint, html string")
+                .option("maxFilesPerTrigger", 1)
+                .json(html_path),
+                os.path.join(base, "out_crawl"),
+                os.path.join(base, "idx_crawl"),
+                cp_c,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = time.time() - t0
+        lat = [
+            float(p["durationMs"]["triggerExecution"])
+            for p in (json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+            and "triggerExecution" in p["durationMs"]
+        ]
+        results["crawl_ingest"] = {
+            "sec": round(secs, 3),
+            "rows_per_sec": round(n_docs / secs, 1),
+            "n_batches": len(lat),
+            "batch_ms_p50": round(_pctl(lat, 0.50), 1),
+            "batch_ms_p95": round(_pctl(lat, 0.95), 1),
+            "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
+        }
         total = round(sum(v["sec"] for v in results.values()), 3)
         print(
             json.dumps(
