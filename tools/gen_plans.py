@@ -287,8 +287,63 @@ NOTES = {
         "anti-join ride the vec_id partitioning. k-means itself "
         "materializes only k x dim doubles per round at the driver."
     ),
+    "extract_main_text": (
+        "Round-3 crawl stage: the whole extraction (block-drop regexes, "
+        "tag strip, entity decode chain, line split + word-count filter, "
+        "rejoin) is ONE Project over the scan - no shuffle, no Generate, "
+        "whole-stage codegen end to end. At 100 TB this is a map-only "
+        "rewrite of the crawl; the only cost is interpreted regex per "
+        "row, amortized by codegen (crawl_scale_probe: 16x data in 3.1x "
+        "time)."
+    ),
+    "html_outlinks": (
+        "Link extraction is the same map-only regexp chain; the only "
+        "shuffle is the two-phase hash aggregate on the (short) href "
+        "strings - partial counts before the exchange, so the shuffle "
+        "carries one row per distinct href per partition."
+    ),
+    "chunk_documents": (
+        "Token chunking: tokenize -> sequence(starts) -> ONE Generate "
+        "(posexplode) -> slice/array_join projection. chunk_idx = "
+        "start/stride needs no window function, so the 1-to-k fan-out is "
+        "completely shuffle-free - linear at any corpus size."
+    ),
+    "url_normalize": (
+        "Pure per-row regex-extract/split/sort/concat normalization - a "
+        "single Project, no exchange anywhere. The crawl-frontier dedup "
+        "that follows (groupBy url_norm) shuffles canonical STRINGS, "
+        "never raw pages."
+    ),
+    "mixture_temperature": (
+        "Per-source counts (tiny agg) -> 1-row total via broadcast "
+        "crossJoin -> rate table broadcast-joined back to the corpus -> "
+        "md5-ppm filter. The corpus itself is never shuffled: the only "
+        "exchanges are on the source-count side (sources, not rows), and "
+        "the sampler is a narrow filter that can sit on the scan."
+    ),
+    "ts_similarity_l2": (
+        "Series build: two keyed aggregates share the user_id "
+        "partitioning (daily sums, then bucket means), the bucket grid "
+        "join is key-sized, and the final top-k plans as "
+        "TakeOrderedAndProject - per-partition heaps, a k-row driver "
+        "merge, losers never shuffle."
+    ),
+    "geo_point_in_polygon": (
+        "Spatial containment as an EQUI-join: polygons explode over "
+        "their bbox 1-degree cells (unit squares -> <=4 rows), points "
+        "land in one cell, the join is hash-partitioned on (cx, cy), and "
+        "the exact ray-cast HOF filters candidates. No "
+        "CartesianProduct, no BroadcastNestedLoopJoin - candidate volume "
+        "is O(points x local polygon density), the Sedona plan shape."
+    ),
+    "incremental_rollup": (
+        "Two key-sized partial aggregates union into a key-sized merge "
+        "aggregate - every exchange after the first partial carries "
+        "(day x type) rows, not events. This IS the materialized-view "
+        "maintenance plan: at 100 TB the old side is the stored rollup "
+        "and the scan covers only the new partition."
+    ),
 }
-
 
 def main() -> None:
     from etl_capnz_spark.session import get_session
