@@ -106,3 +106,52 @@ def test_foreach_batch_submitter(spark, post_server):
     # empty batch → no POST
     fn(_two_features(spark).limit(0), 1)
     assert len(state["bodies"]) == before + 1
+
+
+def test_http_submit_datasource_writer(spark, post_server):
+    """Spark 4 Python DataSource WRITER: partition-parallel NDJSON POST
+    from executors — every row delivered exactly once across batches,
+    with Content-Type and batch_size honored."""
+    import json
+
+    from etl_capnz_spark.sinks import http_sink
+
+    base, state = post_server
+    http_sink.register(spark)
+    df = spark.range(0, 20).selectExpr(
+        "id AS feature_id", "concat('cs-', id) AS callsign"
+    ).repartition(4)
+    (
+        df.write.format("http_submit")
+        .option("url", base + "/ok")
+        .option("batch_size", "3")
+        .mode("append")
+        .save()
+    )
+    ndjson_bodies = [
+        b for p, b, ct in state["bodies"]
+        if ct == "application/x-ndjson" and p == "/ok"
+    ]
+    rows = [json.loads(line) for b in ndjson_bodies for line in b.split("\n")]
+    assert sorted(r["feature_id"] for r in rows) == list(range(20))
+    # 4 partitions x batch_size 3 over 5 rows each -> at least 8 batches
+    assert len(ndjson_bodies) >= 8
+
+
+def test_http_submit_datasource_retries_then_fails(spark, post_server):
+    from etl_capnz_spark.sinks import http_sink
+
+    base, state = post_server
+    http_sink.register(spark)
+    df = spark.range(0, 3).coalesce(1)
+    import pytest
+
+    with pytest.raises(Exception) as ei:
+        (
+            df.write.format("http_submit")
+            .option("url", base + "/fail")
+            .option("retries", "2")
+            .mode("append")
+            .save()
+        )
+    assert "http_submit batch failed" in str(ei.value)
