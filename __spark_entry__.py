@@ -2403,6 +2403,19 @@ def _q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_split_fixed_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (operators/udtf.py SplitFixedUDTF): the
+    output schema (c0..c2) is computed by the UDTF's analyze() from the
+    constant argument at ANALYSIS time — Spark 4's dynamic-schema UDTF
+    surface, invoked via LATERAL; oracle states the equivalent
+    split + element_at projection."""
+    from etl_capnz_spark.operators.udtf import split_fixed_lateral
+
+    return split_fixed_lateral(
+        _docs(spark, sf_dir).select("doc_id", "text"), 3
+    )
+
+
 def _q_text_bigrams_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL (operators/udtf.py) — row generation in
     Python, oracle-checked against the pure-SQL shingle expansion."""
@@ -4202,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _q_events_range_join,
         "tpch_median": _q_tpch_median,
         "text_bigrams_udtf": _q_text_bigrams_udtf,
+        "text_split_fixed_udtf": _q_text_split_fixed_udtf,
         "approx_stats": _q_approx_stats,
         "approx_hll_union": _q_approx_hll_union,
         "distinct_bitmap": _q_distinct_bitmap,
@@ -4987,6 +5001,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.key = greatest(a.bkt, b.bkt)
             )
             SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99""",
+        "text_split_fixed_udtf": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(text, '\\s+'), t -> t <> '') AS t
+              FROM documents)
+            SELECT doc_id, t[1] AS c0, t[2] AS c1, t[3] AS c2 FROM toks""",
         "text_bigrams_udtf": f"""
             SELECT doc_id,
                    (generate_subscripts(sh, 1) - 1)::INT AS pos,
