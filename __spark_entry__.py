@@ -1963,6 +1963,16 @@ def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "source", target_rows=200)
 
 
+def _q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend via groupBy().applyInPandas (operators/
+    timeseries.py user_trend) — the grouped-map Arrow surface, held to
+    the closed-form SQL oracle exactly (fsum kernel, 6-dp rounding,
+    NULL on zero x-variance)."""
+    from etl_capnz_spark.operators.timeseries import user_trend
+
+    return user_trend(_t(spark, sf_dir, "events"))
+
+
 def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental rollup maintenance (operators/rollup.py): history and
     the newly-landed slice (split on a deterministic day boundary) are
@@ -4198,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
         "incremental_rollup": _q_incremental_rollup,
+        "events_user_trend": _q_events_user_trend,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6435,6 +6446,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
                     % 1000000
                   < round(rate * 1000000)::BIGINT""",
+        "events_user_trend": """
+            WITH base AS (
+              SELECT user_id, ts::DATE AS day, value FROM events),
+            m AS (
+              SELECT user_id, min(day) AS d0 FROM base GROUP BY user_id),
+            xy AS (
+              SELECT b.user_id,
+                     date_diff('day', m.d0, b.day)::DOUBLE AS x,
+                     b.value::DOUBLE AS y
+              FROM base b JOIN m USING (user_id)),
+            s AS (
+              SELECT user_id, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM xy GROUP BY user_id)
+            SELECT user_id, n,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN round((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx), 6) END AS slope,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN round((sy - ((n * sxy - sx * sy)
+                                          / (n * sxx - sx * sx)) * sx)
+                                   / n, 6) END AS intercept
+            FROM s""",
         "incremental_rollup": """
             SELECT ts::DATE AS day, event_type,
                    count(*) AS n,

@@ -186,3 +186,64 @@ def dtw_topk(
 
     scored = series.mapInPandas(compute, "user_id bigint, dist double")
     return scored.orderBy(F.col("dist").asc(), F.col("user_id").asc()).limit(k)
+
+
+def user_trend(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-entity OLS trend via ``groupBy().applyInPandas`` — the
+    grouped-map Arrow surface (each user's rows meet ONE pandas
+    callback), fitting value ~ days-since-first-activity.
+
+    The closed form (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²) is exact-checkable
+    against the same SQL formula (sums of small doubles; slope and
+    intercept rounded to 6 dp); a user whose activity all falls on one
+    day has zero variance in x → NULL slope/intercept in both engines.
+    x is computed JVM-side before the callback so the Python kernel is
+    pure arithmetic. One shuffle on the user key; per-task state is one
+    user's rows — the canonical grouped-map bound.
+    """
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    x = F.datediff(
+        F.to_date(ts_col),
+        F.min(F.to_date(ts_col)).over(Window.partitionBy(user_col)),
+    )
+    staged = events.select(
+        F.col(user_col).alias("user_id"),
+        x.cast("double").alias("x"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        xs = pdf["x"].tolist()
+        ys = pdf["y"].tolist()
+        n = float(len(xs))
+        sx, sy = math.fsum(xs), math.fsum(ys)
+        sxy = math.fsum(a * b for a, b in zip(xs, ys))
+        sxx = math.fsum(a * a for a in xs)
+        den = n * sxx - sx * sx
+        if den != 0:
+            slope = (n * sxy - sx * sy) / den
+            slope_r = round(slope, 6)
+            icept_r = round((sy - slope * sx) / n, 6)
+        else:
+            slope_r = icept_r = None
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [int(n)],
+                "slope": [slope_r],
+                "intercept": [icept_r],
+            }
+        )
+
+    return staged.groupBy("user_id").applyInPandas(
+        fit, "user_id bigint, n bigint, slope double, intercept double"
+    )

@@ -68,3 +68,27 @@ def test_l2_topk_plans_take_ordered(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 5
     assert rows == sorted(rows, key=lambda r: (r["dist"], r["user_id"]))
+
+
+def test_user_trend_grouped_map(spark):
+    """Grouped-map applyInPandas OLS: known slope on a crafted ramp,
+    NULL on zero x-variance (single-day user)."""
+    from etl_capnz_spark.operators.timeseries import user_trend
+
+    rows = [
+        # user 1: y = 2x + 1 over days 0..3
+        (1, "2026-01-01 10:00:00", 1.0),
+        (1, "2026-01-02 10:00:00", 3.0),
+        (1, "2026-01-03 10:00:00", 5.0),
+        (1, "2026-01-04 10:00:00", 7.0),
+        # user 2: all on one day -> no x variance
+        (2, "2026-01-01 09:00:00", 4.0),
+        (2, "2026-01-01 11:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, value double"
+    ).selectExpr("user_id", "cast(ts_s as timestamp) AS ts", "value")
+    got = {r["user_id"]: r for r in user_trend(df).collect()}
+    assert got[1]["slope"] == 2.0 and got[1]["intercept"] == 1.0
+    assert got[2]["slope"] is None and got[2]["intercept"] is None
+    assert got[1]["n"] == 4 and got[2]["n"] == 2
