@@ -1963,6 +1963,17 @@ def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "source", target_rows=200)
 
 
+def _q_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice (operators/audit.py
+    histogram): 1-row min/max broadcast + pure-arithmetic binning, one
+    row per occupied bin — the distribution profile min/max alone can't
+    give. Bin arithmetic is character-identical in the oracle (same
+    division association), so bins hash-match despite float edges."""
+    from etl_capnz_spark.operators.audit import histogram
+
+    return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 10)
+
+
 def _q_events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend via groupBy().applyInPandas (operators/
     timeseries.py user_trend) — the grouped-map Arrow surface, held to
@@ -4209,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_similarity_dtw": _q_ts_similarity_dtw,
         "incremental_rollup": _q_incremental_rollup,
         "events_user_trend": _q_events_user_trend,
+        "orders_histogram": _q_orders_histogram,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6446,6 +6458,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
                     % 1000000
                   < round(rate * 1000000)::BIGINT""",
+        "orders_histogram": """
+            WITH b AS (
+              SELECT min(o_totalprice::DOUBLE) AS blo,
+                     max(o_totalprice::DOUBLE) AS bhi
+              FROM orders),
+            binned AS (
+              SELECT CASE WHEN bhi = blo THEN 0
+                          ELSE least(9, floor((o_totalprice::DOUBLE - blo)
+                                              / ((bhi - blo) / 10))::INT)
+                     END AS bin,
+                     blo, bhi
+              FROM orders, b
+              WHERE o_totalprice IS NOT NULL)
+            SELECT bin,
+                   round(blo + bin * (bhi - blo) / 10, 6) AS lo,
+                   round(blo + (bin + 1) * (bhi - blo) / 10, 6) AS hi,
+                   count(*) AS n
+            FROM binned GROUP BY bin, blo, bhi""",
         "events_user_trend": """
             WITH base AS (
               SELECT user_id, ts::DATE AS day, value FROM events),

@@ -206,3 +206,46 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(pairs).alias("_e")).select(
         "_e.column", "_e.n_nulls", "_e.n_distinct", "_e.min_s", "_e.max_s"
     )
+
+
+def histogram(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the distribution half
+    of :func:`profile_table` (a profiler that only reports min/max hides
+    skew; the histogram is what a 100 TB layout decision actually
+    reads).
+
+    One pass for (min, max) — a 1-row aggregate broadcast back via
+    crossJoin, never a collect — then one pass binning with pure
+    arithmetic: bin = least(n-1, floor((x - min) / width)). Degenerate
+    constant columns land everything in bin 0. Output one row per
+    OCCUPIED bin: (bin, lo, hi, n) — empty bins are absent (at 100 TB a
+    dense bin spine would come from a sequence() join, same as the WAU
+    calendar).
+    """
+    x = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((x - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    return (
+        df.select(x.alias(col))
+        .filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"), "_lo", "_hi")
+        .groupBy("bin", "_lo", "_hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / n_bins, 6).alias("lo"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins, 6).alias("hi"),
+            "n",
+        )
+    )
