@@ -510,10 +510,14 @@ def incremental_dedup_sink(
                 "overwrite"
             ).parquet(gen_dir)
             files = [gen_dir]
+        # keep only the recent committed-epoch ids: Spark replays at most
+        # the trailing uncommitted batches, so an unbounded epoch list
+        # would bloat the manifest on a long-running stream for nothing
+        epochs = sorted(manifest["epochs"] + [epoch_id])[-100:]
         _write_index_manifest(
             index_path,
             {
-                "epochs": sorted(manifest["epochs"] + [epoch_id]),
+                "epochs": epochs,
                 "files": files,
                 "generation": generation,
             },
