@@ -62,3 +62,47 @@ def test_submit_raises_on_unreachable(spark, tmp_path):
     p = Pipeline.from_feed(spark, _land(tmp_path)).active(NOW).to_features()
     with pytest.raises(RuntimeError, match="submit failed"):
         p.submit("http://127.0.0.1:9/nope", retries=1)
+
+
+def test_deduplicated_removes_planted_near_dups(spark):
+    """The flagship dedup stage must actually REMOVE duplicates: plant
+    clusters of alerts with identical text under different ids (the
+    re-fetched-feed shape) plus distinct alerts, and verify one
+    representative (the min id, via connected components) survives per
+    cluster while distinct alerts all survive. (Alert texts here are
+    only 7-11 words, so a single-token edit legitimately falls BELOW
+    the 0.85 Jaccard bar — the verify stage keeping such pairs apart
+    is the point of the threshold; exact copies are the unambiguous
+    planted signal.)"""
+    import __spark_entry__ as entrymod
+
+    base = entrymod._active(spark, "/root/testdata/sf0.001").limit(6)
+    rows = base.collect()
+    planted = []
+    for ci, r in enumerate(rows[:2]):
+        for j in range(3):
+            d = r.asDict()
+            d["k"] = 1_000_000 + ci * 10 + j
+            planted.append(d)
+    for r in rows[2:]:
+        planted.append(r.asDict())
+    alerts = spark.createDataFrame(planted, base.schema)
+
+    from etl_capnz_spark.pipeline import Pipeline
+
+    kept = (
+        Pipeline.from_alerts(alerts)
+        .deduplicated(0.85)
+        .df.select("k")
+        .collect()
+    )
+    kept_ks = sorted(r["k"] for r in kept)
+    distinct_ks = sorted(r["k"] for r in rows[2:])
+    # each planted cluster collapses to its min id
+    assert 1_000_000 in kept_ks and 1_000_010 in kept_ks
+    for gone in (1_000_001, 1_000_002, 1_000_011, 1_000_012):
+        assert gone not in kept_ks
+    # distinct alerts untouched
+    for k in distinct_ks:
+        assert k in kept_ks
+    assert len(kept_ks) == 2 + len(distinct_ks)
