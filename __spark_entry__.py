@@ -3684,6 +3684,29 @@ def _q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/graph.py sssp): 4 Bellman-Ford
+    rounds from part p:1 over the part↔supplier graph with integer
+    min-quantity edge weights — exact and dialect-portable, so the
+    oracle unrolls the identical rounds as CTEs (the PageRank
+    discipline). Completes the graph family: components / PageRank /
+    BFS hops / triangles / weighted SSSP."""
+    from etl_capnz_spark.operators.graph import sssp
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    edges = pairs.select(p.alias("src"), s.alias("dst"), "w").unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"), "w")
+    )
+    seeds = spark.createDataFrame([("p:1",)], "node string")
+    return sssp(edges, seeds, rounds=4)
+
+
 def _q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of semantics as events_asof, through the cogrouped
     pandas surface (groupBy.cogroup.applyInPandas + pd.merge_asof per
@@ -4295,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav_windows": _q_media_wav_windows,
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_sssp": _q_graph_sssp,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -5521,6 +5545,42 @@ def oracle_sql() -> dict[str, str]:
                        AS z
               FROM events)
             WHERE abs(round(z, 6)) > 2.5""",
+        "graph_sssp": """
+            WITH pairs AS (
+              SELECT 'p:' || l_partkey::VARCHAR AS p,
+                     's:' || l_suppkey::VARCHAR AS s,
+                     min(l_quantity)::BIGINT AS w
+              FROM lineitem GROUP BY l_partkey, l_suppkey),
+            edges AS (
+              SELECT p AS src, s AS dst, w FROM pairs
+              UNION ALL
+              SELECT s, p, w FROM pairs),
+            d0 AS (SELECT 'p:1' AS node, 0::BIGINT AS dist),
+            d1 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d0 d
+                JOIN edges e ON d.node = e.src) GROUP BY node),
+            d2 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d1 d
+                JOIN edges e ON d.node = e.src) GROUP BY node),
+            d3 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d2 d
+                JOIN edges e ON d.node = e.src) GROUP BY node),
+            d4 AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d3
+                UNION ALL
+                SELECT e.dst, d.dist + e.w FROM d3 d
+                JOIN edges e ON d.node = e.src) GROUP BY node)
+            SELECT node, dist FROM d4""",
         "graph_pagerank": """
             WITH pairs AS (
               SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

@@ -107,3 +107,36 @@ def pagerank(
             )
         )
     return ranks
+
+
+def sssp(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Bounded-round single-source(-set) shortest paths — Bellman-Ford
+    relaxation over an edge list (src, dst, w): after k rounds, dist(v)
+    is the exact shortest distance using ≤ k edges (and the true
+    shortest distance once k ≥ the graph's hop diameter from the seeds).
+
+    Per round: ONE equi-join (dist ⋈ edges on src) + one min-aggregate —
+    both shuffle node keys only, map-side partial-aggregated; lineage is
+    localCheckpoint-truncated per round like connected_components.
+    INTEGER weights keep every distance exact and dialect-portable, so
+    the DuckDB oracle unrolls the identical rounds as CTEs and matches
+    hash-exactly (the PageRank discipline). ``seeds`` has one column
+    ``node``; returns (node, dist) for nodes reachable in ≤ rounds hops.
+    """
+    dist = seeds.select("node").withColumn(
+        "dist", F.lit(0).cast("bigint")
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = dist.localCheckpoint()
+    return dist

@@ -54,3 +54,26 @@ def test_pagerank_conserves_mass_without_dangling(spark):
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     n = ranks.count()
     assert total == pytest.approx(n, rel=1e-9)
+
+
+def test_sssp_exact_on_crafted_graph(spark):
+    """Bellman-Ford relaxation: known shortest paths on a weighted
+    diamond (direct edge beats the 2-hop path or not, per weights),
+    bounded-hop semantics (node beyond `rounds` hops absent)."""
+    from etl_capnz_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1), ("a", "c", 5), ("b", "c", 1),   # a->c via b = 2 < 5
+            ("c", "d", 1),
+            ("d", "e", 1), ("e", "f", 1), ("f", "g", 1),   # chain past bound
+        ],
+        "src string, dst string, w bigint",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=3).collect()}
+    # <=3 edges: a, b(1), c(2 via b — beats the direct 5), d(3 edges)
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # e needs 4 edges: present only once rounds covers it
+    got4 = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=4).collect()}
+    assert got4["e"] == 4 and "g" not in got4
