@@ -72,8 +72,11 @@ def test_sssp_exact_on_crafted_graph(spark):
     )
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=3).collect()}
-    # <=3 edges: a, b(1), c(2 via b — beats the direct 5), d(3 edges)
-    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
-    # e needs 4 edges: present only once rounds covers it
+    # <=3 edges: b(1), c(2 via b — beats the direct 5), d(3 edges via b),
+    # and e ONLY via the direct a->c edge (a,c,d,e = 3 edges, cost 7) —
+    # the bounded-round value may exceed the true shortest (4, needs 4
+    # edges); one more round must tighten it
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 7}
     got4 = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=4).collect()}
-    assert got4["e"] == 4 and "g" not in got4
+    assert got4["e"] == 4 and got4["f"] == 8
+    assert "g" not in got4  # needs 5 edges
