@@ -62,3 +62,27 @@ def test_partitioned_read_prunes(spark, sf_dir, tmp_path):
     assert "isnotnull(day" in plan or "day#" in plan
     # the pruned read returns exactly that day's rows
     assert q.count() == ev.filter(F.col("day") == some_day).count()
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution on a partitioned landing dir: a later partition
+    gains a column; mergeSchema reads the union schema with NULLs for
+    old partitions, and the old reader still works (column pruning keeps
+    it oblivious)."""
+    ev = _daily(spark, sf_dir)
+    path = str(tmp_path / "evolve")
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    old = ev.filter(F.col("day") <= days[2])
+    new = ev.filter(F.col("day") > days[2]).withColumn(
+        "quality_score", (F.col("value") * 2).cast("double")
+    )
+    old.write.partitionBy("day").mode("overwrite").parquet(path)
+    new.write.partitionBy("day").mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality_score" in merged.columns
+    n_old = old.count()
+    assert merged.filter(F.col("quality_score").isNull()).count() == n_old
+    assert merged.count() == ev.count()
+    # a reader that never asks for the new column is unaffected
+    legacy = spark.read.parquet(path).select("event_id", "value")
+    assert legacy.count() == ev.count()
