@@ -224,6 +224,8 @@ def histogram(
     dense bin spine would come from a sequence() join, same as the WAU
     calendar).
     """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
     x = F.col(col).cast("double")
     bounds = df.agg(
         F.min(x).alias("_lo"), F.max(x).alias("_hi")

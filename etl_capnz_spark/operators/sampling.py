@@ -279,6 +279,8 @@ def temperature_mixture(
     sampling is a narrow filter, so at 100 TB this is one metadata-sized
     agg plus a map-only pass.
     """
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1: {target_rows}")
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
     tot = counts.agg(F.sum(F.sqrt("_n")).alias("_sumw"))
     rates = counts.crossJoin(F.broadcast(tot)).select(
