@@ -343,8 +343,28 @@ NOTES = {
         "maintenance plan: at 100 TB the old side is the stored rollup "
         "and the scan covers only the new partition."
     ),
+    "events_user_trend": (
+        "Grouped-map applyInPandas: ONE hash exchange on user_id feeds "
+        "the Arrow batches; the JVM computes x (datediff vs the per-user "
+        "min) BEFORE the Python boundary so the kernel is pure "
+        "arithmetic. Per-task state is one user's rows - the canonical "
+        "grouped-map bound; skewed users are AQE's problem."
+    ),
+    "graph_sssp": (
+        "Each Bellman-Ford round is one equi-join (dist x edges on src) "
+        "+ one min-aggregate, both shuffling node keys only and "
+        "partial-aggregated map-side; localCheckpoint truncates lineage "
+        "per round so plan depth stays constant. Integer weights keep "
+        "every distance exact - the oracle unrolls identical rounds as "
+        "CTEs and hash-matches."
+    ),
+    "orders_histogram": (
+        "Two passes: a 1-row min/max aggregate broadcast back via "
+        "crossJoin (BroadcastNestedLoopJoin of a single row - no "
+        "collect), then arithmetic binning + a two-phase hash aggregate "
+        "on at most n_bins keys. The shuffle carries bins, not rows."
+    ),
 }
-
 def main() -> None:
     from etl_capnz_spark.session import get_session
     import __spark_entry__ as entrymod
