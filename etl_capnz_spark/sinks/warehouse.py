@@ -37,3 +37,70 @@ def overwrite_partitions(
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def delete_keys(
+    spark,
+    path: str,
+    partition_cols: list[str],
+    key_col: str,
+    keys: DataFrame,
+) -> dict:
+    """Hard-delete rows by key (GDPR/right-to-erasure) touching ONLY the
+    partitions that contain matching keys.
+
+    Steps: (1) find affected partitions via a broadcast semi-join —
+    driver state is the (bounded) list of partition values, never rows;
+    (2) re-read ONLY those partitions (the IN-filter partition-prunes
+    the scan), anti-join the keys out, dynamic-overwrite them back;
+    (3) partitions whose every row matched produce no output — dynamic
+    mode would silently leave the old files, so those directories are
+    removed explicitly (a transactional table format does this step via
+    its log; this sink is the no-table-format fallback, like the
+    streaming manifest sink).
+
+    Returns {"partitions_rewritten": n, "partitions_removed": m}.
+    History partitions with no matching keys are untouched (verifiable
+    by file mtime). Single partition column only — the layouts this
+    repo writes.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if len(partition_cols) != 1:
+        raise ValueError("delete_keys supports exactly one partition column")
+    pcol = partition_cols[0]
+    data = spark.read.parquet(path)
+    kdf = keys.select(key_col).distinct()
+    affected = sorted(
+        str(r[pcol])
+        for r in data.join(F.broadcast(kdf), key_col, "left_semi")
+        .select(pcol)
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"partitions_rewritten": 0, "partitions_removed": 0}
+    scoped = data.filter(F.col(pcol).cast("string").isin(affected))
+    remaining = scoped.join(F.broadcast(kdf), key_col, "left_anti")
+    survived = {
+        str(r[pcol])
+        for r in remaining.select(pcol).distinct().collect()
+    }
+    if survived:
+        overwrite_partitions(
+            remaining.filter(
+                F.col(pcol).cast("string").isin(sorted(survived))
+            ),
+            path,
+            partition_cols,
+        )
+    emptied = [p for p in affected if p not in survived]
+    for p in emptied:
+        shutil.rmtree(os.path.join(path, f"{pcol}={p}"), ignore_errors=True)
+    return {
+        "partitions_rewritten": len(survived),
+        "partitions_removed": len(emptied),
+    }

@@ -86,3 +86,51 @@ def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     # a reader that never asks for the new column is unaffected
     legacy = spark.read.parquet(path).select("event_id", "value")
     assert legacy.count() == ev.count()
+
+
+def test_delete_keys_partition_scoped(spark, sf_dir, tmp_path):
+    """GDPR hard delete: matching rows vanish, only affected partitions
+    are rewritten (untouched partitions keep their files byte-for-byte),
+    and a fully-emptied partition's directory is removed."""
+    import glob
+    import os
+
+    from etl_capnz_spark.sinks.warehouse import delete_keys
+
+    ev = _daily(spark, sf_dir)
+    path = str(tmp_path / "gdpr")
+    write_partitioned(ev, path, ["day"])
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    # keys: a few users active on days[0]; plus ALL events of days[1]
+    some_users = [
+        r["user_id"]
+        for r in ev.filter(F.col("day") == days[0])
+        .select("user_id").distinct().limit(3).collect()
+    ]
+    full_day_events = ev.filter(F.col("day") == days[1]).select("event_id")
+    keys = (
+        ev.filter(
+            (F.col("day") == days[0]) & F.col("user_id").isin(some_users)
+        ).select("event_id")
+        .unionByName(full_day_events)
+    )
+    n_del = keys.distinct().count()
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for d in days[2:4]
+        for f in glob.glob(f"{path}/day={d}/part-*")
+    }
+    assert untouched_files
+
+    stats = delete_keys(spark, path, ["day"], "event_id", keys)
+    assert stats == {"partitions_rewritten": 1, "partitions_removed": 1}
+
+    after = spark.read.parquet(path)
+    assert after.count() == ev.count() - n_del
+    assert after.join(keys.distinct(), "event_id", "left_semi").count() == 0
+    # fully-deleted day gone; partially-deleted day kept its other rows
+    left_days = {str(r["day"]) for r in after.select("day").distinct().collect()}
+    assert str(days[1]) not in left_days and str(days[0]) in left_days
+    # untouched partitions: same files, same mtimes
+    for f, m in untouched_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == m
