@@ -64,3 +64,53 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert {(r["c_custkey"], r["count"]) for r in plain.collect()} == {
         (r["c_custkey"], r["count"]) for r in salted.collect()
     }
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The UNPLANNED-skew safety net: with a 95%-hot join key, AQE's
+    skew-join must split the hot partition at runtime (SortMergeJoin
+    (skew=true) + AQEShuffleRead skewed in the FINAL adaptive plan) and
+    the answer must equal the plain computation. Thresholds are lowered
+    so the mechanism triggers on local data sizes; production keeps the
+    defaults (256 MB) — same code path."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 20 != 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = fact.join(dim, "k")
+        rows = j.collect()  # collect() finalizes THIS adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+        # answer unchanged by the split: hot key 0 = all non-multiples
+        # of 20 PLUS id=0 itself (0 % 20 == 0 -> otherwise(id) = 0)
+        n_hot = sum(1 for r in rows if r["k"] == 0)
+        assert n_hot == (100_000 - 100_000 // 20) + 1
+        n_cold = sum(1 for i in range(0, 100_000, 20) if 0 < i < 5_000)
+        assert len(rows) == n_hot + n_cold
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
