@@ -390,3 +390,32 @@ def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
     n = emb.count()
     assert assigned.count() == n
     assert assigned.select("vec_id").distinct().count() == n
+
+
+def test_catalog_stats_drive_hint_free_broadcast(spark, sf_dir):
+    """Catalog statistics surface: ANALYZE TABLE records rowCount/size
+    in the metastore, and a hint-free join against the analyzed small
+    dimension resolves to BroadcastHashJoin from size estimates alone —
+    the CBO path a warehouse relies on when nobody writes hints."""
+    from etl_capnz_spark.session import read_table
+
+    spark.sql("DROP TABLE IF EXISTS _dim_stats")
+    spark.sql("DROP TABLE IF EXISTS _fact_stats")
+    try:
+        read_table(spark, sf_dir, "nation").write.saveAsTable("_dim_stats")
+        read_table(spark, sf_dir, "customer").write.saveAsTable("_fact_stats")
+        spark.sql("ANALYZE TABLE _dim_stats COMPUTE STATISTICS")
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED _dim_stats").collect()
+        }
+        assert "Statistics" in desc and "rows" in desc["Statistics"]
+        fact, dim = spark.table("_fact_stats"), spark.table("_dim_stats")
+        j = fact.join(dim, fact.c_nationkey == dim.n_nationkey)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _dim_stats")
+        spark.sql("DROP TABLE IF EXISTS _fact_stats")
