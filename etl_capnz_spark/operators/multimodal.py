@@ -807,3 +807,41 @@ def phash_ppm(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_hash, "media_id long, phash string")
+
+
+def phash_ppm_arrow(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid_w: int = 4,
+    grid_h: int = 3,
+) -> DataFrame:
+    """:func:`phash_ppm` through ``mapInArrow`` — the RecordBatch-level
+    Python boundary (Spark 4's third Arrow seam next to mapInPandas and
+    applyInPandas): no pandas materialization, the kernel reads the
+    pyarrow binary array directly and emits a RecordBatch. Same hashes
+    bit-for-bit (equivalence pinned in tests/test_multimodal.py);
+    prefer this form when the per-batch work is cheap enough that
+    pandas conversion overhead shows."""
+    import pyarrow as pa
+
+    def _hash(batches):
+        for batch in batches:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            payloads = batch.column(
+                batch.schema.get_field_index(payload_col)
+            )
+            out = []
+            for payload in payloads:
+                try:
+                    out.append(
+                        phash_reference(payload.as_py(), grid_w, grid_h)
+                    )
+                except Exception:
+                    out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(pa.int64()), pa.array(out, pa.string())],
+                names=["media_id", "phash"],
+            )
+
+    return df.mapInArrow(_hash, "media_id long, phash string")

@@ -166,3 +166,23 @@ def test_phash_malformed_payload_isolated(spark):
     )
     rows = {r["media_id"]: r["phash"] for r in phash_ppm(df).collect()}
     assert rows[1] is not None and rows[2] is None
+
+
+def test_phash_arrow_equals_pandas_seam(spark, sf_dir):
+    """mapInArrow and mapInPandas kernels must produce identical hashes
+    — the RecordBatch seam is a faster boundary, not different math."""
+    from etl_capnz_spark.operators.multimodal import (
+        phash_ppm,
+        phash_ppm_arrow,
+        synthesize_ppm_media,
+    )
+    from etl_capnz_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    media = synthesize_ppm_media(docs, seed_mod=11).cache()
+    via_pandas = {r["media_id"]: r["phash"] for r in phash_ppm(media).collect()}
+    via_arrow = {
+        r["media_id"]: r["phash"] for r in phash_ppm_arrow(media).collect()
+    }
+    assert via_pandas == via_arrow and len(via_arrow) == 30
+    media.unpersist()
