@@ -1963,6 +1963,22 @@ def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs, "doc_id", "source", target_rows=200)
 
 
+def _q_events_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization (operators/sessions.py
+    sessionize_dynamic): views time out after 10 minutes, everything
+    else after 30 — each event's interval [ts, ts+gap) merges when
+    overlapping, half-open like Spark's session_window(ts, gap_col).
+    Tie-broken on event_id so the running-max window is deterministic;
+    oracle runs the identical gaps-and-islands SQL."""
+    from etl_capnz_spark.operators.sessions import sessionize_dynamic
+
+    ev = _t(spark, sf_dir, "events")
+    gap_us = F.when(
+        F.col("event_type") == "view", F.lit(600 * 1_000_000)
+    ).otherwise(F.lit(1800 * 1_000_000))
+    return sessionize_dynamic(ev, gap_us)
+
+
 def _q_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of o_totalprice (operators/audit.py
     histogram): 1-row min/max broadcast + pure-arithmetic binning, one
@@ -4244,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup": _q_incremental_rollup,
         "events_user_trend": _q_events_user_trend,
         "orders_histogram": _q_orders_histogram,
+        "events_session_dynamic": _q_events_session_dynamic,
         "knn_brute": _q_knn_brute,
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
@@ -6518,6 +6535,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5('t1' || doc_id::VARCHAR), 1, 13))::BIGINT
                     % 1000000
                   < round(rate * 1000000)::BIGINT""",
+        "events_session_dynamic": """
+            WITH e AS (
+              SELECT user_id, event_id, ts,
+                     (CASE WHEN event_type = 'view' THEN 600
+                           ELSE 1800 END)::BIGINT * 1000000 AS gap_us,
+                     epoch_us(ts) AS ts_us
+              FROM events),
+            m AS (
+              SELECT *, max(ts_us + gap_us) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+              FROM e),
+            f AS (
+              SELECT *, CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                             THEN 1 ELSE 0 END AS brk
+              FROM m),
+            s AS (
+              SELECT *, sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS seq
+              FROM f)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events,
+                   max(ts_us + gap_us) AS session_end_us
+            FROM s GROUP BY user_id, seq""",
         "orders_histogram": """
             WITH b AS (
               SELECT min(o_totalprice::DOUBLE) AS blo,

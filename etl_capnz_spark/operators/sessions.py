@@ -55,3 +55,51 @@ def sessionize(
             F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col))
         ).alias("duration_ms"),
     ).drop("_session_seq")
+
+
+def sessionize_dynamic(
+    df: DataFrame,
+    gap_us_expr,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Dynamic-gap sessionization: each event contributes the interval
+    ``[ts, ts + gap)`` with a PER-EVENT gap (``gap_us_expr``, µs) and
+    overlapping intervals merge — the batch twin of Spark's
+    session_window(ts, gap_column) (half-open: an event exactly at the
+    previous session's end starts a NEW session).
+
+    Interval merging as gaps-and-islands: break when ts ≥ running max
+    of previous events' (ts + gap); both window functions share ONE
+    (user) exchange. ``order_col`` is the tie-break so runs are
+    deterministic (same ts, different gaps would otherwise be
+    partition-order dependent). Output: user, session_start, n_events,
+    session_end_us (µs — the merged interval end).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    end_us = F.unix_micros(F.col(ts_col)) + gap_us_expr
+    prev_end = F.max(end_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_brk",
+        (
+            prev_end.isNull()
+            | (F.unix_micros(F.col(ts_col)) >= prev_end)
+        ).cast("int"),
+    ).withColumn(
+        "_seq",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy(user_col, "_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.max(end_us).alias("session_end_us"),
+        )
+        .drop("_seq")
+    )

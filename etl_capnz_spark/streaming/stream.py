@@ -561,3 +561,28 @@ def crawl_ingest_stream(
     return incremental_dedup_sink(
         gated, out_path, index_path, checkpoint, "text", id_col
     )
+
+
+def session_counts_dynamic(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization with a PER-EVENT gap (session_window
+    with a gap COLUMN): views time out after 10 minutes, everything
+    else after 30 — short-lived browse sessions close early while
+    purchase flows stay open. The state store merges the same half-open
+    [ts, ts+gap) intervals the batch sessionize_dynamic merges
+    (equivalence pinned in tests)."""
+    gap = F.when(
+        F.col("event_type") == "view", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

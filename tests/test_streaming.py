@@ -588,3 +588,43 @@ def test_stream_stream_left_outer_interval_join(spark, sf_dir, tmp_path):
     assert len(nulls) <= n_left - n_left_matched
     assert len(nulls) > 0
     assert all(r["right_type"] is None for r in nulls)
+
+
+def test_dynamic_gap_sessionization_stream_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """session_window with a gap COLUMN (dynamic gaps) must produce the
+    same sessions the batch interval-merge operator computes: same
+    (user, start, n_events, end) for every emitted session."""
+    from etl_capnz_spark.operators.sessions import sessionize_dynamic
+    from etl_capnz_spark.streaming.stream import session_counts_dynamic
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dyn_in")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    _run_stream(
+        session_counts_dynamic(stream), "dyn_out", str(tmp_path / "cp_dyn")
+    )
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"],
+         r["session_end"])
+        for r in spark.sql("SELECT * FROM dyn_out").collect()
+    }
+    gap_us = F.when(
+        F.col("event_type") == "view", F.lit(600 * 1_000_000)
+    ).otherwise(F.lit(1800 * 1_000_000))
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"],
+         __import__("datetime").datetime.fromtimestamp(
+             r["session_end_us"] / 1e6,
+             tz=__import__("datetime").timezone.utc,
+         ).replace(tzinfo=None))
+        for r in sessionize_dynamic(events, gap_us).collect()
+    }
+    # availableNow+append emits sessions below the final watermark; all
+    # emitted sessions must be exactly the batch sessions
+    assert streamed
+    assert streamed <= batch
+    # and coverage is near-total (only the watermark tail withheld)
+    assert len(streamed) >= 0.8 * len(batch)
