@@ -92,3 +92,20 @@ def test_user_trend_grouped_map(spark):
     assert got[1]["slope"] == 2.0 and got[1]["intercept"] == 1.0
     assert got[2]["slope"] is None and got[2]["intercept"] is None
     assert got[1]["n"] == 4 and got[2]["n"] == 2
+
+
+def test_user_trend_arrow_equals_pandas_seam(spark, sf_dir):
+    """applyInArrow and applyInPandas grouped maps must agree
+    bit-for-bit — the RecordBatch seam is a faster boundary, not
+    different math."""
+    from etl_capnz_spark.operators.timeseries import (
+        user_trend,
+        user_trend_arrow,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    a = {r["user_id"]: (r["n"], r["slope"], r["intercept"])
+         for r in user_trend(ev).collect()}
+    b = {r["user_id"]: (r["n"], r["slope"], r["intercept"])
+         for r in user_trend_arrow(ev).collect()}
+    assert a == b and len(a) > 0
