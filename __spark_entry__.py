@@ -2385,6 +2385,76 @@ def _q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cross_candidates(new, base, "doc_id", num_hashes=8, bands=4)
 
 
+_TEMPLATE_TEXT = (
+    "severe weather warning issued for the northern region please remain "
+    "indoors until further notice"
+)
+
+
+def _docs_with_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_docs_with_dups`` ∪ a planted template cluster: 12 byte-identical
+    copies in the base id range (90000+i) and 3 in the "incoming batch"
+    range (990000+i) — the hot-band adversarial case the ``max_bucket``
+    cap exists for. Mirrored 1:1 in ``_DUCK_TMPL``."""
+    base = _docs_with_dups(spark, sf_dir)
+    tmpl = spark.range(12).select(
+        (F.col("id") + 90000).alias("doc_id"),
+        F.lit(_TEMPLATE_TEXT).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    tnew = spark.range(3).select(
+        (F.col("id") + 990000).alias("doc_id"),
+        F.lit(_TEMPLATE_TEXT).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return base.unionByName(tmpl).unionByName(tnew)
+
+
+_DUCK_TMPL = f"""
+    WITH aug AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' trailing extra tokens', lang
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text, lang FROM documents WHERE doc_id % 20 = 5
+      UNION ALL
+      SELECT 90000 + g, '{_TEMPLATE_TEXT}', 'en' FROM generate_series(0, 11) t(g)
+      UNION ALL
+      SELECT 990000 + g, '{_TEMPLATE_TEXT}', 'en' FROM generate_series(0, 2) t(g)
+    )
+"""
+
+
+def _q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH candidates (dedup.lsh_candidates
+    max_bucket=4) over the template-augmented corpus: oversized band
+    buckets refine by full signature; identical-signature clusters over
+    the cap emit star pairs to the min id instead of a clique — per-bucket
+    emission linear, never B². VERDICT r3 item 1."""
+    sigs = minhash_signatures(
+        _docs_with_template(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    return lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4, max_bucket=4)
+
+
+def _q_dedup_cross_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LSH with base-side hot-bucket cap: an incoming batch
+    (ids ≥ 100000, incl. 3 template copies) against the base corpus whose
+    12-copy template cluster is capped — each colliding new doc pairs with
+    ONE base representative instead of all 12."""
+    from etl_capnz_spark.operators.dedup import lsh_cross_candidates
+
+    sigs = minhash_signatures(
+        _docs_with_template(spark, sf_dir), "text", "doc_id", num_hashes=8
+    )
+    new = sigs.filter(F.col("doc_id") >= 100000)
+    base = sigs.filter(F.col("doc_id") < 100000)
+    return lsh_cross_candidates(
+        new, base, "doc_id", num_hashes=8, bands=4, max_bucket=4
+    )
+
+
 def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding corpus (codes + scale
     + reconstruction RMSE) — map-only compression rewrite, exact-checked
@@ -4357,6 +4427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_text_pii_redact,
         "text_repetition": _q_text_repetition,
         "dedup_cross": _q_dedup_cross,
+        "dedup_lsh_capped": _q_dedup_lsh_capped,
+        "dedup_cross_capped": _q_dedup_cross_capped,
         "emb_quantize": _q_emb_quantize,
         "emb_pca": _q_emb_pca,
         "knn_pca": _q_knn_pca,
@@ -6503,7 +6575,7 @@ def oracle_sql() -> dict[str, str]:
                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
                 regexp_extract(url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-                regexp_extract(url, '\\?([^#]*)', 1) AS query
+                regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
               FROM raw),
             norm AS (
               SELECT doc_id, url, scheme, hostport,
@@ -6687,6 +6759,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS new_id, b.id AS base_id
             FROM banded a JOIN banded b USING (band_key)
             WHERE a.id >= 100000 AND b.id < 100000""",
+        "dedup_lsh_capped": f"""{_DUCK_TMPL},
+            {oracles.minhash_bands_sql('aug', 'doc_id', with_sig=True)},
+            {oracles.lsh_capped_sql(4)}
+            SELECT DISTINCT id_a, id_b FROM capped""",
+        "dedup_cross_capped": f"""{_DUCK_TMPL},
+            {oracles.minhash_bands_sql('aug', 'doc_id', with_sig=True)},
+            bcounts AS (
+              SELECT band_key, count(*) AS bc FROM banded
+              WHERE id < 100000 GROUP BY band_key),
+            nref AS (
+              SELECT id AS new_id,
+                     CASE WHEN coalesce(bc, 0) > 4
+                          THEN band_key || '#' || sig_key
+                          ELSE band_key END AS bkey
+              FROM banded LEFT JOIN bcounts USING (band_key)
+              WHERE id >= 100000),
+            bref AS (
+              SELECT id AS base_id,
+                     CASE WHEN bc > 4 THEN band_key || '#' || sig_key
+                          ELSE band_key END AS bkey
+              FROM banded JOIN bcounts USING (band_key)
+              WHERE id < 100000),
+            bc2 AS (SELECT bkey, count(*) AS c2 FROM bref GROUP BY bkey),
+            br2 AS (SELECT base_id, bkey, c2 FROM bref JOIN bc2 USING (bkey)),
+            reps AS (SELECT bkey, min(base_id) AS base_id
+                     FROM br2 WHERE c2 > 4 GROUP BY bkey)
+            SELECT DISTINCT new_id, base_id FROM (
+              SELECT new_id, base_id FROM br2 JOIN nref USING (bkey)
+              WHERE c2 <= 4
+              UNION ALL
+              SELECT new_id, base_id FROM reps JOIN nref USING (bkey))""",
         "emb_quantize": """
             WITH v AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -44,10 +44,11 @@ def cmd_run(spark: SparkSession, args: argparse.Namespace) -> int:
         feature_collection_json,
         write_features,
     )
-    from etl_capnz_spark.sources.xml import parse_cap_xml, with_timestamps
+    from etl_capnz_spark.pipeline import Pipeline
 
-    raw = spark.read.text(args.xml_dir).withColumnRenamed("value", "xml")
-    alerts = with_timestamps(parse_cap_xml(raw))
+    alerts = Pipeline.from_feed(
+        spark, args.xml_dir, per_line=args.per_line
+    ).df
     alerts = active_filter(required_filter(alerts), args.now)
     features = build_features(alerts)
     features, obs = counted(features)
@@ -101,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("run", help="CAP XML dir → GeoJSON features")
     r.add_argument("xml_dir")
+    r.add_argument(
+        "--per-line",
+        action="store_true",
+        help="one CAP document per LINE (compact landings); default is "
+        "one document per FILE (real multi-line CAP XML snapshots)",
+    )
     r.add_argument("--out", help="single FeatureCollection document path")
     r.add_argument(
         "--out-dir", help="scalable NDJSON feature directory (text sink)"

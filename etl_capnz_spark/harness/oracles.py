@@ -143,10 +143,16 @@ def minhash_sql(col: str, seed: int) -> str:
 
 
 def minhash_bands_sql(
-    source: str, id_col: str, num_hashes: int = 8, bands: int = 4
+    source: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    with_sig: bool = False,
 ) -> str:
     """CTE text: sigs (id + mh0..mhN) and banded (id, band_key) — mirrors
-    dedup.minhash_signatures + the banding in lsh_candidates."""
+    dedup.minhash_signatures + the banding in lsh_candidates.
+    ``with_sig`` adds sig_key (full signature string) to banded, mirroring
+    band_keys(with_sig=True)."""
     mh = ", ".join(
         f"{minhash_sql('text', s)} AS mh{s}" for s in range(num_hashes)
     )
@@ -154,15 +160,46 @@ def minhash_bands_sql(
         f"(SELECT {id_col}, {base52_sql('text')} AS _mh_base FROM {source})"
     )
     rows_per_band = num_hashes // bands
+    sig = ""
+    if with_sig:
+        full = " || ':' || ".join(
+            f"mh{s}::VARCHAR" for s in range(num_hashes)
+        )
+        sig = f", {full} AS sig_key"
     arms = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
         key = " || ':' || ".join(f"{c}::VARCHAR" for c in cols)
         arms.append(
-            f"SELECT {id_col} AS id, '{b}:' || {key} AS band_key FROM sigs"
+            f"SELECT {id_col} AS id, '{b}:' || {key} AS band_key{sig} FROM sigs"
         )
     banded = " UNION ALL ".join(arms)
     return f"sigs AS (SELECT {id_col}, {mh} FROM {source}), banded AS ({banded})"
+
+
+def lsh_capped_sql(max_bucket: int) -> str:
+    """CTE text (expects a ``banded(id, band_key, sig_key)`` CTE in scope):
+    refined/c2 CTEs mirroring the two-level hot-bucket cap in
+    dedup.lsh_candidates(max_bucket=...). Emits ``capped(id_a, id_b)``."""
+    return f"""
+            bcounts AS (
+              SELECT band_key, count(*) AS bc FROM banded GROUP BY band_key),
+            refined AS (
+              SELECT id, CASE WHEN bc > {max_bucket}
+                              THEN band_key || '#' || sig_key
+                              ELSE band_key END AS bkey
+              FROM banded JOIN bcounts USING (band_key)),
+            c2 AS (SELECT bkey, count(*) AS c2 FROM refined GROUP BY bkey),
+            r2 AS (SELECT id, bkey, c2 FROM refined JOIN c2 USING (bkey)),
+            capped AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM r2 a JOIN r2 b USING (bkey)
+              WHERE a.c2 <= {max_bucket} AND a.id < b.id
+              UNION ALL
+              SELECT id_a, id_b FROM (
+                SELECT min(id) OVER (PARTITION BY bkey) AS id_a, id AS id_b
+                FROM r2 WHERE c2 > {max_bucket})
+              WHERE id_b > id_a)"""
 
 
 def dot_sql(a: str, b: str) -> str:

@@ -126,11 +126,21 @@ def minhash_signatures(
 
 
 def band_keys(
-    sig_df: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    with_sig: bool = False,
 ) -> DataFrame:
     """(id, band_key) rows: each signature emits its ``bands`` band keys
     via ONE array+explode (a per-band union would re-execute the signature
-    pipeline once per band)."""
+    pipeline once per band).
+
+    ``with_sig=True`` adds a ``sig_key`` column (the FULL signature as one
+    string) used by the hot-bucket refinement in :func:`lsh_candidates` —
+    rows that collide on a band but differ anywhere in the signature can
+    then be split apart without recomputing hashes.
+    """
     rows_per_band = num_hashes // bands
     keys = []
     for b in range(bands):
@@ -140,13 +150,22 @@ def band_keys(
                 ":", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]
             )
         )
-    return sig_df.select(
-        F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("band_key")
-    )
+    out = [F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("band_key")]
+    if with_sig:
+        out.append(
+            F.concat_ws(
+                ":", *[F.col(f"mh{s}").cast("string") for s in range(num_hashes)]
+            ).alias("sig_key")
+        )
+    return sig_df.select(*out)
 
 
 def lsh_candidates(
-    sig_df: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (id_a < id_b).
@@ -156,16 +175,82 @@ def lsh_candidates(
     plan shuffled on the same key, so Spark materializes ONE exchange and
     reuses it (ReusedExchange) — the signature computation runs once, and
     only (band_key, id) tuples ever shuffle, never documents.
+
+    ``max_bucket`` caps hot band buckets (the 100 TB template-corpus
+    hazard: one band bucket of size B otherwise emits B² candidate
+    pairs). Two-level scheme, correctness backstopped by the downstream
+    exact-verify stage:
+
+    1. **Refine**: buckets over the cap are split by the FULL signature
+       (``band_key # sig_key``) — docs that collided on one band but
+       differ anywhere else in the signature separate, so
+       template-*variety* buckets shatter into small cold buckets. The
+       recall trade-off is explicit: a true near-dup pair with different
+       full signatures inside a hot band survives only via one of its
+       other (non-hot) bands — the standard production trade
+       (super-shingling / second-level banding).
+    2. **Star**: a refined bucket STILL over the cap means B docs with
+       byte-identical signatures (in practice: identical or
+       near-identical text). All-pairs there is pure waste — connected
+       components merges the cluster either way — so each doc pairs with
+       the bucket's min id only: B−1 pairs instead of B(B−1)/2, and the
+       exact-verify stage checks each member against that representative.
+
+    Per-bucket emission is thus ≤ max(max_bucket², B−1) — linear in the
+    bucket, never quadratic. Both count aggregations and the joins hash
+    on the (refined) band key, so no new shuffle shape is introduced.
+    Default ``None`` preserves the exact uncapped pair set.
     """
-    banded = band_keys(sig_df, id_col, num_hashes, bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, "band_key")
+    if max_bucket is None:
+        banded = band_keys(sig_df, id_col, num_hashes, bands)
+        left = banded.alias("l")
+        right = banded.alias("r")
+        return (
+            left.join(right, "band_key")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+    # Window form, not count-aggregate + join-back: the signature pipeline
+    # is md5-heavy, and a join-based plan re-evaluates it once per join
+    # arm. Windows keep ONE lineage — shuffle on band_key, count in place,
+    # shuffle on bkey, count in place — and the final self-join on bkey
+    # sees two identical subplans, so the exchange is computed once and
+    # reused (ReusedExchange).
+    banded = band_keys(sig_df, id_col, num_hashes, bands, with_sig=True)
+    w1 = Window.partitionBy("band_key")
+    refined = banded.withColumn("_bc", F.count(F.lit(1)).over(w1)).select(
+        "id",
+        F.when(
+            F.col("_bc") > max_bucket,
+            F.concat_ws("#", F.col("band_key"), F.col("sig_key")),
+        )
+        .otherwise(F.col("band_key"))
+        .alias("bkey"),
+    )
+    w2 = Window.partitionBy("bkey")
+    # lazy localCheckpoint: r2 feeds three consumers (clique left/right,
+    # star) and exchange reuse does not survive AQE's per-arm replanning
+    # here — without it the md5-heavy signature lineage runs 3×. Same
+    # device as connected_components; materialized size is O(bands × rows)
+    # compact tuples on executor-local storage.
+    r2 = (
+        refined.withColumn("_c2", F.count(F.lit(1)).over(w2))
+        .withColumn("_rep", F.min("id").over(w2))
+        .localCheckpoint(eager=False)
+    )
+    cold = r2.filter(F.col("_c2") <= max_bucket).select("id", "bkey")
+    clique = (
+        cold.alias("l")
+        .join(cold.alias("r"), "bkey")
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    star = (
+        r2.filter((F.col("_c2") > max_bucket) & (F.col("id") > F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return clique.unionByName(star).distinct()
 
 
 def lsh_cross_candidates(
@@ -174,6 +259,7 @@ def lsh_cross_candidates(
     id_col: str,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Cross-corpus LSH: candidate (new_id, base_id) pairs between an
     incoming corpus and an existing one — the "dedupe the new crawl
@@ -186,16 +272,69 @@ def lsh_cross_candidates(
     ordinary ``lsh_candidates`` pass) and never all-pairs. At 100 TB the
     base side's band keys are precomputed and bucketed on band_key at
     ingest time, so admitting a batch shuffles only the BATCH's keys.
+
+    ``max_bucket`` caps hot BASE-side buckets (the base corpus is the
+    huge side; a template cluster of B base docs otherwise multiplies
+    every colliding new doc by B). Same two-level scheme as
+    :func:`lsh_candidates`: base buckets over the cap are refined by full
+    signature on BOTH sides (so only signature-identical new docs still
+    reach the hot cluster), and a refined base cluster still over the cap
+    is represented by its min base_id — each new doc pairs with ONE
+    representative, which is the actual decision ("is this new doc a dup
+    of something ingested?") at 1/B the volume.
     """
-    n = band_keys(sig_new, id_col, num_hashes, bands).withColumnRenamed(
-        "id", "new_id"
+    if max_bucket is None:
+        n = band_keys(sig_new, id_col, num_hashes, bands).withColumnRenamed(
+            "id", "new_id"
+        )
+        b = band_keys(sig_base, id_col, num_hashes, bands).withColumnRenamed(
+            "id", "base_id"
+        )
+        return n.join(b, "band_key").select("new_id", "base_id").distinct()
+    # One union lineage with a side tag (window form — see the comment in
+    # lsh_candidates): base-row counts come from SUM(is_base) windows over
+    # band_key then bkey, so neither side's signature pipeline is
+    # re-evaluated, and the final cold join's two arms share one exchange.
+    n = band_keys(sig_new, id_col, num_hashes, bands, with_sig=True)
+    b = band_keys(sig_base, id_col, num_hashes, bands, with_sig=True)
+    u = n.withColumn("_side", F.lit("n")).unionByName(
+        b.withColumn("_side", F.lit("b"))
     )
-    b = band_keys(sig_base, id_col, num_hashes, bands).withColumnRenamed(
-        "id", "base_id"
+    is_base = F.when(F.col("_side") == "b", 1).otherwise(0)
+    w1 = Window.partitionBy("band_key")
+    refined = u.withColumn("_bc", F.sum(is_base).over(w1)).select(
+        "id",
+        "_side",
+        F.when(
+            F.col("_bc") > max_bucket,
+            F.concat_ws("#", F.col("band_key"), F.col("sig_key")),
+        )
+        .otherwise(F.col("band_key"))
+        .alias("bkey"),
     )
-    return (
-        n.join(b, "band_key").select("new_id", "base_id").distinct()
+    w2 = Window.partitionBy("bkey")
+    # lazy localCheckpoint — see lsh_candidates: three consumers below,
+    # one evaluation of the signature-heavy lineage
+    r2 = (
+        refined.withColumn("_c2", F.sum(is_base).over(w2))
+        .withColumn(
+            "_rep", F.min(F.when(F.col("_side") == "b", F.col("id"))).over(w2)
+        )
+        .localCheckpoint(eager=False)
     )
+    cold_n = r2.filter(
+        (F.col("_side") == "n") & (F.col("_c2") <= max_bucket)
+    ).select(F.col("id").alias("new_id"), "bkey")
+    cold_b = r2.filter(
+        (F.col("_side") == "b") & (F.col("_c2") <= max_bucket)
+    ).select(F.col("id").alias("base_id"), "bkey")
+    cold = cold_n.join(cold_b, "bkey").select("new_id", "base_id")
+    star = r2.filter(
+        (F.col("_side") == "n")
+        & (F.col("_c2") > max_bucket)
+        & F.col("_rep").isNotNull()
+    ).select(F.col("id").alias("new_id"), F.col("_rep").alias("base_id"))
+    return cold.unionByName(star).distinct()
 
 
 def ngram_jaccard_pairs(

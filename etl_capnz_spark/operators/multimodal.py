@@ -793,11 +793,16 @@ def phash_ppm(
     """
     import pandas as pd
 
+    # output schema follows the CALLER's id column — name AND type —
+    # instead of hardcoding 'media_id long' (ADVICE r3: a string or
+    # non-default id column silently mislabeled/broke the schema)
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def _hash(batches: Iterator) -> Iterator:
         for pdf in batches:
-            out = {"media_id": [], "phash": []}
+            out = {id_col: [], "phash": []}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                out["media_id"].append(mid)
+                out[id_col].append(mid)
                 try:
                     out["phash"].append(
                         phash_reference(payload, grid_w, grid_h)
@@ -806,7 +811,7 @@ def phash_ppm(
                     out["phash"].append(None)
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_hash, "media_id long, phash string")
+    return df.mapInPandas(_hash, f"{id_col} {id_type}, phash string")
 
 
 def phash_ppm_arrow(
@@ -825,6 +830,10 @@ def phash_ppm_arrow(
     pandas conversion overhead shows."""
     import pyarrow as pa
 
+    # id column passes through with the caller's name and Arrow type —
+    # no hardcoded 'media_id'/int64 cast (ADVICE r3)
+    id_type = df.schema[id_col].dataType.simpleString()
+
     def _hash(batches):
         for batch in batches:
             ids = batch.column(batch.schema.get_field_index(id_col))
@@ -840,8 +849,8 @@ def phash_ppm_arrow(
                 except Exception:
                     out.append(None)
             yield pa.RecordBatch.from_arrays(
-                [ids.cast(pa.int64()), pa.array(out, pa.string())],
-                names=["media_id", "phash"],
+                [ids, pa.array(out, pa.string())],
+                names=[id_col, "phash"],
             )
 
-    return df.mapInArrow(_hash, "media_id long, phash string")
+    return df.mapInArrow(_hash, f"{id_col} {id_type}, phash string")

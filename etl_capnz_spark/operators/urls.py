@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored before any '#': a '?' that first appears inside the fragment
+# is fragment content, not a query (ADVICE r3 — '/p#sec?x=1' has no query)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def normalize_url(url: Column) -> Column:

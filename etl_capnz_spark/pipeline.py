@@ -36,12 +36,29 @@ class Pipeline:
     # -- sources ---------------------------------------------------------
 
     @classmethod
-    def from_feed(cls, spark: SparkSession, snapshot_dir: str) -> "Pipeline":
+    def from_feed(
+        cls, spark: SparkSession, snapshot_dir: str, per_line: bool = False
+    ) -> "Pipeline":
         """Landed CAP XML snapshot dir → parsed alert rows (X1 + T8 error
-        isolation + timestamp derivation)."""
+        isolation + timestamp derivation).
+
+        Default reads one DOCUMENT per FILE (``wholetext`` — real CAP
+        snapshots are multi-line XML; line-splitting them would silently
+        yield zero parsed alerts under T8 error isolation, ADVICE r3).
+        ``per_line=True`` reads one document per line (compact JSONL-style
+        landings; also the scalable layout — wholetext makes one task per
+        file, fine for snapshot dirs of thousands of files, wrong for a
+        handful of concatenated multi-GB archives)."""
+        from pyspark.sql import functions as F
+
         from etl_capnz_spark.sources.xml import parse_cap_xml, with_timestamps
 
-        raw = spark.read.text(snapshot_dir).withColumnRenamed("value", "xml")
+        raw = spark.read.text(
+            snapshot_dir, wholetext=not per_line
+        ).withColumnRenamed("value", "xml")
+        if not per_line:
+            # wholetext keeps trailing newlines; the parser trims per-doc
+            raw = raw.select(F.trim(F.col("xml")).alias("xml"))
         return cls(with_timestamps(parse_cap_xml(raw)))
 
     @classmethod

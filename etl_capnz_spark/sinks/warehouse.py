@@ -98,8 +98,42 @@ def delete_keys(
             partition_cols,
         )
     emptied = [p for p in affected if p not in survived]
-    for p in emptied:
-        shutil.rmtree(os.path.join(path, f"{pcol}={p}"), ignore_errors=True)
+    if emptied:
+        # Resolve directories from the ACTUAL listing, not string
+        # interpolation: Spark %XX-escapes special chars in partition dir
+        # names (' ' → '%20'), so f"{pcol}={value}" can name a dir that
+        # does not exist — with ignore_errors that was a silent GDPR
+        # hard-delete failure (ADVICE r3). Listing + post-delete existence
+        # check turns any miss into a loud error. os.listdir also fails
+        # loudly for non-local paths rather than pretending to delete.
+        import re
+
+        def _unescape(name: str) -> str:
+            return re.sub(
+                r"%([0-9A-Fa-f]{2})",
+                lambda m: chr(int(m.group(1), 16)),
+                name,
+            )
+
+        prefix = f"{pcol}="
+        dirs = {
+            _unescape(d[len(prefix):]): os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(path, d))
+        }
+        missing = [p for p in emptied if p not in dirs]
+        if missing:
+            raise RuntimeError(
+                f"GDPR delete: partition dirs not found for "
+                f"{pcol} values {missing} under {path}"
+            )
+        for p in emptied:
+            shutil.rmtree(dirs[p])
+            if os.path.exists(dirs[p]):
+                raise RuntimeError(
+                    f"GDPR delete incomplete: {dirs[p]} still present"
+                )
     return {
         "partitions_rewritten": len(survived),
         "partitions_removed": len(emptied),

@@ -11,9 +11,20 @@ from tests.test_sources import BROKEN_XML, CAP_XML, NO_INFO_XML
 
 
 def _land(tmp_path):
+    """Default layout: one multi-line CAP XML document per FILE — the
+    shape a real snapshot dir has (ADVICE r3: line-based reading of these
+    silently yielded zero features)."""
     d = tmp_path / "xml"
     d.mkdir()
-    # one-line-per-document text source: strip newlines inside each doc
+    for i, x in enumerate((CAP_XML, BROKEN_XML, NO_INFO_XML)):
+        (d / f"snap{i}.xml").write_text(x)
+    return str(d)
+
+
+def _land_per_line(tmp_path):
+    """Compact landing: one document per LINE (the --per-line layout)."""
+    d = tmp_path / "xml_lines"
+    d.mkdir()
     (d / "snap.txt").write_text(
         "\n".join(
             x.replace("\n", " ") for x in (CAP_XML, BROKEN_XML, NO_INFO_XML)
@@ -79,3 +90,25 @@ def test_cli_query_subcommand(spark, capsys):
     assert "l_returnflag" in capsys.readouterr().out
     rc = main(["query", "no_such_query"], spark=spark)
     assert rc == 2
+
+
+def test_cli_run_per_line_layout(spark, tmp_path):
+    """--per-line reads the compact one-document-per-line landing and
+    produces the same features as the per-file default."""
+    out = tmp_path / "fc_lines.geojson"
+    rc = main(
+        [
+            "run",
+            _land_per_line(tmp_path),
+            "--per-line",
+            "--out",
+            str(out),
+            "--now",
+            "2026-08-14 00:00:00",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    fc = json.loads(out.read_text())
+    assert any(f["id"].startswith("A-1") for f in fc["features"])
+    assert len(fc["features"]) >= 2

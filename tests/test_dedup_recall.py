@@ -128,3 +128,117 @@ def test_decontamination_catches_planted_benchmark_copies(spark, sf_dir):
     assert planted_copies, "benchmark must contain some duplicated ids"
     missed = planted_copies - flagged
     assert not missed, f"verbatim benchmark copies escaped: {sorted(missed)[:5]}"
+
+
+# --- hot-bucket cap (lsh_candidates max_bucket, VERDICT r3 item 1) --------
+
+
+def test_capped_lsh_still_catches_exact_copies(spark, sf_dir):
+    """With max_bucket=4, planted exact copies (identical signatures)
+    must still pair with their original — either directly (cold refined
+    bucket) or via the star representative, which for an identical-text
+    family IS the min-id original."""
+    from etl_capnz_spark.operators.dedup import (
+        connected_components,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = entrymod._docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    cands = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4, max_bucket=4)
+    comp = {
+        (r["id"], r["component"])
+        for r in connected_components(cands).collect()
+    }
+    label = dict(comp)
+    planted_exact = {
+        (r["doc_id"] - 200000, r["doc_id"])
+        for r in docs.filter("doc_id >= 200000").collect()
+    }
+    assert planted_exact
+    # originals and copies land in the same connected component
+    missed = {
+        (a, b)
+        for a, b in planted_exact
+        if label.get(a, a) != label.get(b, b)
+    }
+    assert not missed, f"exact copies escaped capped LSH: {sorted(missed)[:5]}"
+
+
+def test_capped_lsh_bounds_template_cluster_emission(spark):
+    """The adversarial case: 400 byte-identical docs. Uncapped banding
+    emits the full clique (~79.8k pairs); the cap must emit exactly the
+    399 star pairs while keeping the cluster fully connected."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"),
+    )
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    capped = lsh_candidates(
+        sigs, "doc_id", num_hashes=8, bands=4, max_bucket=8
+    ).collect()
+    # star shape: every pair is (min_id=0, other)
+    assert len(capped) == 399
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {
+        (0, i) for i in range(1, 400)
+    }
+
+
+def test_capped_cross_lsh_pairs_new_docs_with_one_representative(spark):
+    """Base corpus holds a 50-copy template cluster; 5 identical new docs
+    must each pair with exactly the min base id, not all 50."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+
+    tmpl = "identical template body used across the whole mirror set"
+    base = spark.range(50).select(
+        (F.col("id") + 100).alias("doc_id"), F.lit(tmpl).alias("text")
+    )
+    new = spark.range(5).select(
+        (F.col("id") + 9000).alias("doc_id"), F.lit(tmpl).alias("text")
+    )
+    sb = minhash_signatures(base, "text", "doc_id", num_hashes=8)
+    sn = minhash_signatures(new, "text", "doc_id", num_hashes=8)
+    got = {
+        (r["new_id"], r["base_id"])
+        for r in lsh_cross_candidates(
+            sn, sb, "doc_id", num_hashes=8, bands=4, max_bucket=8
+        ).collect()
+    }
+    assert got == {(9000 + i, 100) for i in range(5)}
+
+
+def test_capped_lsh_default_is_exact_uncapped_pair_set(spark, sf_dir):
+    """max_bucket=None (the contract default for dedup_minhash) must be
+    byte-identical to the historical pair set; a generous cap that no
+    bucket exceeds must also change nothing."""
+    from etl_capnz_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = entrymod._docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(sigs, "doc_id", 8, 4).collect()
+    }
+    huge_cap = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(
+            sigs, "doc_id", 8, 4, max_bucket=10_000_000
+        ).collect()
+    }
+    assert huge_cap == uncapped

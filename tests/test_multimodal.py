@@ -186,3 +186,23 @@ def test_phash_arrow_equals_pandas_seam(spark, sf_dir):
     }
     assert via_pandas == via_arrow and len(via_arrow) == 30
     media.unpersist()
+
+
+def test_phash_custom_id_column_name_and_type(spark):
+    """Output schema follows the caller's id column — name and type —
+    through BOTH seams (ADVICE r3: was hardcoded 'media_id long')."""
+    from etl_capnz_spark.operators.multimodal import (
+        phash_ppm,
+        phash_ppm_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [("img-a", bytearray(b"P6\n8 6\n255\n" + bytes(144)))],
+        "asset_key string, payload binary",
+    )
+    for fn in (phash_ppm, phash_ppm_arrow):
+        out = fn(df, id_col="asset_key")
+        assert [f.name for f in out.schema.fields] == ["asset_key", "phash"]
+        assert out.schema["asset_key"].dataType.simpleString() == "string"
+        rows = out.collect()
+        assert rows[0]["asset_key"] == "img-a" and rows[0]["phash"] is not None

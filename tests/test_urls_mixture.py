@@ -30,6 +30,11 @@ def test_normalize_url_cases(spark):
         "http://example.com/a/b?a=1&z=9": "http://example.com/a/b?a=1&z=9",
         # no query, no port
         "https://a.b/c": "https://a.b/c",
+        # '?' INSIDE the fragment is fragment content, not a query
+        # (ADVICE r3: must not resurrect as '?x=1')
+        "http://h.com/p#sec?x=1": "http://h.com/p",
+        # real query + a fragment that also contains '?'
+        "http://h.com/p?b=2&a=1#sec?x=9": "http://h.com/p?a=1&b=2",
     }
     for raw, want in cases.items():
         assert _norm(spark, raw) == want, raw

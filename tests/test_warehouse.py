@@ -134,3 +134,33 @@ def test_delete_keys_partition_scoped(spark, sf_dir, tmp_path):
     # untouched partitions: same files, same mtimes
     for f, m in untouched_files.items():
         assert os.path.exists(f) and os.path.getmtime(f) == m
+
+
+def test_delete_keys_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark %XX-escapes in directory names (spaces,
+    colons) must still hard-delete — the dir is resolved from the actual
+    listing, not string interpolation (ADVICE r3)."""
+    import glob
+    import os
+
+    from etl_capnz_spark.sinks.warehouse import delete_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, "region a"),
+            (2, "region a"),
+            (3, "b:c"),  # ':' → '%3A' in the on-disk dir name
+            (4, "plain"),
+        ],
+        "event_id int, region string",
+    )
+    path = str(tmp_path / "esc")
+    write_partitioned(df, path, ["region"])
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "event_id int")
+    stats = delete_keys(spark, path, ["region"], "event_id", keys)
+    assert stats["partitions_removed"] == 2
+    after = spark.read.parquet(path)
+    assert {r["event_id"] for r in after.collect()} == {4}
+    # both emptied dirs are really gone from disk
+    remaining = {os.path.basename(d) for d in glob.glob(f"{path}/region=*")}
+    assert len(remaining) == 1 and "plain" in next(iter(remaining))
