@@ -1950,6 +1950,58 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-capped crawl-frontier selection (operators/frontier.py,
+    VERDICT r3 item 2): three deterministic outlinks per doc (two of them
+    syntactically messy — case soup + :80, and a fragment containing '?'),
+    already-crawled pages anti-joined on the NORMALIZED url, priority =
+    distinct linking pages, then ≤3 URLs per host ranked (priority DESC,
+    url ASC) with 1000 ms per-host spacing. The oracle computes canonical
+    URLs closed-form from the integers, so this cross-checks
+    normalize_url against the closed form too. One shuffle on url for the
+    count, one on host for the rank."""
+    from etl_capnz_spark.operators.frontier import (
+        build_frontier,
+        frontier_select,
+    )
+
+    d = F.col("doc_id")
+    t1 = (d * 3 + 1) % 1000
+    t2 = (d * 3 + 2) % 1000
+    t3 = (d * 7) % 1000
+    arms = F.array(
+        # messy case + default port
+        F.concat(
+            F.lit("HTTP://H"), (t1 % 7).cast("string"),
+            F.lit(".EXAMPLE.COM:80/doc/"), t1.cast("string"),
+        ),
+        # fragment containing '?' must not resurrect as a query
+        F.concat(
+            F.lit("http://h"), (t2 % 7).cast("string"),
+            F.lit(".example.com/doc/"), t2.cast("string"),
+            F.lit("#sec?x=1"),
+        ),
+        # already canonical
+        F.concat(
+            F.lit("http://h"), (t3 % 7).cast("string"),
+            F.lit(".example.com/doc/"), t3.cast("string"),
+        ),
+    )
+    outlinks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("src"), F.explode(arms).alias("url")
+    )
+    crawled = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (d % 7).cast("string"),
+            F.lit(".example.com/doc/"), d.cast("string"),
+        ).alias("url")
+    )
+    frontier = build_frontier(outlinks, crawled)
+    return frontier_select(
+        frontier, k_per_host=3, delay_ms=1000
+    ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
+
+
 def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixture (operators/sampling.py
     temperature_mixture, α=1/2): per-source sqrt weighting + md5-ppm
@@ -4324,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outlinks": _q_html_outlinks,
         "chunk_documents": _q_chunk_documents,
         "url_normalize": _q_url_normalize,
+        "crawl_frontier": _q_crawl_frontier,
         "mixture_temperature": _q_mixture_temperature,
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
@@ -6594,6 +6647,34 @@ def oracle_sql() -> dict[str, str]:
                         CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
               END AS url_norm
             FROM norm""",
+        "crawl_frontier": """
+            WITH links AS (
+              SELECT doc_id AS src, (doc_id * 3 + 1) % 1000 AS t
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 3 + 2) % 1000 FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 7) % 1000 FROM documents),
+            cand AS (
+              SELECT src, t,
+                     'http://h' || (t % 7)::VARCHAR || '.example.com/doc/'
+                       || t::VARCHAR AS url
+              FROM links
+              WHERE t NOT IN (SELECT doc_id FROM documents)),
+            fr AS (
+              SELECT url,
+                     'h' || (t % 7)::VARCHAR || '.example.com' AS host,
+                     count(DISTINCT src)::BIGINT AS priority
+              FROM cand GROUP BY url, t),
+            ranked AS (
+              SELECT host, url, priority,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url ASC)::INT AS fetch_rank
+              FROM fr)
+            SELECT host, url, priority, fetch_rank,
+                   ((fetch_rank - 1) * 1000)::BIGINT AS not_before_ms
+            FROM ranked WHERE fetch_rank <= 3""",
         "mixture_temperature": """
             WITH counts AS (
               SELECT source, count(*) AS n FROM documents GROUP BY source),

@@ -530,6 +530,79 @@ def incremental_dedup_sink(
     )
 
 
+def frontier_schedule_stream(
+    links_stream: DataFrame,
+    schedule_path: str,
+    crawled_path: str,
+    checkpoint: str,
+    url_col: str = "url",
+    src_col: str = "src",
+    k_per_host: int = 10,
+    delay_ms: int = 1000,
+):
+    """Streaming crawl-frontier scheduler (VERDICT r3 item 2): each
+    micro-batch of discovered links is one scheduling ROUND —
+
+    1. candidates are built against the persisted crawled index
+       (operators/frontier.build_frontier: normalize → anti-join →
+       inlink priority), so a URL scheduled in ANY earlier round never
+       re-enters;
+    2. the politeness cap selects ≤ ``k_per_host`` per host with
+       ``delay_ms`` spacing (frontier_select);
+    3. the round's schedule lands under ``schedule_path`` partitioned by
+       round, and the selected URLs are admitted into the crawled index.
+
+    Replay-idempotent without a manifest: BOTH sinks write with dynamic
+    partition overwrite on ``round=<batch_id>``, so a re-run of a batch
+    after a crash replaces its own round's output byte-for-byte instead
+    of duplicating it. This closes the loop between ``html_outlinks``
+    (link discovery) and :func:`crawl_ingest_stream` (fetch+ingest): the
+    fetch executors read round N's schedule, fetch at their slot offsets,
+    and land pages for round N+1's discovery.
+    """
+    from etl_capnz_spark.operators.frontier import (
+        build_frontier,
+        frontier_select,
+    )
+
+    def _round(batch_df, batch_id: int):
+        sess = batch_df.sparkSession
+        try:
+            crawled = sess.read.parquet(crawled_path).select("url")
+        except Exception:
+            crawled = sess.createDataFrame([], "url string")
+        frontier = build_frontier(
+            batch_df.select(src_col, url_col), crawled, url_col
+        )
+        # eager localCheckpoint: sched feeds two sinks, and the second
+        # write must not re-read crawled_path after the first mutates
+        # sibling state — materialize once, then both writes are scans
+        sched = (
+            frontier_select(frontier, k_per_host=k_per_host, delay_ms=delay_ms)
+            .withColumn("round", F.lit(batch_id).cast("bigint"))
+            .localCheckpoint()
+        )
+        (
+            sched.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("round")
+            .parquet(schedule_path)
+        )
+        (
+            sched.select("url", "round")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("round")
+            .parquet(crawled_path)
+        )
+
+    return (
+        links_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_round)
+    )
+
+
 def crawl_ingest_stream(
     html_stream: DataFrame,
     out_path: str,

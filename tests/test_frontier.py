@@ -1,0 +1,197 @@
+"""Crawl-frontier politeness scheduler (operators/frontier.py +
+streaming frontier_schedule_stream) — VERDICT r3 item 2.
+
+Batch invariants: per-host cap, (priority DESC, url ASC) ranking,
+delay spacing, normalization-aware dedup/exclusion, and the two-phase
+(pre_salt) top-k producing IDENTICAL output to the single-phase form.
+Streaming e2e: rounds are scheduled with pinned per-host request
+spacing, and a URL scheduled in round N never re-enters in round N+1.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.frontier import (
+    build_frontier,
+    frontier_select,
+    url_host,
+)
+
+
+def _frontier_df(spark):
+    # host a: 5 candidates with priorities 5,4,3,2,1; host b: 2; host c: 1
+    rows = (
+        [(f"http://a.com/p{i}", "a.com", 5 - i) for i in range(5)]
+        + [("http://b.com/x", "b.com", 9), ("http://b.com/y", "b.com", 1)]
+        + [("http://c.com/only", "c.com", 2)]
+    )
+    return spark.createDataFrame(rows, "url string, host string, priority long")
+
+
+def test_frontier_select_cap_rank_and_spacing(spark):
+    got = frontier_select(
+        _frontier_df(spark), k_per_host=3, delay_ms=500
+    ).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    # cap respected
+    assert {h: len(v) for h, v in by_host.items()} == {
+        "a.com": 3, "b.com": 2, "c.com": 1,
+    }
+    # a.com: top-3 priorities 5,4,3 in rank order with 500ms spacing
+    a = sorted(by_host["a.com"], key=lambda r: r["fetch_rank"])
+    assert [r["priority"] for r in a] == [5, 4, 3]
+    assert [r["not_before_ms"] for r in a] == [0, 500, 1000]
+    # b.com: priority DESC ordering
+    b = sorted(by_host["b.com"], key=lambda r: r["fetch_rank"])
+    assert [r["url"] for r in b] == ["http://b.com/x", "http://b.com/y"]
+
+
+def test_frontier_select_priority_tie_breaks_on_url(spark):
+    df = spark.createDataFrame(
+        [("http://t.com/b", "t.com", 7), ("http://t.com/a", "t.com", 7)],
+        "url string, host string, priority long",
+    )
+    got = sorted(
+        frontier_select(df, k_per_host=2).collect(),
+        key=lambda r: r["fetch_rank"],
+    )
+    assert [r["url"] for r in got] == ["http://t.com/a", "http://t.com/b"]
+
+
+def test_frontier_select_pre_salt_identical_output(spark):
+    base = _frontier_df(spark)
+    plain = {
+        tuple(r) for r in frontier_select(base, k_per_host=3).collect()
+    }
+    for salt in (1, 2, 7):
+        salted = {
+            tuple(r)
+            for r in frontier_select(
+                base, k_per_host=3, pre_salt=salt
+            ).collect()
+        }
+        assert salted == plain, f"pre_salt={salt} changed the selection"
+
+
+def test_build_frontier_normalizes_and_excludes_crawled(spark):
+    outlinks = spark.createDataFrame(
+        [
+            # three syntactic variants of ONE page, from 2 distinct srcs
+            (1, "HTTP://Site.COM:80/page?b=2&a=1"),
+            (1, "http://site.com/page?a=1&b=2#frag"),
+            (2, "http://site.com/page?b=2&a=1&"),
+            # a crawled page rediscovered under a messy variant
+            (2, "HTTP://Done.NET:80/seen"),
+            # fresh page, single src
+            (2, "http://new.org/x"),
+            # garbage must drop, not crash
+            (1, "not a url"),
+        ],
+        "src long, url string",
+    )
+    crawled = spark.createDataFrame(
+        [("http://done.net/seen",)], "url string"
+    )
+    got = {
+        r["url"]: (r["host"], r["priority"])
+        for r in build_frontier(outlinks, crawled).collect()
+    }
+    assert got == {
+        # variants collapsed; priority = 2 DISTINCT srcs (not 3 anchors)
+        "http://site.com/page?a=1&b=2": ("site.com", 2),
+        "http://new.org/x": ("new.org", 1),
+    }
+
+
+def test_url_host_extracts_authority(spark):
+    df = spark.createDataFrame(
+        [("https://A.Com:8443/x",), ("http://plain.org/",)], "u string"
+    )
+    got = [r["h"] for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+    assert got == ["a.com:8443", "plain.org"]
+
+
+def test_frontier_schedule_stream_rounds_and_spacing(spark, tmp_path):
+    """Streaming e2e: two discovery micro-batches → two scheduling
+    rounds. Pins per-host request spacing (exactly delay_ms apart in
+    slot order) and cross-round exclusion (a URL scheduled in round 0
+    never re-enters in round 1)."""
+    from etl_capnz_spark.streaming.stream import frontier_schedule_stream
+
+    land = tmp_path / "links"
+    land.mkdir()
+    sched_path = str(tmp_path / "schedule")
+    crawled_path = str(tmp_path / "crawled")
+    cp = str(tmp_path / "cp_frontier")
+    schema = "src BIGINT, url STRING"
+
+    def run_round():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = frontier_schedule_stream(
+            stream, sched_path, crawled_path, cp,
+            k_per_host=2, delay_ms=700,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"src": s, "url": u})
+            for s, u in [
+                (1, "http://h1.com/a"),
+                (2, "http://h1.com/a"),   # 2 votes -> rank 1 on h1
+                (1, "http://h1.com/b"),
+                (2, "http://h1.com/c"),   # tie with /b -> url order; k=2 drops one
+                (1, "http://h2.com/z"),
+            ]
+        )
+    )
+    run_round()
+    (land / "b2.jsonl").write_text(
+        "\n".join(
+            json.dumps({"src": s, "url": u})
+            for s, u in [
+                (3, "http://h1.com/a"),   # scheduled in round 0 -> excluded
+                (3, "http://h1.com/c"),   # dropped by cap in round 0 -> eligible now
+                (3, "http://h1.com/d"),
+                (3, "http://h2.com/z"),   # scheduled in round 0 -> excluded
+            ]
+        )
+    )
+    run_round()
+
+    sched = spark.read.parquet(sched_path).collect()
+    rounds = {}
+    for r in sched:
+        rounds.setdefault(r["round"], []).append(r)
+    assert set(rounds) == {0, 1}
+
+    r0 = {r["url"]: r for r in rounds[0]}
+    # k=2 on h1: the 2-vote /a first, then tie /b vs /c broken by url ASC
+    assert set(r0) == {"http://h1.com/a", "http://h1.com/b", "http://h2.com/z"}
+    assert r0["http://h1.com/a"]["fetch_rank"] == 1
+    assert r0["http://h1.com/b"]["not_before_ms"] == 700
+
+    r1 = {r["url"]: r for r in rounds[1]}
+    # round-0 selections excluded; /c (previously capped out) + /d enter
+    assert set(r1) == {"http://h1.com/c", "http://h1.com/d"}
+
+    # per-host spacing pin: slot offsets are EXACTLY 0,700,1400,... in
+    # rank order within every (round, host)
+    for batch in rounds.values():
+        per_host = {}
+        for r in batch:
+            per_host.setdefault(r["host"], []).append(r)
+        for rows in per_host.values():
+            rows.sort(key=lambda r: r["fetch_rank"])
+            assert [r["not_before_ms"] for r in rows] == [
+                700 * i for i in range(len(rows))
+            ]
+
+    # crawled index holds exactly everything ever scheduled
+    crawled = {
+        r["url"] for r in spark.read.parquet(crawled_path).collect()
+    }
+    assert crawled == set(r0) | set(r1)
