@@ -628,3 +628,67 @@ def test_dynamic_gap_sessionization_stream_equals_batch(
     assert streamed <= batch
     # and coverage is near-total (only the watermark tail withheld)
     assert len(streamed) >= 0.8 * len(batch)
+
+
+def test_incremental_dedup_schema_evolution(spark, tmp_path):
+    """Mid-stream schema evolution (a new column appears in batch 2):
+    read_incremental_output returns the UNION schema — old rows carry
+    NULL for the later column — via the sink's _schemas.json log
+    (VERDICT r4 item 4: the manifest-log stand-in for a table format's
+    schema log)."""
+    import json as js
+
+    from etl_capnz_spark.streaming.stream import (
+        incremental_dedup_sink,
+        read_incremental_output,
+    )
+
+    land = tmp_path / "land_evo"
+    land.mkdir()
+    out = str(tmp_path / "out_evo")
+    idx = str(tmp_path / "idx_evo")
+
+    def run_batch(schema, cp):
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = incremental_dedup_sink(
+            stream, out, idx, cp
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "beta"},
+            ]
+        )
+    )
+    run_batch("doc_id BIGINT, text STRING", str(tmp_path / "cp_evo1"))
+
+    # stream restarted with an EVOLVED schema (new lang column); fresh
+    # checkpoint (schema changes force one), same output + index
+    for f in land.iterdir():
+        f.unlink()
+    (land / "b2.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 3, "text": "alpha", "lang": "en"},  # dup -> drop
+                {"doc_id": 4, "text": "gamma", "lang": "mi"},
+            ]
+        )
+    )
+    run_batch(
+        "doc_id BIGINT, text STRING, lang STRING", str(tmp_path / "cp_evo2")
+    )
+
+    got = read_incremental_output(spark, out)
+    assert set(got.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in got.collect()}
+    # old epochs read back with NULL lang; cross-batch dedup still held
+    assert rows == {
+        1: ("alpha", None),
+        2: ("beta", None),
+        4: ("gamma", "mi"),
+    }
