@@ -39,6 +39,9 @@ HEADLINE = [
     # round 3: crawl ingest stages (HTML extraction + context chunking)
     "extract_main_text",
     "chunk_documents",
+    # round 4: hot-bucket-capped LSH + crawl-frontier politeness scheduler
+    "dedup_lsh_capped",
+    "crawl_frontier",
 ]
 
 
@@ -85,6 +88,25 @@ def main() -> None:
         "sf": sf,
         "warmup": "full-pass" if warmup else "none",
     }
+
+    # Self-reported regression check (VERDICT r3 item 5): compare each
+    # timing against its recorded budget so a noise wiggle is
+    # distinguishable from a real regression without eyeballing history.
+    # Budgets only apply at the envelope's recorded sf.
+    env_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ENVELOPES.json"
+    )
+    if os.path.exists(env_path):
+        with open(env_path) as f:
+            envelopes = json.load(f)
+        if sf == envelopes.get("sf"):
+            violations = {
+                q: {"sec": t, "budget_sec": envelopes["queries"][q]["budget_sec"]}
+                for q, t in timings.items()
+                if q in envelopes["queries"]
+                and t > envelopes["queries"][q]["budget_sec"]
+            }
+            out["envelope_violations"] = violations
 
     if concurrent:
         # Multi-tenant throughput: submit every headline query at once

@@ -1,0 +1,56 @@
+"""Per-query bench budgets (VERDICT r3 item 5): BENCH_ENVELOPES.json is
+the recorded performance contract — 1.5× the idle per-query timing —
+and bench.py self-reports ``envelope_violations`` against it, so a
+machine-noise wiggle is distinguishable from a real regression without
+eyeballing BENCH history.
+
+These tests pin the envelope file's integrity and its agreement with
+the bench harness + recorded history; the timings themselves are
+checked by bench.py at run time (and recorded per round in
+BENCH_r{N}.json).
+"""
+
+import glob
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _envelopes():
+    with open(os.path.join(REPO, "BENCH_ENVELOPES.json")) as f:
+        return json.load(f)
+
+
+def test_envelopes_cover_every_headline_query():
+    env = _envelopes()
+    assert set(env["queries"]) == set(bench.HEADLINE)
+    assert env["sf"] == 0.1
+
+
+def test_envelopes_are_sane():
+    for q, e in _envelopes()["queries"].items():
+        assert e["baseline_sec"] > 0, q
+        assert e["budget_sec"] >= e["baseline_sec"] * 1.49, q
+
+
+def test_latest_recorded_bench_within_envelopes():
+    """The newest BENCH_r*.json must fit the budgets (the r3/r4 idle
+    numbers seeded them, so this is a tripwire for FUTURE rounds: a
+    regressed query turns this red on the next recorded run)."""
+    env = _envelopes()
+    rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert rounds, "driver records BENCH_r{N}.json per round"
+    with open(rounds[-1]) as f:
+        rec = json.load(f)
+    parsed = rec.get("parsed") or {}
+    if parsed.get("sf") != env["sf"]:
+        return  # budgets only compare at the recorded sf
+    over = {
+        q: (t, env["queries"][q]["budget_sec"])
+        for q, t in parsed.get("queries", {}).items()
+        if q in env["queries"] and t > env["queries"][q]["budget_sec"]
+    }
+    assert not over, f"queries over budget: {over}"
