@@ -2002,6 +2002,48 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
 
 
+def _q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness filter (operators/frontier.py robots_rules +
+    robots_filter): per-host robots bodies are parsed (star-group only —
+    a 'User-agent: bot / Disallow: /' group must be ignored; empty
+    Disallow dropped; comments stripped) and frontier URLs are filtered
+    with longest-match semantics (Allow: /pH/ok overrides the shorter
+    Disallow: /pH). Three URL arms per doc: blocked, allow-overridden,
+    and ruleless. The oracle states the expected outcome CLOSED FORM
+    from the integers, cross-checking parser + matcher end-to-end."""
+    from etl_capnz_spark.operators.frontier import (
+        robots_filter,
+        robots_rules,
+    )
+
+    d = F.col("doc_id")
+    h = (d % 7).cast("string")
+    host = F.concat(F.lit("h"), h, F.lit(".example.com"))
+    ds = d.cast("string")
+    arms = F.array(
+        F.concat(F.lit("http://"), host, F.lit("/p"), h, F.lit("/x"), ds),
+        F.concat(
+            F.lit("http://"), host, F.lit("/p"), h, F.lit("/ok/x"), ds
+        ),
+        F.concat(F.lit("http://"), host, F.lit("/q/x"), ds),
+    )
+    frontier = _docs(spark, sf_dir).select(
+        host.alias("host"), F.explode(arms).alias("url")
+    )
+    i = F.col("id").cast("string")
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), i, F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: bot\nDisallow: /\n\n"),
+            F.lit("User-agent: *\nDisallow: /p"), i,
+            F.lit("\nAllow: /p"), i, F.lit("/ok\nDisallow:\n"),
+        ).alias("body"),
+    )
+    return robots_filter(frontier, robots_rules(robots)).select(
+        "host", "url"
+    )
+
+
 def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixture (operators/sampling.py
     temperature_mixture, α=1/2): per-source sqrt weighting + md5-ppm
@@ -4377,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "url_normalize": _q_url_normalize,
         "crawl_frontier": _q_crawl_frontier,
+        "crawl_robots": _q_crawl_robots,
         "mixture_temperature": _q_mixture_temperature,
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
@@ -6675,6 +6718,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, priority, fetch_rank,
                    ((fetch_rank - 1) * 1000)::BIGINT AS not_before_ms
             FROM ranked WHERE fetch_rank <= 3""",
+        "crawl_robots": """
+            WITH arms AS (
+              SELECT doc_id, (doc_id % 7)::VARCHAR AS h, arm
+              FROM documents, (VALUES (0), (1), (2)) t(arm)),
+            urls AS (
+              SELECT 'h' || h || '.example.com' AS host,
+                     'http://h' || h || '.example.com' ||
+                     CASE arm
+                       WHEN 0 THEN '/p' || h || '/x' || doc_id::VARCHAR
+                       WHEN 1 THEN '/p' || h || '/ok/x' || doc_id::VARCHAR
+                       ELSE '/q/x' || doc_id::VARCHAR
+                     END AS url,
+                     arm
+              FROM arms)
+            SELECT host, url FROM urls WHERE arm <> 0""",
         "mixture_temperature": """
             WITH counts AS (
               SELECT source, count(*) AS n FROM documents GROUP BY source),

@@ -88,6 +88,115 @@ def frontier_select(
     )
 
 
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """Parse fetched ``robots.txt`` bodies into per-host rules for the
+    universal agent (``User-agent: *`` groups only — a production crawler
+    matches its own token first; same plan shape).
+
+    Output: (host, rule, path_prefix) with rule ∈ {'allow','disallow'},
+    one row per directive; empty-path ``Disallow:`` lines (meaning
+    "allow all") are dropped. Pure split/explode/regex — map-only.
+
+    The grouping rule follows the robots exclusion protocol: directives
+    apply to the most recent ``User-agent`` line(s) above them. We track
+    group membership with a running count of user-agent lines
+    (a window over line position per host — the only non-map step, and
+    it partitions by host, the same key everything else uses).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias(
+            "line_no", "line"
+        ),
+    ).select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_replace("line", r"#.*$", ""))).alias("l"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = lines.withColumn(
+        "_grp",
+        F.sum(
+            F.when(F.col("l").rlike(r"^user-agent\s*:"), 1).otherwise(0)
+        ).over(w),
+    )
+    star_groups = (
+        grouped.filter(F.col("l").rlike(r"^user-agent\s*:\s*\*$"))
+        .select("host", "_grp")
+        .distinct()
+    )
+    directives = grouped.filter(
+        F.col("l").rlike(r"^(allow|disallow)\s*:")
+    ).select(
+        "host",
+        "_grp",
+        F.regexp_extract("l", r"^(allow|disallow)\s*:", 1).alias("rule"),
+        F.trim(F.regexp_extract("l", r"^(?:allow|disallow)\s*:(.*)$", 1))
+        .alias("path_prefix"),
+    )
+    return (
+        directives.join(star_groups, ["host", "_grp"])
+        .filter(F.col("path_prefix") != "")
+        .select("host", "rule", "path_prefix")
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop frontier URLs a host's robots rules disallow.
+
+    Longest-match semantics (the modern interpretation, per Google's
+    robots.txt spec): among all rules whose path_prefix is a prefix of
+    the URL's path, the LONGEST wins; 'allow' wins ties. No matching
+    rule → allowed.
+
+    Shape: rules join on host (rules are tiny per host — broadcast), a
+    prefix test per (url, rule) pair, then one max_by per url. The
+    frontier is never shuffled when the rules side broadcasts.
+    """
+    path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    fr = frontier.withColumn("_path", path)
+    matched = fr.join(F.broadcast(rules), host_col, "left").withColumn(
+        "_hit",
+        F.col("path_prefix").isNotNull()
+        & F.col("_path").startswith(F.col("path_prefix")),
+    )
+    # winner per url: longest matching prefix, allow beating disallow on
+    # equal length (struct max: (len, is_allow))
+    verdict = (
+        matched.groupBy(host_col, url_col, "_path")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_hit"),
+                    F.struct(
+                        F.length("path_prefix").alias("l"),
+                        (F.col("rule") == "allow").cast("int").alias("a"),
+                    ),
+                )
+            ).alias("_win"),
+        )
+        .filter(
+            F.col("_win").isNull()  # no rule matched -> allowed
+            | (F.col("_win.a") == 1)  # winner is an allow
+        )
+        .select(host_col, url_col)
+    )
+    return frontier.join(verdict, [host_col, url_col], "left_semi")
+
+
 def build_frontier(
     outlinks: DataFrame,
     crawled: DataFrame,

@@ -195,3 +195,68 @@ def test_frontier_schedule_stream_rounds_and_spacing(spark, tmp_path):
         r["url"] for r in spark.read.parquet(crawled_path).collect()
     }
     assert crawled == set(r0) | set(r1)
+
+
+def test_robots_rules_star_group_only(spark):
+    from etl_capnz_spark.operators.frontier import robots_rules
+
+    body = (
+        "# comment line\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private   # inline comment\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"          # empty -> allow-all, dropped
+        "User-agent: other\n"
+        "Disallow: /other\n"
+    )
+    df = spark.createDataFrame([("a.com", body)], "host string, body string")
+    got = {
+        (r["rule"], r["path_prefix"]) for r in robots_rules(df).collect()
+    }
+    # only the star group's non-empty directives survive
+    assert got == {("disallow", "/private"), ("allow", "/private/ok")}
+
+
+def test_robots_filter_longest_match(spark):
+    from etl_capnz_spark.operators.frontier import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "disallow", "/p"),
+            ("a.com", "allow", "/p/ok"),
+            ("a.com", "disallow", "/p/ok/deep"),
+        ],
+        "host string, rule string, path_prefix string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "http://a.com/p/x"),          # blocked by /p
+            ("a.com", "http://a.com/p/ok/x"),       # allow overrides
+            ("a.com", "http://a.com/p/ok/deep/x"),  # longer disallow wins
+            ("a.com", "http://a.com/free"),         # no rule
+            ("b.com", "http://b.com/p/x"),          # no rules for host
+        ],
+        "host string, url string",
+    )
+    got = {r["url"] for r in robots_filter(frontier, rules).collect()}
+    assert got == {
+        "http://a.com/p/ok/x",
+        "http://a.com/free",
+        "http://b.com/p/x",
+    }
+
+
+def test_robots_filter_allow_wins_length_tie(spark):
+    from etl_capnz_spark.operators.frontier import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.com", "disallow", "/page"), ("a.com", "allow", "/page")],
+        "host string, rule string, path_prefix string",
+    )
+    frontier = spark.createDataFrame(
+        [("a.com", "http://a.com/page/1")], "host string, url string"
+    )
+    assert robots_filter(frontier, rules).count() == 1

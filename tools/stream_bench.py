@@ -39,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_capnz_spark.session import get_session, read_table  # noqa: E402
 from etl_capnz_spark.streaming.stream import (  # noqa: E402
     crawl_ingest_stream,
+    frontier_schedule_stream,
     interval_join_streams,
     running_user_totals,
     session_counts,
@@ -210,6 +211,60 @@ def main() -> None:
         results["crawl_ingest"] = {
             "sec": round(secs, 3),
             "rows_per_sec": round(n_docs / secs, 1),
+            "n_batches": len(lat),
+            "batch_ms_p50": round(_pctl(lat, 0.50), 1),
+            "batch_ms_p95": round(_pctl(lat, 0.95), 1),
+            "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
+        }
+        # frontier rounds (round 4): discovered links → per-round
+        # politeness schedule against the persisted crawled index
+        d = F.col("doc_id")
+        links = docs.select(
+            d.alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit("http://h"),
+                            (((d * m + a) % 1000) % 7).cast("string"),
+                            F.lit(".example.com/doc/"),
+                            ((d * m + a) % 1000).cast("string"),
+                        )
+                        for m, a in ((3, 1), (3, 2), (7, 0))
+                    ]
+                )
+            ).alias("url"),
+        )
+        links_path = os.path.join(base, "links_chunks")
+        links.repartition(N_CHUNKS).write.mode("overwrite").json(links_path)
+        n_links = n_docs * 3
+        cp_f = os.path.join(base, "cp_frontier")
+        t0 = time.time()
+        q = (
+            frontier_schedule_stream(
+                spark.readStream.schema("src bigint, url string")
+                .option("maxFilesPerTrigger", 1)
+                .json(links_path),
+                os.path.join(base, "out_frontier"),
+                os.path.join(base, "crawled_frontier"),
+                cp_f,
+                k_per_host=10,
+                delay_ms=1000,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = time.time() - t0
+        lat = [
+            float(p["durationMs"]["triggerExecution"])
+            for p in (json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+            and "triggerExecution" in p["durationMs"]
+        ]
+        results["frontier_rounds"] = {
+            "sec": round(secs, 3),
+            "rows_per_sec": round(n_links / secs, 1),
             "n_batches": len(lat),
             "batch_ms_p50": round(_pctl(lat, 0.50), 1),
             "batch_ms_p95": round(_pctl(lat, 0.95), 1),
