@@ -2002,6 +2002,42 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
 
 
+def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/audit.py kmv_sketch, k=64)
+    of users per event_type, alongside the exact count — the MERGEABLE
+    approximate-distinct a 100 TB rollup needs (per-day sketches union
+    into months without re-scanning; union==sketch-of-union pinned in
+    test_audit). Deterministic md5 hashing makes every sketch value and
+    the closed-form (k−1)/m_k estimate oracle-EXACT even though the
+    estimate approximates."""
+    from etl_capnz_spark.operators.audit import kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        F.array_join(F.col("sketch").cast("array<string>"), ",").alias(
+            "sketch_csv"
+        ),
+        "n_seen",
+        "est_distinct",
+        "exact_distinct",
+    )
+
+
+def _q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM perplexity per document
+    (operators/text.py bigram_lm_perplexity, add-k 0.5) — the
+    CCNet-style quality gate one rung above the unigram score: unusual
+    word TRANSITIONS, not just unusual words, raise perplexity."""
+    from etl_capnz_spark.operators.text import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def _q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness filter (operators/frontier.py robots_rules +
     robots_filter): per-host robots bodies are parsed (star-group only —
@@ -4420,6 +4456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "crawl_frontier": _q_crawl_frontier,
         "crawl_robots": _q_crawl_robots,
+        "events_kmv_distinct": _q_events_kmv_distinct,
+        "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
@@ -6718,6 +6756,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, priority, fetch_rank,
                    ((fetch_rank - 1) * 1000)::BIGINT AS not_before_ms
             FROM ranked WHERE fetch_rank <= 3""",
+        "events_kmv_distinct": """
+            WITH pairs AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM events),
+            ranked AS (
+              SELECT event_type, h,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY h) AS rn
+              FROM pairs),
+            sk AS (
+              SELECT event_type,
+                     list(h ORDER BY h) AS sketch,
+                     count(*)::BIGINT AS n_seen
+              FROM ranked WHERE rn <= 64 GROUP BY event_type),
+            ex AS (
+              SELECT event_type,
+                     count(DISTINCT user_id)::BIGINT AS exact_distinct
+              FROM events GROUP BY event_type)
+            SELECT sk.event_type,
+                   array_to_string(sketch, ',') AS sketch_csv,
+                   n_seen,
+                   CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                        ELSE round(63.0 / (sketch[64]::DOUBLE
+                                           / 4503599627370496.0), 6)
+                   END AS est_distinct,
+                   exact_distinct
+            FROM sk JOIN ex USING (event_type)""",
+        "text_bigram_ppl": rf"""
+            WITH doc_bgs AS (
+              SELECT doc_id, unnest({oracles.shingles_sql('text')}) AS bg
+              FROM documents),
+            bigf AS (SELECT bg, count(*) AS c12 FROM doc_bgs GROUP BY bg),
+            unif AS (
+              SELECT w, count(*) AS c1 FROM (
+                SELECT unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '')) AS w
+                FROM documents) GROUP BY w),
+            voc AS (SELECT count(*)::DOUBLE AS v FROM unif)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 6)
+                     AS avg_logprob,
+                   round(exp(-round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))),
+                                    6)), 4) AS perplexity
+            FROM doc_bgs
+            JOIN bigf USING (bg)
+            JOIN unif ON string_split(bg, ' ')[1] = unif.w, voc
+            GROUP BY doc_id""",
         "crawl_robots": """
             WITH arms AS (
               SELECT doc_id, (doc_id % 7)::VARCHAR AS h, arm

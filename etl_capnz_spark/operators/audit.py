@@ -251,3 +251,114 @@ def histogram(
             "n",
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    MERGEABLE approximate-distinct primitive a 100 TB rollup needs:
+    per-partition/day sketches union into coarser rollups WITHOUT
+    re-scanning the data, unlike an exact count_distinct whose partials
+    aren't mergeable.
+
+    The sketch is the k smallest 52-bit md5 hashes of the DISTINCT
+    values (an ascending array). Deterministic md5 keeps it
+    oracle-checkable exactly — the estimator is closed-form arithmetic
+    on the k-th minimum, so the whole thing is EXACT-reproducible even
+    though the estimate itself is approximate (Bar-Yossef et al. 2002;
+    the estimator (k−1)/m_k with m_k the k-th minimum normalized to
+    [0,1]).
+
+    Output: group_cols + (sketch array<bigint>, n_seen, est_distinct).
+    Groups with < k distinct values carry their full hash set and
+    est = n_seen (exact in that regime).
+
+    Shape: distinct (group, hash) pairs → rank window per group →
+    array_agg of the ≤ k survivors. Both the distinct and the window
+    hash on the group key; per-group state is bounded by the sort
+    spill, and the published sketch is k × 8 bytes. (A production
+    Aggregator would keep the k-heap inside partial aggregation; the
+    window form is the same shuffle key and spills instead — identical
+    result.) Merge with :func:`kmv_merge`; union-of-sketches ==
+    sketch-of-union exactly, pinned in tests.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    pairs = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("_h")).alias("sketch"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .select(
+            *group_cols,
+            "sketch",
+            "n_seen",
+            _kmv_estimate(F.col("sketch"), F.col("n_seen"), k).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
+_KMV_SPACE = float(1 << 52)
+
+
+def _kmv_estimate(sketch: Column, n_seen: Column, k: int) -> Column:
+    kth = F.element_at(sketch, k).cast("double") / F.lit(_KMV_SPACE)
+    return F.when(n_seen < k, n_seen.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / kth, 6)
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge KMV sketches (e.g. per-day → per-month): union the hash
+    arrays, dedupe, keep the k smallest. Because every side hashed with
+    the same function, this equals the sketch of the unioned raw data
+    EXACTLY — the mergeability property that makes the sketch a
+    rollup-safe partial (same contract as operators/rollup.py).
+
+    Input may carry several rows per output group (finer partitions);
+    output schema matches :func:`kmv_sketch`.
+    """
+    from pyspark.sql.window import Window
+
+    exploded = sketches.select(
+        *group_cols, F.explode(sketch_col).alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        kept.groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("_h")).alias("sketch"),
+            F.count(F.lit(1)).alias("n_seen"),
+        )
+        .select(
+            *group_cols,
+            "sketch",
+            "n_seen",
+            _kmv_estimate(F.col("sketch"), F.col("n_seen"), k).alias(
+                "est_distinct"
+            ),
+        )
+    )

@@ -54,9 +54,21 @@ def _tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 2) -> Column:
-    """n-word shingles of a text column as an array<string>."""
+    """n-word shingles of a text column as an array<string>; empty for
+    texts with fewer than ``n`` tokens.
+
+    The short-text guard must be an explicit ``when``: Spark's
+    ``sequence(1, 0)`` DESCENDS to ``[1, 0]`` (step defaults to -1 when
+    start > stop) while DuckDB's ``generate_series(1, 0)`` is empty — an
+    unguarded expression silently manufactures phantom shingles for
+    1-token docs in one engine only (caught round 4 by the bigram-LM
+    tests; the sf corpora have no such docs, so contract hashes are
+    unchanged)."""
     toks = _tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

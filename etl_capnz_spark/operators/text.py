@@ -315,6 +315,55 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_perplexity(
+    df: DataFrame, text_col: str, id_col: str, add_k: float = 0.5
+) -> DataFrame:
+    """Corpus-self-trained BIGRAM LM perplexity per document — the
+    CCNet-style quality gate one rung above :func:`unigram_logprob`:
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V) with add-k smoothing,
+    ppl = exp(−mean ln p) over the doc's bigrams. High-perplexity docs
+    (unusual word TRANSITIONS, not just unusual words) are the boilerplate/
+    gibberish the unigram score misses.
+
+    c(w1) is the unigram occurrence count (the standard approximation of
+    the history count; exact history counts differ only by each doc's
+    final token). Documents with < 2 tokens have no bigrams and are
+    absent from the output — a pipeline treats "no evidence" upstream.
+
+    Distributed shape mirrors unigram_logprob: two frequency tables
+    (bigram, unigram) via two-phase hash aggregates; V is a 1-row
+    broadcast; scoring joins the doc's exploded bigrams to both tables
+    on their keys and re-aggregates per doc. Only (id, bigram) pairs
+    shuffle, never text.
+    """
+    from etl_capnz_spark.operators.dedup import word_shingles
+
+    bigrams = word_shingles(F.col(text_col), 2)
+    doc_bgs = df.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    big_freq = doc_bgs.groupBy("bg").agg(F.count("*").alias("_c12"))
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    uni_freq = toks.groupBy("token").agg(F.count("*").alias("_c1"))
+    vocab = uni_freq.agg(F.count("*").alias("_v"))
+    logp = F.log(
+        (F.col("_c12") + F.lit(add_k))
+        / (F.col("_c1") + F.lit(add_k) * F.col("_v"))
+    )
+    avg_lp = F.round(F.avg(logp), 6)
+    return (
+        doc_bgs.join(big_freq, "bg")
+        .join(uni_freq, doc_bgs["w1"] == uni_freq["token"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 4).alias("perplexity"),
+        )
+    )
+
+
 def token_frequencies(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
     """Global top-N token frequencies: explode → two-phase hash aggregate.
 

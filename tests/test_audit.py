@@ -106,3 +106,55 @@ def test_profile_table_counts(spark):
     assert got["x"]["min_s"] == "1" and got["x"]["max_s"] == "2"
     assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
     assert got["s"]["min_s"] == "a" and got["s"]["max_s"] == "b"
+
+
+def test_kmv_merge_equals_sketch_of_union(spark, sf_dir):
+    """Mergeability — the property that makes KMV a rollup-safe
+    partial: per-day sketches merged per event_type must equal the
+    sketch computed over the full table, EXACTLY (same hash function →
+    union of k-min sets contains the true k-mins of the union)."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import kmv_merge, kmv_sketch
+    from etl_capnz_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    full = {
+        r["event_type"]: (r["sketch"], r["n_seen"], r["est_distinct"])
+        for r in kmv_sketch(ev, ["event_type"], "user_id", k=32).collect()
+    }
+    per_day = kmv_sketch(ev, ["event_type", "day"], "user_id", k=32)
+    merged = {
+        r["event_type"]: (r["sketch"], r["n_seen"], r["est_distinct"])
+        for r in kmv_merge(per_day, ["event_type"], k=32).collect()
+    }
+    assert merged == full
+
+
+def test_kmv_estimate_accuracy_and_small_group_exactness(spark):
+    """Estimate within the ~1/sqrt(k) KMV error band on a 5k-distinct
+    column; a group with < k distinct values is EXACT."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import kmv_sketch
+
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("g"), (F.col("id") % 7).alias("v")
+    )
+    got = {
+        r["g"]: r
+        for r in kmv_sketch(
+            big.unionByName(small), ["g"], "v", k=64
+        ).collect()
+    }
+    assert got["small"]["est_distinct"] == 7.0
+    assert got["small"]["n_seen"] == 7
+    est = got["big"]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.5  # 3.5/sqrt(64) ≈ 0.44 worst band
+    assert len(got["big"]["sketch"]) == 64
+    assert got["big"]["sketch"] == sorted(got["big"]["sketch"])

@@ -89,3 +89,38 @@ def test_temperature_mixture_shape(spark, sf_dir):
     largest = max(sizes, key=sizes.get)
     if sizes[smallest] * 4 <= sizes[largest]:  # only when sizes differ enough
         assert frac[smallest] > frac[largest]
+
+
+def test_bigram_perplexity_flags_gibberish(spark):
+    """A doc of corpus-typical bigrams scores LOWER perplexity than a
+    doc of transitions never seen in training — the quality-gate
+    property (CCNet-style LM filtering)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_capnz_spark.operators.text import bigram_lm_perplexity
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the dog sat on the mat"),
+        # gibberish: words exist, transitions don't
+        (4, "mat the on sat cat the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in bigram_lm_perplexity(df, "text", "doc_id").collect()
+    }
+    assert got[1]["n_bigrams"] == 5
+    assert got[4]["perplexity"] > got[1]["perplexity"] * 1.3
+    assert got[1]["perplexity"] > 0
+
+
+def test_bigram_perplexity_drops_sub_two_token_docs(spark):
+    from etl_capnz_spark.operators.text import bigram_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "hello world again"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = bigram_lm_perplexity(df, "text", "doc_id").collect()
+    assert {r["doc_id"] for r in got} == {1}
