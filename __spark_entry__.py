@@ -2002,6 +2002,64 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
 
 
+def _q_crawl_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE frontier path composed end-to-end: discovery
+    (messy outlinks) → build_frontier (normalize, anti-join crawled,
+    inlink priority) → robots_filter (Disallow /doc/1 with Allow
+    /doc/19 carve-out — longest match) → frontier_select (≤3/host,
+    1000 ms slots). The oracle states the surviving set closed-form:
+    a candidate t is robots-blocked iff its id starts with '1' and not
+    '19'. Same shuffle story as the pieces: url hash → host rank."""
+    from etl_capnz_spark.operators.frontier import (
+        build_frontier,
+        frontier_select,
+        robots_filter,
+        robots_rules,
+    )
+
+    d = F.col("doc_id")
+    t1 = (d * 3 + 1) % 1000
+    t2 = (d * 3 + 2) % 1000
+    t3 = (d * 7) % 1000
+    arms = F.array(
+        F.concat(
+            F.lit("HTTP://H"), (t1 % 7).cast("string"),
+            F.lit(".EXAMPLE.COM:80/doc/"), t1.cast("string"),
+        ),
+        F.concat(
+            F.lit("http://h"), (t2 % 7).cast("string"),
+            F.lit(".example.com/doc/"), t2.cast("string"),
+            F.lit("#sec?x=1"),
+        ),
+        F.concat(
+            F.lit("http://h"), (t3 % 7).cast("string"),
+            F.lit(".example.com/doc/"), t3.cast("string"),
+        ),
+    )
+    outlinks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("src"), F.explode(arms).alias("url")
+    )
+    crawled = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("http://h"), (d % 7).cast("string"),
+            F.lit(".example.com/doc/"), d.cast("string"),
+        ).alias("url")
+    )
+    i = F.col("id").cast("string")
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), i, F.lit(".example.com")).alias("host"),
+        F.lit(
+            "User-agent: ignored-bot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /doc/5\nAllow: /doc/59\n"
+        ).alias("body"),
+    )
+    frontier = build_frontier(outlinks, crawled)
+    polite = robots_filter(frontier, robots_rules(robots))
+    return frontier_select(
+        polite, k_per_host=3, delay_ms=1000
+    ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
+
+
 def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/audit.py kmv_sketch, k=64)
     of users per event_type, alongside the exact count — the MERGEABLE
@@ -4456,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "crawl_frontier": _q_crawl_frontier,
         "crawl_robots": _q_crawl_robots,
+        "crawl_frontier_polite": _q_crawl_frontier_polite,
         "events_kmv_distinct": _q_events_kmv_distinct,
         "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
@@ -6742,6 +6801,36 @@ def oracle_sql() -> dict[str, str]:
                        || t::VARCHAR AS url
               FROM links
               WHERE t NOT IN (SELECT doc_id FROM documents)),
+            fr AS (
+              SELECT url,
+                     'h' || (t % 7)::VARCHAR || '.example.com' AS host,
+                     count(DISTINCT src)::BIGINT AS priority
+              FROM cand GROUP BY url, t),
+            ranked AS (
+              SELECT host, url, priority,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, url ASC)::INT AS fetch_rank
+              FROM fr)
+            SELECT host, url, priority, fetch_rank,
+                   ((fetch_rank - 1) * 1000)::BIGINT AS not_before_ms
+            FROM ranked WHERE fetch_rank <= 3""",
+        "crawl_frontier_polite": """
+            WITH links AS (
+              SELECT doc_id AS src, (doc_id * 3 + 1) % 1000 AS t
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 3 + 2) % 1000 FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 7) % 1000 FROM documents),
+            cand AS (
+              SELECT src, t,
+                     'http://h' || (t % 7)::VARCHAR || '.example.com/doc/'
+                       || t::VARCHAR AS url
+              FROM links
+              WHERE t NOT IN (SELECT doc_id FROM documents)
+                AND NOT (t::VARCHAR LIKE '5%'
+                         AND t::VARCHAR NOT LIKE '59%')),
             fr AS (
               SELECT url,
                      'h' || (t % 7)::VARCHAR || '.example.com' AS host,

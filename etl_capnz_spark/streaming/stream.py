@@ -640,6 +640,54 @@ def incremental_dedup_sink(
     )
 
 
+def kmv_distinct_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+):
+    """Incrementally-maintained approximate distinct counts per group
+    (foreachBatch): each micro-batch's KMV sketch merges into a
+    persisted per-group sketch table. Exact streaming distinct needs
+    state proportional to the number of distinct values; the sketch
+    state is ``groups × k`` longs, and the answer is the same
+    closed-form estimate the batch operator gives.
+
+    Replay-safe WITHOUT an epoch manifest because KMV merge is
+    IDEMPOTENT — merging the same batch twice is set-union + k-min, a
+    no-op the second time — so a crash-replayed batch converges to the
+    identical state (pinned in tests). The merged table (tiny) is
+    eagerly localCheckpointed before overwriting the state dir it was
+    read from.
+
+    Cross-checks: final state == batch kmv_sketch over all data seen —
+    the streaming/batch twin pin, same contract as
+    session_counts_dynamic and incremental_rollup.
+    """
+    from etl_capnz_spark.operators.audit import kmv_merge, kmv_sketch
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        cur = kmv_sketch(batch, group_cols, value_col, k)
+        try:
+            prev = sess.read.parquet(state_path).select(
+                *group_cols, "sketch", "n_seen", "est_distinct"
+            )
+        except Exception:
+            prev = None
+        both = cur if prev is None else prev.unionByName(cur)
+        merged = kmv_merge(both, group_cols, k=k).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+
+
 def frontier_schedule_stream(
     links_stream: DataFrame,
     schedule_path: str,

@@ -692,3 +692,60 @@ def test_incremental_dedup_schema_evolution(spark, tmp_path):
         2: ("beta", None),
         4: ("gamma", "mi"),
     }
+
+
+def test_kmv_distinct_sink_matches_batch_sketch(spark, tmp_path):
+    """Streaming/batch twin + idempotent-merge pin: after two
+    micro-batches (with cross-batch repeated users), the persisted
+    sketch state equals the batch kmv_sketch over everything seen, and
+    re-merging the same data changes nothing."""
+    import json as js
+
+    from etl_capnz_spark.operators.audit import kmv_sketch
+    from etl_capnz_spark.streaming.stream import kmv_distinct_sink
+
+    land = tmp_path / "land_kmv"
+    land.mkdir()
+    state = str(tmp_path / "kmv_state")
+    cp = str(tmp_path / "cp_kmv")
+    schema = "event_type STRING, user_id BIGINT"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = kmv_distinct_sink(
+            stream, state, cp, ["event_type"], "user_id", k=16
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    b1 = [{"event_type": "view", "user_id": u} for u in range(40)] + [
+        {"event_type": "click", "user_id": u} for u in range(5)
+    ]
+    b2 = [{"event_type": "view", "user_id": u} for u in range(20, 60)] + [
+        {"event_type": "click", "user_id": u} for u in range(5)  # all dups
+    ]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(d) for d in b1))
+    run_batch()
+    state1 = {
+        r["event_type"]: (r["sketch"], r["est_distinct"])
+        for r in spark.read.parquet(state).collect()
+    }
+    (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
+    run_batch()
+
+    got = {
+        r["event_type"]: (r["sketch"], r["n_seen"], r["est_distinct"])
+        for r in spark.read.parquet(state).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["event_type"], d["user_id"]) for d in b1 + b2],
+        "event_type string, user_id long",
+    )
+    want = {
+        r["event_type"]: (r["sketch"], r["n_seen"], r["est_distinct"])
+        for r in kmv_sketch(full, ["event_type"], "user_id", k=16).collect()
+    }
+    assert got == want
+    # click saw only duplicate users in batch 2 -> state unchanged
+    # (idempotent merge), and < k distinct -> estimate EXACT
+    assert got["click"][0] == state1["click"][0]
+    assert got["click"][2] == 5.0
