@@ -39,6 +39,7 @@ from etl_capnz_spark.operators.extract import (
 from etl_capnz_spark.operators.dedup import (
     connected_components,
     exact_dedup,
+    line_dedup_global,
     lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -4430,6 +4431,89 @@ def _q_tpch_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with bounded-memory candidate generation
+    (operators/frequency.py). Item domain is deliberately skewed —
+    every 4th user collapses to one 'hot' key (~25% of all rows), the
+    rest stay per-user (<9% each) — so with k=6 (threshold n/7 ≈ 14%)
+    the result includes 'hot' and excludes every cold item: a
+    discriminating check, not an everything-qualifies one. The oracle is
+    the naive full GROUP BY + HAVING; equality with it is the exactness
+    guarantee of the Misra-Gries-candidates + one-scan-verify design."""
+    from etl_capnz_spark.operators.frequency import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("item")
+    )
+    return heavy_hitters_exact(ev, "item", k=6)
+
+
+def _q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup behind a Bloom pre-filter
+    (operators/bloom.py). Docs with doc_id%3==0 are the ingested base;
+    the 'new' batch is the rest PLUS the base re-keyed (+100000) —
+    planted cross-corpus duplicates. No false negatives means
+    prefilter + exact anti-join ≡ plain anti-join, and THAT is the
+    oracle: the naive NOT IN over content hashes."""
+    from etl_capnz_spark.operators.bloom import bloom_prefilter_new_docs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return bloom_prefilter_new_docs(new, base, "text", "doc_id").select("doc_id")
+
+
+def _q_dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence LINE dedup with document reassembly
+    (operators/dedup.py line_dedup_global) — RefinedWeb-style
+    boilerplate removal, one granularity finer than chunk_span_dedup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup_global(docs, "text", "doc_id", min_chars=30)
+
+
+def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/frequency.py):
+    build a 3×64 sketch over the per-event user key, then answer a
+    point-frequency query for every distinct user FROM THE SKETCH —
+    deliberately narrow so hash collisions really occur and the
+    estimates genuinely differ from exact counts; the DuckDB oracle
+    replicates the sketch cell-for-cell (same md5-derived hashes), so
+    every estimate — including the inflated ones — is value-exact.
+    Completes the mergeable-sketch family: KMV (distinct), Misra-Gries
+    (heavy hitters), Bloom (membership), CMS (frequency)."""
+    from etl_capnz_spark.operators.frequency import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("v")
+    )
+    sketch = cms_build(ev, "v", depth=3, width=64)
+    return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
+
+
+def _q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout keys over events (operators/layout.py):
+    user_id × value quantized to 16 bits each with FIXED explicit bounds
+    (clamping out-of-range — the table-stats-driven production shape)
+    and bit-interleaved via the magic-number spread — pure JVM bitwise
+    arithmetic, oracle-exact in SQL. Complements `events_zorder` (the
+    modulo-bucket key via sinks/storage.py z_value — pinned bit-identical
+    to this spread form in tests/test_layout.py); the measured min/max
+    file-pruning win over a 1-D SORTED layout is also in
+    tests/test_layout.py."""
+    from etl_capnz_spark.operators.layout import quantize_minmax, zvalue2
+
+    ev = _t(spark, sf_dir, "events")
+    z = zvalue2(
+        quantize_minmax(F.col("user_id"), 0.0, 200.0),
+        quantize_minmax(F.col("value"), 0.0, 400.0),
+    )
+    return ev.select("event_id", z.alias("zval"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cap_active_alerts": _q_active_alerts,
@@ -4516,6 +4600,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": _q_crawl_robots,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
+        "dedup_lines_global": _q_dedup_lines_global,
+        "events_cms_freq": _q_events_cms_freq,
+        "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
         "ts_similarity_l2": _q_ts_similarity_l2,
@@ -6874,6 +6963,85 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct,
                    exact_distinct
             FROM sk JOIN ex USING (event_type)""",
+        "events_heavy_hitters": """
+            WITH t AS (
+              SELECT CASE WHEN user_id % 4 = 0 THEN 'hot'
+                          ELSE 'u' || user_id::VARCHAR END AS item
+              FROM events),
+            n AS (SELECT count(*) AS n FROM t)
+            SELECT item, count(*)::BIGINT AS cnt
+            FROM t, n GROUP BY item, n.n
+            HAVING count(*) * 7 > n.n""",
+        "dedup_bloom_prefilter": """
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            newd AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM base)
+            SELECT n.doc_id FROM newd n
+            WHERE md5(n.text) NOT IN (SELECT md5(text) FROM base)""",
+        "dedup_lines_global": """
+            WITH la AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     generate_subscripts(arr, 1) AS line_no,
+                     unnest(arr) AS line
+              FROM la),
+            ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (
+                       PARTITION BY md5(line)
+                       ORDER BY doc_id, line_no) AS rn
+              FROM lines)
+            SELECT doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN length(line) < 30 OR rn = 1 THEN line END,
+                     chr(10) ORDER BY line_no), '') AS text
+            FROM ranked GROUP BY doc_id""",
+        "events_cms_freq": """
+            WITH t AS (SELECT user_id::VARCHAR AS v FROM events),
+            d AS (SELECT unnest([0, 1, 2]) AS i),
+            cells AS (
+              SELECT i,
+                     ('0x' || substr(md5(i::VARCHAR || ':' || v), 1, 13))::BIGINT
+                       % 64 AS j,
+                     count(*)::BIGINT AS cnt
+              FROM t, d GROUP BY i, j),
+            items AS (SELECT DISTINCT v FROM t),
+            probes AS (
+              SELECT v, i,
+                     ('0x' || substr(md5(i::VARCHAR || ':' || v), 1, 13))::BIGINT
+                       % 64 AS j
+              FROM items, d)
+            SELECT p.v AS item, min(coalesce(c.cnt, 0))::BIGINT AS est
+            FROM probes p LEFT JOIN cells c USING (i, j)
+            GROUP BY p.v""",
+        "events_zorder_keys": """
+            WITH q AS (
+              SELECT event_id,
+                     least(floor(least(greatest(
+                       (user_id::DOUBLE - 0.0) / 200.0, 0.0), 1.0)
+                       * 65536.0)::BIGINT, 65535) AS qx,
+                     least(floor(least(greatest(
+                       (value::DOUBLE - 0.0) / 400.0, 0.0), 1.0)
+                       * 65536.0)::BIGINT, 65535) AS qy
+              FROM events),
+            s1 AS (SELECT event_id,
+                          (qx | (qx << 8)) & 16711935 AS x,
+                          (qy | (qy << 8)) & 16711935 AS y FROM q),
+            s2 AS (SELECT event_id,
+                          (x | (x << 4)) & 252645135 AS x,
+                          (y | (y << 4)) & 252645135 AS y FROM s1),
+            s3 AS (SELECT event_id,
+                          (x | (x << 2)) & 858993459 AS x,
+                          (y | (y << 2)) & 858993459 AS y FROM s2),
+            s4 AS (SELECT event_id,
+                          (x | (x << 1)) & 1431655765 AS x,
+                          (y | (y << 1)) & 1431655765 AS y FROM s3)
+            SELECT event_id, (x | (y << 1)) AS zval FROM s4""",
         "text_bigram_ppl": rf"""
             WITH doc_bgs AS (
               SELECT doc_id, unnest({oracles.shingles_sql('text')}) AS bg

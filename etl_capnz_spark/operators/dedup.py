@@ -625,3 +625,59 @@ def ngram_contamination(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_ngrams"))
     )
+
+
+def line_dedup_global(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup with document reassembly
+    (RefinedWeb/Gopher-style boilerplate removal).
+
+    Every document is split on newlines; for each distinct line of
+    ``min_chars`` or more characters, only its FIRST occurrence in the
+    corpus (lowest ``id_col``, then lowest line number) is kept — later
+    copies (nav bars, cookie banners, license footers) are dropped, and
+    each document is reassembled from its surviving lines in original
+    order. Lines shorter than ``min_chars`` are always kept: short lines
+    collide by chance, and dropping them would mangle prose.
+
+    Output: ``(id_col, text_col)`` with the deduplicated text (empty
+    string if every line was removed) — the document set is preserved.
+
+    Scale shape: explode → one shuffle of (16-byte line hash, doc id,
+    line no) — never full lines — for the first-occurrence window, then
+    one shuffle back on doc id for reassembly. Both exchanges carry
+    key-sized tuples; the text moves only inside its own row. This is
+    the same global-first-occurrence discipline as chunk_span_dedup, one
+    granularity finer.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    w = Window.partitionBy(F.md5(F.col("line"))).orderBy(id_col, "line_no")
+    kept = lines.withColumn(
+        "_keep",
+        (F.length("line") < F.lit(min_chars))
+        | (F.row_number().over(w) == 1),
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+        ).alias(text_col)
+    )
+    return reassembled

@@ -1,0 +1,205 @@
+"""Frequent-item (heavy-hitter) operators — bounded-memory candidate
+generation + exact verification (north-star extension, SURVEY.md §2.12).
+
+The reference engine has no frequency surface; this is the
+training-data-pipeline extension (hot-key diagnosis before a shuffle,
+boilerplate-domain detection, vocabulary pruning). The design is the
+standard two-pass *exact* heavy-hitters algorithm:
+
+1. **Candidate pass — Misra-Gries summaries per partition.** Each input
+   partition is streamed through a Misra-Gries sketch with ``k``
+   counters (``mapInPandas`` iterator: state is a dict of ≤ k entries,
+   independent of partition size — THE property that matters at 100 TB,
+   where a partition may hold 10^8 rows but the sketch stays k entries).
+   Batches are folded in with the mergeable-summaries rule (Agarwal et
+   al., "Mergeability of Summaries", PODS'12): add batch counts, then if
+   more than k items remain subtract the (k+1)-th largest count from all
+   and drop non-positives. Guarantee: any item with partition frequency
+   > n_p/(k+1) survives in that partition's summary, so (pigeonhole)
+   any item with GLOBAL frequency > n/(k+1) survives in at least one
+   partition summary — the union of summaries is a certified candidate
+   superset. Candidate volume ≤ k × num_partitions rows, tiny.
+
+2. **Exact pass — one scan, candidate-keyed aggregation.** The candidate
+   set is broadcast; every row maps to its own key if it is a candidate
+   else to a single ``__other__`` sink key, then one partial-agg count.
+   The shuffle carries ≤ k·P + 1 keys per map task — never the raw
+   value domain. Total row count n comes from the same aggregation
+   (sum of all counts), so the whole operator is exactly TWO scans and
+   one tiny shuffle, with per-executor state bounded by k.
+
+The final output — items with exact count, filtered to
+``count · (k+1) > n`` — is *provably identical* to the naive
+``GROUP BY item HAVING count(*) > n/(k+1)`` (that equivalence IS the
+DuckDB oracle check), but the naive form shuffles the full value domain
+and is exactly what you cannot run on a 10^11-distinct-key corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_fold(counters: dict, batch_counts: "pd.Series", k: int) -> None:
+    """Fold a batch's value counts into a Misra-Gries summary in place."""
+    for item, cnt in batch_counts.items():
+        counters[item] = counters.get(item, 0) + int(cnt)
+    if len(counters) > k:
+        # subtract the (k+1)-th largest count from everything; ≤ k survive
+        decrement = sorted(counters.values(), reverse=True)[k]
+        for item in list(counters):
+            remaining = counters[item] - decrement
+            if remaining > 0:
+                counters[item] = remaining
+            else:
+                del counters[item]
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, unioned.
+
+    Returns columns ``(item, mg_count)`` with ≤ k rows per input
+    partition. ``mg_count`` is the (under-)estimate the sketch carries —
+    it is NOT an exact count (use :func:`heavy_hitters_exact`); it is
+    exposed because the decremented counts are what you'd feed a
+    second-level merge on a 1000-executor tree.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            _mg_fold(counters, pdf[col].value_counts(), k)
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "mg_count": list(counters.values())}
+        )
+
+    item_type = df.schema[col].dataType.simpleString()
+    return df.select(col).mapInPandas(
+        summarize, schema=f"item {item_type}, mg_count long"
+    )
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact heavy hitters: items with ``count(*) · (k+1) > n`` and their
+    EXACT counts, computed with per-executor state bounded by ``k``.
+
+    Two passes: Misra-Gries candidate superset (certified — no heavy
+    item can be missed), then one candidate-keyed exact count where all
+    non-candidates collapse into a single sink key. Output columns
+    ``(item, cnt)`` — identical to the naive full group-by + HAVING, but
+    the shuffle never carries the raw value domain.
+    """
+    candidates = (
+        misra_gries_candidates(df, col, k)
+        .select(F.col("item").alias(col))
+        .distinct()
+        .withColumn("_is_cand", F.lit(True))
+    )
+    flagged = df.select(col).join(F.broadcast(candidates), on=col, how="left")
+    counted = (
+        flagged.groupBy(
+            F.when(F.col("_is_cand"), F.col(col)).alias("item")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # total n from the same aggregate — no second full scan
+    total = counted.agg(F.sum("cnt").alias("n"))
+    return (
+        counted.join(F.broadcast(total))
+        .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("n")))
+        .select("item", "cnt")
+    )
+
+
+# --------------------------------------------------------------- count-min
+def _cms_hash(col: Column, row: int, width: int) -> Column:
+    """Row-``row`` counter index: first 52 bits of md5(row || value) mod
+    width — the repo's standard dialect-portable hash (identical in
+    DuckDB, so the whole sketch is oracle-exact)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(row) + ":"), col)), 1, 13), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a string column as a SPARSE counter table
+    ``(i, j, cnt)`` — row i ∈ [0, depth), column j = H_i(value) mod
+    width, cnt = how many input rows hashed there. Zero cells are simply
+    absent.
+
+    This is the mergeable-partials shape shared with partial_rollup/KMV:
+    ``cms_merge(cms_build(a), cms_build(b)) == cms_build(a ∪ b)``
+    exactly, because counters are sums. Size is ≤ depth × width rows no
+    matter the input — the whole point: at 100 TB the sketch an executor
+    ships is a few KB, and a day×day rollup of sketches supports
+    frequency queries over any window union without re-scanning.
+
+    One narrow pass: explode ``depth`` (i, j) keys per row (tiny ints,
+    never the value), one partial-agg count — map-side combine collapses
+    to ≤ depth·width cells per task before the shuffle.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cms_hash(F.col(col), i, width).alias("j")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): cell-wise
+    sum. Associative/commutative — safe to tree-combine across shards."""
+    return (
+        a.unionByName(b).groupBy("i", "j").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]`` against a sketch:
+    est = min over rows i of counter[i][H_i(item)] (missing cell = 0).
+    Never underestimates the true count; collisions only inflate.
+
+    Plan shape: items fan out to ``depth`` (i, j) probes, equi-join the
+    (broadcastable, ≤ depth·width-row) sketch, min-agg back per item —
+    no full-data rescan, which is why you built the sketch.
+    """
+    probes = items.select(
+        F.col(col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_hash(F.col(col), i, width).alias("j"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+    return (
+        probes.join(F.broadcast(sketch), on=["i", "j"], how="left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

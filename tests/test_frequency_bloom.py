@@ -1,0 +1,203 @@
+"""Heavy hitters (Misra-Gries + exact pass), Bloom pre-filter, and
+line-level global dedup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_capnz_spark.operators.frequency import (
+    _mg_fold,
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+from etl_capnz_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_prefilter_new_docs,
+    build_bloom,
+)
+from etl_capnz_spark.operators.dedup import line_dedup_global
+
+
+# ---------------------------------------------------------------- MG core
+def test_mg_fold_bounded_and_superset():
+    """Pure-python MG: counter dict never exceeds k; every item with
+    freq > n/(k+1) survives — the textbook guarantee, checked on an
+    adversarial stream that interleaves heavy items with churn."""
+    k = 7
+    # 3 heavy items (freq 600 each > n/(k+1)=475) drowned in 2000 singletons
+    stream = (["h1", "h2", "h3"] * 600) + [f"noise{i}" for i in range(2000)]
+    rng = np.random.RandomState(0)
+    rng.shuffle(stream)
+    counters = {}
+    for start in range(0, len(stream), 97):  # ragged batches
+        batch = pd.Series(stream[start : start + 97]).value_counts()
+        _mg_fold(counters, batch, k)
+        assert len(counters) <= k
+    n = len(stream)
+    for heavy in ("h1", "h2", "h3"):
+        assert 600 > n / (k + 1)
+        assert heavy in counters
+
+
+def test_mg_candidates_superset_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 3 == 0 else f"cold{i}") for i in range(3000)],
+        "id long, key string",
+    ).repartition(8)
+    cand = misra_gries_candidates(df, "key", k=4).toPandas()
+    # ≤ k rows per partition
+    assert len(cand) <= 4 * 8
+    assert "hot" in set(cand["item"])
+
+
+def test_heavy_hitters_exact_matches_naive(spark):
+    df = spark.createDataFrame(
+        [(i, int(np.sqrt(i))) for i in range(5000)], "id long, key long"
+    ).repartition(8)
+    k = 40  # threshold n/41 ≈ 122: keys 61-69 (count 2j+1) qualify, the rest don't
+    got = {
+        r["item"]: r["cnt"] for r in heavy_hitters_exact(df, "key", k).collect()
+    }
+    pdf = df.toPandas()
+    vc = pdf["key"].value_counts()
+    n = len(pdf)
+    expect = {item: int(c) for item, c in vc.items() if c * (k + 1) > n}
+    assert got == expect
+    assert 0 < len(expect) < vc.size  # non-trivial: some in, some out
+
+
+# ---------------------------------------------------------------- Bloom
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    base = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(2000)], "v string"
+    ).repartition(6)
+    bloom = build_bloom(base, "v", num_bits=1 << 16, num_hashes=4)
+    assert len(bloom) == (1 << 16) // 8
+
+    probe = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(2000)]
+        + [(f"absent-{i}",) for i in range(2000)],
+        "v string",
+    )
+    flags = probe.withColumn(
+        "hit", bloom_might_contain(F.col("v"), bloom, 1 << 16, 4)
+    ).toPandas()
+    members = flags[flags["v"].str.startswith("member")]
+    absents = flags[flags["v"].str.startswith("absent")]
+    assert members["hit"].all()  # NO false negatives, ever
+    # sized FPR ~ (1-e^{-4*2000/65536})^4 ≈ 0.018% — allow generous slack
+    assert absents["hit"].mean() < 0.02
+
+
+def test_bloom_merge_is_or(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "v string")
+    both = a.union(b)
+    f_a = np.frombuffer(build_bloom(a, "v", 1 << 14), dtype=np.uint8)
+    f_b = np.frombuffer(build_bloom(b, "v", 1 << 14), dtype=np.uint8)
+    f_ab = np.frombuffer(build_bloom(both, "v", 1 << 14), dtype=np.uint8)
+    assert np.array_equal(np.bitwise_or(f_a, f_b), f_ab)
+
+
+def test_bloom_prefilter_equals_plain_anti_join(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(
+        base.limit(20)  # plant known duplicates into the "new" batch
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in bloom_prefilter_new_docs(new, base, "text", "doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    plain = sorted(
+        r["doc_id"]
+        for r in new.join(
+            base.select(F.md5("text").alias("_h")).distinct(),
+            new["text"].cast("string").isNotNull()
+            & (F.md5(new["text"]) == F.col("_h")),
+            "left_anti",
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == plain
+    assert len(got) < new.count()  # the planted dups actually got removed
+
+
+# ---------------------------------------------------------- line dedup
+def test_line_dedup_global_semantics(spark):
+    long_a = "This navigation bar line is long enough to dedup."
+    long_b = "Another sufficiently long boilerplate license footer line."
+    rows = [
+        (1, f"{long_a}\nunique one\n{long_b}"),
+        (2, f"{long_a}\nunique two"),
+        (3, f"short\n{long_b}\nshort"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_global(df, "text", "doc_id", min_chars=30).collect()
+    }
+    assert out[1] == f"{long_a}\nunique one\n{long_b}"  # first occurrences kept
+    assert out[2] == "unique two"  # long_a removed (doc 1 owns it)
+    assert out[3] == "short\nshort"  # long_b removed; short lines always kept
+    assert set(out) == {1, 2, 3}  # document set preserved
+
+
+def test_line_dedup_all_lines_removed_keeps_doc(spark):
+    line = "a single long duplicated line that exceeds the threshold"
+    df = spark.createDataFrame(
+        [(1, line), (2, line)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_global(df, "text", "doc_id", min_chars=10).collect()
+    }
+    assert out == {1: line, 2: ""}
+
+
+# ------------------------------------------------------------- count-min
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    from etl_capnz_spark.operators.frequency import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(2000)], "v string"
+    ).repartition(6)
+    truth = {f"k{i}": 40 for i in range(50)}
+
+    # narrow sketch: collisions guaranteed (50 keys into width 16) —
+    # estimates may inflate but must NEVER go below the true count
+    sk = cms_build(df, "v", depth=3, width=16)
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sk, df.distinct(), "v", depth=3, width=16).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    assert any(est[k] > truth[k] for k in truth)  # collisions really occurred
+
+    # wide sketch: no collisions at this scale — exact recovery
+    sk2 = cms_build(df, "v", depth=4, width=4096)
+    est2 = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sk2, df.distinct(), "v", depth=4, width=4096).collect()
+    }
+    assert est2 == truth
+
+
+def test_cms_merge_equals_build_of_union(spark):
+    from etl_capnz_spark.operators.frequency import cms_build, cms_merge
+
+    a = spark.createDataFrame([(f"a{i % 7}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"{'a' if i % 2 else 'b'}{i % 5}",) for i in range(300)], "v string")
+
+    def cells(df):
+        return {(r["i"], r["j"]): r["cnt"] for r in df.collect()}
+
+    merged = cells(cms_merge(cms_build(a, "v"), cms_build(b, "v")))
+    union = cells(cms_build(a.union(b), "v"))
+    assert merged == union
