@@ -42,6 +42,10 @@ HEADLINE = [
     # round 4: hot-bucket-capped LSH + crawl-frontier politeness scheduler
     "dedup_lsh_capped",
     "crawl_frontier",
+    # round 4b: corpus-wide line dedup (text-heavy reassembly shuffle) +
+    # exact heavy hitters (MG candidate pass + one-scan verify)
+    "dedup_lines_global",
+    "events_heavy_hitters",
 ]
 
 
@@ -70,8 +74,16 @@ def main() -> None:
     # real cluster run.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     if warmup:
-        for name in names:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # TWO untimed passes: measured on a cold JVM, pass-2 timings for
+        # the codegen-heavy document queries still carry 15-40% JIT
+        # residue (e.g. dedup_minhash 14.0 -> 2.3 -> 2.0 -> 1.95 s); the
+        # second warmup pass brings the timed pass to the steady state
+        # the harness documents as its target.
+        for _ in range(2):
+            for name in names:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -86,7 +98,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "warmup": "full-pass" if warmup else "none",
+        "warmup": "2x-full-pass" if warmup else "none",
     }
 
     # Self-reported regression check (VERDICT r3 item 5): compare each

@@ -107,11 +107,18 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # total n from the same aggregate — no second full scan
-    total = counted.agg(F.sum("cnt").alias("n"))
+    # total n as an unpartitioned window over the ALREADY-AGGREGATED
+    # counts (≤ k·P+1 rows): one pass, no self-join — the plan contains
+    # the data scan exactly twice (candidates + exact count), with no
+    # reliance on AQE exchange reuse to dedupe a total-n branch. A
+    # global window is normally a scale smell; here its input is the
+    # key-bounded aggregate, never the data.
+    from pyspark.sql.window import Window
+
+    n = F.sum("cnt").over(Window.partitionBy())
     return (
-        counted.join(F.broadcast(total))
-        .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("n")))
+        counted.withColumn("_n", n)
+        .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("_n")))
         .select("item", "cnt")
     )
 

@@ -384,6 +384,52 @@ NOTES = {
         "collect), then arithmetic binning + a two-phase hash aggregate "
         "on at most n_bins keys. The shuffle carries bins, not rows."
     ),
+    "events_heavy_hitters": (
+        "Two scans, no full-domain shuffle: scan 1 feeds mapInPandas "
+        "Misra-Gries summaries (<= k rows per PARTITION, state bounded "
+        "by k regardless of partition size); the distinct'd candidates "
+        "broadcast-join scan 2, every non-candidate collapses to one "
+        "sink key, and the exact-count exchange carries <= k*P+1 keys. "
+        "Total-n is an unpartitioned window over the already-aggregated "
+        "counts - its input is the key-bounded aggregate, never the "
+        "data, so the scan appears exactly twice with no reliance on "
+        "AQE exchange reuse. The naive form this provably equals would "
+        "shuffle the whole value domain."
+    ),
+    "events_cms_freq": (
+        "Sketch build is one narrow pass: a depth-element array+explode "
+        "emits (i,j) cell keys (tiny ints, never values); map-side "
+        "combine collapses each task to <= depth*width cells before a "
+        "key-sized exchange. Estimates probe the sketch with a "
+        "BROADCAST hash join (sketch <= depth*width rows by "
+        "construction) and min-agg per item - no rescan of the data "
+        "the sketch summarizes, which is the point of having it."
+    ),
+    "dedup_bloom_prefilter": (
+        "Base hashes stream through per-partition partial bitmaps "
+        "(mapInPandas, m/8 bytes of state each) merged by log-depth "
+        "treeReduce OR; the probe is a broadcast byte-array inside a "
+        "vectorized pandas UDF, so the definitely-new slice of the new "
+        "batch never reaches the anti-join exchange. Only maybe-dups "
+        "(true dups + FPR) shuffle. No false negatives makes the "
+        "output provably identical to the plain anti-join."
+    ),
+    "dedup_lines_global": (
+        "Explode to (md5(line), doc_id, line_no) - the first-occurrence "
+        "window shuffles 16-byte hashes plus two longs, never line "
+        "text; the reassembly groupBy shuffles each surviving line "
+        "exactly once, inside its own row. Two key-sized exchanges "
+        "total; collect_list per doc is bounded by document size, the "
+        "same bound any per-doc operator already carries."
+    ),
+    "events_zorder_keys": (
+        "Map-only: quantization + Morton interleave is 10 bitwise ops "
+        "per column via the magic-number spread (vs 64 for a per-bit "
+        "loop), one WholeStageCodegen span, zero exchanges. The layout "
+        "write that consumes this key adds exactly one range exchange "
+        "- the same cost as any global sort-write - and buys min/max "
+        "file pruning in BOTH dimensions (measured in test_layout)."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
