@@ -4494,6 +4494,23 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, verified bit-identical interpolation). Scale
+    note, honestly: exact percentile keeps a value→count buffer per
+    group, so it is the right tool when per-group value cardinality is
+    bounded (here: events per type); the unbounded-cardinality path is
+    approx_percentile's GK sketch, pinned within rank-ε of this exact
+    result in tests/test_frequency_bloom.py."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))")
+    return ev.groupBy("event_type").agg(
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p50"),
+        q.getItem(2).alias("p90"),
+    )
+
+
 def _q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) layout keys over events (operators/layout.py):
     user_id × value quantized to 16 bits each with FIXED explicit bounds
@@ -4604,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
         "dedup_lines_global": _q_dedup_lines_global,
         "events_cms_freq": _q_events_cms_freq,
+        "events_quantiles": _q_events_quantiles,
         "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
@@ -7019,6 +7037,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.v AS item, min(coalesce(c.cnt, 0))::BIGINT AS est
             FROM probes p LEFT JOIN cells c USING (i, j)
             GROUP BY p.v""",
+        "events_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type""",
         "events_zorder_keys": """
             WITH q AS (
               SELECT event_id,

@@ -507,6 +507,7 @@ def incremental_dedup_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     compact_every: int = 8,
+    bloom_bits: int | None = None,
 ):
     """Incremental ingest dedup with a manifest-logged hash index: each
     micro-batch keeps only documents whose content hash has never been
@@ -538,6 +539,23 @@ def incremental_dedup_sink(
     state giving exact dedup. At 100 TB the index generation is a
     bucketed table on the hash so the anti-join co-locates, and the
     manifest lives in the table format's own log.
+
+    ``bloom_bits``: optionally maintain an m-bit Bloom bitmap
+    (operators/bloom.py) beside the manifest and PREFILTER each batch —
+    rows the filter proves unseen skip the index anti-join entirely, so
+    on a mostly-novel stream the per-batch join input shrinks to the
+    true-dup + FPR slice. Correctness is untouched: drops only ever
+    happen via the exact anti-join. Two invariants carry that:
+
+    * **Superset ordering.** The bitmap is written (atomic os.replace)
+      BEFORE the manifest commit, so bloom ⊇ committed index always
+      holds. A crash between the two leaves extra bits — harmless (a
+      false positive just routes a row through the exact join); the
+      reverse order could leave an indexed hash missing from the bloom,
+      whose false negative WOULD wrongly keep a duplicate.
+    * **Idempotent replays.** Bitwise OR is idempotent, so a replayed
+      epoch re-ORing its hashes is a no-op even before the epoch-key
+      check short-circuits it.
     """
     import os
 
@@ -568,11 +586,28 @@ def incremental_dedup_sink(
         )
         files = list(manifest["files"])
         seen = spark.read.parquet(*files) if files else None
-        fresh = (
-            in_batch
-            if seen is None
-            else in_batch.join(seen, in_batch["_h"] == seen["h"], "left_anti")
-        )
+        bloom_path = os.path.join(index_path, f"_bloom_{bloom_bits}.bin")
+        if seen is None:
+            fresh = in_batch
+        elif bloom_bits and os.path.exists(bloom_path):
+            from etl_capnz_spark.operators.bloom import bloom_might_contain
+
+            with open(bloom_path, "rb") as fh:
+                bits = fh.read()
+            flagged = in_batch.withColumn(
+                "_maybe",
+                bloom_might_contain(F.col("_h"), bits, bloom_bits),
+            )
+            fresh = (
+                flagged.filter(F.col("_maybe"))
+                .join(seen, flagged["_h"] == seen["h"], "left_anti")
+                .unionByName(flagged.filter(~F.col("_maybe")))
+                .drop("_maybe")
+            )
+        else:
+            fresh = in_batch.join(
+                seen, in_batch["_h"] == seen["h"], "left_anti"
+            )
         # output lands in a deterministic per-epoch dir with overwrite —
         # a replay of a crashed epoch rewrites the same rows instead of
         # appending duplicates (read back via read_incremental_output)
@@ -621,6 +656,26 @@ def incremental_dedup_sink(
         # keep only the recent committed-epoch ids: Spark replays at most
         # the trailing uncommitted batches, so an unbounded epoch list
         # would bloat the manifest on a long-running stream for nothing
+        if bloom_bits:
+            # bloom BEFORE manifest commit: bloom ⊇ index must survive a
+            # crash between the two writes (see docstring)
+            import numpy as np
+
+            from etl_capnz_spark.operators.bloom import build_bloom
+
+            delta = np.frombuffer(
+                build_bloom(
+                    fresh.select(F.col("_h").alias("h")), "h", bloom_bits
+                ),
+                dtype=np.uint8,
+            )
+            if os.path.exists(bloom_path):
+                with open(bloom_path, "rb") as fh:
+                    delta = delta | np.frombuffer(fh.read(), dtype=np.uint8)
+            tmp = bloom_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(delta.tobytes())
+            os.replace(tmp, bloom_path)
         epochs = sorted(
             manifest["epochs"] + [epoch_key], key=str
         )[-100:]

@@ -201,3 +201,30 @@ def test_cms_merge_equals_build_of_union(spark):
     merged = cells(cms_merge(cms_build(a, "v"), cms_build(b, "v")))
     union = cells(cms_build(a.union(b), "v"))
     assert merged == union
+
+
+# ------------------------------------------------------- quantile twin
+def test_approx_percentile_within_rank_eps_of_exact(spark, sf_dir):
+    """approx_percentile (GK sketch, the unbounded-cardinality scale
+    path) must land within rank-ε of the exact percentile: its answer
+    for quantile q must be an actual data value whose rank is within
+    ε·n of q·n (ε = 1/accuracy, default accuracy 10000 → tight here)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx"),
+        F.count("*").alias("n"),
+    )
+    ranked = (
+        ev.join(approx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.count_if(F.col("value") <= F.col("approx")).alias(
+                "rank_of_approx"
+            ),
+        )
+        .collect()
+    )
+    for r in ranked:
+        eps_ranks = r["n"] / 1000 + 1
+        assert abs(r["rank_of_approx"] - 0.5 * r["n"]) <= eps_ranks + 1, r

@@ -749,3 +749,80 @@ def test_kmv_distinct_sink_matches_batch_sketch(spark, tmp_path):
     # (idempotent merge), and < k distinct -> estimate EXACT
     assert got["click"][0] == state1["click"][0]
     assert got["click"][2] == 5.0
+
+
+def test_incremental_dedup_bloom_twin(spark, tmp_path):
+    """The bloom_bits path must produce EXACTLY the plain sink's output
+    (no false negatives ⇒ prefilter + exact anti-join ≡ plain
+    anti-join), while maintaining a monotone bitmap beside the manifest
+    that is always a superset of the committed index."""
+    import json as js
+
+    import numpy as np
+
+    from etl_capnz_spark.operators.bloom import bloom_might_contain
+    from etl_capnz_spark.streaming.stream import (
+        incremental_dedup_sink,
+        read_incremental_output,
+    )
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp_bloomdedup")
+    bits = 1 << 16
+
+    def run_batch():
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(
+            str(land)
+        )
+        q = (
+            incremental_dedup_sink(stream, out, idx, cp, bloom_bits=bits)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "alpha"},  # in-batch dup -> min id
+                {"doc_id": 3, "text": "beta"},
+            ]
+        )
+    )
+    run_batch()
+    bloom_path = tmp_path / "idx" / f"_bloom_{bits}.bin"
+    assert bloom_path.exists()
+    pop1 = int(np.unpackbits(np.frombuffer(bloom_path.read_bytes(), np.uint8)).sum())
+    assert pop1 > 0
+
+    (land / "b2.jsonl").write_text(
+        "\n".join(
+            js.dumps(d)
+            for d in [
+                {"doc_id": 4, "text": "alpha"},  # cross-batch dup -> drop
+                {"doc_id": 5, "text": "gamma"},  # novel -> bloom-skips the join
+            ]
+        )
+    )
+    run_batch()
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in read_incremental_output(spark, out).collect()
+    }
+    assert kept == {1: "alpha", 3: "beta", 5: "gamma"}
+
+    # bitmap grew monotonically (OR-only) and covers every indexed hash
+    pop2 = int(np.unpackbits(np.frombuffer(bloom_path.read_bytes(), np.uint8)).sum())
+    assert pop2 > pop1
+    manifest = js.loads((tmp_path / "idx" / "_manifest.json").read_text())
+    indexed = spark.read.parquet(*manifest["files"])
+    covered = indexed.withColumn(
+        "hit", bloom_might_contain(F.col("h"), bloom_path.read_bytes(), bits)
+    )
+    assert covered.filter(~F.col("hit")).count() == 0  # superset invariant
