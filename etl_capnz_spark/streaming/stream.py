@@ -653,9 +653,6 @@ def incremental_dedup_sink(
                 "overwrite"
             ).parquet(gen_dir)
             files = [gen_dir]
-        # keep only the recent committed-epoch ids: Spark replays at most
-        # the trailing uncommitted batches, so an unbounded epoch list
-        # would bloat the manifest on a long-running stream for nothing
         if bloom_bits:
             # bloom BEFORE manifest commit: bloom ⊇ index must survive a
             # crash between the two writes (see docstring)
@@ -676,6 +673,9 @@ def incremental_dedup_sink(
             with open(tmp, "wb") as fh:
                 fh.write(delta.tobytes())
             os.replace(tmp, bloom_path)
+        # keep only the recent committed-epoch ids: Spark replays at most
+        # the trailing uncommitted batches, so an unbounded epoch list
+        # would bloat the manifest on a long-running stream for nothing
         epochs = sorted(
             manifest["epochs"] + [epoch_key], key=str
         )[-100:]
