@@ -76,8 +76,10 @@ def build_bloom(
     with a log-depth bitwise-OR ``treeReduce``. The driver holds exactly
     one bitmap — never the values.
     """
-    if num_bits % 8:
-        raise ValueError("num_bits must be a multiple of 8")
+    if num_bits % 8 or num_bits <= 0:
+        raise ValueError("num_bits must be a positive multiple of 8")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(num_bits // 8, dtype=np.uint8)
@@ -89,11 +91,10 @@ def build_bloom(
         yield pd.DataFrame({"bitmap": [bits.tobytes()]})
 
     partials = df.select(col).mapInPandas(partial, schema="bitmap binary")
-    merged = (
-        partials.rdd.map(lambda r: np.frombuffer(r.bitmap, dtype=np.uint8))
-        .treeReduce(np.bitwise_or)
-    )
-    return merged.tobytes()
+    rdd = partials.rdd.map(lambda r: np.frombuffer(r.bitmap, dtype=np.uint8))
+    if rdd.isEmpty():  # zero-partition input (e.g. an empty first batch)
+        return bytes(num_bits // 8)
+    return rdd.treeReduce(np.bitwise_or).tobytes()
 
 
 def bloom_might_contain(
@@ -105,11 +106,25 @@ def bloom_might_contain(
 ) -> Column:
     """Vectorized membership probe (pandas UDF). False positives at the
     sized FPR; false negatives NEVER — downstream exact verification may
-    rely on that."""
-    bits = np.frombuffer(bloom, dtype=np.uint8)
+    rely on that.
+
+    The bitmap ships as a Spark BROADCAST, not a closure capture: a
+    production-sized filter (2^30 bits = 128 MB) pickled into every
+    task closure would be re-serialized per task; the broadcast is
+    torrent-distributed once per executor."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    # capture EITHER the broadcast handle OR (no-session fallback) the
+    # bytes — never both, or the raw bytes would ride the closure anyway
+    payload = (
+        spark.sparkContext.broadcast(bloom) if spark is not None else bloom
+    )
 
     @F.pandas_udf(BooleanType())
     def probe(s: pd.Series) -> pd.Series:
+        data = payload.value if hasattr(payload, "value") else payload
+        bits = np.frombuffer(data, dtype=np.uint8)
         vals = s.to_numpy()
         if not len(vals):
             return pd.Series([], dtype=bool)

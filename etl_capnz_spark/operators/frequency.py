@@ -94,6 +94,8 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     ``(item, cnt)`` — identical to the naive full group-by + HAVING, but
     the shuffle never carries the raw value domain.
     """
+    if k < 1:
+        raise ValueError("k must be >= 1")
     candidates = (
         misra_gries_candidates(df, col, k)
         .select(F.col("item").alias(col))
@@ -153,6 +155,8 @@ def cms_build(
     never the value), one partial-agg count — map-side combine collapses
     to ≤ depth·width cells per task before the shuffle.
     """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
     rows = F.array(
         *[
             F.struct(

@@ -56,6 +56,10 @@ def quantize_minmax(col: Column, lo: float, hi: float, bits: int = 16) -> Column
     oracle-checkable — no hidden pass over the data. Values outside
     [lo, hi] clamp to the edge buckets.
     """
+    if not 1 <= bits <= 16:
+        raise ValueError("bits must be in [1, 16] (zvalue2 interleaves 16)")
+    if hi <= lo:
+        raise ValueError("hi must be > lo")
     max_code = (1 << bits) - 1
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))

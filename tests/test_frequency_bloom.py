@@ -228,3 +228,29 @@ def test_approx_percentile_within_rank_eps_of_exact(spark, sf_dir):
     for r in ranked:
         eps_ranks = r["n"] / 1000 + 1
         assert abs(r["rank_of_approx"] - 0.5 * r["n"]) <= eps_ranks + 1, r
+
+
+# -------------------------------------------------------- guard rails
+def test_parameter_guards(spark):
+    from etl_capnz_spark.operators.frequency import cms_build
+    from etl_capnz_spark.operators.layout import quantize_minmax
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(df, "v", 0)
+    with pytest.raises(ValueError):
+        cms_build(df, "v", depth=0)
+    with pytest.raises(ValueError):
+        build_bloom(df, "v", num_bits=12)  # not a multiple of 8
+    with pytest.raises(ValueError):
+        build_bloom(df, "v", num_hashes=0)
+    with pytest.raises(ValueError):
+        quantize_minmax(F.col("v"), 5.0, 5.0)
+    with pytest.raises(ValueError):
+        quantize_minmax(F.col("v"), 0.0, 1.0, bits=20)
+
+
+def test_build_bloom_empty_input(spark):
+    empty = spark.createDataFrame([], "v string")
+    bloom = build_bloom(empty, "v", num_bits=1 << 10)
+    assert bloom == bytes((1 << 10) // 8)
