@@ -872,3 +872,65 @@ def session_counts_dynamic(
             "n_events",
         )
     )
+
+
+def cms_sketch_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Streaming count-min sketch (foreachBatch): each micro-batch's
+    sparse cell table lands in its own deterministic epoch directory;
+    the queryable sketch is the cell-wise SUM over all epochs
+    (:func:`read_cms_state`) — exact, because CMS merge IS cell-wise
+    sum (merge == build-of-union is pinned in the batch tests).
+
+    Replay-safety differs from the KMV sink on purpose: KMV merge is
+    idempotent (set-union + k-min), so it can fold state in place; CMS
+    addition is NOT idempotent, so a replayed batch must not re-add.
+    Each epoch therefore OVERWRITES its own
+    ``epoch=<runtag>_<id>`` directory — a crash-replay rewrites the
+    same cells byte-for-byte instead of double-counting (the same
+    discipline as incremental_dedup_sink's epoch dirs). The run tag is
+    derived from the checkpoint path: state accumulates per checkpoint
+    lineage, and like any accumulating sink the state dir must be
+    cleared together with the checkpoint if the source is re-read from
+    scratch.
+
+    State size: ≤ depth × width cells per epoch, compacted by the
+    reader's sum — at scale, periodically fold old epochs into a
+    generation file exactly as the dedup index does.
+    """
+    import hashlib
+    import os
+
+    from etl_capnz_spark.operators.frequency import cms_build
+
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        cells = cms_build(batch, value_col, depth=depth, width=width)
+        cells.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"epoch={run_tag}_{epoch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge all epoch partials into the queryable sketch: cell-wise
+    sum — exactly ``cms_build`` over everything the stream has seen."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -826,3 +826,50 @@ def test_incremental_dedup_bloom_twin(spark, tmp_path):
         "hit", bloom_might_contain(F.col("h"), bloom_path.read_bytes(), bits)
     )
     assert covered.filter(~F.col("hit")).count() == 0  # superset invariant
+
+
+def test_cms_sketch_sink_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS state (cell-wise sum over epoch partials) must
+    equal cms_build over everything the stream has seen — exact,
+    because CMS merge IS addition (merge==build-of-union is the batch
+    pin). Epoch dirs are overwrite-keyed, so a replayed batch rewrites
+    rather than double-counts."""
+    import json as js
+
+    from etl_capnz_spark.operators.frequency import cms_build
+    from etl_capnz_spark.streaming.stream import (
+        cms_sketch_sink,
+        read_cms_state,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    state = str(tmp_path / "cms_state")
+    cp = str(tmp_path / "cp_cms")
+
+    def run():
+        stream = spark.readStream.schema("v string").json(str(land))
+        q = (
+            cms_sketch_sink(stream, state, cp, "v", depth=3, width=32)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [f"k{i % 9}" for i in range(200)]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps({"v": v}) for v in b1))
+    run()
+    b2 = [f"k{i % 5}" for i in range(100)] + ["k_new"] * 7
+    (land / "b2.jsonl").write_text("\n".join(js.dumps({"v": v}) for v in b2))
+    run()
+
+    got = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in read_cms_state(spark, state).collect()
+    }
+    want_df = spark.createDataFrame([(v,) for v in b1 + b2], "v string")
+    want = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in cms_build(want_df, "v", depth=3, width=32).collect()
+    }
+    assert got == want
