@@ -4494,6 +4494,19 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/text.py winnow_fingerprints —
+    the MOSS algorithm): rolling 2-word-shingle hashes, rightmost-min
+    selection over a 4-hash window. Any shared ≥5-token run between two
+    docs shares a fingerprint hash (pinned in tests); the oracle
+    replicates selection exactly, including the fixed-width-string
+    min_by ordering key and truncated tail windows."""
+    from etl_capnz_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(docs, "text", "doc_id", w=4)
+
+
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed percentiles per group (Spark `percentile` ≡
     DuckDB `quantile_cont`, verified bit-identical interpolation). Scale
@@ -4622,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": _q_dedup_lines_global,
         "events_cms_freq": _q_events_cms_freq,
         "events_quantiles": _q_events_quantiles,
+        "text_winnow": _q_text_winnow,
         "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
@@ -7037,6 +7051,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.v AS item, min(coalesce(c.cnt, 0))::BIGINT AS est
             FROM probes p LEFT JOIN cells c USING (i, j)
             GROUP BY p.v""",
+        "text_winnow": f"""
+            WITH h AS (
+              SELECT doc_id, {oracles.base52_sql('text')} AS hs
+              FROM documents),
+            grams AS (
+              SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
+                     unnest(hs) AS gh
+              FROM h),
+            sel AS (
+              SELECT doc_id,
+                     min_by(pos, lpad(gh::VARCHAR, 16, '0')
+                       || lpad((99999999 - pos)::VARCHAR, 8, '0'))
+                       OVER w AS fp_pos,
+                     min(gh) OVER w AS fp_hash
+              FROM grams
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+            SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel""",
         "events_quantiles": """
             SELECT event_type,
                    quantile_cont(value, 0.25) AS p25,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # Deterministic and dialect-portable; real deployments swap in fastText —
@@ -423,3 +424,61 @@ def chunk_tokens(
             ).alias("n_chunk_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer/
+    Wilkerson/Aiken SIGMOD'03): hash every 2-word shingle, slide a
+    ``w``-gram window over the hash sequence, and in each window select
+    the minimum hash — ties to the RIGHTMOST position. The distinct
+    selected (position, hash) pairs are the document's fingerprints.
+
+    The guarantee that makes this the plagiarism/near-dup standard: any
+    shared token run of length ≥ w+1 between two documents contributes
+    at least one IDENTICAL fingerprint hash to both — detection needs
+    only an equi-join on the fingerprint hash, never a text comparison.
+    Density is ~2/(w+1) of positions: the index is a tunable fraction of
+    corpus size.
+
+    Plan shape: shingle hashing is a narrow array expression; selection
+    is ONE posexplode + ONE windowed ``min_by`` over a w-row frame (no
+    self-join), and the distinct collapses selections on the same
+    partition-local (id, position) keys — a single exchange on the doc
+    id. Output: (id_col, fp_pos, fp_hash). The min_by ordering key is a
+    fixed-width string ``lpad(gh)||lpad(10^8-1-pos)`` — lexicographic ==
+    (hash asc, position desc), expressible identically in DuckDB, whose
+    min_by cannot order by a struct.
+
+    Tail windows (< w grams remaining) truncate the frame — they add
+    deterministic extra selections near document end, a harmless
+    superset mirrored exactly by the DuckDB oracle.
+    """
+    from etl_capnz_spark.operators.dedup import _base_hash52, word_shingles
+
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                word_shingles(F.col(text_col), 2),
+                lambda s: _base_hash52(s),
+            )
+        ).alias("pos", "gh"),
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    order_key = F.concat(
+        F.lpad(F.col("gh").cast("string"), 16, "0"),
+        F.lpad((F.lit(10**8 - 1) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    selected = grams.select(
+        F.col(id_col),
+        F.min_by(F.col("pos"), order_key).over(frame).alias("fp_pos"),
+        F.min("gh").over(frame).alias("fp_hash"),
+    )
+    return selected.distinct()

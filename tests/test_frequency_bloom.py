@@ -254,3 +254,52 @@ def test_build_bloom_empty_input(spark):
     empty = spark.createDataFrame([], "v string")
     bloom = build_bloom(empty, "v", num_bits=1 << 10)
     assert bloom == bytes((1 << 10) // 8)
+
+
+# --------------------------------------------------------- winnowing
+def test_winnow_shared_run_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared token run
+    of length >= w+1 yields >= 1 identical fingerprint hash in both
+    docs; disjoint docs share none. Also pins density: selections are a
+    strict subset of positions."""
+    from etl_capnz_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "omega " + shared + " psi chi phi"),
+            (3, "completely different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", w=4)
+    by_doc: dict = {}
+    n_sel = 0
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+        n_sel += 1
+    assert by_doc[1] & by_doc[2]  # shared >= w+1-token run detected
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: far fewer selections than shingle positions
+    n_positions = sum(len(t.split()) - 1 for _, t in df.collect())
+    assert n_sel < n_positions
+
+
+def test_winnow_deterministic_rightmost_ties(spark):
+    """Identical repeated shingles in one window must pick the
+    RIGHTMOST position deterministically (the classic winnowing
+    tie-break) — two runs give identical fingerprints."""
+    from etl_capnz_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "x x x x x x x x")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, winnow_fingerprints(df, "text", "doc_id", w=4).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(df, "text", "doc_id", w=4).collect()))
+    assert a == b
+    # all shingles identical -> every window's min is the same hash and
+    # the selected pos is the window's LAST row
+    poss = sorted(p for _, p, _ in a)
+    assert poss[0] == 3  # first window [0,3] -> rightmost = 3

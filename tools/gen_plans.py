@@ -422,6 +422,13 @@ NOTES = {
         "total; collect_list per doc is bounded by document size, the "
         "same bound any per-doc operator already carries."
     ),
+    "text_winnow": (
+        "Narrow shingle-hash array expression, ONE posexplode, then a "
+        "single windowed min_by over a w-row frame - no self-join, no "
+        "per-window explode. The only exchange hash-partitions doc ids "
+        "for the window; distinct reuses that partitioning. Downstream "
+        "near-dup detection equi-joins on fp_hash - text never moves."
+    ),
     "events_zorder_keys": (
         "Map-only: quantization + Morton interleave is 10 bitwise ops "
         "per column via the magic-number spread (vs 64 for a per-bit "
