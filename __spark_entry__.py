@@ -4494,6 +4494,23 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode (operators/multimodal.py): per-doc
+    deterministic pixel planes → real PNG files (zlib IDAT, Paeth
+    scanline filter, CRC-verified chunks) → the stdlib-only PNG decoder
+    → per-channel means. Paeth is chosen deliberately: the oracle match
+    proves the full filter-reconstruction arithmetic, not just inflate.
+    The oracle recomputes means from the closed-form pixel formula —
+    no image library on either side."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_png_features(synthesize_png_media(docs, filter_type=4))
+
+
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.py winnow_fingerprints —
     the MOSS algorithm): rolling 2-word-shingle hashes, rightmost-min
@@ -4635,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": _q_dedup_lines_global,
         "events_cms_freq": _q_events_cms_freq,
         "events_quantiles": _q_events_quantiles,
+        "media_png_decode": _q_media_png_decode,
         "text_winnow": _q_text_winnow,
         "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
@@ -7051,6 +7069,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.v AS item, min(coalesce(c.cnt, 0))::BIGINT AS est
             FROM probes p LEFT JOIN cells c USING (i, j)
             GROUP BY p.v""",
+        "media_png_decode": """
+            WITH grid AS (
+              SELECT d.doc_id, r.r, c.c
+              FROM documents d,
+                   (SELECT unnest(generate_series(0, 5)) AS r) r,
+                   (SELECT unnest(generate_series(0, 7)) AS c) c)
+            SELECT doc_id AS media_id,
+                   8::INT AS width, 6::INT AS height,
+                   round(avg(((doc_id * 7 + r * 13 + c * 31) % 256)
+                     ::DOUBLE), 6) AS mean_r,
+                   round(avg(((doc_id * 7 + r * 13 + c * 31 + 101) % 256)
+                     ::DOUBLE), 6) AS mean_g,
+                   round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
+                     ::DOUBLE), 6) AS mean_b
+            FROM grid GROUP BY doc_id""",
         "text_winnow": f"""
             WITH h AS (
               SELECT doc_id, {oracles.base52_sql('text')} AS hs
