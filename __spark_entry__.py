@@ -4511,6 +4511,24 @@ def _q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(synthesize_png_media(docs, filter_type=4))
 
 
+def _q_media_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED audio decode (operators/multimodal.py): the
+    closed-form linear samples → the G.711 mu-law encoder (byte-equal
+    to CPython audioop over the FULL int16 domain, pinned in tests) →
+    format-7 WAV payloads → the real mu-law decoder → RMS of the
+    expanded signal. The oracle replicates compress∘expand with pure
+    integer SQL (floor-shift, segment CASE ladder, bit ops) — the
+    compressed-audio path is hash-exact end to end with no audio
+    library on either side."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_mulaw_wav_features,
+        synthesize_mulaw_wav_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_mulaw_wav_features(synthesize_mulaw_wav_media(docs))
+
+
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.py winnow_fingerprints —
     the MOSS algorithm): rolling 2-word-shingle hashes, rightmost-min
@@ -4653,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_freq": _q_events_cms_freq,
         "events_quantiles": _q_events_quantiles,
         "media_png_decode": _q_media_png_decode,
+        "media_mulaw_decode": _q_media_mulaw_decode,
         "text_winnow": _q_text_winnow,
         "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
@@ -7084,6 +7103,47 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "media_mulaw_decode": """
+            WITH samples AS (
+              SELECT d.doc_id,
+                     ((d.doc_id * 31 + i.i * 17) % 2048) - 1024 AS s
+              FROM documents d,
+                   (SELECT unnest(generate_series(0, 63)) AS i) i),
+            comp AS (
+              SELECT doc_id, s,
+                     CAST(floor(s / 4.0) AS BIGINT) AS v14
+              FROM samples),
+            seg AS (
+              SELECT doc_id,
+                     CASE WHEN v14 < 0 THEN 127 ELSE 255 END AS mask,
+                     least(abs(v14), 8159) + 33 AS v
+              FROM comp),
+            enc AS (
+              SELECT doc_id, mask, v,
+                     CASE WHEN v <= 63 THEN 0 WHEN v <= 127 THEN 1
+                          WHEN v <= 255 THEN 2 WHEN v <= 511 THEN 3
+                          WHEN v <= 1023 THEN 4 WHEN v <= 2047 THEN 5
+                          WHEN v <= 4095 THEN 6 ELSE 7 END AS sg
+              FROM seg),
+            bytes AS (
+              SELECT doc_id,
+                     xor((sg * 16 + ((v >> (sg + 1)) & 15)), mask) AS b
+              FROM enc),
+            expanded AS (
+              SELECT doc_id,
+                     CASE WHEN (xor(b, 255) // 128) = 1
+                          THEN -((((xor(b, 255) % 16) * 8 + 132)
+                                 << ((xor(b, 255) // 16) % 8)) - 132)
+                          ELSE ((((xor(b, 255) % 16) * 8 + 132)
+                                << ((xor(b, 255) // 16) % 8)) - 132)
+                     END AS lin
+              FROM bytes)
+            SELECT doc_id AS media_id,
+                   8000::INT AS sample_rate, 1::INT AS n_channels,
+                   64::INT AS n_samples,
+                   round(64 / 8000.0, 6) AS duration_s,
+                   round(sqrt(avg((lin * lin)::DOUBLE)), 6) AS rms
+            FROM expanded GROUP BY doc_id""",
         "text_winnow": f"""
             WITH h AS (
               SELECT doc_id, {oracles.base52_sql('text')} AS hs

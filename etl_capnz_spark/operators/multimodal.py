@@ -1096,3 +1096,156 @@ def decode_png_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, _PNG_DECODE_SCHEMA)
+
+
+# --- a REAL COMPRESSED audio codec path: G.711 mu-law ----------------------
+# The audio twin of the PNG story: mu-law is a genuine ITU-T codec
+# (telephony's 8-bit companding), decodable with integer arithmetic alone.
+# Both compand and expand below use pure INTEGER range logic (no log2
+# float), so the DuckDB oracle replicates the codec bit-for-bit in SQL —
+# the compressed-audio entry is hash-exact end to end.
+
+_MULAW_BIAS = 0x84
+# segment upper bounds of the 14-bit ITU pipeline (CCITT G.711 table)
+_MULAW_SEG_UEND = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+
+
+def mulaw_compress(samples) -> "bytes":
+    """int16 linear → mu-law bytes — the ITU-T G.711 14-bit pipeline,
+    byte-identical to CPython's ``audioop.lin2ulaw`` (pinned in tests):
+    arithmetic >>2 BEFORE negation (that floor is where naive
+    16-bit-abs variants drift by one mantissa step on negatives), clip
+    to 8159, bias 33, segment lookup, mantissa, XOR mask."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64) >> 2  # arithmetic: floor(s/4)
+    mask = np.where(s < 0, 0x7F, 0xFF)
+    v = np.minimum(np.abs(s), 8159) + (_MULAW_BIAS >> 2)
+    seg = np.searchsorted(
+        np.array(_MULAW_SEG_UEND, dtype=np.int64), v, side="left"
+    )
+    uval = (seg << 4) | ((v >> (seg + 1)) & 0x0F)
+    # fully-clipped samples (v = 8159+33 > 0x1FFF) overflow the segment
+    # table: G.711 emits the max-magnitude code 0x7F^mask there
+    out = np.where(seg >= 8, 0x7F ^ mask, uval ^ mask)
+    return (out & 0xFF).astype(np.uint8).tobytes()
+
+
+def mulaw_expand(codes) -> "object":
+    """mu-law bytes → int16 linear (G.711 decoder, integer-exact)."""
+    import numpy as np
+
+    u = (~np.frombuffer(bytes(codes), dtype=np.uint8).astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign > 0, -mag, mag).astype(np.int16)
+
+
+def synthesize_mulaw_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic mono mu-law WAV payloads (format code 7, 8-bit):
+    the SAME closed-form linear samples as synthesize_wav_media, run
+    through the real G.711 encoder — so the oracle can recompute the
+    decoded signal by mirroring compress∘expand in integer SQL."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                s = np.array(
+                    [
+                        ((int(doc_id) * 31 + i * 17) % 2048) - 1024
+                        for i in range(WAV_N)
+                    ],
+                    dtype=np.int16,
+                )
+                data = mulaw_compress(s)
+                fmt = struct.pack(
+                    "<4sIHHIIHH",
+                    b"fmt ",
+                    16,
+                    7,  # WAVE_FORMAT_MULAW
+                    1,
+                    WAV_RATE,
+                    WAV_RATE,  # byte rate = rate × 1 byte/sample
+                    1,
+                    8,
+                )
+                payloads.append(
+                    struct.pack(
+                        "<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE"
+                    )
+                    + fmt
+                    + struct.pack("<4sI", b"data", len(data))
+                    + data
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def decode_mulaw_wav_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """mu-law WAV → (rate, channels, samples, duration, rms of the
+    EXPANDED linear signal) via the real G.711 decoder; RIFF walk and
+    malformed isolation identical to decode_wav_features."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    raw = bytes(payload)
+                    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+                    pos, rate, nch, bits, fmtc, data = 12, None, None, None, None, None
+                    while pos + 8 <= len(raw):
+                        cid, size = struct.unpack("<4sI", raw[pos : pos + 8])
+                        body = raw[pos + 8 : pos + 8 + size]
+                        if cid == b"fmt ":
+                            (fmtc, nch, rate, _br, _ba, bits) = struct.unpack(
+                                "<HHIIHH", body[:16]
+                            )
+                        elif cid == b"data":
+                            data = body
+                        pos += 8 + size + (size % 2)
+                    assert fmtc == 7 and rate and nch == 1 and bits == 8 and data
+                    s = mulaw_expand(data).astype(np.float64)
+                    out["sample_rate"].append(int(rate))
+                    out["n_channels"].append(int(nch))
+                    out["n_samples"].append(len(s))
+                    out["duration_s"].append(round(len(s) / float(rate), 6))
+                    out["rms"].append(round(float(np.sqrt((s**2).mean())), 6))
+                except Exception:
+                    for k in (
+                        "sample_rate",
+                        "n_channels",
+                        "n_samples",
+                        "duration_s",
+                        "rms",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, _WAV_DECODE_SCHEMA)

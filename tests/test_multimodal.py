@@ -267,3 +267,59 @@ def test_png_decode_features_with_malformed_isolation(spark):
         px = _png_pixels(d)
         assert rows[d]["width"] == 8 and rows[d]["height"] == 6
         assert rows[d]["mean_r"] == round(float(px[:, :, 0].mean()), 6)
+
+
+# -------------------------------------------------------- mu-law codec
+def test_mulaw_matches_audioop_full_domain():
+    """Both codec directions byte-identical to CPython's audioop
+    (the ITU G.711 reference implementation): compress over ALL 65536
+    int16 inputs, expand over all 256 codes."""
+    import numpy as np
+
+    audioop = pytest.importorskip("audioop")
+    from etl_capnz_spark.operators.multimodal import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    all16 = np.arange(-32768, 32768, dtype=np.int16)
+    assert mulaw_compress(all16) == audioop.lin2ulaw(all16.tobytes(), 2)
+    codes = bytes(range(256))
+    assert np.array_equal(
+        mulaw_expand(codes),
+        np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"),
+    )
+
+
+def test_mulaw_wav_decode_features(spark):
+    """e2e: synthesized format-7 WAV payloads decode through the real
+    G.711 expander; RMS equals the numpy recomputation; malformed
+    payloads isolate to NULL rows."""
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import (
+        WAV_N,
+        decode_mulaw_wav_features,
+        mulaw_compress,
+        mulaw_expand,
+        synthesize_mulaw_wav_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    media = synthesize_mulaw_wav_media(docs)
+    broken = spark.createDataFrame(
+        [(99, bytearray(b"RIFFxxxxJUNK"))], "media_id long, payload binary"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_mulaw_wav_features(media.unionByName(broken)).collect()
+    }
+    assert rows[99]["rms"] is None
+    for d in range(5):
+        s = np.array(
+            [((d * 31 + i * 17) % 2048) - 1024 for i in range(WAV_N)],
+            dtype=np.int16,
+        )
+        lin = mulaw_expand(mulaw_compress(s)).astype(np.float64)
+        assert rows[d]["rms"] == round(float(np.sqrt((lin**2).mean())), 6)
+        assert rows[d]["n_samples"] == WAV_N
