@@ -7,13 +7,17 @@ so payload bytes cross the JVM↔Python boundary once per batch, not per row,
 and the operator composes with Spark partitioning (repartition before, so a
 few huge files don't serialize the stage).
 
-Codec status: THREE formats decode for REAL with no external library —
+Codec status: FIVE formats decode for REAL with no external library —
 plain PPM images (``decode_ppm_features``: header + RGB plane via
 numpy), RIFF/PCM WAV audio (``decode_wav_features``: chunk walk + PCM
-RMS), and YUV4MPEG2 video (``decode_y4m_features``: header tokens +
-FRAME walk + luma means) — all oracle-exact in the driver contract. For
-compressed formats (JPEG/PNG/MP3/H.264) the libraries are NOT in this
-container, so that
+RMS), YUV4MPEG2 video (``decode_y4m_features``: header tokens + FRAME
+walk + luma means), and two genuinely COMPRESSED codecs:
+PNG images (``decode_png_features``: zlib IDAT inflate, CRC-32 chunk
+verification, all five RFC 2083 scanline filters reconstructed) and
+G.711 mu-law audio (``decode_mulaw_wav_features``: ITU companding,
+byte-identical to CPython's audioop over the full int16 domain) — all
+oracle-exact in the driver contract. For the remaining formats
+(JPEG/MP3/H.264) the libraries are NOT in this container, so that
 kernel is stubbed: ``decode_stub=True`` produces a deterministic fake
 feature vector from the payload bytes; ``decode_stub=False`` raises
 ``NotImplementedError`` at plan-build time (the seam where

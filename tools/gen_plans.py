@@ -422,6 +422,20 @@ NOTES = {
         "total; collect_list per doc is bounded by document size, the "
         "same bound any per-doc operator already carries."
     ),
+    "media_png_decode": (
+        "Two chained mapInPandas stages (synthesize -> decode), each "
+        "map-only: payload bytes cross the Arrow boundary once per "
+        "batch, no shuffle anywhere. The decode kernel is the REAL "
+        "stdlib PNG path (inflate + CRC + filter reconstruction); a "
+        "C-speed codec swaps into the same seam without changing this "
+        "plan. Embarrassingly parallel - scales with cores."
+    ),
+    "media_mulaw_decode": (
+        "Same two map-only Arrow stages as the PNG path; the kernel is "
+        "integer G.711 companding (audioop-exact). No exchange, no "
+        "aggregation - per-item decode cost is the whole story, and it "
+        "parallelizes linearly."
+    ),
     "text_winnow": (
         "Narrow shingle-hash array expression, ONE posexplode, then a "
         "single windowed min_by over a w-row frame - no self-join, no "
