@@ -4542,6 +4542,28 @@ def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, "text", "doc_id", w=4)
 
 
+def _q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs FROM winnowing fingerprints: docs
+    sharing ≥ 3 distinct fingerprint hashes. The detection join the
+    MOSS guarantee exists for — an equi-join on fp_hash (16-byte keys,
+    never text), distinct per (pair, hash), then a count filter. The
+    LSH/minhash alternative needs signatures tuned per corpus; the
+    winnow join detects any ≥w+1-token shared run with zero tuning."""
+    from etl_capnz_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(docs, "text", "doc_id", w=4)
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp_hash").distinct()
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp_hash").distinct()
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed percentiles per group (Spark `percentile` ≡
     DuckDB `quantile_cont`, verified bit-identical interpolation). Scale
@@ -4673,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "text_winnow": _q_text_winnow,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "events_zorder_keys": _q_events_zorder_keys,
         "text_bigram_ppl": _q_text_bigram_ppl,
         "mixture_temperature": _q_mixture_temperature,
@@ -7052,7 +7075,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5(n.text) NOT IN (SELECT md5(text) FROM base)""",
         "dedup_lines_global": """
             WITH la AS (
-              SELECT doc_id, string_split(text, chr(10)) AS arr
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS arr
               FROM documents),
             lines AS (
               SELECT doc_id,
@@ -7162,6 +7186,27 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY doc_id ORDER BY pos
                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
             SELECT DISTINCT doc_id, fp_pos, fp_hash FROM sel""",
+        "dedup_winnow_pairs": f"""
+            WITH h AS (
+              SELECT doc_id, {oracles.base52_sql('text')} AS hs
+              FROM documents),
+            grams AS (
+              SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos,
+                     unnest(hs) AS gh
+              FROM h),
+            sel AS (
+              SELECT doc_id,
+                     min(gh) OVER w AS fp_hash
+              FROM grams
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+            fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS n_shared
+            FROM fp a JOIN fp b USING (fp_hash)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3""",
         "events_quantiles": """
             SELECT event_type,
                    quantile_cont(value, 0.25) AS p25,

@@ -654,9 +654,13 @@ def line_dedup_global(
     the same global-first-occurrence discipline as chunk_span_dedup, one
     granularity finer.
     """
+    # NULL text must not drop the document (posexplode of NULL emits no
+    # rows) — treat it as the empty document, preserving the id set
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
     )
     w = Window.partitionBy(F.md5(F.col("line"))).orderBy(id_col, "line_no")
     kept = lines.withColumn(

@@ -303,3 +303,16 @@ def test_winnow_deterministic_rightmost_ties(spark):
     # the selected pos is the window's LAST row
     poss = sorted(p for _, p, _ in a)
     assert poss[0] == 3  # first window [0,3] -> rightmost = 3
+
+
+def test_line_dedup_null_text_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "some sufficiently long line for the dedup threshold"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup_global(df, "text", "doc_id", min_chars=30).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[2] == ""
