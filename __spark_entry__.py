@@ -7072,7 +7072,8 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id + 100000 AS doc_id, text FROM base)
             SELECT n.doc_id FROM newd n
-            WHERE md5(n.text) NOT IN (SELECT md5(text) FROM base)""",
+            WHERE NOT EXISTS (
+              SELECT 1 FROM base b WHERE md5(b.text) = md5(n.text))""",
         "dedup_lines_global": """
             WITH la AS (
               SELECT doc_id,

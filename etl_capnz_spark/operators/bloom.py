@@ -92,9 +92,11 @@ def build_bloom(
 
     partials = df.select(col).mapInPandas(partial, schema="bitmap binary")
     rdd = partials.rdd.map(lambda r: np.frombuffer(r.bitmap, dtype=np.uint8))
-    if rdd.isEmpty():  # zero-partition input (e.g. an empty first batch)
-        return bytes(num_bits // 8)
-    return rdd.treeReduce(np.bitwise_or).tobytes()
+    # treeAggregate with a zero seed: one job, and the zero-partition
+    # input (e.g. an empty first batch) degenerates to the empty bitmap
+    # without a separate isEmpty() pre-pass
+    zero = np.zeros(num_bits // 8, dtype=np.uint8)
+    return rdd.treeAggregate(zero, np.bitwise_or, np.bitwise_or).tobytes()
 
 
 def bloom_might_contain(

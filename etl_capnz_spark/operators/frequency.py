@@ -91,8 +91,15 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     Two passes: Misra-Gries candidate superset (certified — no heavy
     item can be missed), then one candidate-keyed exact count where all
     non-candidates collapse into a single sink key. Output columns
-    ``(item, cnt)`` — identical to the naive full group-by + HAVING, but
-    the shuffle never carries the raw value domain.
+    ``(item, cnt)`` — identical to the naive full group-by + HAVING over
+    the NON-NULL items, with the shuffle never carrying the raw value
+    domain.
+
+    NULL contract, explicitly: NULL rows COUNT toward the total ``n``
+    (the threshold denominator) but NULL itself is never reported as a
+    heavy hitter — unlike a bare GROUP BY, which would emit a NULL
+    group. If NULL frequency matters, count it separately with one
+    ``count_if(col IS NULL)``.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -136,6 +143,20 @@ def _cms_hash(col: Column, row: int, width: int) -> Column:
     return h % width
 
 
+def _cms_cells(col: Column, depth: int, width: int) -> Column:
+    """The (i, j) cell addresses of a value, as a depth-element
+    struct array — the ONE definition both cms_build and cms_estimate
+    address cells through (a drifted copy would probe wrong cells)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cms_hash(col, i, width).alias("j")
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame, col: str, depth: int = 4, width: int = 256
 ) -> DataFrame:
@@ -157,16 +178,8 @@ def cms_build(
     """
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be >= 1")
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"), _cms_hash(F.col(col), i, width).alias("j")
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(rows).alias("c"))
+        df.select(F.explode(_cms_cells(F.col(col), depth, width)).alias("c"))
         .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -197,17 +210,7 @@ def cms_estimate(
     """
     probes = items.select(
         F.col(col).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cms_hash(F.col(col), i, width).alias("j"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("p"),
+        F.explode(_cms_cells(F.col(col), depth, width)).alias("p"),
     ).select("item", F.col("p.i").alias("i"), F.col("p.j").alias("j"))
     return (
         probes.join(F.broadcast(sketch), on=["i", "j"], how="left")

@@ -361,6 +361,19 @@ def decode_ppm_features(
 # story (soundfile/ffmpeg slot into the same kernel for compressed audio).
 
 WAV_RATE, WAV_N = 8000, 64
+
+
+def _wav_samples(doc_id: int):
+    """THE closed-form test signal: sample[i] = ((doc_id·31 + i·17) mod
+    2048) − 1024. One definition shared by the PCM synthesizer, the
+    mu-law synthesizer, and (textually) both DuckDB oracles — editing
+    the constants here is the single place the twins can drift from."""
+    import numpy as np
+
+    return np.array(
+        [((int(doc_id) * 31 + i * 17) % 2048) - 1024 for i in range(WAV_N)],
+        dtype=np.int16,
+    )
 _WAV_DECODE_SCHEMA = (
     "media_id long, sample_rate int, n_channels int, n_samples int, "
     "duration_s double, rms double"
@@ -380,14 +393,7 @@ def synthesize_wav_media(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                s = np.array(
-                    [
-                        ((int(doc_id) * 31 + i * 17) % 2048) - 1024
-                        for i in range(WAV_N)
-                    ],
-                    dtype="<i2",
-                )
-                data = s.tobytes()
+                data = _wav_samples(doc_id).astype("<i2").tobytes()
                 fmt = struct.pack(
                     "<4sIHHIIHH",
                     b"fmt ",
@@ -1161,14 +1167,7 @@ def synthesize_mulaw_wav_media(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                s = np.array(
-                    [
-                        ((int(doc_id) * 31 + i * 17) % 2048) - 1024
-                        for i in range(WAV_N)
-                    ],
-                    dtype=np.int16,
-                )
-                data = mulaw_compress(s)
+                data = mulaw_compress(_wav_samples(doc_id))
                 fmt = struct.pack(
                     "<4sIHHIIHH",
                     b"fmt ",

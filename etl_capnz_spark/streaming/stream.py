@@ -655,14 +655,25 @@ def incremental_dedup_sink(
             files = [gen_dir]
         if bloom_bits:
             # bloom BEFORE manifest commit: bloom ⊇ index must survive a
-            # crash between the two writes (see docstring)
+            # crash between the two writes (see docstring). Two cases:
+            # * steady state — OR in THIS epoch's hashes, read back from
+            #   the epoch parquet just written (re-running the dedup
+            #   plan a third time for its hashes would ~1.5× the batch);
+            # * bootstrap — bloom file absent but the index already has
+            #   committed epochs (sink previously ran without
+            #   bloom_bits, or with a different size): seed from the
+            #   WHOLE committed index, else earlier hashes would be
+            #   bloom-negative and their future duplicates wrongly kept.
             import numpy as np
 
             from etl_capnz_spark.operators.bloom import build_bloom
 
+            src_files = files if not os.path.exists(bloom_path) else [epoch_dir]
             delta = np.frombuffer(
                 build_bloom(
-                    fresh.select(F.col("_h").alias("h")), "h", bloom_bits
+                    spark.read.parquet(*src_files).select("h"),
+                    "h",
+                    bloom_bits,
                 ),
                 dtype=np.uint8,
             )
@@ -675,9 +686,21 @@ def incremental_dedup_sink(
             os.replace(tmp, bloom_path)
         # keep only the recent committed-epoch ids: Spark replays at most
         # the trailing uncommitted batches, so an unbounded epoch list
-        # would bloat the manifest on a long-running stream for nothing
+        # would bloat the manifest on a long-running stream for nothing.
+        # Recency must sort the epoch NUMBER numerically — a plain
+        # string sort puts 'tag:150' before 'tag:99' and would trim the
+        # NEWEST keys (whose replays are exactly the ones that happen)
+        # while hoarding stale ones.
+        # current run's keys sort LAST (most recent); other runs' keys
+        # are stale by definition and become the ones trimmed first
+        def _epoch_recency(key) -> tuple:
+            s = str(key)
+            tag, _, num = s.rpartition(":")
+            n = int(num) if num.isdigit() else -1
+            return (1 if tag == run_tag else 0, tag, n)
+
         epochs = sorted(
-            manifest["epochs"] + [epoch_key], key=str
+            manifest["epochs"] + [epoch_key], key=_epoch_recency
         )[-100:]
         _write_index_manifest(
             index_path,

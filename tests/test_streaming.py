@@ -873,3 +873,52 @@ def test_cms_sketch_sink_matches_batch_sketch(spark, tmp_path):
         for r in cms_build(want_df, "v", depth=3, width=32).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_bloom_bootstrap_from_existing_index(spark, tmp_path):
+    """Enabling bloom_bits on a sink that already has committed epochs
+    must SEED the bitmap from the whole index — otherwise hashes
+    ingested before enablement are bloom-negative and their future
+    duplicates skip the exact join and get wrongly kept."""
+    import json as js
+
+    from etl_capnz_spark.streaming.stream import (
+        incremental_dedup_sink,
+        read_incremental_output,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp_bloomboot")
+    bits = 1 << 16
+
+    def run_batch(bloom):
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(
+            str(land)
+        )
+        q = (
+            incremental_dedup_sink(
+                stream, out, idx, cp, bloom_bits=bits if bloom else None
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 0: WITHOUT bloom — 'alpha' enters the index, no bitmap
+    (land / "b1.jsonl").write_text(js.dumps({"doc_id": 1, "text": "alpha"}))
+    run_batch(bloom=False)
+    # epoch 1: bloom turned ON — bitmap must bootstrap from the index
+    (land / "b2.jsonl").write_text(js.dumps({"doc_id": 2, "text": "beta"}))
+    run_batch(bloom=True)
+    # epoch 2: a duplicate of the PRE-bloom doc must still be dropped
+    (land / "b3.jsonl").write_text(js.dumps({"doc_id": 3, "text": "alpha"}))
+    run_batch(bloom=True)
+
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in read_incremental_output(spark, out).collect()
+    }
+    assert kept == {1: "alpha", 2: "beta"}
