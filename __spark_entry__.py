@@ -277,6 +277,18 @@ def _q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace polygon AREA (operators/geometry.py ring_area) — the
+    alert-coverage-size metric; ground truth is closed-form (unit
+    squares area 1.0, the 2×2 right triangle 2.0)."""
+    from etl_capnz_spark.operators.geometry import ring_area
+
+    parsed = _parsed_polygons(spark, sf_dir)
+    return parsed.select(
+        "k", "poly_idx", ring_area(F.col("ring")).alias("area")
+    )
+
+
 def _q_centroid_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = _parsed_polygons(spark, sf_dir).withColumn(
         "pid",
@@ -4529,6 +4541,22 @@ def _q_media_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mulaw_wav_features(synthesize_mulaw_wav_media(docs))
 
 
+def _q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND real compressed-image codec (operators/multimodal.py):
+    GIF89a with BOTH LZW directions implemented from spec (variable
+    code widths, CLEAR/EOI, dictionary growth + KwKwK, sub-block
+    framing — no stdlib LZW exists). Oracle recomputes channel means
+    from the closed-form palette-index formula; a MATCH means the LZW
+    bit stream round-tripped every pixel exactly."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_gif_features,
+        synthesize_gif_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_gif_features(synthesize_gif_media(docs))
+
+
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.py winnow_fingerprints —
     the MOSS algorithm): rolling 2-word-shingle hashes, rightmost-min
@@ -4615,6 +4643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_callsign_links": _q_callsign_links,
         "cap_polygon_points": _q_polygon_points,
         "cap_polygon_centroid": _q_polygon_centroid,
+        "cap_polygon_area": _q_polygon_area,
         "cap_centroid_window": _q_centroid_window,
         "cap_circle_parse": _q_circle_parse,
         "cap_geometry_fallback": _q_geometry_fallback,
@@ -4694,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": _q_events_quantiles,
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
+        "media_gif_decode": _q_media_gif_decode,
         "text_winnow": _q_text_winnow,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "events_zorder_keys": _q_events_zorder_keys,
@@ -5014,6 +5044,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT k, 1, (3*lon0 + 2)/3.0, (3*lat0 + 2)/3.0
             FROM cap WHERE g = 2""",
+        "cap_polygon_area": f"""{_DUCK}
+            SELECT k, 0 AS poly_idx, 1.0::DOUBLE AS area
+            FROM cap WHERE g IN (0, 1, 2, 3)
+            UNION ALL
+            SELECT k, 1, 2.0::DOUBLE FROM cap WHERE g = 2""",
         # Faithful window-function oracle (SURVEY.md §2.9): shoelace via
         # lead() over unnested ground-truth points, grouped per polygon.
         "cap_centroid_window": f"""{_DUCK},
@@ -7127,6 +7162,19 @@ def oracle_sql() -> dict[str, str]:
                      ::DOUBLE), 6) AS mean_g,
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
+            FROM grid GROUP BY doc_id""",
+        "media_gif_decode": """
+            WITH grid AS (
+              SELECT d.doc_id, r.r, c.c,
+                     (d.doc_id + r.r * 3 + c.c * 7) % 16 AS idx
+              FROM documents d,
+                   (SELECT unnest(generate_series(0, 5)) AS r) r,
+                   (SELECT unnest(generate_series(0, 7)) AS c) c)
+            SELECT doc_id AS media_id,
+                   8::INT AS width, 6::INT AS height,
+                   round(avg(((idx * 17) % 256)::DOUBLE), 6) AS mean_r,
+                   round(avg(((idx * 29) % 256)::DOUBLE), 6) AS mean_g,
+                   round(avg(((idx * 47) % 256)::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
         "media_mulaw_decode": """
             WITH samples AS (

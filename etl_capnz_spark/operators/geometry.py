@@ -363,3 +363,19 @@ def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
         ).otherwise(F.lit(False))
 
     return F.size(F.filter(edges, crosses)) % 2 == 1
+
+
+def ring_area(ring: Column) -> Column:
+    """Shoelace AREA of a closed ring (degrees² — the coverage-size
+    metric an alert dashboard ranks by; multiply by the local
+    km²-per-degree² factor for physical area). Same fold skeleton as
+    :func:`centroid`: one cross product per edge, one accumulate, no
+    shuffle, codegen-friendly; rings with < 3 points are 0.0."""
+    n = F.size(ring)
+    p0s = F.slice(ring, 1, n - 1)
+    p1s = F.slice(ring, 2, n - 1)
+    crosses = F.zip_with(
+        p0s, p1s, lambda p, q: p[0] * q[1] - q[0] * p[1]
+    )
+    total = F.aggregate(crosses, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(n >= 3, F.abs(total) / F.lit(2.0)).otherwise(F.lit(0.0))

@@ -323,3 +323,78 @@ def test_mulaw_wav_decode_features(spark):
         lin = mulaw_expand(mulaw_compress(s)).astype(np.float64)
         assert rows[d]["rms"] == round(float(np.sqrt((lin**2).mean())), 6)
         assert rows[d]["n_samples"] == WAV_N
+
+
+# ------------------------------------------------------------ GIF codec
+def test_gif_lzw_round_trip_and_width_growth():
+    """encode->decode is pixel-exact, including a 200×180 image that
+    forces LZW code widths past 6 bits and exercises dictionary
+    growth — the real variable-width machinery, not a literal-only
+    degenerate stream."""
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = _gif_palette()
+
+    def rgb_of(idx):
+        return np.array(
+            [pal[i] for i in idx.ravel()], dtype=np.uint8
+        ).reshape(*idx.shape, 3)
+
+    for d in (0, 7, 12345):
+        idx = _gif_indices(d)
+        assert np.array_equal(decode_gif(encode_gif(idx)), rgb_of(idx)), d
+    big = (
+        (np.arange(200)[:, None] * 5 + np.arange(180)[None, :] * 11) % 16
+    ).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big)), rgb_of(big))
+
+
+def test_gif_lzw_kwkwk_case():
+    """The KwKwK corner (decoder receives a code one past the table
+    end): a run of identical pixels triggers it immediately."""
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import decode_gif, encode_gif
+
+    idx = np.full((4, 10), 5, dtype=np.uint8)  # one flat color
+    rec = decode_gif(encode_gif(idx))
+    assert rec.shape == (4, 10, 3)
+    assert (rec == rec[0, 0]).all()
+
+
+def test_gif_decode_features_malformed_isolation(spark):
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import (
+        _gif_indices,
+        _gif_palette,
+        decode_gif_features,
+        synthesize_gif_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    media = synthesize_gif_media(docs)
+    broken = spark.createDataFrame(
+        [(99, bytearray(b"GIF89a but not really"))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_gif_features(media.unionByName(broken)).collect()
+    }
+    assert rows[99]["width"] is None
+    pal = _gif_palette()
+    for d in range(4):
+        idx = _gif_indices(d)
+        want_r = float(
+            np.array([pal[i][0] for i in idx.ravel()]).mean()
+        )
+        assert rows[d]["mean_r"] == round(want_r, 6)
+        assert rows[d]["width"] == 8
