@@ -4557,6 +4557,31 @@ def _q_media_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_gif_features(synthesize_gif_media(docs))
 
 
+def _q_media_mixed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HETEROGENEOUS image corpus — the realistic shape: PPM, PNG
+    (Paeth-filtered) and GIF payloads interleaved by doc_id%3, decoded
+    in ONE mapInPandas pass that dispatches on magic bytes
+    (operators/multimodal.py decode_image_features_auto). The oracle is
+    the union of the three closed-form per-codec mean formulas — a
+    MATCH proves both every decoder and the dispatch routing."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_image_features_auto,
+        synthesize_gif_media,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ppm = synthesize_ppm_media(docs.filter(F.col("doc_id") % 3 == 0))
+    png = synthesize_png_media(
+        docs.filter(F.col("doc_id") % 3 == 1), filter_type=4
+    )
+    gif = synthesize_gif_media(docs.filter(F.col("doc_id") % 3 == 2))
+    return decode_image_features_auto(
+        ppm.unionByName(png).unionByName(gif)
+    )
+
+
 def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (operators/text.py winnow_fingerprints —
     the MOSS algorithm): rolling 2-word-shingle hashes, rightmost-min
@@ -4724,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "media_gif_decode": _q_media_gif_decode,
+        "media_mixed_decode": _q_media_mixed_decode,
         "text_winnow": _q_text_winnow,
         "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "events_zorder_keys": _q_events_zorder_keys,
@@ -7163,6 +7189,38 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "media_mixed_decode": """
+            WITH px AS (SELECT unnest(generate_series(0, 47)) AS p),
+            rc AS (
+              SELECT r.r, c.c
+              FROM (SELECT unnest(generate_series(0, 5)) AS r) r,
+                   (SELECT unnest(generate_series(0, 7)) AS c) c)
+            SELECT d.doc_id AS media_id, 8::INT AS width, 6::INT AS height,
+                   round(avg(((d.doc_id * 7 + (p.p * 3) * 13) % 256)
+                     ::DOUBLE), 6) AS mean_r,
+                   round(avg(((d.doc_id * 7 + (p.p * 3 + 1) * 13) % 256)
+                     ::DOUBLE), 6) AS mean_g,
+                   round(avg(((d.doc_id * 7 + (p.p * 3 + 2) * 13) % 256)
+                     ::DOUBLE), 6) AS mean_b
+            FROM documents d, px p WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id
+            UNION ALL
+            SELECT d.doc_id, 8, 6,
+                   round(avg(((d.doc_id * 7 + rc.r * 13 + rc.c * 31) % 256)
+                     ::DOUBLE), 6),
+                   round(avg(((d.doc_id * 7 + rc.r * 13 + rc.c * 31 + 101)
+                     % 256)::DOUBLE), 6),
+                   round(avg(((d.doc_id * 7 + rc.r * 13 + rc.c * 31 + 202)
+                     % 256)::DOUBLE), 6)
+            FROM documents d, rc WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id
+            UNION ALL
+            SELECT d.doc_id, 8, 6,
+                   round(avg(((((d.doc_id + rc.r * 3 + rc.c * 7) % 16) * 17)
+                     % 256)::DOUBLE), 6),
+                   round(avg(((((d.doc_id + rc.r * 3 + rc.c * 7) % 16) * 29)
+                     % 256)::DOUBLE), 6),
+                   round(avg(((((d.doc_id + rc.r * 3 + rc.c * 7) % 16) * 47)
+                     % 256)::DOUBLE), 6)
+            FROM documents d, rc WHERE d.doc_id % 3 = 2 GROUP BY d.doc_id""",
         "media_gif_decode": """
             WITH grid AS (
               SELECT d.doc_id, r.r, c.c,

@@ -75,6 +75,7 @@ def payload_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         {
             "n_bytes": F.length(p).cast("long"),
             "is_png": head.startswith("89504E47"),
+            "is_gif": head.startswith("47494638"),
             "is_jpeg": head.startswith("FFD8FF"),
             "is_riff": head.startswith("52494646"),
         }
@@ -1490,6 +1491,74 @@ def decode_gif_features(
                     out["mean_r"].append(round(float(means[0]), 6))
                     out["mean_g"].append(round(float(means[1]), 6))
                     out["mean_b"].append(round(float(means[2]), 6))
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, _PNG_DECODE_SCHEMA)
+
+
+def decode_image_features_auto(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Heterogeneous-corpus image decode: ONE mapInPandas pass that
+    dispatches each payload by its magic bytes to the right REAL
+    decoder — PNG (zlib+filters), GIF (LZW), or P6 PPM (raw plane) —
+    and emits the uniform (width, height, channel-means) schema. This
+    is the shape a real crawl corpus needs: formats arrive mixed, and
+    per-format filtering before decode would triple the scan. Unknown
+    or malformed payloads isolate to NULL rows as everywhere.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _one(raw: bytes):
+        if raw.startswith(_PNG_SIG):
+            px = decode_png(raw)[:, :, :3]
+        elif raw[:6] in (b"GIF89a", b"GIF87a"):
+            px = decode_gif(raw)
+        elif raw.startswith(b"P6"):
+            parts = raw.split(b"\n", 3)
+            w, h = (int(x) for x in parts[1].split())
+            if int(parts[2]) != 255:
+                raise ValueError("maxval != 255")
+            px = np.frombuffer(
+                parts[3][: w * h * 3], dtype=np.uint8
+            ).reshape(h, w, 3)
+        else:
+            raise ValueError("unknown image format")
+        means = px.mean(axis=(0, 1))
+        return (
+            px.shape[1],
+            px.shape[0],
+            round(float(means[0]), 6),
+            round(float(means[1]), 6),
+            round(float(means[2]), 6),
+        )
+
+    def _decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    w, h, mr, mg, mb = _one(bytes(payload))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_r"].append(mr)
+                    out["mean_g"].append(mg)
+                    out["mean_b"].append(mb)
                 except Exception:
                     out["width"].append(None)
                     out["height"].append(None)

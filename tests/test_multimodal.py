@@ -398,3 +398,38 @@ def test_gif_decode_features_malformed_isolation(spark):
         )
         assert rows[d]["mean_r"] == round(want_r, 6)
         assert rows[d]["width"] == 8
+
+
+def test_mixed_codec_auto_dispatch(spark):
+    """One pass over an interleaved PPM/PNG/GIF corpus routes each
+    payload to the right decoder by magic bytes; unknown formats
+    isolate to NULL rows."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_image_features_auto,
+        synthesize_gif_media,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    media = (
+        synthesize_ppm_media(docs.filter("doc_id % 3 = 0"))
+        .unionByName(
+            synthesize_png_media(docs.filter("doc_id % 3 = 1"), filter_type=2)
+        )
+        .unionByName(synthesize_gif_media(docs.filter("doc_id % 3 = 2")))
+        .unionByName(
+            spark.createDataFrame(
+                [(99, bytearray(b"BM not supported"))],
+                "media_id long, payload binary",
+            )
+        )
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_image_features_auto(media).collect()
+    }
+    assert rows[99]["width"] is None
+    for d in range(9):
+        assert rows[d]["width"] == 8 and rows[d]["height"] == 6
+        assert rows[d]["mean_r"] is not None
