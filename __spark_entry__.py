@@ -4617,6 +4617,22 @@ def _q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group location via a GROUPED-AGG pandas UDF
+    (functions/udafs.py trimmed_mean_udaf) — the pandas-UDAF cell of
+    the Python API matrix: drop the 50 smallest/largest values per
+    event type, average the rest. The surviving-value SET is
+    order-statistic exact, so the window+filter SQL oracle matches to
+    float rounding."""
+    from etl_capnz_spark.functions.udafs import trimmed_mean_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    tm = trimmed_mean_udaf(50)
+    return ev.groupBy("event_type").agg(
+        F.round(tm(F.col("value")), 6).alias("trimmed_mean")
+    )
+
+
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distributed percentiles per group (Spark `percentile` ≡
     DuckDB `quantile_cont`, verified bit-identical interpolation). Scale
@@ -4746,6 +4762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": _q_dedup_lines_global,
         "events_cms_freq": _q_events_cms_freq,
         "events_quantiles": _q_events_quantiles,
+        "events_trimmed_mean": _q_events_trimmed_mean,
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "media_gif_decode": _q_media_gif_decode,
@@ -7314,6 +7331,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 3""",
+        "events_trimmed_mean": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, round(avg(value), 6) AS trimmed_mean
+            FROM ranked
+            WHERE rn > 50 AND rn <= n - 50
+            GROUP BY event_type""",
         "events_quantiles": """
             SELECT event_type,
                    quantile_cont(value, 0.25) AS p25,

@@ -316,3 +316,49 @@ def test_line_dedup_null_text_preserved(spark):
     }
     assert set(out) == {1, 2}
     assert out[2] == ""
+
+
+# -------------------------------------------------------- pandas UDAF
+def test_trimmed_mean_udaf_semantics(spark):
+    """Grouped-agg pandas UDF: exact order-statistic trim, NULL for
+    over-trimmed groups, robust against planted outliers."""
+    from etl_capnz_spark.functions.udafs import trimmed_mean_udaf
+
+    rows = [("a", float(v)) for v in range(1, 11)]  # 1..10
+    rows += [("a", 1e9), ("a", -1e9)]  # outliers that a plain mean eats
+    rows += [("b", 5.0)]  # too small once trimmed -> NULL
+    df = spark.createDataFrame(rows, "g string, v double")
+    tm = trimmed_mean_udaf(1)
+    got = {
+        r["g"]: r["t"]
+        for r in df.groupBy("g").agg(tm("v").alias("t")).collect()
+    }
+    assert got["a"] == 5.5  # mean of 1..10 after dropping the outliers
+    assert got["b"] is None
+
+
+def test_midrange_udaf_equals_builtin(spark, sf_dir):
+    """Pin the UDAF plumbing exactly against the built-in expression on
+    real data: (min+max)/2 via pandas UDAF == via JVM aggregates."""
+    from etl_capnz_spark.functions.udafs import midrange_udaf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mr = midrange_udaf()
+    got = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(mr("value").alias("m")).collect()
+    }
+    want = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(((F.min("value") + F.max("value")) / 2.0).alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_trimmed_mean_guard():
+    from etl_capnz_spark.functions.udafs import trimmed_mean_udaf
+
+    with pytest.raises(ValueError):
+        trimmed_mean_udaf(-1)
