@@ -957,3 +957,96 @@ def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def mg_heavy_hitters_sink(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    value_col: str,
+    k: int = 32,
+):
+    """Streaming Misra-Gries heavy-hitter state (foreachBatch): each
+    micro-batch contributes its own bounded MG summary (≤ k rows per
+    partition via operators/frequency.misra_gries_candidates), which is
+    folded into a persisted ≤ k-row state table with the
+    mergeable-summaries rule (sum matching items, subtract the
+    (k+1)-th largest, drop non-positives).
+
+    Guarantee under composition (Agarwal et al.): each MG stage adds at
+    most n_stage/(k+1) undercount, so any item with total frequency
+    > 2·n/(k+1) across the stream is guaranteed present in the state —
+    the streaming bound is twice the batch bound, the price of folding
+    summaries instead of raw counts. State is ≤ k rows FOREVER,
+    regardless of stream length or value cardinality — the property
+    exact streaming counts cannot have. For exact final counts, run the
+    state's items through heavy_hitters_exact's second pass over the
+    stored corpus.
+
+    Replay-safety: like the CMS sink, MG addition is not idempotent, so
+    each epoch's batch summary lands in an ``epoch=<runtag>_<id>``
+    overwrite dir first and the state fold happens at READ time
+    (:func:`read_mg_state`) — a crash-replayed epoch rewrites its own
+    summary byte-for-byte.
+    """
+    import hashlib
+    import os
+
+    from etl_capnz_spark.operators.frequency import misra_gries_candidates
+
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        # fold the batch's per-partition summaries into ONE ≤k-row
+        # summary for the epoch (sum + (k+1)-th-largest decrement)
+        per_part = misra_gries_candidates(batch.select(value_col), value_col, k)
+        epoch_summary = _mg_fold_df(per_part, k)
+        epoch_summary.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"epoch={run_tag}_{epoch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+
+
+def _mg_fold_df(summaries: DataFrame, k: int) -> DataFrame:
+    """Merge MG summary rows (item, mg_count) into ≤ k rows: sum per
+    item, then subtract the (k+1)-th largest total from all and keep
+    positives. Pure DataFrame ops — the same rule _mg_fold applies to
+    dicts, expressed relationally."""
+    from pyspark.sql.window import Window
+
+    import pyspark.sql.functions as FF
+
+    summed = summaries.groupBy("item").agg(
+        FF.sum("mg_count").alias("mg_count")
+    )
+    ranked = summed.withColumn(
+        "_rk",
+        FF.row_number().over(
+            Window.partitionBy().orderBy(FF.col("mg_count").desc(), "item")
+        ),
+    )
+    # decrement = the (k+1)-th largest count; agg over the (possibly
+    # empty) filter always yields exactly ONE row, 0 when ≤ k items
+    dec = ranked.filter(FF.col("_rk") == k + 1).agg(
+        FF.coalesce(FF.max("mg_count"), FF.lit(0)).alias("_dec")
+    )
+    return (
+        ranked.join(FF.broadcast(dec), how="cross")
+        .withColumn("mg_count", FF.col("mg_count") - FF.col("_dec"))
+        .filter(FF.col("mg_count") > 0)
+        .select("item", "mg_count")
+    )
+
+
+def read_mg_state(spark: SparkSession, state_path: str, k: int) -> DataFrame:
+    """Fold all epoch summaries into the final ≤ k-row MG state."""
+    return _mg_fold_df(
+        spark.read.parquet(state_path).select("item", "mg_count"), k
+    )

@@ -922,3 +922,47 @@ def test_incremental_dedup_bloom_bootstrap_from_existing_index(spark, tmp_path):
         for r in read_incremental_output(spark, out).collect()
     }
     assert kept == {1: "alpha", 2: "beta"}
+
+
+def test_mg_heavy_hitters_sink_guarantee(spark, tmp_path):
+    """Streaming MG state: ≤ k rows forever; an item with total
+    frequency > 2n/(k+1) across batches is GUARANTEED present (the
+    composed-summaries bound); a flood of singletons cannot evict it."""
+    import json as js
+
+    from etl_capnz_spark.streaming.stream import (
+        mg_heavy_hitters_sink,
+        read_mg_state,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    state = str(tmp_path / "mg_state")
+    cp = str(tmp_path / "cp_mg")
+    k = 8
+
+    def run():
+        stream = spark.readStream.schema("v string").json(str(land))
+        q = (
+            mg_heavy_hitters_sink(stream, state, cp, "v", k=k)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: heavy item + singleton noise
+    b1 = ["hot"] * 300 + [f"n1_{i}" for i in range(200)]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps({"v": v}) for v in b1))
+    run()
+    # batch 2: more noise + more heavy
+    b2 = ["hot"] * 300 + [f"n2_{i}" for i in range(200)]
+    (land / "b2.jsonl").write_text("\n".join(js.dumps({"v": v}) for v in b2))
+    run()
+
+    got = {r["item"]: r["mg_count"] for r in read_mg_state(spark, state, k).collect()}
+    n = len(b1) + len(b2)
+    assert 600 > 2 * n / (k + 1)  # 'hot' clears the composed bound
+    assert "hot" in got
+    assert len(got) <= k
+    # undercount only, never overcount
+    assert got["hot"] <= 600

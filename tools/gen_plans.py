@@ -436,6 +436,24 @@ NOTES = {
         "aggregation - per-item decode cost is the whole story, and it "
         "parallelizes linearly."
     ),
+    "media_mixed_decode": (
+        "Three synthesize branches union into ONE map-only Arrow decode "
+        "stage that dispatches per payload on magic bytes - mixed "
+        "formats never force format-split scans. Union of narrow "
+        "map-only branches; no exchange."
+    ),
+    "events_trimmed_mean": (
+        "Grouped-agg pandas UDF: the agg exchange co-locates each "
+        "group, then Arrow hands the column slice to Python once per "
+        "group. No partial aggregation exists for order statistics - "
+        "the honest cost, same class as percentile(); bound it with "
+        "bounded per-group cardinality."
+    ),
+    "cap_polygon_area": (
+        "Map-only shoelace fold per ring (one cross product per edge "
+        "inside a single array-aggregate expression); shares the "
+        "parsed-polygon scan shape with the centroid queries."
+    ),
     "text_winnow": (
         "Narrow shingle-hash array expression, ONE posexplode, then a "
         "single windowed min_by over a w-row frame - no self-join, no "
