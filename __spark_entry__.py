@@ -4617,6 +4617,23 @@ def _q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_anomaly_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW robust outliers with SIGNED robust z (operators/audit.py
+    mad_outliers, threshold 3.5) — the row-level complement to
+    `events_anomaly_mad` (which returns the per-type outlier summary):
+    this is the operator a pipeline composes to actually DROP or route
+    the anomalous rows. Median and MAD are exact percentiles — verified
+    bit-identical to DuckDB's quantile_cont — so the outlier SET and
+    the robust-z values are oracle-exact."""
+    from etl_capnz_spark.operators.audit import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(ev, "value", "event_type", threshold=3.5)
+    return out.select(
+        "event_id", "event_type", "value", F.round("robust_z", 6).alias("robust_z")
+    )
+
+
 def _q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group location via a GROUPED-AGG pandas UDF
     (functions/udafs.py trimmed_mean_udaf) — the pandas-UDAF cell of
@@ -4763,6 +4780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_freq": _q_events_cms_freq,
         "events_quantiles": _q_events_quantiles,
         "events_trimmed_mean": _q_events_trimmed_mean,
+        "events_anomaly_rows": _q_events_anomaly_rows,
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "media_gif_decode": _q_media_gif_decode,
@@ -7331,6 +7349,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 3""",
+        "events_anomaly_rows": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type),
+            dev AS (
+              SELECT e.event_id, e.event_type, e.value, med.m,
+                     abs(e.value - med.m) AS adev
+              FROM events e JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS md
+              FROM dev GROUP BY event_type),
+            z AS (
+              SELECT d.event_id, d.event_type, d.value,
+                     CASE WHEN 1.4826 * mad.md > 0
+                          THEN (d.value - d.m) / (1.4826 * mad.md)
+                          WHEN d.value <> d.m THEN 'inf'::DOUBLE
+                          ELSE 0.0 END AS robust_z
+              FROM dev d JOIN mad USING (event_type))
+            SELECT event_id, event_type, value,
+                   round(robust_z, 6) AS robust_z
+            FROM z WHERE abs(robust_z) > 3.5""",
         "events_trimmed_mean": """
             WITH ranked AS (
               SELECT event_type, value,

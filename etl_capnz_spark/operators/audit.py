@@ -362,3 +362,51 @@ def kmv_merge(
             ),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group anomaly detection via Median Absolute Deviation:
+    flag rows where |x − median| > threshold · 1.4826 · MAD (1.4826
+    scales MAD to the σ of a normal distribution — the standard robust
+    z-score). Unlike mean/stddev gates, a handful of extreme outliers
+    cannot inflate the threshold that is supposed to catch them.
+
+    Plan shape: two exact-percentile aggregates (median, then median of
+    absolute deviations) each one agg exchange over the group keys, the
+    per-group constants broadcast back via equi-join, then a map-only
+    filter. Exact percentile holds a value→count buffer per group —
+    right when per-group cardinality is bounded (see events_quantiles);
+    swap approx_percentile for the unbounded case, same shape.
+
+    Output: the outlier rows plus ``robust_z`` (signed). Groups with
+    MAD = 0 (over half the values identical) flag any deviation ≠ 0.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    scaled = dev.join(F.broadcast(mad), group_col).withColumn(
+        "_sigma", F.lit(1.4826) * F.col("_mad")
+    )
+    robust_z = F.when(
+        F.col("_sigma") > 0,
+        (F.col(value_col) - F.col("_med")) / F.col("_sigma"),
+    ).otherwise(
+        F.when(F.col(value_col) != F.col("_med"), F.lit(float("inf")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        scaled.withColumn("robust_z", robust_z)
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .drop("_med", "_adev", "_mad", "_sigma")
+    )

@@ -158,3 +158,22 @@ def test_kmv_estimate_accuracy_and_small_group_exactness(spark):
     assert abs(est - 5000) / 5000 < 0.5  # 3.5/sqrt(64) ≈ 0.44 worst band
     assert len(got["big"]["sketch"]) == 64
     assert got["big"]["sketch"] == sorted(got["big"]["sketch"])
+
+
+def test_mad_outliers_planted_and_robust(spark):
+    """MAD gate catches planted extremes, keeps inliers, and — unlike a
+    stddev gate — its threshold is NOT inflated by the outliers
+    themselves. A constant group (MAD=0) flags any deviation."""
+    from etl_capnz_spark.operators.audit import mad_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 8, 10, 11, 9, 10])]
+    rows += [("a", 100, 1000.0), ("a", 101, -1000.0)]  # planted extremes
+    rows += [("c", 200 + i, 5.0) for i in range(6)] + [("c", 299, 6.0)]
+    df = spark.createDataFrame(rows, "g string, event_id long, value double")
+    out = mad_outliers(df, "value", "g", threshold=3.5).collect()
+    flagged = {(r["g"], r["event_id"]) for r in out}
+    assert ("a", 100) in flagged and ("a", 101) in flagged
+    assert not any(g == "a" and e < 100 for g, e in flagged)  # inliers kept
+    assert ("c", 299) in flagged  # MAD=0 group: any deviation flags
+    zs = {r["event_id"]: r["robust_z"] for r in out}
+    assert zs[100] > 0 and zs[101] < 0  # signed robust z
