@@ -138,3 +138,114 @@ def delete_keys(
         "partitions_rewritten": len(survived),
         "partitions_removed": len(emptied),
     }
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    as_of: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 maintenance without MERGE — the
+    third member of the no-table-format trio (with
+    :func:`overwrite_partitions` and :func:`delete_keys`). Given the
+    current SCD-2 table and a CDC batch, produce the new SCD-2 table:
+
+    * changed key (any attr differs, NULL-safe): the open row is closed
+      (``effective_to = as_of``, ``is_current = false``) AND a new open
+      row is inserted (``effective_from = as_of``);
+    * new key: inserted open;
+    * unchanged key / key absent from the batch: row passes through
+      byte-identical;
+    * history rows (``is_current = false``) NEVER enter the join — they
+      are filtered off and unioned back map-only, so a 100 TB dimension
+      with deep history joins only its current slice.
+
+    Plan shape: Spark cannot broadcast either side of a FULL outer
+    join, so the naive single full-outer would shuffle the whole
+    dimension on every CDC batch. Instead: (1) current LEFT JOIN
+    broadcast(updates) — map-only over the dim — feeds the close+insert
+    fan-out, a single Generate over a 1-or-2 element row array (no
+    union of three filtered scans); (2) brand-new keys come from a
+    broadcast semi-join of the dim's key column (column-pruned scan)
+    against the update keys, anti-joined back — two more broadcast
+    joins over small sides. Net: zero shuffles of dimension rows when
+    ``broadcast_updates`` (the CDC-batch-is-small norm; set False for a
+    huge backfill and Catalyst plans sort-merge). Compose with
+    :func:`overwrite_partitions` (partition the dim by bucket(key)) to
+    rewrite only touched partitions at scale.
+
+    ``updates`` must be unique per ``key_col`` (one CDC image per key
+    per batch — pre-collapse multi-change batches upstream); ``as_of``
+    is an injected ISO date string, same discipline as the expiry
+    filter's injected now (operators/extract.py). Re-updating a key on
+    its own ``effective_from`` day yields a zero-length closed row —
+    kept, matching warehouse convention (half-open [from, to)
+    intervals).
+    """
+    from pyspark.sql import functions as F
+
+    current = dim.filter(F.col(current_col))
+    history = dim.filter(~F.col(current_col))
+    upd = updates.select(
+        F.col(key_col),
+        *[F.col(a).alias(f"_u_{a}") for a in attr_cols],
+        F.lit(True).alias("_has_upd"),
+    )
+    matched = current.select(key_col).join(
+        F.broadcast(updates.select(key_col)) if broadcast_updates
+        else updates.select(key_col),
+        key_col,
+        "left_semi",
+    )
+    new_side = updates.join(
+        F.broadcast(matched) if broadcast_updates else matched,
+        key_col,
+        "left_anti",
+    )
+    if broadcast_updates:
+        upd = F.broadcast(upd)
+    j = current.join(upd, key_col, "left")
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+
+    def _row(vals, eff_from, eff_to, is_cur):
+        return F.struct(
+            *[v.alias(a) for a, v in zip(attr_cols, vals)],
+            eff_from.cast("date").alias(from_col),
+            eff_to.cast("date").alias(to_col),
+            is_cur.alias(current_col),
+        )
+
+    old_vals = [F.col(a) for a in attr_cols]
+    new_vals = [F.col(f"_u_{a}") for a in attr_cols]
+    as_of_d = F.lit(as_of)
+    old_row = _row(old_vals, F.col(from_col), F.col(to_col), F.lit(True))
+    closed = _row(old_vals, F.col(from_col), as_of_d, F.lit(False))
+    opened = _row(new_vals, as_of_d, F.lit(None), F.lit(True))
+    fanout = (
+        F.when(~F.coalesce(F.col("_has_upd"), F.lit(False)), F.array(old_row))
+        .when(changed, F.array(closed, opened))
+        .otherwise(F.array(old_row))
+    )
+    merged = (
+        j.select(F.col(key_col), F.explode(fanout).alias("_r"))
+        .select(key_col, "_r.*")
+    )
+    inserted = new_side.select(
+        F.col(key_col),
+        *[F.col(a) for a in attr_cols],
+        F.lit(as_of).cast("date").alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    return merged.unionByName(inserted).unionByName(
+        history.select(key_col, *attr_cols, from_col, to_col, current_col)
+    )

@@ -164,3 +164,108 @@ def test_delete_keys_escaped_partition_values(spark, tmp_path):
     # both emptied dirs are really gone from disk
     remaining = {os.path.basename(d) for d in glob.glob(f"{path}/region=*")}
     assert len(remaining) == 1 and "plain" in next(iter(remaining))
+
+
+def _scd_dim(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k int, bal double, seg string, effective_from date, "
+        "effective_to date, is_current boolean",
+    )
+
+
+def test_scd2_close_insert_new_unchanged(spark):
+    """One batch: changed key closed+reopened, new key inserted open,
+    unchanged key and no-update key pass through byte-identical."""
+    import datetime as dt
+
+    from etl_capnz_spark.sinks.warehouse import scd2_apply
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _scd_dim(
+        spark,
+        [
+            (1, 10.0, "A", d0, None, True),   # will change
+            (2, 20.0, "B", d0, None, True),   # update arrives, identical
+            (3, 30.0, "C", d0, None, True),   # no update
+        ],
+    )
+    upd = spark.createDataFrame(
+        [(1, 11.0, "A"), (2, 20.0, "B"), (9, 90.0, "NEW")],
+        "k int, bal double, seg string",
+    )
+    out = scd2_apply(dim, upd, "k", ["bal", "seg"], "2024-06-01")
+    rows = {(r["k"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 5
+    closed = rows[(1, False)]
+    assert closed["effective_to"] == dt.date(2024, 6, 1)
+    assert closed["bal"] == 10.0
+    opened = rows[(1, True)]
+    assert opened["bal"] == 11.0
+    assert opened["effective_from"] == dt.date(2024, 6, 1)
+    assert opened["effective_to"] is None
+    for k in (2, 3):
+        r = rows[(k, True)]
+        assert r["effective_from"] == d0 and r["effective_to"] is None
+    new = rows[(9, True)]
+    assert new["effective_from"] == dt.date(2024, 6, 1)
+    assert new["seg"] == "NEW"
+
+
+def test_scd2_two_batches_history_untouched_nullsafe(spark):
+    """Sequential batches accrue history; already-closed rows never
+    re-enter the join; NULL attr transitions are NULL-safe (NULL→value
+    is a change, NULL→NULL is not)."""
+    import datetime as dt
+
+    from etl_capnz_spark.sinks.warehouse import scd2_apply
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _scd_dim(
+        spark,
+        [
+            (1, 10.0, None, d0, None, True),
+            (2, None, "B", d0, None, True),
+        ],
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10.0, "X"), (2, None, "B")], "k int, bal double, seg string"
+    )
+    v1 = scd2_apply(dim, b1, "k", ["bal", "seg"], "2024-02-01")
+    b2 = spark.createDataFrame([(1, 12.0, "X")], "k int, bal double, seg string")
+    v2 = scd2_apply(v1, b2, "k", ["bal", "seg"], "2024-03-01")
+    rows = sorted(
+        (
+            (r["k"], str(r["effective_from"]), str(r["effective_to"]),
+             r["is_current"], r["bal"], r["seg"])
+            for r in v2.collect()
+        )
+    )
+    assert rows == [
+        (1, "2024-01-01", "2024-02-01", False, 10.0, None),
+        (1, "2024-02-01", "2024-03-01", False, 10.0, "X"),
+        (1, "2024-03-01", "None", True, 12.0, "X"),
+        (2, "2024-01-01", "None", True, None, "B"),  # NULL→NULL: no-op
+    ]
+    # applying an identical batch again is a no-op (values unchanged)
+    v3 = scd2_apply(v2, b2, "k", ["bal", "seg"], "2024-04-01")
+    key = lambda t: tuple(map(str, t))
+    assert sorted(map(tuple, v3.collect()), key=key) == sorted(
+        map(tuple, v2.collect()), key=key
+    )
+
+
+def test_scd2_plan_broadcast_and_single_generate(spark):
+    """The CDC join broadcasts the update side and the close+insert
+    fan-out is ONE Generate — no second shuffle, no triple scan."""
+    import datetime as dt
+
+    from etl_capnz_spark.sinks.warehouse import scd2_apply
+
+    dim = _scd_dim(spark, [(1, 1.0, "A", dt.date(2024, 1, 1), None, True)])
+    upd = spark.createDataFrame([(1, 2.0, "A")], "k int, bal double, seg string")
+    out = scd2_apply(dim, upd, "k", ["bal", "seg"], "2024-06-01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan
