@@ -1578,6 +1578,25 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "component")
 
 
+def _q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that near-duplicates can NEVER straddle
+    (operators/sampling.py leakage_safe_split): hash the dedup CLUSTER
+    (connected components over the LSH candidate pairs; singletons are
+    their own cluster), not the doc — a per-doc hash split (the
+    `train_split` entry) puts a near-dup pair across the train/test
+    wall ~2·p·(1−p) of the time, which is silent eval contamination.
+    Oracle recomputes the components via recursive CTE and mirrors the
+    md5 cluster hash, so cluster labels AND assignments are exact."""
+    from etl_capnz_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    pairs = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+    return leakage_safe_split(docs, pairs, "doc_id", salt="split2").select(
+        "doc_id", "split_group", "split"
+    )
+
+
 def _q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QUALITY metric: the duplicate-cluster size distribution
     (how many clusters of size 2, 3, …) — what you inspect before
@@ -4811,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi": _q_text_pmi,
         "bpe_merges": _q_bpe_merges,
         "dedup_components": _q_dedup_components,
+        "split_leakage_safe": _q_split_leakage_safe,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "dedup_representatives": _q_dedup_representatives,
         "dedup_chunk_spans": _q_dedup_chunk_spans,
@@ -6828,6 +6848,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
             )
             SELECT id, min(lbl) AS component FROM reach GROUP BY id""",
+        "split_leakage_safe": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ),
+            comp AS (
+              SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            lab AS (
+              SELECT aug.doc_id,
+                     coalesce(comp.component, aug.doc_id) AS split_group
+              FROM aug LEFT JOIN comp ON comp.id = aug.doc_id),
+            pct AS (
+              SELECT doc_id, split_group,
+                     ('0x' || substr(md5('split2' || split_group::VARCHAR),
+                      1, 13))::BIGINT % 100 AS p
+              FROM lab)
+            SELECT doc_id, split_group,
+                   CASE WHEN p < 80 THEN 'train'
+                        WHEN p < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM pct""",
         "dedup_cluster_sizes": f"""{_DUCK_AUG.replace('WITH', 'WITH RECURSIVE', 1)},
             {oracles.minhash_bands_sql('aug', 'doc_id')},
             pairs AS (

@@ -303,3 +303,47 @@ def temperature_mixture(
     return df.join(F.broadcast(rates), source_col).filter(
         hash_ppm(F.col(id_col), salt) < threshold
     ).drop("_rate")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split1",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can NEVER
+    straddle: hash the dedup CLUSTER, not the document. A plain
+    :func:`hash_pct` split (see ``train_split``) puts two near-identical
+    docs on opposite sides of the train/test wall ~2·p·(1−p) of the
+    time — silent eval contamination that no per-doc split can avoid.
+    Here every doc is first labelled with its duplicate-cluster id
+    (connected components over the candidate pairs; singletons are their
+    own cluster), then the CLUSTER id is hashed — all members land in
+    the same split, and membership is stable as the corpus grows.
+
+    Scale: components shuffle only (id, label) pairs (see
+    :func:`~etl_capnz_spark.operators.dedup.connected_components`); the
+    doc join is one shuffle on ``id_col`` — or map-only where docs are
+    already bucketed by id. Output adds ``split_group`` (the cluster id
+    the hash is computed from — keep it: eval tooling can verify the
+    no-straddle invariant downstream) and ``split``.
+    """
+    from etl_capnz_spark.operators.dedup import connected_components
+
+    comp = connected_components(dup_pairs, src, dst).withColumnRenamed(
+        "id", id_col
+    )
+    labelled = docs.join(comp, id_col, "left").withColumn(
+        "split_group", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    pct = hash_pct(F.col("split_group"), salt)
+    split = (
+        F.when(pct < train_pct, F.lit("train"))
+        .when(pct < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labelled.withColumn("split", split).drop("component")

@@ -267,3 +267,37 @@ def test_wau_hll_tracks_exact(spark, sf_dir):
             approx[day],
             want,
         )
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    """Every dedup-cluster lands whole in ONE split (the invariant the
+    per-doc hash split cannot give), singletons hash like before, and
+    the fractions are roughly honored at cluster granularity."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    # clusters: (3k, 3k+1, 3k+2) chained for k < 200 → 200 clusters of 3
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(200)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(200)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", salt="t").cache()
+    per_cluster = (
+        out.groupBy("split_group")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits"))
+        .collect()[0][0]
+    )
+    assert per_cluster == 1  # no cluster straddles a split boundary
+    # all 3 members of a chained cluster share the min-id group label
+    grp = {r["doc_id"]: r["split_group"] for r in out.collect()}
+    for k in range(200):
+        assert grp[3 * k] == grp[3 * k + 1] == grp[3 * k + 2] == 3 * k
+    # singleton docs (id >= 600) are their own group
+    assert all(grp[i] == i for i in range(600, 2000))
+    frac = out.filter(F.col("split") == "train").count() / 2000
+    assert 0.7 < frac < 0.9
+    out.unpersist()
