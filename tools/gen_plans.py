@@ -469,6 +469,34 @@ NOTES = {
         "- the same cost as any global sort-write - and buys min/max "
         "file pruning in BOTH dimensions (measured in test_layout)."
     ),
+    "events_anomaly_rows": (
+        "Robust per-row outlier gate: two exact-percentile aggregates "
+        "(median, then median of |x-med|) each one keys-only exchange; "
+        "the per-group constants come BACK via broadcast joins, so "
+        "event rows never shuffle - the filter and robust-z are "
+        "map-only. Same bounded-group-cardinality caveat as "
+        "events_quantiles; swap approx_percentile for unbounded keys, "
+        "identical shape."
+    ),
+    "scd2_customer": (
+        "SCD-2 CDC maintenance (the merge twin of scd2_intervals' "
+        "history build): Spark cannot broadcast a FULL-outer side, so "
+        "the naive single-join shape would shuffle the whole dimension "
+        "every batch. Instead current LEFT JOIN broadcast(updates) "
+        "feeds ONE Generate (the 1-or-2-row close+insert fan-out), and "
+        "brand-new keys come from a broadcast semi-join on the "
+        "column-pruned key scan anti-joined back - three "
+        "BroadcastHashJoins, zero exchanges of dimension rows, history "
+        "unioned in map-only."
+    ),
+    "split_leakage_safe": (
+        "Cluster-granular split: LSH band equi-join makes candidate "
+        "pairs, min-label propagation shuffles only (id,label) pairs "
+        "per round with localCheckpoint lineage truncation, then ONE "
+        "doc-id join attaches components; the md5 split hash is a "
+        "free projection. Docs join components once - text moves "
+        "never, and split assignment stays stable as the corpus grows."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
