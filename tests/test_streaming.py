@@ -966,3 +966,73 @@ def test_mg_heavy_hitters_sink_guarantee(spark, tmp_path):
     assert len(got) <= k
     # undercount only, never overcount
     assert got["hot"] <= 600
+
+
+def test_scd2_sink_streamed_equals_batch(spark, tmp_path):
+    """Streaming SCD-2 twin: the dimension built by scd2_sink across
+    micro-batches equals composing batch scd2_apply per batch; within a
+    batch only the LATEST image per key applies; committed epochs
+    replay as no-ops; readers resolve the version pointer."""
+    import datetime as dt
+    import json
+
+    from etl_capnz_spark.streaming.stream import (
+        _read_scd2_pointer,
+        read_scd2_state,
+        scd2_sink,
+    )
+
+    dim = str(tmp_path / "dim")
+    land = tmp_path / "cdc"
+    land.mkdir()
+    cp = str(tmp_path / "cp_scd2")
+    schema = "k BIGINT, bal DOUBLE, seg STRING, as_of STRING"
+
+    def run():
+        q = (
+            scd2_sink(
+                spark.readStream.schema(schema).json(str(land)),
+                dim,
+                cp,
+                "k",
+                ["bal", "seg"],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        {"k": 1, "bal": 10.0, "seg": "A", "as_of": "2024-01-05"},
+        {"k": 2, "bal": 20.0, "seg": "B", "as_of": "2024-01-05"},
+    ]
+    (land / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+    run()
+    b2 = [
+        # two images for k=1 in ONE batch: the later one must win
+        {"k": 1, "bal": 11.0, "seg": "A", "as_of": "2024-01-20"},
+        {"k": 1, "bal": 12.0, "seg": "A", "as_of": "2024-02-01"},
+        {"k": 2, "bal": 20.0, "seg": "B", "as_of": "2024-02-01"},  # no-op
+        {"k": 3, "bal": 30.0, "seg": "C", "as_of": "2024-02-01"},
+    ]
+    (land / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in b2))
+    run()
+
+    got = sorted(
+        (
+            (r["k"], str(r["effective_from"]), str(r["effective_to"]),
+             r["is_current"], r["bal"], r["seg"])
+            for r in read_scd2_state(spark, dim).collect()
+        )
+    )
+    assert got == [
+        (1, "2024-01-05", "2024-02-01", False, 10.0, "A"),
+        (1, "2024-02-01", "None", True, 12.0, "A"),
+        (2, "2024-01-05", "None", True, 20.0, "B"),
+        (3, "2024-02-01", "None", True, 30.0, "C"),
+    ]
+    ptr = _read_scd2_pointer(dim)
+    assert ptr["version"] == 2 and len(ptr["epochs"]) == 2
+    run()  # availableNow, no new files: no new epochs, state unchanged
+    assert _read_scd2_pointer(dim)["version"] == 2
+    assert read_scd2_state(spark, dim).count() == 4
