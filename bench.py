@@ -46,6 +46,8 @@ HEADLINE = [
     # exact heavy hitters (MG candidate pass + one-scan verify)
     "dedup_lines_global",
     "events_heavy_hitters",
+    # round 4c: warehouse maintenance (SCD-2 CDC merge, zero dim shuffles)
+    "scd2_customer",
 ]
 
 
