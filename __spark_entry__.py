@@ -2118,6 +2118,65 @@ def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (operators/audit.py
+    quantile_sketch, k=64) of event values per event_type — completes
+    the sketch family (MG=heavy hitters, CMS=frequency, KMV=distinct,
+    Bloom=membership, this=quantiles): per-day sketches merge into
+    coarser rollups without re-scanning, with DKW-bounded rank error
+    (pinned in test_audit). Deterministic md5 row-id hashing makes every
+    sampled (hash, value) pair and the ceil(q*m) order-statistic
+    estimate oracle-EXACT even though the estimate approximates.
+    Emitted exploded (one row per sample entry) — arrays of doubles
+    are canonicalizer-unsafe, rows are not."""
+    from etl_capnz_spark.operators.audit import quantile_sketch
+
+    sk = quantile_sketch(
+        _t(spark, sf_dir, "events"), ["event_type"], "value",
+        "event_id", k=64,
+    )
+    return sk.select(
+        "event_type", "n_kept", "est_p50", "est_p90", "est_p99",
+        F.posexplode("sketch").alias("pos", "p"),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("p.h").alias("h"),
+        F.col("p.v").alias("v"),
+        "est_p50", "est_p90", "est_p99", "n_kept",
+    )
+
+
+def _q_events_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proven against an independent engine: Spark builds
+    per-(event_type, day) quantile sketches and MERGES them per
+    event_type (operators/audit.py quantile_sketch_merge); the oracle
+    computes the full-table sketch directly in DuckDB. They must match
+    EXACTLY — bottom-k-by-row-hash of a union equals bottom-k of the
+    per-day bottom-k union, the property that makes the sketch a
+    rollup-safe partial at 100 TB."""
+    from etl_capnz_spark.operators.audit import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    per_day = quantile_sketch(
+        ev, ["event_type", "day"], "value", "event_id", k=64
+    )
+    merged = quantile_sketch_merge(per_day, ["event_type"], k=64)
+    return merged.select(
+        "event_type", "n_kept", "est_p50", "est_p90", "est_p99",
+        F.posexplode("sketch").alias("pos", "p"),
+    ).select(
+        "event_type",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("p.h").alias("h"),
+        F.col("p.v").alias("v"),
+        "est_p50", "est_p90", "est_p99", "n_kept",
+    )
+
+
 def _q_text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram-LM perplexity per document
     (operators/text.py bigram_lm_perplexity, add-k 0.5) — the
@@ -4850,6 +4909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": _q_crawl_robots,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_quantile_sketch": _q_events_quantile_sketch,
+        "events_quantile_merge": _q_events_quantile_merge,
         "events_heavy_hitters": _q_events_heavy_hitters,
         "dedup_bloom_prefilter": _q_dedup_bloom_prefilter,
         "dedup_lines_global": _q_dedup_lines_global,
@@ -5092,6 +5153,34 @@ def _features_oracle(remarks_lines: str) -> str:
       CASE WHEN b.color IS NOT NULL THEN 0.5019607843137255::DOUBLE END,
       false, false
     FROM pts t JOIN base b ON t.k = b.k"""
+
+
+# One oracle serves both quantile-sketch entries: the direct sketch AND
+# the per-day-then-merge path must both equal the full-table bottom-k
+# sample — the second entry existing is exactly what proves mergeability
+# against an independent engine.
+_QUANTILE_SKETCH_ORACLE = """
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT AS h,
+             value::DOUBLE AS v
+      FROM events),
+    ranked AS (
+      SELECT event_type, h, v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY h, v) AS rank
+      FROM pairs),
+    kept AS (SELECT * FROM ranked WHERE rank <= 64),
+    agg AS (
+      SELECT event_type, list(v ORDER BY v) AS vs,
+             count(*)::BIGINT AS n_kept
+      FROM kept GROUP BY event_type)
+    SELECT k.event_type, k.rank, k.h, k.v,
+           a.vs[greatest(1, ceil(0.50 * a.n_kept)::BIGINT)] AS est_p50,
+           a.vs[greatest(1, ceil(0.90 * a.n_kept)::BIGINT)] AS est_p90,
+           a.vs[greatest(1, ceil(0.99 * a.n_kept)::BIGINT)] AS est_p99,
+           a.n_kept
+    FROM kept k JOIN agg a USING (event_type)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7261,6 +7350,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct,
                    exact_distinct
             FROM sk JOIN ex USING (event_type)""",
+        "events_quantile_sketch": _QUANTILE_SKETCH_ORACLE,
+        "events_quantile_merge": _QUANTILE_SKETCH_ORACLE,
         "events_heavy_hitters": """
             WITH t AS (
               SELECT CASE WHEN user_id % 4 = 0 THEN 'hot'

@@ -410,3 +410,123 @@ def mad_outliers(
         .filter(F.abs(F.col("robust_z")) > threshold)
         .drop("_med", "_adev", "_mad", "_sigma")
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Bottom-k uniform-row-sample quantile sketch per group — the
+    MERGEABLE quantile primitive that completes the sketch family
+    (Misra-Gries = heavy hitters, CMS = frequency, KMV = distinct,
+    Bloom = membership, this = quantiles). Per-day sketches merge into
+    per-month quantile estimates WITHOUT re-scanning the data, which an
+    exact percentile cannot do (its partials aren't mergeable).
+
+    The sketch is the k rows with the smallest 52-bit md5 hashes of the
+    row id — a uniform sample of the group's rows, so the sample's
+    empirical quantile estimates the population quantile with rank
+    error bounded by Dvoretzky–Kiefer–Wolfowitz:
+    P(sup_q |rank error| > eps) <= 2 exp(-2 k eps^2), i.e. ~0.10 rank
+    error at k=256 with 99% confidence (pinned in tests). Bottom-k by
+    hash is EXACTLY mergeable: bottom-k of a union of per-subset
+    bottom-k's equals bottom-k of the union (same property KMV relies
+    on), and the merge is idempotent — re-merging a replayed batch is a
+    set-union no-op (the streaming sink's crash-safety).
+
+    Deterministic md5 keeps every sketch row and the order-statistic
+    estimate oracle-checkable EXACTLY even though the estimate itself
+    approximates. Estimate for quantile q: the ceil(q*m)-th smallest
+    sampled value (m = sample size; groups with < k rows carry every
+    row, making the estimate the EXACT type-1 quantile in that regime).
+    Rows are identified by ``id_col``: re-observing the same (id, value)
+    row collapses to one sample entry (replay/at-least-once safety);
+    distinct rows are distinct entries.
+
+    Output: group_cols + sketch array<struct<h:bigint,v:double>> sorted
+    by (h, v) + n_kept + one ``est_pXX`` double per requested quantile.
+    Shape: one hash-partitioned window per group (same shuffle key as
+    the groupBy that follows); published state is k × 16 bytes per
+    group. Merge with :func:`quantile_sketch_merge`.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    pairs = df.select(
+        *group_cols,
+        h.alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    kept = pairs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    grouped = kept.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return _with_quantile_estimates(grouped, group_cols, quantiles)
+
+
+def _with_quantile_estimates(
+    grouped: DataFrame,
+    group_cols: list[str],
+    quantiles: tuple[float, ...],
+) -> DataFrame:
+    vals_sorted = F.array_sort(
+        F.transform(F.col("sketch"), lambda x: x["v"])
+    )
+    ests = [
+        F.element_at(
+            vals_sorted,
+            F.greatest(
+                F.lit(1), F.ceil(F.lit(float(q)) * F.col("n_kept"))
+            ).cast("int"),
+        ).alias(f"est_p{int(round(q * 100))}")
+        for q in quantiles
+    ]
+    return grouped.select(*group_cols, "sketch", "n_kept", *ests)
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Merge quantile sketches (e.g. per-day -> per-month): union the
+    (hash, value) samples, dedupe, keep the k hash-smallest. Because
+    every side hashed row ids with the same function over DISJOINT row
+    sets, this equals the sketch of the unioned raw data EXACTLY
+    (pinned in tests) — and re-merging the same sketch twice is a
+    no-op, which is what makes the streaming sink replay-safe with no
+    epoch manifest. Output schema matches :func:`quantile_sketch`.
+    """
+    from pyspark.sql.window import Window
+
+    exploded = sketches.select(
+        *group_cols, F.explode("sketch").alias("_p")
+    ).select(
+        *group_cols,
+        F.col("_p.h").alias("_h"),
+        F.col("_p.v").alias("_v"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h", "_v")
+    kept = exploded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    grouped = kept.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_h").alias("h"), F.col("_v").alias("v")))
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return _with_quantile_estimates(grouped, group_cols, quantiles)

@@ -1191,3 +1191,57 @@ def read_scd2_state(spark: SparkSession, dim_path: str) -> DataFrame:
     return spark.read.parquet(
         os.path.join(dim_path, f"v_{pointer['version']}")
     )
+
+
+def quantile_sketch_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 128,
+):
+    """Incrementally-maintained quantile estimates per group
+    (foreachBatch): each micro-batch's bottom-k quantile sketch
+    (operators/audit.quantile_sketch) merges into a persisted per-group
+    sketch table. Exact streaming percentiles need state proportional
+    to the number of distinct values; this state is ``groups x k``
+    (hash, value) pairs, and the answer is the same order-statistic
+    estimate the batch operator gives, with the same DKW rank-error
+    bound.
+
+    Replay-safe WITHOUT an epoch manifest for the same reason as
+    :func:`kmv_distinct_sink`: bottom-k-by-hash merge is IDEMPOTENT —
+    merging a crash-replayed batch is set-union + k-min, a no-op the
+    second time (pinned in tests). The merged table (tiny) is eagerly
+    localCheckpointed before overwriting the state dir it was read
+    from.
+
+    Cross-check: final state == batch quantile_sketch over all data
+    seen — the streaming/batch twin pin, same contract as
+    kmv_distinct_sink and incremental_rollup.
+    """
+    from etl_capnz_spark.operators.audit import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        cur = quantile_sketch(batch, group_cols, value_col, id_col, k)
+        try:
+            prev = sess.read.parquet(state_path).select(cur.columns)
+        except Exception:
+            prev = None
+        both = cur if prev is None else prev.unionByName(cur)
+        merged = quantile_sketch_merge(
+            both, group_cols, k=k
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )

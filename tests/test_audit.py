@@ -177,3 +177,105 @@ def test_mad_outliers_planted_and_robust(spark):
     assert ("c", 299) in flagged  # MAD=0 group: any deviation flags
     zs = {r["event_id"]: r["robust_z"] for r in out}
     assert zs[100] > 0 and zs[101] < 0  # signed robust z
+
+
+def test_quantile_sketch_merge_equals_sketch_of_union(spark, sf_dir):
+    """Mergeability — the property that makes the bottom-k quantile
+    sketch a rollup-safe partial: per-day sketches merged per
+    event_type must equal the sketch computed over the full table,
+    EXACTLY (same row-id hash → the k hash-smallest rows of the union
+    are contained in the union of per-day k-smallest sets)."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+    from etl_capnz_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    full = {
+        r["event_type"]: (
+            r["sketch"], r["n_kept"], r["est_p50"], r["est_p90"],
+            r["est_p99"],
+        )
+        for r in quantile_sketch(
+            ev, ["event_type"], "value", "event_id", k=32
+        ).collect()
+    }
+    per_day = quantile_sketch(
+        ev, ["event_type", "day"], "value", "event_id", k=32
+    )
+    merged = {
+        r["event_type"]: (
+            r["sketch"], r["n_kept"], r["est_p50"], r["est_p90"],
+            r["est_p99"],
+        )
+        for r in quantile_sketch_merge(
+            per_day, ["event_type"], k=32
+        ).collect()
+    }
+    assert merged == full
+
+
+def test_quantile_sketch_dkw_accuracy_and_small_group_exactness(spark):
+    """The sample quantile's rank error must sit inside the DKW bound
+    eps = sqrt(ln(2/delta) / (2k)) ≈ 0.102 at k=256, delta=0.01
+    (deterministic hashes make the observed error a fixed number — the
+    pin asserts the bound the docstring promises). A group with fewer
+    rows than k carries every row, so its estimates are the EXACT
+    type-1 quantiles."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import quantile_sketch
+
+    n = 20000
+    big = spark.range(n).select(
+        F.lit("big").alias("g"),
+        F.col("id").alias("rid"),
+        F.col("id").cast("double").alias("v"),
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    got = {
+        r["g"]: r
+        for r in quantile_sketch(
+            big.unionByName(small), ["g"], "v", "rid", k=256
+        ).collect()
+    }
+    eps = math.sqrt(math.log(2 / 0.01) / (2 * 256))  # ≈ 0.1017
+    for q, col in [(0.5, "est_p50"), (0.9, "est_p90"), (0.99, "est_p99")]:
+        assert abs(got["big"][col] / n - q) < eps
+    assert len(got["big"]["sketch"]) == 256
+    # values 0,10,...,90: ceil(q*10)-th smallest — exact in this regime
+    assert got["small"]["n_kept"] == 10
+    assert got["small"]["est_p50"] == 40.0
+    assert got["small"]["est_p90"] == 80.0
+    assert got["small"]["est_p99"] == 90.0
+
+
+def test_quantile_sketch_replay_dedupe(spark):
+    """At-least-once safety: re-observing the same (id, value) rows
+    collapses to one sample entry — the sketch of data ∪ data equals
+    the sketch of data."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import quantile_sketch
+
+    base = spark.range(500).select(
+        F.lit("g").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 37).cast("double").alias("v"),
+    )
+    once = quantile_sketch(base, ["g"], "v", "rid", k=64).collect()
+    twice = quantile_sketch(
+        base.unionAll(base), ["g"], "v", "rid", k=64
+    ).collect()
+    assert [tuple(r) for r in once] == [tuple(r) for r in twice]

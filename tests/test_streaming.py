@@ -1036,3 +1036,78 @@ def test_scd2_sink_streamed_equals_batch(spark, tmp_path):
     run()  # availableNow, no new files: no new epochs, state unchanged
     assert _read_scd2_pointer(dim)["version"] == 2
     assert read_scd2_state(spark, dim).count() == 4
+
+
+def test_quantile_sketch_sink_matches_batch_sketch(spark, tmp_path):
+    """Streaming/batch twin + idempotent-merge pin for the quantile
+    sketch sink: after two micro-batches (with rows repeated verbatim
+    across batches — the at-least-once replay shape), the persisted
+    state equals the batch quantile_sketch over everything seen, and
+    the repeated rows changed nothing (bottom-k merge is set-union)."""
+    import json as js
+
+    from etl_capnz_spark.operators.audit import quantile_sketch
+    from etl_capnz_spark.streaming.stream import quantile_sketch_sink
+
+    land = tmp_path / "land_qs"
+    land.mkdir()
+    state = str(tmp_path / "qs_state")
+    cp = str(tmp_path / "cp_qs")
+    schema = "event_type STRING, event_id BIGINT, value DOUBLE"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = quantile_sketch_sink(
+            stream, state, cp, ["event_type"], "value", "event_id", k=16
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    b1 = [
+        {"event_type": "view", "event_id": i, "value": float(i % 53)}
+        for i in range(40)
+    ] + [
+        {"event_type": "click", "event_id": i, "value": float(i)}
+        for i in range(5)
+    ]
+    # batch 2 repeats 20 'view' rows verbatim and all 'click' rows
+    b2 = [
+        {"event_type": "view", "event_id": i, "value": float(i % 53)}
+        for i in range(20, 60)
+    ] + [
+        {"event_type": "click", "event_id": i, "value": float(i)}
+        for i in range(5)
+    ]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(d) for d in b1))
+    run_batch()
+    state1 = {
+        r["event_type"]: r["sketch"]
+        for r in spark.read.parquet(state).collect()
+    }
+    (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
+    run_batch()
+
+    got = {
+        r["event_type"]: (
+            r["sketch"], r["n_kept"], r["est_p50"], r["est_p90"],
+            r["est_p99"],
+        )
+        for r in spark.read.parquet(state).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["event_type"], d["event_id"], d["value"]) for d in b1 + b2],
+        "event_type string, event_id long, value double",
+    )
+    want = {
+        r["event_type"]: (
+            r["sketch"], r["n_kept"], r["est_p50"], r["est_p90"],
+            r["est_p99"],
+        )
+        for r in quantile_sketch(
+            full, ["event_type"], "value", "event_id", k=16
+        ).collect()
+    }
+    assert got == want
+    # click saw only verbatim-repeated rows in batch 2 -> unchanged,
+    # and < k rows -> estimates are EXACT type-1 quantiles
+    assert got["click"][0] == state1["click"]
+    assert got["click"][2] == 2.0 and got["click"][4] == 4.0
