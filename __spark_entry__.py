@@ -2466,6 +2466,25 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_weighted_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group weighted reservoir (operators/sampling.py
+    weighted_sample_per_group): the 5 Efraimidis–Spirakis winners of
+    every lang, weight = n_chars — the one-pass 'k docs per source,
+    prefer high score' mixture-building shape. One hash exchange on the
+    group key; deterministic md5 uniforms make the drawn sample
+    oracle-EXACT."""
+    from etl_capnz_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_per_group(
+        docs, ["lang"], "doc_id", "n_chars", k=5
+    ).select("lang", "doc_id", "n_chars")
+
+
 def _q_sql_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL NOT IN against a NULLABLE subquery column — the null-aware
     anti join (a plain LeftAnti is WRONG here: one NULL in the list must
@@ -5018,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "sample_balanced": _q_sample_balanced,
         "sample_weighted": _q_sample_weighted,
+        "sample_weighted_per_group": _q_sample_weighted_per_group,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
@@ -5810,6 +5830,20 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "sample_weighted_per_group": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+              FROM (
+                SELECT lang, doc_id, n_chars,
+                       ln((('0x' || substr(md5('w1' || doc_id::VARCHAR),
+                                           1, 13))::BIGINT::DOUBLE
+                           + 1.0::DOUBLE)
+                          / 4503599627370498.0::DOUBLE)
+                       / n_chars::DOUBLE AS key
+                FROM documents))
+            WHERE rn <= 5""",
         "sample_weighted": """
             SELECT doc_id, source, n_chars, round(key, 6) AS es_key
             FROM (

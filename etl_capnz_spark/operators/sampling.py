@@ -123,6 +123,43 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "w1",
+) -> DataFrame:
+    """Per-group weighted reservoir: the k Efraimidis–Spirakis-keyed
+    winners of EVERY group — the shape that builds a training mixture
+    ("k docs per source, preferring high quality-score") in one pass.
+    Same key as :func:`weighted_sample` (ln(u)/w, u a deterministic
+    md5 uniform, weights > 0), but ranked per group with a window
+    instead of a global top-n: one hash exchange on the group key, and
+    losers never leave their task after the rank filter.
+
+    Distributionally this IS a weighted reservoir of size k per group
+    (Efraimidis & Spirakis 2006): for k=1 the inclusion probability is
+    exactly w_i/Σw (pinned statistically in tests); deterministic hash
+    randomness keeps the drawn sample identical across reruns,
+    partitionings, and engines — swap the salt for a fresh draw.
+    """
+    basis = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(basis), 1, 13), 16, 10).cast("bigint")
+    u = (h + F.lit(1.0)) / F.lit(float(2**52) + 2.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("_es_key"), F.col(id_col)
+    )
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_es_key", "_rn")
+    )
+
+
 def training_order(
     df: DataFrame, id_col: str, seed: str = "epoch0"
 ) -> DataFrame:

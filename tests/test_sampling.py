@@ -301,3 +301,71 @@ def test_leakage_safe_split_no_straddle(spark):
     frac = out.filter(F.col("split") == "train").count() / 2000
     assert 0.7 < frac < 0.9
     out.unpersist()
+
+
+def test_weighted_sample_per_group_inclusion_probability(spark):
+    """Efraimidis–Spirakis k=1 inclusion probability is EXACTLY
+    w_i/Σw: over 400 deterministic trial-groups (two items, weights 9
+    and 1), the heavy item must win ≈ 90% of trials. Deterministic
+    hashes make the observed rate a fixed number; the pin allows a
+    > 4σ band (binomial σ ≈ 1.5%)."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    trials = spark.range(400)
+    rows = trials.select(
+        F.col("id").alias("trial"),
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("id") * 2).alias("rid"), F.lit(9.0).alias("w")
+                ),
+                F.struct(
+                    (F.col("id") * 2 + 1).alias("rid"),
+                    F.lit(1.0).alias("w"),
+                ),
+            )
+        ).alias("s"),
+    ).select("trial", F.col("s.rid").alias("rid"), F.col("s.w").alias("w"))
+    won = weighted_sample_per_group(rows, ["trial"], "rid", "w", k=1)
+    heavy_wins = won.filter(F.col("w") == 9.0).count()
+    assert won.count() == 400
+    assert 0.84 <= heavy_wins / 400 <= 0.96
+
+
+def test_weighted_sample_per_group_partition_invariance(spark, sf_dir):
+    """The per-group reservoir must draw the SAME rows no matter how
+    the input is partitioned, and exactly k per group."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, ["lang"], "doc_id", "n_chars", k=3
+        ).collect()
+    }
+    shuffled = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs.repartition(13, "doc_id"), ["lang"], "doc_id",
+            "n_chars", k=3,
+        ).collect()
+    }
+    assert base == shuffled
+    per_group = (
+        weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars", k=3)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 3 for r in per_group)
