@@ -2466,6 +2466,31 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard pack → unpack round-trip
+    (sinks/tarshard.py): documents hash-route to 8 deterministic tar
+    shards (one applyInPandas kernel per shard, members sorted,
+    zeroed timestamps), then a map-only mapInPandas loader reads the
+    bytes back. A MATCH proves the whole container format — member
+    naming, UTF-8 payloads, JSON meta, NULL-content marker — because
+    the oracle never sees a tar: it just reads the documents table."""
+    from etl_capnz_spark.sinks.tarshard import (
+        pack_tar_shards,
+        unpack_tar_shards,
+    )
+
+    docs = _docs(spark, sf_dir)
+    shards = pack_tar_shards(
+        docs, "doc_id", "text", ["lang", "source"], n_shards=8
+    )
+    return unpack_tar_shards(shards).select(
+        F.col("member_id").alias("doc_id"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        F.get_json_object("meta", "$.lang").alias("lang"),
+        F.get_json_object("meta", "$.source").alias("source"),
+    )
+
+
 def _q_sample_weighted_per_group(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5038,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_balanced": _q_sample_balanced,
         "sample_weighted": _q_sample_weighted,
         "sample_weighted_per_group": _q_sample_weighted_per_group,
+        "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
@@ -5830,6 +5856,10 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "tar_shard_roundtrip": """
+            SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
+                   lang, source
+            FROM documents""",
         "sample_weighted_per_group": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,
