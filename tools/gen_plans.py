@@ -489,6 +489,42 @@ NOTES = {
         "BroadcastHashJoins, zero exchanges of dimension rows, history "
         "unioned in map-only."
     ),
+    "events_quantile_sketch": (
+        "Mergeable bottom-k quantile sketch: both exchanges carry "
+        "BOUNDED data - the replay-dedupe distinct is collapsed "
+        "map-side by a partial HashAggregate before its exchange, "
+        "and Spark's WindowGroupLimit applies the rank<=k cut "
+        "map-side too, so the group-key exchange ships at most k "
+        "rows per (partition x group). The sample-array groupBy "
+        "reuses that partitioning and the order-statistic estimates "
+        "are array arithmetic on k x 16 bytes of state per group. "
+        "Per-day partials merge into coarser rollups WITHOUT "
+        "re-reading events - the same partial-aggregate contract as "
+        "incremental_rollup, with a DKW-bounded rank error instead "
+        "of exactness."
+    ),
+    "sample_weighted_per_group": (
+        "Per-group weighted reservoir: the Efraimidis-Spirakis key "
+        "is a narrow map-side expression (md5 -> uniform -> ln(u)/w), "
+        "so the plan is scan -> ONE hash exchange on the group key -> "
+        "window rank -> filter (WindowGroupLimit applies the cut "
+        "map-side). Rows that lose the rank never leave their task; "
+        "no global sort (contrast weighted_sample's "
+        "TakeOrderedAndProject, the k-global twin). The RoundRobin "
+        "exchange below it is the single-file-input parallelism "
+        "artifact - gone at real scale."
+    ),
+    "tar_shard_roundtrip": (
+        "Training-data last mile: shard assignment is a map-side md5 "
+        "hash, so packing is ONE exchange on shard_id feeding an "
+        "Arrow-batched FlatMapGroupsInPandas that streams each "
+        "shard through stdlib tarfile (the RoundRobin exchange below "
+        "is the single-file-input artifact); unpacking is a map-only "
+        "MapInPandas - at 100 TB every 100 MB shard packs and "
+        "unpacks independently, and byte-determinism (sorted "
+        "members, zeroed headers) makes the sink idempotent and its "
+        "output diffable."
+    ),
     "split_leakage_safe": (
         "Cluster-granular split: LSH band equi-join makes candidate "
         "pairs, min-label propagation shuffles only (id,label) pairs "
