@@ -2466,6 +2466,29 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval (operators/text.py bm25_search,
+    k1=1.2, b=0.75) for three fixed queries over the documents corpus —
+    the lexical-ranker baseline for decontamination probes and
+    hard-negative mining. The plan is an inverted-index PROBE (query
+    terms equi-join on token; only queried postings flow), corpus
+    constants ride a 1-row broadcast, and scores round to 6dp BEFORE
+    the rank window so tie-breaks are cross-engine deterministic."""
+    from etl_capnz_spark.operators.text import bm25_search
+
+    queries = spark.createDataFrame(
+        [
+            (1, "fast hash join"),
+            (2, "window agg stream"),
+            (3, "slow scan filter"),
+        ],
+        "query_id int, query string",
+    )
+    return bm25_search(
+        _docs(spark, sf_dir), "text", "doc_id", queries, top_k=10
+    )
+
+
 def _q_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard pack → unpack round-trip
     (sinks/tarshard.py): documents hash-route to 8 deterministic tar
@@ -5064,6 +5087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": _q_sample_weighted,
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
+        "text_bm25": _q_text_bm25,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
@@ -5856,6 +5880,51 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "text_bm25": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM toks GROUP BY doc_id),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+                      FROM toks GROUP BY token),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+            q(query_id, query) AS (VALUES
+              (1, 'fast hash join'),
+              (2, 'window agg stream'),
+              (3, 'slow scan filter')),
+            qtoks AS (
+              SELECT DISTINCT query_id, unnest(list_filter(
+                string_split_regex(lower(trim(query)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM q),
+            scored AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                / s.avgdl))
+                     ), 6) AS score
+              FROM qtoks qt
+              JOIN tf USING (token)
+              JOIN dfreq USING (token)
+              JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY qt.query_id, tf.doc_id)
+            SELECT query_id, rank, doc_id, score FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM scored)
+            WHERE rank <= 10""",
         "tar_shard_roundtrip": """
             SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
                    lang, source

@@ -482,3 +482,81 @@ def winnow_fingerprints(
         F.min("gh").over(frame).alias("fp_hash"),
     )
     return selected.distinct()
+
+
+def bm25_search(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval — the classical lexical ranker a
+    training-data pipeline uses for benchmark decontamination probes,
+    eval-set retrieval baselines, and hard-negative mining.
+
+    score(D,Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    with the Robertson idf ln(1 + (N−df+0.5)/(df+0.5)) (always > 0).
+
+    Scale shape — an inverted-index PROBE, not a scan-per-query: term
+    stats (tf per (doc,token), df per token, |D| per doc) aggregate
+    once; the query terms equi-join on token, so only the postings of
+    queried terms flow into scoring (the plan has no cartesian /
+    nested-loop node, pinned in tests). Corpus constants (N, avgdl)
+    ride a 1-row broadcast — no driver count. Per-query top-k is a
+    rank window over (rounded score, id) — deterministic
+    cross-engine; the round-6 happens BEFORE ranking so the oracle
+    agrees on ties.
+
+    Output: (query_id, rank, id_col, score) — rank 1-based.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    stats = df.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
+        dl.agg(F.avg("dl").alias("_avgdl"))
+    )
+    qtoks = queries.select(
+        F.col(query_id_col),
+        F.explode(tokens(F.col(query_col))).alias("token"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl") / F.col("_avgdl")
+        )
+    )
+    scored = (
+        qtoks.join(tf, "token")
+        .join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

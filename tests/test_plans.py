@@ -419,3 +419,19 @@ def test_catalog_stats_drive_hint_free_broadcast(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS _dim_stats")
         spark.sql("DROP TABLE IF EXISTS _fact_stats")
+
+
+def test_bm25_is_inverted_index_probe(spark, sf_dir):
+    """BM25 must plan as an inverted-index PROBE: query terms equi-join
+    the postings on token (no CartesianProduct / nested-loop scoring
+    of every (query, doc) pair), and the corpus constants (N, avgdl)
+    ride a broadcast, never a driver count."""
+    df = entrymod.queries()["text_bm25"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly two 1-row cross joins exist: N x avgdl (building the
+    # stats row) and stats x scored (broadcasting it) — anything more
+    # would mean per-(query,doc) nested-loop scoring
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan  # token probe is an equi-join
+    assert "_avgdl" in plan, "corpus stats must be plan-side aggregates"
