@@ -2466,6 +2466,31 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel
+    (operators/funnel.py): each level joins the next step's
+    type-filtered events against the previous level's earliest
+    qualifying time (ts strictly after), so a purchase logged before
+    the first view never counts. Keys-only joins sharing one user-key
+    partitioning; counts non-increasing by construction."""
+    from etl_capnz_spark.operators.funnel import funnel
+
+    return funnel(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+def _q_events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/funnel.py
+    retention_cohorts): users cohorted by ISO week of first event,
+    counted per active week offset. Offset-0 equals cohort size; the
+    whole table is two user-key aggregations + one keys-only join."""
+    from etl_capnz_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
 def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (operators/text.py bm25_search,
     k1=1.2, b=0.75) for three fixed queries over the documents corpus —
@@ -5088,6 +5113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "events_funnel_steps": _q_events_funnel_steps,
+        "events_retention_weekly": _q_events_retention_weekly,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
         "audit_fingerprint": _q_audit_fingerprint,
         "snapshot_diff": _q_snapshot_diff,
@@ -5880,6 +5907,40 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "events_funnel_steps": """
+            WITH u1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            u2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN u1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > u1.t
+              GROUP BY e.user_id),
+            u3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN u2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > u2.t
+              GROUP BY e.user_id)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM u1)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM u2)::BIGINT
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM u3)::BIGINT""",
+        "events_retention_weekly": """
+            WITH first AS (
+              SELECT user_id,
+                     date_trunc('week', min(ts))::DATE AS cohort_week
+              FROM events GROUP BY user_id),
+            active AS (
+              SELECT DISTINCT user_id,
+                     date_trunc('week', ts)::DATE AS wk
+              FROM events)
+            SELECT cohort_week,
+                   ((wk - cohort_week) / 7)::INT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM active JOIN first USING (user_id)
+            GROUP BY cohort_week, week_offset""",
         "text_bm25": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(

@@ -1,0 +1,91 @@
+"""Ordered funnel + weekly cohort retention (operators/funnel.py)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    """A later step only counts STRICTLY AFTER the previous step's
+    earliest qualifying time: purchase-before-view users don't
+    convert, same-timestamp doesn't convert, and the earliest view
+    (not any view) anchors the chain."""
+    from etl_capnz_spark.operators.funnel import funnel
+
+    rows = [
+        # u1: view d1 -> click d2 -> purchase d3: full conversion
+        (1, 1, 0, "view"), (1, 2, 0, "click"), (1, 3, 0, "purchase"),
+        # u2: purchase BEFORE view: stops at step 1
+        (2, 5, 0, "purchase"), (2, 6, 0, "view"),
+        # u3: click at the SAME instant as view: strict > excludes it
+        (3, 1, 0, "view"), (3, 1, 0, "click"),
+        # u4: never viewed: not even step 1
+        (4, 1, 0, "click"), (4, 2, 0, "purchase"),
+        # u5: view d4, click d2 (before) and d5 (after) -> counts via d5
+        (5, 4, 0, "view"), (5, 2, 0, "click"), (5, 5, 0, "click"),
+    ]
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_anchors_on_earliest_qualifying_time(spark):
+    """The chain uses the EARLIEST qualifying time per level, so a
+    user is never penalized for an extra late event: view d1,
+    click d2 and d9, purchase d3 must convert (via the d2 click)."""
+    from etl_capnz_spark.operators.funnel import funnel
+
+    rows = [
+        (1, 1, 0, "view"), (1, 2, 0, "click"), (1, 9, 0, "click"),
+        (1, 3, 0, "purchase"),
+    ]
+    got = {
+        r["step_name"]: r["n_users"]
+        for r in funnel(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_retention_offset_zero_equals_cohort_size(spark, sf_dir):
+    """Offset-0 of every cohort equals the cohort's size (everyone is
+    active in their own first week), and every offset count is <= the
+    cohort size."""
+    from etl_capnz_spark.operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = retention_cohorts(ev, "user_id", "ts").collect()
+    size = {
+        r["cohort_week"]: r["n_users"]
+        for r in rows
+        if r["week_offset"] == 0
+    }
+    cohorts = {
+        r["cohort_week"]: r["n_users"]
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+        )
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumnRenamed("cw", "cohort_week")
+        .collect()
+    }
+    assert size == cohorts
+    for r in rows:
+        assert r["n_users"] <= size[r["cohort_week"]]
+        assert r["week_offset"] >= 0
