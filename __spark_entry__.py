@@ -4804,20 +4804,11 @@ def _q_events_anomaly_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD Type-2 dimension maintenance WITHOUT MERGE
-    (sinks/warehouse.py scd2_apply — third member of the
-    no-table-format trio with overwrite_partitions + delete_keys, the
-    Delta/Iceberg-absent fallback the judge's round-3 item 4 asked
-    for). Customers are seeded as an open SCD-2 dim; a deterministic
-    CDC batch changes acctbal for custkey%7, segment for custkey%11,
-    sends an IDENTICAL image for custkey%13 (no-op path), and inserts
-    brand-new keys for custkey%97. The operator closes changed rows,
-    opens new versions, passes unchanged rows through byte-identical —
-    with ZERO shuffles of dimension rows (current LEFT JOIN
-    broadcast(updates) + broadcast semi/anti for the new keys; Spark
-    cannot broadcast a full-outer side, so the naive shape would
-    shuffle the whole dim every batch)."""
+def _scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SCD-2 build for scd2_customer and scd2_snapshot_at:
+    customers seeded open at 2024-01-01, one deterministic CDC batch
+    applied at 2024-06-01 (bal change %7, segment %11, no-op image
+    %13, brand-new keys %97)."""
     from etl_capnz_spark.sinks.warehouse import scd2_apply
 
     c = _t(spark, sf_dir, "customer")
@@ -4849,7 +4840,45 @@ def _q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = scd2_apply(dim, upd, "k", ["bal", "seg"], "2024-06-01")
+    return scd2_apply(dim, upd, "k", ["bal", "seg"], "2024-06-01")
+
+
+def _q_scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the SCD-2 dimension (sinks/warehouse.py
+    scd2_snapshot_at): the post-CDC history queried AS OF 2024-03-01 —
+    between the seed and the CDC batch — must reconstruct the
+    pre-CDC image EXACTLY (closed versions re-qualify, new versions
+    and brand-new keys vanish). A map-only filter over the history
+    scan; the oracle rebuilds the merge in SQL and applies the same
+    interval predicate."""
+    dim = _scd2_customer_dim(spark, sf_dir)
+    from etl_capnz_spark.sinks.warehouse import scd2_snapshot_at
+
+    return scd2_snapshot_at(dim, "2024-03-01").select(
+        "k",
+        "bal",
+        "seg",
+        F.col("effective_from").cast("string").alias("eff_from"),
+        F.col("effective_to").cast("string").alias("eff_to"),
+        "is_current",
+    )
+
+
+def _q_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance WITHOUT MERGE
+    (sinks/warehouse.py scd2_apply — third member of the
+    no-table-format trio with overwrite_partitions + delete_keys, the
+    Delta/Iceberg-absent fallback the judge's round-3 item 4 asked
+    for). Customers are seeded as an open SCD-2 dim; a deterministic
+    CDC batch changes acctbal for custkey%7, segment for custkey%11,
+    sends an IDENTICAL image for custkey%13 (no-op path), and inserts
+    brand-new keys for custkey%97. The operator closes changed rows,
+    opens new versions, passes unchanged rows through byte-identical —
+    with ZERO shuffles of dimension rows (current LEFT JOIN
+    broadcast(updates) + broadcast semi/anti for the new keys; Spark
+    cannot broadcast a full-outer side, so the naive shape would
+    shuffle the whole dim every batch)."""
+    out = _scd2_customer_dim(spark, sf_dir)
     return out.select(
         "k",
         "bal",
@@ -5011,6 +5040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trimmed_mean": _q_events_trimmed_mean,
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
+        "scd2_snapshot_at": _q_scd2_snapshot_at,
         "media_png_decode": _q_media_png_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "media_gif_decode": _q_media_gif_decode,
@@ -7744,6 +7774,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
             HAVING count(*) >= 3""",
+        "scd2_snapshot_at": """
+            WITH dim AS (
+              SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg,
+                     DATE '2024-01-01' AS eff_from,
+                     CAST(NULL AS DATE) AS eff_to, TRUE AS is_current
+              FROM customer),
+            upd AS (
+              SELECT c_custkey AS k,
+                     CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                          ELSE c_acctbal END AS bal,
+                     CASE WHEN c_custkey % 11 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS seg
+              FROM customer
+              WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+                 OR c_custkey % 13 = 0
+              UNION ALL
+              SELECT c_custkey + 1000000, 0.0, 'NEW'
+              FROM customer WHERE c_custkey % 97 = 0),
+            j AS (
+              SELECT d.k, d.bal, d.seg, d.eff_from, d.eff_to, d.is_current,
+                     u.k AS uk, u.bal AS ubal, u.seg AS useg
+              FROM dim d LEFT JOIN upd u ON d.k = u.k),
+            merged AS (
+              SELECT k, bal, seg, eff_from, eff_to, is_current FROM j
+              WHERE uk IS NULL
+                 OR (bal IS NOT DISTINCT FROM ubal
+                     AND seg IS NOT DISTINCT FROM useg)
+              UNION ALL
+              SELECT k, bal, seg, eff_from, DATE '2024-06-01', FALSE FROM j
+              WHERE uk IS NOT NULL
+                AND (bal IS DISTINCT FROM ubal OR seg IS DISTINCT FROM useg)
+              UNION ALL
+              SELECT k, ubal, useg, DATE '2024-06-01',
+                     CAST(NULL AS DATE), TRUE
+              FROM j
+              WHERE uk IS NOT NULL
+                AND (bal IS DISTINCT FROM ubal OR seg IS DISTINCT FROM useg)
+              UNION ALL
+              SELECT u.k, u.bal, u.seg, DATE '2024-06-01',
+                     CAST(NULL AS DATE), TRUE
+              FROM upd u
+              WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.k = u.k))
+            SELECT k, bal, seg,
+                   CAST(eff_from AS VARCHAR) AS eff_from,
+                   CAST(eff_to AS VARCHAR) AS eff_to,
+                   is_current
+            FROM merged
+            WHERE (eff_from IS NULL OR eff_from <= DATE '2024-03-01')
+              AND (eff_to IS NULL OR DATE '2024-03-01' < eff_to)""",
         "scd2_customer": """
             WITH dim AS (
               SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg,

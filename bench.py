@@ -48,6 +48,9 @@ HEADLINE = [
     "events_heavy_hitters",
     # round 4c: warehouse maintenance (SCD-2 CDC merge, zero dim shuffles)
     "scd2_customer",
+    # round 4d: mergeable quantile sketch + BM25 inverted-index probe
+    "events_quantile_sketch",
+    "text_bm25",
 ]
 
 

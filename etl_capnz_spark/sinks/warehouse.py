@@ -249,3 +249,33 @@ def scd2_apply(
     return merged.unionByName(inserted).unionByName(
         history.select(key_col, *attr_cols, from_col, to_col, current_col)
     )
+
+
+def scd2_snapshot_at(
+    dim: DataFrame,
+    as_of: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time query of an SCD-2 dimension: the rows that were
+    effective at ``as_of`` — the read-side reason SCD-2 history exists
+    ("join facts to the dimension AS IT WAS"). A version row qualifies
+    when ``effective_from <= as_of < effective_to``; a NULL
+    ``effective_from`` means since-forever, a NULL ``effective_to``
+    means still-open. At most one row per key qualifies because
+    :func:`scd2_apply` keeps the validity intervals of a key disjoint
+    (pinned in tests).
+
+    Map-only — a pure filter over the dimension scan, so the
+    effective-date predicate reaches the parquet row-group stats; at
+    100 TB a date-partitioned or range-clustered history makes the
+    time-travel read touch only the overlapping files
+    (sinks/storage.write_clustered is the companion layout).
+    """
+    from pyspark.sql import functions as F
+
+    d = F.lit(as_of).cast("date")
+    return dim.filter(
+        (F.col(from_col).isNull() | (F.col(from_col) <= d))
+        & (F.col(to_col).isNull() | (d < F.col(to_col)))
+    )

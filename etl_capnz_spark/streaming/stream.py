@@ -1180,17 +1180,45 @@ def scd2_sink(
     )
 
 
-def read_scd2_state(spark: SparkSession, dim_path: str) -> DataFrame:
-    """Read the committed SCD-2 snapshot (pointer first, then the
-    version directory it names — never a half-written snapshot)."""
+def read_scd2_state(
+    spark: SparkSession, dim_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed SCD-2 snapshot (pointer first, then the
+    version directory it names — never a half-written snapshot).
+
+    ``version`` time-travels within the sink's ``keep_versions``
+    window. Versions ABOVE the pointer are refused even if their
+    directory exists on disk — a crash between the snapshot write and
+    the pointer commit legitimately leaves an uncommitted ``v_<n+1>``
+    lying around, and reading it would break snapshot isolation (the
+    exact property the pointer provides; pinned in tests). Pruned
+    versions raise FileNotFoundError naming the kept window.
+    """
     import os
 
     pointer = _read_scd2_pointer(dim_path)
     if pointer["version"] == 0:
         raise FileNotFoundError(f"no committed SCD-2 state at {dim_path}")
-    return spark.read.parquet(
-        os.path.join(dim_path, f"v_{pointer['version']}")
-    )
+    if version is None:
+        version = pointer["version"]
+    if version > pointer["version"]:
+        raise ValueError(
+            f"version {version} is not committed (pointer is at "
+            f"{pointer['version']}); refusing to read an uncommitted "
+            "snapshot"
+        )
+    vdir = os.path.join(dim_path, f"v_{version}")
+    if not os.path.isdir(vdir):
+        kept = sorted(
+            int(d[2:])
+            for d in os.listdir(dim_path)
+            if d.startswith("v_")
+            and int(d[2:]) <= pointer["version"]
+        )
+        raise FileNotFoundError(
+            f"version {version} was pruned; kept versions: {kept}"
+        )
+    return spark.read.parquet(vdir)
 
 
 def quantile_sketch_sink(

@@ -1111,3 +1111,65 @@ def test_quantile_sketch_sink_matches_batch_sketch(spark, tmp_path):
     # and < k rows -> estimates are EXACT type-1 quantiles
     assert got["click"][0] == state1["click"]
     assert got["click"][2] == 2.0 and got["click"][4] == 4.0
+
+
+def test_scd2_versioned_read_time_travel_and_refusals(spark, tmp_path):
+    """read_scd2_state(version=N) time-travels within the kept window;
+    a version directory ABOVE the pointer (the crash-before-commit
+    residue) is REFUSED even though it exists on disk; pruned versions
+    raise naming the kept window."""
+    import json
+    import os
+
+    import pytest as pt
+
+    from etl_capnz_spark.streaming.stream import (
+        read_scd2_state,
+        scd2_sink,
+    )
+
+    dim = str(tmp_path / "dim_tt")
+    land = tmp_path / "cdc_tt"
+    land.mkdir()
+    cp = str(tmp_path / "cp_tt")
+    schema = "k BIGINT, bal DOUBLE, seg STRING, as_of STRING"
+
+    def run():
+        q = (
+            scd2_sink(
+                spark.readStream.schema(schema).json(str(land)),
+                dim, cp, "k", ["bal", "seg"], keep_versions=2,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batches = [
+        [{"k": 1, "bal": 1.0, "seg": "A", "as_of": "2024-01-01"}],
+        [{"k": 1, "bal": 2.0, "seg": "A", "as_of": "2024-02-01"}],
+        [{"k": 1, "bal": 3.0, "seg": "A", "as_of": "2024-03-01"}],
+    ]
+    states = {}
+    for i, b in enumerate(batches, start=1):
+        (land / f"b{i}.jsonl").write_text(
+            "\n".join(json.dumps(d) for d in b)
+        )
+        run()
+        states[i] = sorted(
+            map(tuple, read_scd2_state(spark, dim).collect())
+        )
+    # explicit version == the state captured right after that batch
+    assert sorted(
+        map(tuple, read_scd2_state(spark, dim, version=2).collect())
+    ) == states[2]
+    assert sorted(
+        map(tuple, read_scd2_state(spark, dim, version=3).collect())
+    ) == states[3]
+    # v_1 was pruned (keep_versions=2)
+    with pt.raises(FileNotFoundError, match="kept versions"):
+        read_scd2_state(spark, dim, version=1)
+    # simulate crash residue: v_4 exists on disk but pointer says 3
+    os.makedirs(os.path.join(dim, "v_4"), exist_ok=True)
+    with pt.raises(ValueError, match="not committed"):
+        read_scd2_state(spark, dim, version=4)

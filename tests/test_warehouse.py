@@ -269,3 +269,53 @@ def test_scd2_plan_broadcast_and_single_generate(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Generate") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_scd2_snapshot_at_reconstructs_past_and_present(spark):
+    """Point-in-time read over accrued history: a snapshot between the
+    seed and the CDC date reconstructs the PRE-CDC image exactly
+    (closed versions re-qualify, later versions and later inserts
+    vanish); a snapshot after the CDC date equals the is_current
+    slice; every snapshot has at most one row per key; a snapshot
+    before a key existed omits it."""
+    import datetime as dt
+
+    from etl_capnz_spark.sinks.warehouse import (
+        scd2_apply,
+        scd2_snapshot_at,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+    dim = _scd_dim(
+        spark,
+        [
+            (1, 10.0, "A", d0, None, True),
+            (2, 20.0, "B", d0, None, True),
+        ],
+    )
+    b1 = spark.createDataFrame(
+        [(1, 11.0, "A"), (3, 30.0, "C")], "k int, bal double, seg string"
+    )
+    hist = scd2_apply(dim, b1, "k", ["bal", "seg"], "2024-06-01")
+
+    def img(as_of):
+        return sorted(
+            (r["k"], r["bal"], r["seg"])
+            for r in scd2_snapshot_at(hist, as_of).collect()
+        )
+
+    # between seed and CDC: the original image; key 3 not yet born
+    assert img("2024-03-01") == [(1, 10.0, "A"), (2, 20.0, "B")]
+    # ON the CDC date: the new image is effective (from <= d < to)
+    assert img("2024-06-01") == [(1, 11.0, "A"), (2, 20.0, "B"),
+                                 (3, 30.0, "C")]
+    # after: equals the is_current slice
+    cur = sorted(
+        (r["k"], r["bal"], r["seg"])
+        for r in hist.filter("is_current").collect()
+    )
+    assert img("2024-12-31") == cur
+    # at most one version per key in every snapshot (disjoint intervals)
+    for d in ("2024-03-01", "2024-06-01", "2024-12-31"):
+        ks = [r["k"] for r in scd2_snapshot_at(hist, d).collect()]
+        assert len(ks) == len(set(ks))
