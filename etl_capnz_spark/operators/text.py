@@ -518,10 +518,13 @@ def bm25_search(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct(id_col).alias("df")
-    )
+    # dl and df derive from the (doc, token, tf) aggregate, NOT from a
+    # re-tokenize: the corpus is exploded ONCE and every later stage
+    # aggregates the much smaller per-(doc,token) triple. (tf rows are
+    # distinct (doc, token) pairs, so count(*) per token IS the
+    # document frequency.)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     stats = df.agg(F.count(F.lit(1)).alias("_n")).crossJoin(
         dl.agg(F.avg("dl").alias("_avgdl"))
     )
