@@ -2466,6 +2466,22 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy matching via deletion-neighborhood
+    blocking (operators/dedup.py edit1_pairs, the FastSS/SymSpell
+    trick): 12-char title prefixes equi-join on their deletion
+    variants, survivors verified with exact levenshtein ≤ 1 — recall
+    guaranteed by the deletion theorem, precision by the verify, no
+    CartesianProduct (pinned in test_plans). The oracle is the
+    brute-force O(n²) levenshtein join the plan must never contain."""
+    from etl_capnz_spark.operators.dedup import edit1_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    return edit1_pairs(docs, "doc_id", "title")
+
+
 def _q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel
     (operators/funnel.py): each level joins the next step's
@@ -5143,6 +5159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "fuzzy_edit1": _q_fuzzy_edit1,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
@@ -5937,6 +5954,15 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "fuzzy_edit1": """
+            WITH t AS (
+              SELECT doc_id, substr(text, 1, 12) AS title
+              FROM documents WHERE text IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.title AS str_a, b.title AS str_b,
+                   levenshtein(a.title, b.title)::INT AS dist
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.title, b.title) <= 1""",
         "events_funnel_steps": """
             WITH u1 AS (
               SELECT user_id, min(ts) AS t FROM events

@@ -685,3 +685,64 @@ def line_dedup_global(
         ).alias(text_col)
     )
     return reassembled
+
+
+def edit1_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+) -> DataFrame:
+    """All pairs of rows whose strings are within edit distance 1
+    (Levenshtein ≤ 1: equal, one substitution, one insert/delete) —
+    the fuzzy-match primitive for near-identical titles, URLs, and
+    entity names, via DELETION-NEIGHBORHOOD blocking (FastSS / the
+    SymSpell trick, symmetric-delete spelling correction's core idea):
+
+    two strings with lev(s,t) ≤ 1 always share a member of
+    D(s) = {s} ∪ {s minus one character} (substitution: delete the
+    differing position from both; indel: the shorter string is a
+    deletion of the longer; equality: s itself). The converse does
+    NOT hold (s=ab, t=ba share "b" at distance 2), so survivors are
+    verified with an exact ``levenshtein`` ≤ 1 filter — blocking
+    recall is guaranteed by the theorem, precision by the verify.
+
+    Scale shape: each string emits len+1 variants (one array +
+    explode), candidates come from an EQUI-join on the variant key —
+    O(Σ len) blocking rows and no CartesianProduct; only (id, string)
+    pairs shuffle. Generalizes to distance k by deleting k characters
+    (variant count ~ len^k — keep k small and strings short: this is
+    a key/title matcher, not a document matcher).
+
+    Output: (id_a, id_b, str_a, str_b, dist) with id_a < id_b,
+    dist ∈ {0, 1}.
+    """
+    s = F.col(str_col)
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substring(s, 1, i - 1),
+                s.substr(i + 1, F.length(s)),
+            ),
+        ),
+    )
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_s"),
+        F.explode(variants).alias("_v"),
+    )
+    a = sides.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("str_a"), "_v"
+    )
+    b = sides.select(
+        F.col("_id").alias("id_b"), F.col("_s").alias("str_b"), "_v"
+    )
+    return (
+        a.join(b, "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "str_a", "str_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("str_a", "str_b"))
+        .filter(F.col("dist") <= 1)
+    )

@@ -242,3 +242,68 @@ def test_capped_lsh_default_is_exact_uncapped_pair_set(spark, sf_dir):
         ).collect()
     }
     assert huge_cap == uncapped
+
+
+def test_edit1_pairs_planted_and_brute_force_parity(spark):
+    """Deletion-neighborhood blocking + exact verify must equal the
+    brute-force levenshtein<=1 join EXACTLY: substitution, insert,
+    delete, and equal pairs found; the classic transposition
+    counterexample (ab/ba share deletion variant 'b' but sit at
+    distance 2) is blocked by the verify; randomized seeded strings
+    confirm parity where blocking alone would over- or under-fire."""
+    import itertools
+    import random
+
+    from etl_capnz_spark.operators.dedup import edit1_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    planted = {
+        1: "spark", 2: "spank",   # substitution
+        3: "sparks",              # insertion vs 1
+        4: "spar",                # deletion vs 1
+        5: "ab", 6: "ba",         # transposition: dist 2, must NOT pair
+        7: "spark",               # exact dup of 1
+    }
+    rng = random.Random(7)
+    strs = dict(planted)
+    for i in range(8, 48):
+        strs[i] = "".join(rng.choice("abcs") for _ in range(rng.randint(1, 5)))
+    df = spark.createDataFrame(
+        list(strs.items()), "id long, s string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit1_pairs(df, "id", "s").collect()
+    }
+    want = {
+        (i, j, lev(strs[i], strs[j]))
+        for i, j in itertools.combinations(sorted(strs), 2)
+        if lev(strs[i], strs[j]) <= 1
+    }
+    assert got == want
+    assert (1, 7, 0) in got and (1, 2, 1) in got
+    assert (1, 3, 1) in got and (1, 4, 1) in got
+    assert not any(a == 5 and b == 6 for a, b, _ in got)
+
+
+def test_edit1_pairs_no_cartesian(spark, sf_dir):
+    """The blocking join must be an equi-join on the deletion variant —
+    an all-pairs shape here is exactly what the operator exists to
+    avoid (the oracle's O(n^2) form must never appear in the plan)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["fuzzy_edit1"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

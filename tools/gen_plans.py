@@ -525,6 +525,35 @@ NOTES = {
         "members, zeroed headers) makes the sink idempotent and its "
         "output diffable."
     ),
+    "text_bm25": (
+        "BM25 as an inverted-index PROBE, not a scan-per-query: tf/df/"
+        "dl aggregate once from one tokenize pass, query terms "
+        "equi-join the postings on token (at sf0.01 AQE broadcasts "
+        "the small sides; at 100 TB the 3-row query side broadcasts "
+        "and only queried postings shuffle), corpus constants N and "
+        "avgdl ride 1-row broadcasts (the only two "
+        "BroadcastNestedLoopJoins - both 1-row builds, pinned in "
+        "test_plans). Scores round to 6dp BEFORE the per-query rank "
+        "window so top-k tie-breaks are cross-engine deterministic."
+    ),
+    "events_funnel_steps": (
+        "Strict-order funnel: each level is a keys-only equi-join of "
+        "the next step's TYPE-FILTERED events (pushdown keeps "
+        "non-participating rows out of the exchange) against the "
+        "previous level's (user, min-ts) - per-user state is one "
+        "timestamp, never the event history, and every stage hashes "
+        "on user_id. The three 1-row step counts union at the end; "
+        "counts are non-increasing by construction."
+    ),
+    "fuzzy_edit1": (
+        "Deletion-neighborhood fuzzy match (FastSS/SymSpell shape): "
+        "each string emits len+1 variants via one array+explode, "
+        "candidates come from an EQUI-join on the variant key, and "
+        "the exact levenshtein verify filters the theorem's false "
+        "positives (ab/ba). The oracle is the O(n^2) brute-force "
+        "join this plan must never contain - no CartesianProduct / "
+        "BroadcastNestedLoopJoin (pinned in test_dedup_recall)."
+    ),
     "split_leakage_safe": (
         "Cluster-granular split: LSH band equi-join makes candidate "
         "pairs, min-label propagation shuffles only (id,label) pairs "
