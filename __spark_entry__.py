@@ -2466,6 +2466,26 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (operators/timeseries.py ewma_per_group, α=0.5) —
+    the canonical sequential recursion no Spark window expresses
+    (row i's state depends on row i−1's OUTPUT), computed in the
+    sanctioned applyInPandas seam with one hash exchange on user_id.
+    α=0.5 is chosen deliberately: 0.5·x and 0.5·y are EXACT in binary
+    (halving never rounds), so each step's only rounding is the final
+    add and the DuckDB RECURSIVE CTE oracle reproduces every RAW double
+    bit-identically even if either engine fuses multiply-add (a 0.3/0.7
+    variant differs by 1 ulp under FMA, and per-step 6dp rounding trips
+    on half-even-vs-half-away ties — both observed, hence raw + α=0.5)."""
+    from etl_capnz_spark.operators.timeseries import ewma_per_group
+
+    out = ewma_per_group(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "event_id", alpha=0.5,
+    )
+    return out.select("user_id", "event_id", "value", "ewma")
+
+
 def _q_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 fuzzy matching via deletion-neighborhood
     blocking (operators/dedup.py edit1_pairs, the FastSS/SymSpell
@@ -5159,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
@@ -5954,6 +5975,23 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "events_ewma": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, value, rn, value AS y
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.value, s.rn,
+                     0.5 * s.value + 0.5 * r.y
+              FROM seq s JOIN rec r
+                ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+            SELECT user_id, event_id, value, y AS ewma
+            FROM rec""",
         "fuzzy_edit1": """
             WITH t AS (
               SELECT doc_id, substr(text, 1, 12) AS title

@@ -305,3 +305,60 @@ def user_trend_arrow(
     return staged.groupBy("user_id").applyInArrow(
         fit, "user_id bigint, n bigint, slope double, intercept double"
     )
+
+
+def ewma_per_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average — the canonical
+    SEQUENTIAL recursion (y_i = α·x_i + (1−α)·y_{i−1}, y_1 = x_1) that
+    no Spark window expresses: state at row i depends on row i−1's
+    OUTPUT, not its input, so this is the sanctioned grouped-kernel
+    seam (applyInPandas, same family as user_trend).
+
+    The recursion is computed with the exact expression
+    ``alpha*x + (1-alpha)*y`` per step and emitted RAW (no rounding:
+    round-half ties are resolved differently across engines — Python
+    half-even vs SQL half-away — and a dyadic alpha like 0.5 makes
+    exact ties COMMON, observed breaking a 6dp-rounded oracle). With a
+    power-of-two alpha both products are exact, each step's only
+    rounding is the final add, and a DuckDB recursive CTE evaluating
+    the same expression tree reproduces every double bit-identically
+    even under FMA — an exact oracle for an iterative operator. Rows
+    order by (ts, id) within the group for cross-engine ties.
+
+    Shape: ONE hash exchange on the group key; per-task state is one
+    group's series (same bound as any per-entity kernel — at 100 TB
+    groups are users/devices, not the corpus). Output: (group, id, ts,
+    value, ewma raw double).
+    """
+    import pandas as pd
+
+    a = float(alpha)
+
+    def _ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col])
+        ys = []
+        y = None
+        for x in pdf[value_col]:
+            x = float(x)
+            y = x if y is None else a * x + (1.0 - a) * y
+            ys.append(y)
+        pdf = pdf.copy()
+        pdf["ewma"] = ys
+        return pdf
+
+    fields = df.select(group_col, id_col, ts_col, value_col).schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", ewma double"
+    return (
+        df.select(group_col, id_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(_ewma, out_schema)
+    )

@@ -109,3 +109,47 @@ def test_user_trend_arrow_equals_pandas_seam(spark, sf_dir):
     b = {r["user_id"]: (r["n"], r["slope"], r["intercept"])
          for r in user_trend_arrow(ev).collect()}
     assert a == b and len(a) > 0
+
+
+def test_ewma_matches_closed_form_and_partition_invariant(spark):
+    """The sequential recursion must equal the closed-form power sum
+    y_i = (1-a)^(i-1) x_1 + a * sum_{j=2..i} (1-a)^(i-j) x_j (a
+    DIFFERENT algorithm, so agreement is evidence, not tautology) to
+    float tolerance, resolve ts ties by id, and draw identical values
+    regardless of input partitioning."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.timeseries import ewma_per_group
+
+    rows = []
+    vals = {}
+    for g in (1, 2):
+        xs = [float((g * 7 + i * 13) % 50) + 0.25 for i in range(40)]
+        vals[g] = xs
+        for i, x in enumerate(xs):
+            # two ts ties per series: id breaks them
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i // 2)
+            rows.append((g, i, t, x))
+    df = spark.createDataFrame(
+        rows, "g int, rid long, ts timestamp, x double"
+    )
+    a = 0.3
+    got = {
+        (r["g"], r["rid"]): r["ewma"]
+        for r in ewma_per_group(df, "g", "ts", "x", "rid", alpha=a).collect()
+    }
+    for g, xs in vals.items():
+        for i in range(len(xs)):
+            closed = (1 - a) ** i * xs[0] + a * sum(
+                (1 - a) ** (i - j) * xs[j] for j in range(1, i + 1)
+            )
+            assert abs(got[(g, i)] - closed) < 1e-9
+    re = {
+        (r["g"], r["rid"]): r["ewma"]
+        for r in ewma_per_group(
+            df.repartition(13, "rid"), "g", "ts", "x", "rid", alpha=a
+        ).collect()
+    }
+    assert re == got

@@ -554,6 +554,24 @@ NOTES = {
         "join this plan must never contain - no CartesianProduct / "
         "BroadcastNestedLoopJoin (pinned in test_dedup_recall)."
     ),
+    "events_ewma": (
+        "Sequential per-group recursion (state depends on the previous "
+        "row's OUTPUT - no Spark window expresses it): ONE hash "
+        "exchange on user_id feeds FlatMapGroupsInPandas, per-task "
+        "state is a single user's series. The oracle is a DuckDB "
+        "RECURSIVE CTE over the same expression tree: with a "
+        "power-of-two alpha both per-step products are exact, so raw "
+        "doubles match bit-identically across engines - 10k rows "
+        "hash-equal through an iterative Python kernel."
+    ),
+    "scd2_snapshot_at": (
+        "Time travel as a map-only interval filter over the history "
+        "scan (effective_from <= d < effective_to, NULL-open): the "
+        "predicate reaches parquet row-group stats, so a "
+        "date-clustered history prunes to the overlapping files at "
+        "100 TB. The expensive part (the SCD-2 build) is shared with "
+        "scd2_customer; the snapshot adds zero exchanges."
+    ),
     "split_leakage_safe": (
         "Cluster-granular split: LSH band equi-join makes candidate "
         "pairs, min-label propagation shuffles only (id,label) pairs "
