@@ -2466,6 +2466,22 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence detection (operators/sessions.py sequence_match):
+    every purchase matched to the most recent view strictly before it,
+    rejected if an error falls strictly between or the gap exceeds two
+    days. No self-join — running max(CASE) windows over a ROWS frame
+    carry 'last view/error before me', so the match is a map-side
+    predicate after one user_id exchange."""
+    from etl_capnz_spark.operators.sessions import sequence_match
+
+    return sequence_match(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        "event_type", first="view", then="purchase",
+        not_between="error", within_seconds=172800,
+    )
+
+
 def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA (operators/timeseries.py ewma_per_group, α=0.5) —
     the canonical sequential recursion no Spark window expresses
@@ -5179,6 +5195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "events_sequence_match": _q_events_sequence_match,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "events_funnel_steps": _q_events_funnel_steps,
@@ -5975,6 +5992,27 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "events_sequence_match": """
+            WITH st AS (
+              SELECT user_id, ts, event_type,
+                     max(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_a,
+                     max(CASE WHEN event_type = 'error' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_c
+              FROM events)
+            SELECT user_id, last_a AS first_ts, ts AS then_ts,
+                   floor(epoch(ts))::BIGINT
+                     - floor(epoch(last_a))::BIGINT AS gap_seconds
+            FROM st
+            WHERE event_type = 'purchase'
+              AND last_a IS NOT NULL
+              AND (last_c IS NULL OR last_c <= last_a)
+              AND floor(epoch(ts))::BIGINT
+                    - floor(epoch(last_a))::BIGINT <= 172800""",
         "events_ewma": """
             WITH RECURSIVE seq AS (
               SELECT user_id, event_id, value,

@@ -103,3 +103,62 @@ def sessionize_dynamic(
         )
         .drop("_seq")
     )
+
+
+def sequence_match(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    first: str,
+    then: str,
+    not_between: str | None = None,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence detection: every ``then``
+    event matched to the MOST RECENT ``first`` event strictly before
+    it on the same key, optionally rejected when a ``not_between``
+    event falls strictly between the pair or when the gap exceeds
+    ``within_seconds`` — the classic CEP shape ("view then purchase
+    with no error in between, within a day").
+
+    No self-join: per-key running ``max(CASE type)`` window aggregates
+    over a ROWS frame (unbounded preceding → 1 preceding) carry "last
+    A before me" and "last blocker before me", so the match test is a
+    map-side predicate after ONE hash exchange on the key — the same
+    single-partitioning shape as sessionize. A blocker at exactly the
+    ``first`` event's timestamp is NOT between (strictness), which the
+    ``last_c <= last_a`` comparison encodes for free. Ties order by
+    (ts, id) for cross-engine determinism.
+
+    Output: (key, first_ts, then_ts, gap_seconds) — one row per
+    matched ``then`` event.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(type_col)
+    last_a = F.max(F.when(t == first, F.col(ts_col))).over(w)
+    staged = df.withColumn("_last_a", last_a)
+    cond = (t == then) & F.col("_last_a").isNotNull()
+    if not_between is not None:
+        last_c = F.max(F.when(t == not_between, F.col(ts_col))).over(w)
+        staged = staged.withColumn("_last_c", last_c)
+        cond = cond & (
+            F.col("_last_c").isNull()
+            | (F.col("_last_c") <= F.col("_last_a"))
+        )
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.col("_last_a")
+    )
+    if within_seconds is not None:
+        cond = cond & (gap <= within_seconds)
+    return staged.filter(cond).select(
+        F.col(key_col),
+        F.col("_last_a").alias("first_ts"),
+        F.col(ts_col).alias("then_ts"),
+        gap.alias("gap_seconds"),
+    )

@@ -89,3 +89,43 @@ def test_retention_offset_zero_equals_cohort_size(spark, sf_dir):
     for r in rows:
         assert r["n_users"] <= size[r["cohort_week"]]
         assert r["week_offset"] >= 0
+
+
+def test_sequence_match_semantics(spark):
+    """CEP pins: B matches the MOST RECENT A before it; a blocker
+    strictly between kills the match; a blocker at exactly A's
+    timestamp does NOT (strictness); a blocker BEFORE A is harmless;
+    the within window rejects; B without a prior A never matches."""
+    from etl_capnz_spark.operators.sessions import sequence_match
+
+    rows = [
+        # u1: A(d1) C(d2) B(d3): blocked
+        (1, 1, 1, "A"), (1, 2, 2, "C"), (1, 3, 3, "B"),
+        # u2: C(d1) A(d2) B(d3): blocker before A -> match, a=d2
+        (2, 4, 1, "C"), (2, 5, 2, "A"), (2, 6, 3, "B"),
+        # u3: A(d1) A(d2) B(d3): most recent A (d2) anchors
+        (3, 7, 1, "A"), (3, 8, 2, "A"), (3, 9, 3, "B"),
+        # u4: B(d1) A(d2): no prior A -> no match
+        (4, 10, 1, "B"), (4, 11, 2, "A"),
+        # u5: A(d1) B(d20): outside within=10 days
+        (5, 12, 1, "A"), (5, 13, 20, "B"),
+        # u6: A and C at the SAME ts, B later: C not strictly between
+        (6, 14, 1, "A"), (6, 15, 1, "C"), (6, 16, 2, "B"),
+    ]
+    import datetime as dt
+
+    data = [
+        (u, i, dt.datetime(2024, 1, d), t) for u, i, d, t in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["user_id"], r["first_ts"].day, r["then_ts"].day)
+        for r in sequence_match(
+            df, "user_id", "ts", "event_id", "event_type",
+            first="A", then="B", not_between="C",
+            within_seconds=10 * 86400,
+        ).collect()
+    }
+    assert got == {(2, 2, 3), (3, 2, 3), (6, 1, 2)}

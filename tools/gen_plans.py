@@ -572,6 +572,15 @@ NOTES = {
         "100 TB. The expensive part (the SCD-2 build) is shared with "
         "scd2_customer; the snapshot adds zero exchanges."
     ),
+    "events_sequence_match": (
+        "MATCH_RECOGNIZE-lite CEP without a self-join: running "
+        "max(CASE type) windows over a ROWS frame carry 'last A / "
+        "last blocker before me', so the A-then-B-no-C-between test "
+        "is a map-side predicate after ONE user_id exchange - the "
+        "sessionize partitioning. The naive shape (events JOIN events "
+        "ON a.ts < b.ts) is quadratic per user; this is linear in "
+        "the timeline."
+    ),
     "split_leakage_safe": (
         "Cluster-granular split: LSH band equi-join makes candidate "
         "pairs, min-label propagation shuffles only (id,label) pairs "
