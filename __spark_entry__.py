@@ -2466,6 +2466,24 @@ def _q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_histogram_equidepth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-DEPTH histogram of order totals (operators/audit.py
+    histogram_equidepth, 16 bins) — the CBO's structure: bounds adapt
+    to the distribution. Exact WITHOUT a global single-partition
+    window: two-phase sharded rank (range-partition + per-shard counts
+    to the driver + offset broadcast), bin = floor(p·k/N)+1 ≡ SQL
+    ntile(k) over the same (value, id) order — which is exactly what
+    the oracle runs."""
+    from etl_capnz_spark.operators.audit import histogram_equidepth
+
+    return histogram_equidepth(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey",
+        n_bins=16,
+    )
+
+
 def _q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence detection (operators/sessions.py sequence_match):
     every purchase matched to the most recent view strictly before it,
@@ -5195,6 +5213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -5992,6 +6011,16 @@ def oracle_sql() -> dict[str, str]:
                        AS rn
               FROM embeddings)
             WHERE rn <= 30""",
+        "orders_histogram_equidepth": """
+            WITH b AS (
+              SELECT o_totalprice::DOUBLE AS x,
+                     ntile(16) OVER (
+                       ORDER BY o_totalprice::DOUBLE, o_orderkey
+                     ) AS bin
+              FROM orders)
+            SELECT bin, count(*)::BIGINT AS n_rows,
+                   min(x) AS lo, max(x) AS hi
+            FROM b GROUP BY bin""",
         "events_sequence_match": """
             WITH st AS (
               SELECT user_id, ts, event_type,

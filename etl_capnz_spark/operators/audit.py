@@ -530,3 +530,87 @@ def quantile_sketch_merge(
         F.count(F.lit(1)).alias("n_kept"),
     )
     return _with_quantile_estimates(grouped, group_cols, quantiles)
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram (~equal rows per bin) — the complement of
+    :func:`histogram`'s equi-width bins and the structure a cost-based
+    optimizer actually stores: bin BOUNDS adapt to the distribution, so
+    skew shows as narrow bins instead of one overstuffed bar.
+
+    Exact and scalable via the same two-phase distributed rank as
+    sampling.training_order_sharded (range-partition + sort on
+    (value, id), per-shard counts to the driver — bounded state —
+    prefix offsets broadcast back, per-shard window): NO global
+    single-partition window. The 0-based global position p maps to a
+    bin with SQL ``ntile(k)`` semantics — the first N mod k buckets
+    carry the extra row (front-loaded; a naive floor(p·k/N) spreads
+    the remainder evenly and diverges from every engine's ntile) — so
+    the DuckDB oracle is a plain ntile aggregate.
+
+    Output: (bin 1-based, n_rows, lo, hi); adjacent bins may share a
+    boundary value when ties straddle the cut (inherent to exact
+    equi-depth, pinned in tests).
+    """
+    from pyspark.sql.window import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    x = F.col(col).cast("double")
+    # localCheckpoint pins ONE materialized range partitioning: the
+    # per-shard counts and the final binning are two ACTIONS, and
+    # repartitionByRange re-samples its bounds per execution — without
+    # the checkpoint the offsets computed for one partitioning get
+    # applied to a different one (observed: bin counts off by ~1%).
+    staged = (
+        df.select(x.alias("_x"), F.col(id_col).alias("_id"))
+        .repartitionByRange(32, F.col("_x"), F.col("_id"))
+        .sortWithinPartitions("_x", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc
+    offset_col = F.lit(0)
+    for pid, off in sorted(offsets.items()):
+        offset_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+            offset_col
+        )
+    w = Window.partitionBy("_pid").orderBy("_x", "_id")
+    pos = F.row_number().over(w) - 1 + offset_col
+    # SQL ntile semantics exactly: the FIRST (N mod k) buckets carry
+    # the extra row (front-loaded), not an even spread — a plain
+    # floor(p*k/N) alternates the big buckets and diverges from every
+    # engine's ntile (observed vs DuckDB).
+    q, r = total // n_bins, total % n_bins
+    cut = r * (q + 1)
+    bin_ = (
+        F.when(
+            F.lit(q) == 0, pos  # fewer rows than bins: one row per bin
+        )
+        .when(pos < cut, F.floor(pos / F.lit(q + 1)))
+        .otherwise(F.lit(r) + F.floor((pos - F.lit(cut)) / F.lit(q)))
+        .cast("int")
+        + 1
+    )
+    return (
+        staged.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_x").alias("lo"),
+            F.max("_x").alias("hi"),
+        )
+    )

@@ -279,3 +279,66 @@ def test_quantile_sketch_replay_dedupe(spark):
         base.unionAll(base), ["g"], "v", "rid", k=64
     ).collect()
     assert [tuple(r) for r in once] == [tuple(r) for r in twice]
+
+
+def test_histogram_equidepth_ntile_semantics(spark):
+    """Exact SQL-ntile semantics pinned by hand: 10 rows into 3 bins →
+    sizes 4,3,3 (front-loaded remainder, NOT an even spread); fewer
+    rows than bins → one row per bin; ties straddling a cut share the
+    boundary value across adjacent bins; sizes always differ by ≤ 1."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import histogram_equidepth
+
+    ten = spark.range(10).select(
+        F.col("id").alias("rid"), (F.col("id") * 10.0).alias("v")
+    )
+    got = {
+        r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in histogram_equidepth(ten, "v", "rid", n_bins=3).collect()
+    }
+    assert got == {
+        1: (4, 0.0, 30.0), 2: (3, 40.0, 60.0), 3: (3, 70.0, 90.0)
+    }
+    two = spark.range(2).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("v")
+    )
+    small = {
+        r["bin"]: r["n_rows"]
+        for r in histogram_equidepth(two, "v", "rid", n_bins=5).collect()
+    }
+    assert small == {1: 1, 2: 1}
+    # all-equal values: ties split by id, bounds collapse to the value
+    const = spark.range(7).select(
+        F.col("id").alias("rid"), F.lit(5.0).alias("v")
+    )
+    cg = {
+        r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in histogram_equidepth(const, "v", "rid", n_bins=2).collect()
+    }
+    assert cg == {1: (4, 5.0, 5.0), 2: (3, 5.0, 5.0)}
+
+
+def test_histogram_equidepth_partition_invariant(spark, sf_dir):
+    """The two-phase sharded rank must produce identical bins no
+    matter how the input is partitioned (the repartitionByRange
+    re-sampling hazard is pinned down by the localCheckpoint)."""
+    from etl_capnz_spark.operators.audit import histogram_equidepth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sorted(
+        map(
+            tuple,
+            histogram_equidepth(ev, "value", "event_id", 8).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            histogram_equidepth(
+                ev.repartition(13, "user_id"), "value", "event_id", 8
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert sum(r[1] for r in a) == ev.count()

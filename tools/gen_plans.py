@@ -581,6 +581,20 @@ NOTES = {
         "ON a.ts < b.ts) is quadratic per user; this is linear in "
         "the timeline."
     ),
+    "orders_histogram_equidepth": (
+        "Equi-depth (CBO-style) histogram without a global "
+        "single-partition window: range-partition + in-partition sort "
+        "on (value,id), 32 shard counts to the driver (bounded state), "
+        "offsets broadcast back, per-shard rank window, then exact SQL "
+        "ntile arithmetic (front-loaded remainder - a naive "
+        "floor(p*k/N) alternates big buckets and diverges from every "
+        "engine's ntile, observed). localCheckpoint pins ONE "
+        "materialized partitioning across the two actions: "
+        "repartitionByRange re-samples its bounds per execution, and "
+        "offsets computed for one partitioning applied to another "
+        "skewed bin counts ~1% (observed, fixed, pinned by the "
+        "partition-invariance test)."
+    ),
     "split_leakage_safe": (
         "Cluster-granular split: LSH band equi-join makes candidate "
         "pairs, min-label propagation shuffles only (id,label) pairs "
