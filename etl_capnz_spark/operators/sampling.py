@@ -259,11 +259,18 @@ def training_order_sharded(
     the same total order.
     """
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # localCheckpoint pins ONE materialized range partitioning: the
+    # shard counts and the final rank are two ACTIONS, and
+    # repartitionByRange re-samples its bounds per execution — without
+    # the pin, offsets computed for one partitioning can be applied to
+    # a different one (the hazard observed and fixed in
+    # audit.histogram_equidepth, same two-phase-rank shape).
     staged = (
         df.select(F.col(id_col), key.alias("_k"))
         .repartitionByRange(n_shards, F.col("_k"), F.col(id_col))
         .sortWithinPartitions("_k", id_col)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # n_shards rows to the driver — bounded, independent of data size
     counts = {
