@@ -2484,6 +2484,40 @@ def _q_orders_histogram_equidepth(
     )
 
 
+def _q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency interval sweep (operators/sessions.py
+    max_concurrency): each event holds its user for the half-open
+    30-minute window [ts, ts+30m); output the most windows ever open
+    at once per user and the first instant the peak is reached.
+    +1/−1 deltas net per (user, instant) in a map-side-combinable
+    aggregate — the running sum is then tie-free — and the per-user
+    running sum + max + argmin share one hash exchange. Window rows
+    are O(distinct instants per user), the per-entity kernel bound."""
+    from etl_capnz_spark.operators.sessions import max_concurrency
+
+    return max_concurrency(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        F.lit(1_800_000_000).cast("bigint"),
+    )
+
+
+def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over part (operators/skyline.py skyline_2d):
+    every part no other part beats on BOTH price (minimize) and size
+    (maximize). The oracle is the O(n²) NOT EXISTS dominance self-join;
+    this plan contains no cartesian anywhere (pinned in pytest) — one
+    groupBy(price) collapse, a two-phase sharded prefix max instead of
+    a one-partition global window, and a broadcast join back for the
+    tiny frontier (exact ties all kept)."""
+    from etl_capnz_spark.operators.skyline import skyline_2d
+
+    return skyline_2d(
+        _t(spark, sf_dir, "part"), "p_retailprice", "p_size", "p_partkey"
+    )
+
+
 def _q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence detection (operators/sessions.py sequence_match):
     every purchase matched to the most recent view strictly before it,
@@ -5215,6 +5249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
+        "events_concurrency": _q_events_concurrency,
+        "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "events_funnel_steps": _q_events_funnel_steps,
@@ -6021,6 +6057,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "events_concurrency": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS t, 1 AS dd FROM events
+              UNION ALL
+              SELECT user_id, epoch_us(ts) + 1800000000, -1 FROM events),
+            net AS (
+              SELECT user_id, t, sum(dd) AS net
+              FROM d GROUP BY user_id, t),
+            run AS (
+              SELECT user_id, t,
+                     sum(net) OVER (
+                       PARTITION BY user_id ORDER BY t) AS c
+              FROM net),
+            mx AS (
+              SELECT user_id, t, c,
+                     max(c) OVER (PARTITION BY user_id) AS m
+              FROM run)
+            SELECT user_id, m::BIGINT AS max_concurrent,
+                   min(CASE WHEN c = m THEN t END)::BIGINT AS ts_at_max
+            FROM mx GROUP BY user_id, m""",
+        "parts_skyline": """
+            SELECT p_partkey, p_retailprice, p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))""",
         "events_sequence_match": """
             WITH st AS (
               SELECT user_id, ts, event_type,

@@ -105,6 +105,64 @@ def sessionize_dynamic(
     )
 
 
+def max_concurrency(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration_us,
+    out_key: str | None = None,
+) -> DataFrame:
+    """Peak concurrency per key — the classic interval sweep ("what was
+    the most sessions this user ever had open at once, and when did it
+    first happen?"). Each row holds a resource for the HALF-OPEN
+    interval ``[ts, ts + duration_us)`` (``duration_us`` is a per-row
+    Column in µs): an interval ending exactly when another starts does
+    NOT overlap it, matching :func:`sessionize_dynamic`'s boundary rule.
+
+    Sweep-line without per-event state: +1/−1 deltas collapse to one
+    NET row per (key, instant) FIRST (a map-side-combinable aggregate —
+    this also makes the running sum tie-free and deterministic: the
+    peak within an instant equals the prefix sum through it because
+    ends and starts at the same instant commute once netted), then one
+    per-key running sum + an unordered max share a single hash
+    exchange on the key. Window rows are O(distinct instants per key),
+    the same per-entity bound as every grouped kernel here.
+
+    Output: (key, max_concurrent, ts_at_max µs — the FIRST instant the
+    peak is reached).
+    """
+    out_key = out_key or key_col
+    t_start = F.unix_micros(F.col(ts_col))
+    starts = df.select(
+        F.col(key_col).alias(out_key),
+        t_start.alias("_t"),
+        F.lit(1).alias("_d"),
+    )
+    ends = df.select(
+        F.col(key_col).alias(out_key),
+        (t_start + duration_us).alias("_t"),
+        F.lit(-1).alias("_d"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy(out_key, "_t")
+        .agg(F.sum("_d").alias("_net"))
+    )
+    wk = Window.partitionBy(out_key)
+    run = F.sum("_net").over(
+        wk.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaked = net.withColumn("_c", run).withColumn(
+        "_max", F.max(F.col("_c")).over(wk)
+    )
+    return peaked.groupBy(out_key).agg(
+        F.max("_max").cast("bigint").alias("max_concurrent"),
+        F.min(F.when(F.col("_c") == F.col("_max"), F.col("_t"))).alias(
+            "ts_at_max"
+        ),
+    )
+
+
 def sequence_match(
     df: DataFrame,
     key_col: str,
