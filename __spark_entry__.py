@@ -2518,6 +2518,20 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint alarms
+    (operators/timeseries.py cusum_alarms, level 64 / threshold 128,
+    reset-on-alarm): the sequential drift monitor in the applyInPandas
+    seam, held to the EWMA bit-exact standard — the step is adds only
+    (no FMA hazard) in the same association the DuckDB recursive-CTE
+    oracle evaluates, statistic emitted raw."""
+    from etl_capnz_spark.operators.timeseries import cusum_alarms
+
+    return cusum_alarms(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id"
+    )
+
+
 def _q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP sequence detection (operators/sessions.py sequence_match):
     every purchase matched to the most recent view strictly before it,
@@ -5250,6 +5264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
         "events_concurrency": _q_events_concurrency,
+        "events_cusum": _q_events_cusum,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6057,6 +6072,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "events_cusum": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, event_id, ts, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, ts, rn,
+                     greatest(0.0, (0.0 + value) - 64.0) AS v
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.ts, s.rn,
+                     greatest(0.0,
+                       (CASE WHEN r.v > 128.0 THEN 0.0 ELSE r.v END
+                        + s.value) - 64.0)
+              FROM seq s JOIN rec r
+                ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+            SELECT user_id, event_id, ts, v AS cusum
+            FROM rec WHERE v > 128.0""",
         "events_concurrency": """
             WITH d AS (
               SELECT user_id, epoch_us(ts) AS t, 1 AS dd FROM events

@@ -362,3 +362,64 @@ def ewma_per_group(
         .groupBy(group_col)
         .applyInPandas(_ewma, out_schema)
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    level: float = 64.0,
+    threshold: float = 128.0,
+) -> DataFrame:
+    """Per-group one-sided CUSUM changepoint detection with
+    reset-on-alarm: s_i = max(0, s_{i-1} + x_i − level); when s_i
+    exceeds ``threshold`` the row is emitted as an alarm and the
+    statistic resets to 0 — the sequential monitor for "has this
+    series drifted high?" that, like :func:`ewma_per_group`, no Spark
+    window expresses (state depends on the previous row's OUTPUT).
+
+    Bit-exact oracle discipline (the EWMA rules): the step is adds and
+    subtracts ONLY — no multiply, so no FMA hazard — evaluated in the
+    exact association ``max(0, (s + x) − level)`` that the DuckDB
+    recursive-CTE oracle writes as ``greatest(0.0, (s + x) − level)``;
+    the statistic is emitted RAW (round-half ties across engines broke
+    a rounded oracle before). Rows order by (ts, id) within the group.
+
+    Shape: ONE hash exchange on the group key; per-task state is one
+    group's series. Output: (group, id, ts, cusum) — alarm rows only.
+    """
+    import pandas as pd
+
+    lvl, thr = float(level), float(threshold)
+
+    def _cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col])
+        mask, vs = [], []
+        s = 0.0
+        for x in pdf[value_col]:
+            v = max(0.0, (s + float(x)) - lvl)
+            if v > thr:
+                mask.append(True)
+                vs.append(v)
+                s = 0.0
+            else:
+                mask.append(False)
+                s = v
+        # Slice the input frame rather than rebuilding columns: an
+        # all-quiet group otherwise emits empty float64 columns that
+        # Arrow refuses to cast back to timestamp/int (observed).
+        out = pdf.loc[mask, [group_col, id_col, ts_col]].copy()
+        out["cusum"] = vs
+        return out
+
+    fields = df.select(group_col, id_col, ts_col).schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", cusum double"
+    return (
+        df.select(group_col, id_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(_cusum, out_schema)
+    )

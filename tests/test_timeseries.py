@@ -153,3 +153,72 @@ def test_ewma_matches_closed_form_and_partition_invariant(spark):
         ).collect()
     }
     assert re == got
+
+
+def test_cusum_alarm_and_reset_hand_case(spark):
+    """level=10, threshold=5: values 12,4,9,20,1 give s=2,0,0(?),...
+    hand-traced: s1=max(0,12-10)=2 (no alarm), s2=max(0,2+4-10)=0,
+    s3=max(0,0+9-10)=0, s4=max(0,0+20-10)=10>5 ALARM then reset,
+    s5=max(0,0+1-10)=0. Exactly one alarm, at row 4, value 10."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import cusum_alarms
+
+    data = [
+        (1, i, dt.datetime(2024, 1, 1, 0, i), float(x))
+        for i, x in enumerate([12.0, 4.0, 9.0, 20.0, 1.0], start=1)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = cusum_alarms(
+        df, "user_id", "ts", "value", "event_id", level=10.0, threshold=5.0
+    ).collect()
+    assert [(r["event_id"], r["cusum"]) for r in got] == [(4, 10.0)]
+
+
+def test_cusum_matches_pure_python_bitwise_and_partition_invariant(spark):
+    """Random series: the distributed recursion equals the sequential
+    reference BIT-EXACTLY (same association, adds only — no FMA), on
+    any input partitioning."""
+    import datetime as dt
+    import random
+
+    from etl_capnz_spark.operators.timeseries import cusum_alarms
+
+    rng = random.Random(5)
+    data = [
+        (u, u * 1000 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         rng.uniform(0.0, 150.0))
+        for u in (1, 2, 3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    expect = []
+    for u in (1, 2, 3):
+        s = 0.0
+        for (uu, i, t, x) in data:
+            if uu != u:
+                continue
+            v = max(0.0, (s + x) - 64.0)
+            if v > 128.0:
+                expect.append((u, i, v))
+                s = 0.0
+            else:
+                s = v
+    got = sorted(
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in cusum_alarms(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    )
+    assert got == sorted(expect)
+    got7 = sorted(
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in cusum_alarms(
+            df.repartition(7), "user_id", "ts", "value", "event_id"
+        ).collect()
+    )
+    assert got7 == got
