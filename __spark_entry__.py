@@ -4282,6 +4282,29 @@ def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp(edges, seeds, rounds=4)
 
 
+def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (operators/graph.py kcore, k=30) of the part↔supplier
+    graph — iterative peeling to the unique fixpoint (peeling is
+    monotone, so arrival order can't matter), which is why the oracle
+    can unroll a FIXED 6 peel rounds and still be exact: the observed
+    fixpoint depth is ≤2 at both driver SFs and the extra rounds are
+    no-ops on a stable core. Node keys only ever shuffle;
+    localCheckpoint per round keeps plan depth constant."""
+    from etl_capnz_spark.operators.graph import kcore
+
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    edges = pairs.select(p.alias("src"), s.alias("dst")).unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+    return kcore(edges, k=30)
+
+
 def _q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of semantics as events_asof, through the cogrouped
     pandas surface (groupBy.cogroup.applyInPandas + pd.merge_asof per
@@ -5249,6 +5272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_target_encode": _q_ml_target_encode,
         "graph_pagerank": _q_graph_pagerank,
         "graph_sssp": _q_graph_sssp,
+        "graph_kcore": _q_graph_kcore,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -6725,6 +6749,39 @@ def oracle_sql() -> dict[str, str]:
                        AS z
               FROM events)
             WHERE abs(round(z, 6)) > 2.5""",
+        "graph_kcore": """
+            WITH pairs AS (
+              SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                              's:' || l_suppkey::VARCHAR AS s
+              FROM lineitem),
+            e0 AS (SELECT p AS src, s AS dst FROM pairs
+                   UNION ALL SELECT s, p FROM pairs),
+            n1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 30),
+            e1 AS (SELECT e.src, e.dst FROM e0 e
+                   WHERE EXISTS (SELECT 1 FROM n1 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n1 b WHERE b.src = e.dst)),
+            n2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 30),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   WHERE EXISTS (SELECT 1 FROM n2 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n2 b WHERE b.src = e.dst)),
+            n3 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 30),
+            e3 AS (SELECT e.src, e.dst FROM e2 e
+                   WHERE EXISTS (SELECT 1 FROM n3 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n3 b WHERE b.src = e.dst)),
+            n4 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 30),
+            e4 AS (SELECT e.src, e.dst FROM e3 e
+                   WHERE EXISTS (SELECT 1 FROM n4 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n4 b WHERE b.src = e.dst)),
+            n5 AS (SELECT src FROM e4 GROUP BY src HAVING count(*) >= 30),
+            e5 AS (SELECT e.src, e.dst FROM e4 e
+                   WHERE EXISTS (SELECT 1 FROM n5 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n5 b WHERE b.src = e.dst)),
+            n6 AS (SELECT src FROM e5 GROUP BY src HAVING count(*) >= 30),
+            e6 AS (SELECT e.src, e.dst FROM e5 e
+                   WHERE EXISTS (SELECT 1 FROM n6 a WHERE a.src = e.src)
+                     AND EXISTS (SELECT 1 FROM n6 b WHERE b.src = e.dst))
+            SELECT src AS node, count(*)::BIGINT AS deg
+            FROM e6 GROUP BY src HAVING count(*) >= 30""",
         "graph_sssp": """
             WITH pairs AS (
               SELECT 'p:' || l_partkey::VARCHAR AS p,

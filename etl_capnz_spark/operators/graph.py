@@ -140,3 +140,48 @@ def sssp(
         )
         dist = dist.localCheckpoint()
     return dist
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
+    """k-core: the maximal subgraph in which every node keeps degree
+    >= k — iterative peeling (drop under-degree nodes, recompute, until
+    stable), the standard density filter for cleaning crawl/link graphs
+    before ranking (spam farms peel away; the core survives).
+
+    ``edges`` must be a SYMMETRIC, distinct, loop-free edge list
+    (src, dst) — both directions present, as the sssp callers build.
+    Per round: one map-side-combinable degree aggregate + two semi
+    joins against the survivor set — node keys only ever shuffle, and
+    ``localCheckpoint`` truncates lineage per round (the
+    connected_components discipline) so plan depth stays constant.
+    Convergence needs two bounded driver reads per round (node count
+    and survivor count — 1-row aggregates, never data). Peeling is
+    monotone (the survivor set only shrinks), so the fixpoint is the
+    unique k-core regardless of arrival order — which is why a
+    fixed-depth unrolled-CTE oracle can match it exactly once the
+    unroll reaches the observed fixpoint depth.
+
+    Returns (node, deg) — degrees WITHIN the core. Raises if the peel
+    has not stabilised after ``max_rounds`` (cannot happen before
+    node-count rounds; the cap is a loop guard, not a semantic knob).
+    """
+    cur = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        deg = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        n = deg.count()
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        kept = keep.count()
+        if kept == n or kept == 0:
+            return deg.filter(F.col("deg") >= k).select(
+                F.col("src").alias("node"), "deg"
+            )
+        cur = (
+            cur.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")

@@ -80,3 +80,61 @@ def test_sssp_exact_on_crafted_graph(spark):
     got4 = {r["node"]: r["dist"] for r in sssp(edges, seeds, rounds=4).collect()}
     assert got4["e"] == 4 and got4["f"] == 8
     assert "g" not in got4  # needs 5 edges
+
+
+def _sym(spark, und):
+    rows = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_kcore_triangle_with_pendant_chain(spark):
+    """Triangle + chain hanging off it: the chain peels away round by
+    round (a multi-round cascade), the triangle is the 2-core."""
+    from etl_capnz_spark.operators.graph import kcore
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("c", "d"), ("d", "e"), ("e", "f")]
+    got = {
+        r["node"]: r["deg"] for r in kcore(_sym(spark, und), 2).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_core(spark):
+    from etl_capnz_spark.operators.graph import kcore
+
+    und = [("a", "b"), ("b", "c")]  # path: 2-core is empty
+    assert kcore(_sym(spark, und), 2).count() == 0
+
+
+def test_kcore_matches_pure_python_peel_and_partition_invariant(spark):
+    import random
+
+    from etl_capnz_spark.operators.graph import kcore
+
+    rng = random.Random(9)
+    und = {tuple(sorted((f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")))
+           for _ in range(120)}
+    und = [(a, b) for a, b in und if a != b]
+
+    def peel(k):
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        while True:
+            bad = [n for n, v in adj.items() if len(v) < k]
+            if not bad:
+                return {n: len(v) for n, v in adj.items()}
+            for n in bad:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+
+    df = _sym(spark, und)
+    for k in (2, 3, 4):
+        got = {r["node"]: r["deg"] for r in kcore(df, k).collect()}
+        assert got == peel(k), f"k={k}"
+    got7 = {r["node"]: r["deg"]
+            for r in kcore(df.repartition(7), 3).collect()}
+    assert got7 == peel(3)
