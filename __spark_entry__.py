@@ -2518,6 +2518,29 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/funnel.py attribution):
+    click/view touches credited to the NEXT purchase on the same user
+    within 2 days — each touch counts toward at most one conversion;
+    first/last-touch position credits per conversion. No self-join
+    (one FOLLOWING-frame window carries "next conversion after me");
+    composite (ts,id) keys ride the fixed-width lpad-string encoding
+    both engines order identically; all outputs are integer counts so
+    nothing floats."""
+    from etl_capnz_spark.operators.funnel import attribution
+
+    return attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        ["click", "view"],
+        "purchase",
+        2 * 86400,
+    )
+
+
 def _q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user one-sided CUSUM changepoint alarms
     (operators/timeseries.py cusum_alarms, level 64 / threshold 128,
@@ -5289,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sequence_match": _q_events_sequence_match,
         "events_concurrency": _q_events_concurrency,
         "events_cusum": _q_events_cusum,
+        "events_attribution": _q_events_attribution,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6096,6 +6120,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "events_attribution": """
+            WITH st AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                       || lpad(event_id::VARCHAR, 12, '0') AS k,
+                     min(CASE WHEN event_type = 'purchase' THEN
+                           lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                             || lpad(event_id::VARCHAR, 12, '0') END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING) AS nc
+              FROM events),
+            touches AS (
+              SELECT user_id AS u, nc, event_type AS channel,
+                     k || event_type AS tagged
+              FROM st
+              WHERE event_type IN ('click', 'view') AND nc IS NOT NULL
+                AND substr(nc, 1, 20)::BIGINT - epoch_us(ts)
+                      <= 172800000000),
+            per_conv AS (
+              SELECT u, nc, substr(min(tagged), 33) AS f,
+                     substr(max(tagged), 33) AS l
+              FROM touches GROUP BY u, nc),
+            by_channel AS (
+              SELECT channel, count(*)::BIGINT AS n_touches,
+                     count(DISTINCT nc)::BIGINT AS n_conversions
+              FROM touches GROUP BY channel),
+            firsts AS (SELECT f AS channel, count(*)::BIGINT AS ft
+                       FROM per_conv GROUP BY f),
+            lasts AS (SELECT l AS channel, count(*)::BIGINT AS lt
+                      FROM per_conv GROUP BY l)
+            SELECT b.channel, b.n_touches, b.n_conversions,
+                   coalesce(ft, 0)::BIGINT AS first_touch,
+                   coalesce(lt, 0)::BIGINT AS last_touch
+            FROM by_channel b
+            LEFT JOIN firsts USING (channel)
+            LEFT JOIN lasts USING (channel)""",
         "events_cusum": """
             WITH RECURSIVE seq AS (
               SELECT user_id, event_id, ts, value,

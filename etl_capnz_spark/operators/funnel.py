@@ -99,3 +99,97 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    touch_types: list[str],
+    convert_type: str,
+    lookback_seconds: int,
+) -> DataFrame:
+    """Multi-touch attribution: every touchpoint (event with type in
+    ``touch_types``) is credited to the NEXT conversion after it on the
+    same user within ``lookback_seconds`` — each touch counts toward at
+    most ONE conversion (the standard no-double-counting rule), and per
+    conversion the first and last touches carry the position credits.
+
+    No self-join: one per-user window ordered by (ts, id) carries "next
+    conversion after me" as a running min over a FOLLOWING ROWS frame.
+    Composite (ts, id) keys travel as fixed-width zero-padded strings —
+    the dialect-portable struct-min (DuckDB can't min a struct in a
+    window; the lpad encoding orders identically in both engines), and
+    the first/last channel per conversion rides the same trick with the
+    channel name appended AFTER the fixed-width prefix (unique ids make
+    prefix ties impossible). Everything downstream is integer counts —
+    exact cross-engine; the fractional "linear credit" variant is
+    deliberately n_touches-based so no float sum order can wobble.
+
+    Shape: one hash exchange on the user for the window, then
+    key-only aggregates by conversion and by channel; the three
+    channel-level aggregates join on the tiny channel key (broadcast).
+
+    Output per channel: (channel, n_touches, n_conversions,
+    first_touch, last_touch) — touches attributed, conversions the
+    channel participated in, and conversions where the channel was
+    the first / the last touch. Channels with no attributed touches
+    do not appear (they have no rows to count).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    key = F.format_string(
+        "%020d%012d", us, F.col(id_col).cast("bigint")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_conv = F.col(type_col) == convert_type
+    staged = df.withColumn("_k", key).withColumn(
+        "_next_conv", F.min(F.when(is_conv, key)).over(w)
+    )
+    conv_us = F.substring("_next_conv", 1, 20).cast("bigint")
+    touches = staged.filter(
+        F.col(type_col).isin(list(touch_types))
+        & F.col("_next_conv").isNotNull()
+        & (conv_us - us <= lookback_seconds * 1_000_000)
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col("_next_conv").alias("_conv"),
+        F.col(type_col).alias("channel"),
+        F.concat(F.col("_k"), F.col(type_col)).alias("_tagged"),
+    )
+    per_conv = touches.groupBy("_u", "_conv").agg(
+        F.substring(F.min("_tagged"), 33, 1024).alias("_first"),
+        F.substring(F.max("_tagged"), 33, 1024).alias("_last"),
+    )
+    by_channel = touches.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.count_distinct(F.col("_conv")).alias("n_conversions"),
+    )
+    firsts = per_conv.groupBy(F.col("_first").alias("channel")).agg(
+        F.count(F.lit(1)).alias("first_touch")
+    )
+    lasts = per_conv.groupBy(F.col("_last").alias("channel")).agg(
+        F.count(F.lit(1)).alias("last_touch")
+    )
+    return (
+        by_channel.join(firsts, "channel", "left")
+        .join(lasts, "channel", "left")
+        .select(
+            "channel",
+            "n_touches",
+            "n_conversions",
+            F.coalesce("first_touch", F.lit(0)).cast("bigint").alias(
+                "first_touch"
+            ),
+            F.coalesce("last_touch", F.lit(0)).cast("bigint").alias(
+                "last_touch"
+            ),
+        )
+    )

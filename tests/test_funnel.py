@@ -129,3 +129,115 @@ def test_sequence_match_semantics(spark):
         ).collect()
     }
     assert got == {(2, 2, 3), (3, 2, 3), (6, 1, 2)}
+
+
+def test_attribution_hand_case(spark):
+    """u1: click(1) view(2) purchase(3) click(4) purchase(5):
+    touches 1,2 -> conv3 (first=click,last=view); touch 4 -> conv5
+    (first=last=click). u2: view(1) purchase(40d later): outside
+    lookback. u3: click at SAME ts as purchase but higher id -> the
+    purchase sorts first, so the click has no next conv."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.funnel import attribution
+
+    d = dt.datetime
+    rows = [
+        (1, 1, d(2024, 1, 1), "click"),
+        (1, 2, d(2024, 1, 2), "view"),
+        (1, 3, d(2024, 1, 3), "purchase"),
+        (1, 4, d(2024, 1, 4), "click"),
+        (1, 5, d(2024, 1, 5), "purchase"),
+        (2, 6, d(2024, 1, 1), "view"),
+        (2, 7, d(2024, 2, 10), "purchase"),
+        (3, 8, d(2024, 1, 1, 12), "purchase"),
+        (3, 9, d(2024, 1, 1, 12), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["channel"]: (r["n_touches"], r["n_conversions"],
+                       r["first_touch"], r["last_touch"])
+        for r in attribution(
+            df, "user_id", "ts", "event_id", "event_type",
+            ["click", "view"], "purchase", 7 * 86400,
+        ).collect()
+    }
+    assert got == {
+        "click": (2, 2, 2, 1),
+        "view": (1, 1, 0, 1),
+    }
+
+
+def test_attribution_same_ts_conversion_after_touch_counts(spark):
+    """A purchase at the touch's exact ts but HIGHER id sorts after ->
+    attributed (the ROWS-frame tie rule, mirrored by the oracle)."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.funnel import attribution
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "click"),
+         (1, 2, dt.datetime(2024, 1, 1), "purchase")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = attribution(
+        df, "user_id", "ts", "event_id", "event_type",
+        ["click"], "purchase", 3600,
+    ).collect()
+    assert [(r["channel"], r["n_touches"], r["first_touch"])
+            for r in got] == [("click", 1, 1)]
+
+
+def test_attribution_matches_brute_force_and_partition_invariant(spark):
+    import datetime as dt
+    import random
+
+    from etl_capnz_spark.operators.funnel import attribution
+
+    rng = random.Random(17)
+    types = ["click", "view", "purchase", "error"]
+    rows = [
+        (u, u * 1000 + i,
+         dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(0, 5000)),
+         types[rng.randrange(4)])
+        for u in range(1, 8)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    lookback = 86400
+    # brute force
+    convs = {}   # conv key -> list of (ts,id,channel)
+    for u, i, t, ty in rows:
+        if ty not in ("click", "view"):
+            continue
+        nxt = min(
+            ((t2, i2) for u2, i2, t2, ty2 in rows
+             if u2 == u and ty2 == "purchase" and (t2, i2) > (t, i)),
+            default=None,
+        )
+        if nxt and (nxt[0] - t).total_seconds() <= lookback:
+            convs.setdefault((u, nxt), []).append((t, i, ty))
+    exp = {}
+    for (u, c), ts in convs.items():
+        ts.sort()
+        for t, i, ch in ts:
+            e = exp.setdefault(ch, [0, set(), 0, 0])
+            e[0] += 1
+            e[1].add((u, c))
+        exp[ts[0][2]][2] += 1
+        exp[ts[-1][2]][3] += 1
+    want = {ch: (a, len(b), c, d) for ch, (a, b, c, d) in exp.items()}
+    for frame in (df, df.repartition(11)):
+        got = {
+            r["channel"]: (r["n_touches"], r["n_conversions"],
+                           r["first_touch"], r["last_touch"])
+            for r in attribution(
+                frame, "user_id", "ts", "event_id", "event_type",
+                ["click", "view"], "purchase", lookback,
+            ).collect()
+        }
+        assert got == want
