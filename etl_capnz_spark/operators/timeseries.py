@@ -423,3 +423,72 @@ def cusum_alarms(
         .groupBy(group_col)
         .applyInPandas(_cusum, out_schema)
     )
+
+
+def cusum_step(
+    batch: DataFrame,
+    state: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    level: float = 64.0,
+    threshold: float = 128.0,
+) -> DataFrame:
+    """One micro-batch of the CUSUM recursion CONTINUED from carried
+    per-group state — the streaming half of :func:`cusum_alarms`
+    (identical step arithmetic, so streamed == batch is pinnable
+    bit-for-bit). ``state`` has columns (group, s double): the
+    statistic as of the end of the previous batch; groups absent from
+    it start at 0 like a fresh series.
+
+    Cogrouped seam (state ⟕⟖ batch by group): every group present on
+    EITHER side emits exactly one carry-over row (``is_state`` true,
+    the end-of-batch statistic in ``cusum``, id/ts NULL) plus its alarm
+    rows (``is_state`` false) — one output frame so the sink can
+    localCheckpoint once and split. State-only groups pass their
+    statistic through unchanged (a quiet sensor keeps its level).
+    """
+    import pandas as pd
+
+    lvl, thr = float(level), float(threshold)
+
+    def _step(key, left: "pd.DataFrame", right: "pd.DataFrame"):
+        s = float(left["s"].iloc[0]) if len(left) else 0.0
+        right = right.sort_values([ts_col, id_col])
+        mask, vs = [], []
+        for x in right[value_col]:
+            v = max(0.0, (s + float(x)) - lvl)
+            if v > thr:
+                mask.append(True)
+                vs.append(v)
+                s = 0.0
+            else:
+                mask.append(False)
+                s = v
+        alarms = right.loc[mask, [group_col, id_col, ts_col]].copy()
+        alarms["cusum"] = vs
+        alarms["is_state"] = False
+        carry = pd.DataFrame(
+            {
+                group_col: pd.Series([key[0]]),
+                id_col: pd.Series([pd.NA], dtype="Int64"),
+                ts_col: pd.Series([pd.NaT], dtype="datetime64[ns]"),
+                "cusum": pd.Series([s], dtype="float64"),
+                "is_state": pd.Series([True]),
+            }
+        )
+        return pd.concat([alarms, carry], ignore_index=True)
+
+    fields = batch.select(group_col, id_col, ts_col).schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", cusum double, is_state boolean"
+    return (
+        batch.select(group_col, id_col, ts_col, value_col)
+        .groupby(group_col)
+        .cogroup(state.groupby(group_col))
+        .applyInPandas(
+            lambda key, r, l: _step(key, l, r), out_schema
+        )
+    )

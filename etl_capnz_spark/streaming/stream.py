@@ -1273,3 +1273,119 @@ def quantile_sketch_sink(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_merge)
     )
+
+
+def cusum_sink(
+    events_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    level: float = 64.0,
+    threshold: float = 128.0,
+    keep_versions: int = 3,
+):
+    """Streaming CUSUM drift monitor — the order-dependent stateful twin
+    of :func:`etl_capnz_spark.operators.timeseries.cusum_alarms`, with
+    the scd2_sink crash discipline (its state, one double per group, is
+    SEQUENTIAL — unlike the mergeable sketch sinks it cannot fold at
+    read time, so it rides versioned snapshots behind the atomic
+    pointer):
+
+    * each micro-batch continues the recursion from the committed state
+      via the cogrouped :func:`cusum_step` kernel (identical arithmetic
+      to the batch operator — streamed == batch is pinned bit-exact);
+    * alarms land in a deterministic ``alarms/epoch=<runtag>_<id>``
+      overwrite directory; the new per-group state lands in a fresh
+      ``state/v_<n+1>`` dir and ONLY then does the pointer advance —
+      a crash between the two leaves the pointer at v_n, and the
+      replayed epoch recomputes from v_n and rewrites both dirs
+      byte-identically (the at-least-once no-double-alarm property);
+    * committed (run, epoch) keys replay as outright no-ops; versions
+      beyond ``keep_versions`` are pruned post-commit.
+
+    State is one row per group FOREVER (a double), the ideal streaming
+    state bound; quiet groups carry their level forward unchanged.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from etl_capnz_spark.operators.timeseries import cusum_step
+
+    state_path = os.path.join(out_path, "state")
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        pointer = _read_scd2_pointer(state_path)
+        epoch_key = f"{run_tag}:{epoch_id}"
+        if epoch_key in pointer["epochs"]:
+            return
+        n = pointer["version"]
+        if n > 0:
+            state = sess.read.parquet(os.path.join(state_path, f"v_{n}"))
+        else:
+            state = (
+                batch.select(group_col)
+                .filter(FF.lit(False))
+                .withColumn("s", FF.lit(0.0))
+            )
+        stepped = cusum_step(
+            batch, state, group_col, ts_col, value_col, id_col,
+            level=level, threshold=threshold,
+        ).localCheckpoint()
+        alarms = stepped.filter(~FF.col("is_state")).select(
+            group_col, id_col, ts_col, "cusum"
+        )
+        new_state = stepped.filter(FF.col("is_state")).select(
+            group_col, FF.col("cusum").alias("s")
+        )
+        alarms.write.mode("overwrite").parquet(
+            os.path.join(out_path, "alarms", f"epoch={run_tag}_{epoch_id}")
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"v_{n + 1}")
+        )
+        _write_scd2_pointer(
+            state_path,
+            {"version": n + 1, "epochs": pointer["epochs"] + [epoch_key]},
+        )
+        stale = n + 1 - keep_versions
+        if stale >= 1:
+            old = os.path.join(state_path, f"v_{stale}")
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+
+
+def read_cusum_alarms(spark: SparkSession, out_path: str) -> DataFrame:
+    """All alarms the monitor has raised. Epoch dirs are replay-stable
+    (a crash-replayed epoch rewrites the same rows), so reading every
+    epoch is exact."""
+    import os
+
+    return spark.read.parquet(os.path.join(out_path, "alarms"))
+
+
+def read_cusum_state(spark: SparkSession, out_path: str) -> DataFrame:
+    """The committed per-group statistic (pointer-resolved — never a
+    half-written snapshot)."""
+    import os
+
+    state_path = os.path.join(out_path, "state")
+    n = _read_scd2_pointer(state_path)["version"]
+    if n == 0:
+        raise FileNotFoundError(f"no committed CUSUM state at {state_path}")
+    return spark.read.parquet(os.path.join(state_path, f"v_{n}"))

@@ -1173,3 +1173,96 @@ def test_scd2_versioned_read_time_travel_and_refusals(spark, tmp_path):
     os.makedirs(os.path.join(dim, "v_4"), exist_ok=True)
     with pt.raises(ValueError, match="not committed"):
         read_scd2_state(spark, dim, version=4)
+
+
+def test_cusum_sink_streamed_equals_batch(spark, tmp_path):
+    """Streaming CUSUM twin: alarms raised across micro-batches equal
+    the batch cusum_alarms over everything seen, BIT-exact (state
+    carries the statistic between batches); quiet groups keep their
+    level; committed epochs replay as no-ops; state is pointer-read."""
+    import json
+
+    from etl_capnz_spark.operators.timeseries import cusum_alarms
+    from etl_capnz_spark.streaming.stream import (
+        _read_scd2_pointer,
+        cusum_sink,
+        read_cusum_alarms,
+        read_cusum_state,
+    )
+
+    land = tmp_path / "land_cusum"
+    land.mkdir()
+    out = str(tmp_path / "cusum_out")
+    cp = str(tmp_path / "cp_cusum")
+    schema = "user_id BIGINT, event_id BIGINT, ts STRING, value DOUBLE"
+
+    def run():
+        src = (
+            spark.readStream.schema(schema)
+            .json(str(land))
+            .selectExpr(
+                "user_id", "event_id",
+                "cast(ts as timestamp) AS ts", "value",
+            )
+        )
+        q = (
+            cusum_sink(
+                src, out, cp, "user_id", "ts", "value", "event_id",
+                level=10.0, threshold=15.0,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # u1 accumulates across the batch BOUNDARY: 12,13 in b1 (s=2 then
+    # 5), 22 in b2 -> 17 > 15 alarms ONLY if state carried; u2 alarms
+    # within b1; u3 appears only in b1 (quiet group must keep state).
+    b1 = [
+        {"user_id": 1, "event_id": 1, "ts": "2024-01-01 00:00:01", "value": 12.0},
+        {"user_id": 1, "event_id": 2, "ts": "2024-01-01 00:00:02", "value": 13.0},
+        {"user_id": 2, "event_id": 3, "ts": "2024-01-01 00:00:03", "value": 30.0},
+        {"user_id": 3, "event_id": 4, "ts": "2024-01-01 00:00:04", "value": 14.0},
+    ]
+    (land / "b1.jsonl").write_text("\n".join(json.dumps(r) for r in b1))
+    run()
+    b2 = [
+        {"user_id": 1, "event_id": 5, "ts": "2024-01-01 00:01:00", "value": 22.0},
+        {"user_id": 2, "event_id": 6, "ts": "2024-01-01 00:01:01", "value": 1.0},
+    ]
+    (land / "b2.jsonl").write_text("\n".join(json.dumps(r) for r in b2))
+    run()
+
+    got = sorted(
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in read_cusum_alarms(spark, out).collect()
+    )
+    all_rows = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["ts"], r["value"])
+         for r in b1 + b2],
+        "user_id long, event_id long, ts_s string, value double",
+    ).selectExpr(
+        "user_id", "event_id", "cast(ts_s as timestamp) AS ts", "value"
+    )
+    want = sorted(
+        (r["user_id"], r["event_id"], r["cusum"])
+        for r in cusum_alarms(
+            all_rows, "user_id", "ts", "value", "event_id",
+            level=10.0, threshold=15.0,
+        ).collect()
+    )
+    assert got == want and len(got) == 2  # u1 cross-batch + u2 in b1
+    state = {
+        r["user_id"]: r["s"]
+        for r in read_cusum_state(spark, out).collect()
+    }
+    # u1 reset after its alarm; u2: 0 (reset) then max(0, 0+1-10)=0;
+    # u3 carried 4.0 through the batch it sat out
+    assert state == {1: 0.0, 2: 0.0, 3: 4.0}
+    ptr = _read_scd2_pointer(str(tmp_path / "cusum_out" / "state"))
+    assert ptr["version"] == 2 and len(ptr["epochs"]) == 2
+    run()  # no new files: no new epochs, nothing changes
+    assert read_cusum_alarms(spark, out).count() == 2
+    assert _read_scd2_pointer(
+        str(tmp_path / "cusum_out" / "state")
+    )["version"] == 2
