@@ -2518,6 +2518,21 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of the last 5 events
+    (operators/timeseries.py rolling_median) — the window aggregate
+    Spark lacks, bridged with bounded collect_list + array_sort +
+    order-statistic pick, all codegen'd built-ins on one exchange.
+    Even windows interpolate with DuckDB's own lo+(hi−lo)*0.5 formula
+    (NOT (lo+hi)/2 — different rounding point, last-ulp hazard)."""
+    from etl_capnz_spark.operators.timeseries import rolling_median
+
+    return rolling_median(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value", "event_id",
+        window_rows=5,
+    )
+
+
 def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution (operators/funnel.py attribution):
     click/view touches credited to the NEXT purchase on the same user
@@ -5313,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_concurrency": _q_events_concurrency,
         "events_cusum": _q_events_cusum,
         "events_attribution": _q_events_attribution,
+        "events_rolling_median": _q_events_rolling_median,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6120,6 +6136,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "events_rolling_median": """
+            SELECT user_id, event_id, ts, value::DOUBLE AS value,
+                   median(value::DOUBLE) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+            FROM events""",
         "events_attribution": """
             WITH st AS (
               SELECT user_id, event_id, ts, event_type,

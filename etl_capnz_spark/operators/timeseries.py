@@ -492,3 +492,47 @@ def cusum_step(
             lambda key, r, l: _step(key, l, r), out_schema
         )
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-group rolling median over the last ``window_rows`` rows —
+    the robust smoother Spark has no window aggregate for (there is no
+    median() OVER). Bridged JVM-side: collect_list over the ROWS frame
+    + array_sort + order-statistic pick, all whole-stage-codegen
+    built-ins on ONE group-key exchange — the window holds ≤
+    ``window_rows`` values per row, so the arrays are bounded and
+    map-side cheap (this is NOT the unbounded collect_list hazard).
+
+    Even windows interpolate as ``lo + (hi − lo) * 0.5`` — DuckDB's
+    quantile_cont formula, deliberately NOT the algebraically-equal
+    (lo+hi)/2, which rounds at a different point and can differ in the
+    last ulp (the EWMA float-trap discipline: mirror the oracle's
+    expression tree, emit raw). Rows order by (ts, id) for
+    cross-engine ties.
+
+    Output: input keys + ``med`` (raw double).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(
+        F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) * 0.5)
+    return df.select(
+        group_col, id_col, ts_col, F.col(value_col).cast("double")
+    ).withColumn("med", med)

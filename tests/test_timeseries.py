@@ -222,3 +222,65 @@ def test_cusum_matches_pure_python_bitwise_and_partition_invariant(spark):
         ).collect()
     )
     assert got7 == got
+
+
+def test_rolling_median_hand_case_and_even_interpolation(spark):
+    """Window of 3 over 1,5,2,9: medians 1, 3 (even: lo+(hi-lo)*0.5),
+    2, 5 — matching DuckDB's windowed median on doubles."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import rolling_median
+
+    data = [
+        (1, i, dt.datetime(2024, 1, 1, 0, i), x)
+        for i, x in enumerate([1.0, 5.0, 2.0, 9.0], start=1)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["med"]
+        for r in rolling_median(
+            df, "user_id", "ts", "value", "event_id", window_rows=3
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: 3.0, 3: 2.0, 4: 5.0}
+
+
+def test_rolling_median_matches_pure_python_and_partition_invariant(spark):
+    import datetime as dt
+    import random
+
+    from etl_capnz_spark.operators.timeseries import rolling_median
+
+    rng = random.Random(23)
+    data = [
+        (u, u * 100 + i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+         round(rng.uniform(0, 100), 2))
+        for u in (1, 2)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    k = 5
+    expect = {}
+    for u in (1, 2):
+        vals = [x for uu, _, _, x in data if uu == u]
+        for i in range(len(vals)):
+            wnd = sorted(vals[max(0, i - k + 1): i + 1])
+            n = len(wnd)
+            if n % 2 == 1:
+                m = wnd[n // 2]
+            else:
+                lo, hi = wnd[n // 2 - 1], wnd[n // 2]
+                m = lo + (hi - lo) * 0.5
+            expect[u * 100 + i] = m
+    for frame in (df, df.repartition(9)):
+        got = {
+            r["event_id"]: r["med"]
+            for r in rolling_median(
+                frame, "user_id", "ts", "value", "event_id", window_rows=k
+            ).collect()
+        }
+        assert got == expect
