@@ -2518,13 +2518,31 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py
+    sorted_neighborhood_pairs, Hernández–Stolfo): each document paired
+    with its next 3 neighbours in (n_chars, doc_id) order — O(n·w)
+    candidates, the zero-hash complement to LSH/edit1 blocking. No
+    one-partition global window: range shards + a driver-computed
+    borrow plan replicating following shards' first rows backwards as
+    lead-targets (multi-shard when shards run tiny). The oracle ranks
+    globally and self-joins on rank distance — the shape this plan
+    exists to avoid."""
+    from etl_capnz_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), "doc_id", "n_chars", w=4
+    )
+
+
 def _q_events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling median of the last 5 events
     (operators/timeseries.py rolling_median) — the window aggregate
     Spark lacks, bridged with bounded collect_list + array_sort +
     order-statistic pick, all codegen'd built-ins on one exchange.
-    Even windows interpolate with DuckDB's own lo+(hi−lo)*0.5 formula
-    (NOT (lo+hi)/2 — different rounding point, last-ulp hazard)."""
+    Even windows interpolate with DuckDB's probed (lo+hi)/2 formula
+    (NOT the lerp lo+(hi−lo)*0.5 — different rounding point, last-ulp
+    mismatches observed at sf0.001)."""
     from etl_capnz_spark.operators.timeseries import rolling_median
 
     return rolling_median(
@@ -5329,6 +5347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _q_events_cusum,
         "events_attribution": _q_events_attribution,
         "events_rolling_median": _q_events_rolling_median,
+        "dedup_snm": _q_dedup_snm,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6136,6 +6155,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "dedup_snm": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM r a JOIN r b
+              ON b.rk > a.rk AND b.rk < a.rk + 4""",
         "events_rolling_median": """
             SELECT user_id, event_id, ts, value::DOUBLE AS value,
                    median(value::DOUBLE) OVER (

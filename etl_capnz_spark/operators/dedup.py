@@ -746,3 +746,102 @@ def edit1_pairs(
         .withColumn("dist", F.levenshtein("str_a", "str_b"))
         .filter(F.col("dist") <= 1)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    w: int = 4,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classic record-linkage method,
+    Hernández–Stolfo): sort the corpus once by a blocking key and emit
+    each record paired with its next ``w−1`` neighbours in that order —
+    O(n·w) candidates instead of O(n²), the zero-hash complement to the
+    LSH/deletion-neighborhood blockers here. Callers compose an exact
+    verify on the pairs, as with :func:`lsh_candidates`.
+
+    No global one-partition window: range-partition on (key, id) —
+    localCheckpoint pins the sampled partitioning across actions (the
+    two-phase-rank discipline) — then the first rows of FOLLOWING
+    shards are replicated backwards as lead-targets so within-shard
+    ``lead()`` reproduces the global-order neighbourhood exactly. The
+    copy plan comes from the per-shard counts (n_shards driver rows,
+    bounded): each shard borrows rows from as many successors as it
+    takes to cover w−1 — a shard smaller than the window (tiny-SF or
+    skew-degenerate ranges) borrows across SEVERAL shards, the case a
+    naive next-shard-only copy silently drops pairs on (observed at
+    sf0.001: 50 rows over 32 range shards). Copied rows may be the B
+    of a boundary pair but never anchor one — they anchor in their
+    home shard. Shuffle cost: the range exchange + ≤(w−1) rows per
+    shard boundary.
+
+    Output: (id_a, id_b) with A strictly before B in (key, id) order
+    and rank distance < w.
+    """
+    from pyspark.sql.window import Window
+
+    staged = (
+        df.select(F.col(key_col).alias("_k"), F.col(id_col).alias("_id"))
+        .repartitionByRange(n_shards, F.col("_k"), F.col("_id"))
+        .sortWithinPartitions("_k", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    order = sorted(counts)
+    copies = []  # (src_pid, take_first_n_rows, target_bucket)
+    for i, p in enumerate(order):
+        need = w - 1
+        for q in order[i + 1:]:
+            if need <= 0:
+                break
+            take = min(counts[q], need)
+            if take > 0:
+                copies.append((q, take, p))
+            need -= take
+    win = Window.partitionBy("_pid").orderBy("_k", "_id")
+    ranked = staged.withColumn("_rn", F.row_number().over(win))
+    native = ranked.select(
+        "_k", "_id", F.col("_pid").alias("_bucket")
+    ).withColumn("_native", F.lit(True))
+    if copies:
+        targets = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        (F.col("_pid") == q) & (F.col("_rn") <= take),
+                        F.lit(p),
+                    )
+                    for q, take, p in copies
+                ]
+            )
+        )
+        borrowed = (
+            ranked.select("_k", "_id", F.explode(targets).alias("_bucket"))
+            .withColumn("_native", F.lit(False))
+        )
+        aug = native.unionByName(borrowed)
+    else:
+        aug = native
+    bwin = Window.partitionBy("_bucket").orderBy("_k", "_id")
+    lead_cols = [
+        F.lead(F.col("_id"), o).over(bwin).alias(f"_b{o}")
+        for o in range(1, w)
+    ]
+    return (
+        aug.select("_id", "_native", *lead_cols)
+        .filter(F.col("_native"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.explode(
+                F.array_compact(
+                    F.array(*[F.col(f"_b{o}") for o in range(1, w)])
+                )
+            ).alias("id_b"),
+        )
+    )

@@ -510,11 +510,12 @@ def rolling_median(
     ``window_rows`` values per row, so the arrays are bounded and
     map-side cheap (this is NOT the unbounded collect_list hazard).
 
-    Even windows interpolate as ``lo + (hi − lo) * 0.5`` — DuckDB's
-    quantile_cont formula, deliberately NOT the algebraically-equal
-    (lo+hi)/2, which rounds at a different point and can differ in the
-    last ulp (the EWMA float-trap discipline: mirror the oracle's
-    expression tree, emit raw). Rows order by (ts, id) for
+    Even windows interpolate as ``(lo + hi) / 2`` — PROBED to be
+    DuckDB's actual median formula on doubles, deliberately NOT the
+    algebraically-equal lerp ``lo + (hi−lo)*0.5``, which rounds at a
+    different point and differed in the last ulp on 2 of 1000 rows at
+    sf0.001 (observed; the EWMA float-trap discipline: mirror the
+    oracle's expression tree, emit raw). Rows order by (ts, id) for
     cross-engine ties.
 
     Output: input keys + ``med`` (raw double).
@@ -532,7 +533,7 @@ def rolling_median(
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    med = F.when(n % 2 == 1, lo).otherwise(lo + (hi - lo) * 0.5)
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
     return df.select(
         group_col, id_col, ts_col, F.col(value_col).cast("double")
     ).withColumn("med", med)

@@ -307,3 +307,40 @@ def test_edit1_pairs_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_matches_global_order_pairs(spark):
+    """SNM pairs == brute pairs from the globally-sorted sequence
+    (rank distance < w), including duplicate keys; the tiny-data case
+    (10 rows over 32 range shards) forces multi-shard borrowing."""
+    import random
+
+    from etl_capnz_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rng = random.Random(31)
+
+    def brute(rows, w):
+        order = sorted((k, i) for i, k in rows)
+        return {
+            (order[a][1], order[b][1])
+            for a in range(len(order))
+            for b in range(a + 1, min(a + w, len(order)))
+        }
+
+    for n, w in ((10, 4), (200, 4), (200, 2)):
+        rows = [(i, rng.randrange(0, 40)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, key long")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df, "doc_id", "key", w=w
+            ).collect()
+        }
+        assert got == brute(rows, w), f"n={n} w={w}"
+        got7 = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df.repartition(7), "doc_id", "key", w=w
+            ).collect()
+        }
+        assert got7 == got

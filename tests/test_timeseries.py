@@ -225,7 +225,7 @@ def test_cusum_matches_pure_python_bitwise_and_partition_invariant(spark):
 
 
 def test_rolling_median_hand_case_and_even_interpolation(spark):
-    """Window of 3 over 1,5,2,9: medians 1, 3 (even: lo+(hi-lo)*0.5),
+    """Window of 3 over 1,5,2,9: medians 1, 3 (even: (lo+hi)/2),
     2, 5 — matching DuckDB's windowed median on doubles."""
     import datetime as dt
 
@@ -274,7 +274,7 @@ def test_rolling_median_matches_pure_python_and_partition_invariant(spark):
                 m = wnd[n // 2]
             else:
                 lo, hi = wnd[n // 2 - 1], wnd[n // 2]
-                m = lo + (hi - lo) * 0.5
+                m = (lo + hi) / 2.0
             expect[u * 100 + i] = m
     for frame in (df, df.repartition(9)):
         got = {
