@@ -2518,6 +2518,20 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of each user's event stream
+    (operators/sessions.py transition_counts): lead() on one user
+    exchange, integer counts only (probabilities are a consumer-side
+    division — floats would wobble cross-engine); terminal events
+    count under dst NULL so per-src sums stay exact."""
+    from etl_capnz_spark.operators.sessions import transition_counts
+
+    return transition_counts(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        "event_type",
+    )
+
+
 def _q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.py
     sorted_neighborhood_pairs, Hernández–Stolfo): each document paired
@@ -5348,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "events_rolling_median": _q_events_rolling_median,
         "dedup_snm": _q_dedup_snm,
+        "events_transitions": _q_events_transitions,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6155,6 +6170,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "events_transitions": """
+            WITH t AS (
+              SELECT event_type AS src_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS dst_type
+              FROM events)
+            SELECT src_type, dst_type, count(*)::BIGINT AS n
+            FROM t GROUP BY src_type, dst_type""",
         "dedup_snm": """
             WITH r AS (
               SELECT doc_id,

@@ -163,6 +163,37 @@ def max_concurrency(
     )
 
 
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over each key's event
+    stream — the clickstream "what follows what" matrix behind path
+    analysis and next-event models. ``lead()`` pairs each event with
+    its successor on ONE (key)-hash exchange; the (from, to) aggregate
+    reuses nothing heavier than a map-side-combinable count. Terminal
+    events (no successor) aggregate under dst NULL so the per-src row
+    sums equal the per-src event counts exactly — emitting raw counts,
+    not probabilities, keeps the result integer-exact cross-engine
+    (consumers derive P(to|from) = n / sum(n) over src).
+
+    Output: (src_type, dst_type nullable, n), ordered by nothing —
+    ties are the caller's concern.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return (
+        df.withColumn("_nxt", F.lead(type_col).over(w))
+        .groupBy(
+            F.col(type_col).alias("src_type"),
+            F.col("_nxt").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def sequence_match(
     df: DataFrame,
     key_col: str,

@@ -241,3 +241,30 @@ def test_attribution_matches_brute_force_and_partition_invariant(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_transition_counts_hand_case(spark):
+    """A->B->A->C on u1, B->B on u2: counts incl. terminal NULLs; per-src
+    sums equal per-src event counts."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.sessions import transition_counts
+
+    rows = [(1, i, dt.datetime(2024, 1, 1, 0, i), t)
+            for i, t in enumerate(["A", "B", "A", "C"], start=1)]
+    rows += [(2, i, dt.datetime(2024, 1, 1, 0, i), "B")
+             for i in (10, 11)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    for frame in (df, df.repartition(5)):
+        got = {
+            (r["src_type"], r["dst_type"]): r["n"]
+            for r in transition_counts(
+                frame, "user_id", "ts", "event_id", "event_type"
+            ).collect()
+        }
+        assert got == {
+            ("A", "B"): 1, ("B", "A"): 1, ("A", "C"): 1, ("C", None): 1,
+            ("B", "B"): 1, ("B", None): 1,
+        }
