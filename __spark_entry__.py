@@ -2518,6 +2518,20 @@ def _q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (operators/sampling.py
+    quantile_normalize): every document's length score is mapped to
+    the GLOBAL length at the same within-source quantile — the
+    training-mix leveller for heterogeneous scorers. Discrete mapping
+    (value from the data, integer-exact); global ranks come from the
+    two-phase sharded scan, never a one-partition window."""
+    from etl_capnz_spark.operators.sampling import quantile_normalize
+
+    return quantile_normalize(
+        _docs(spark, sf_dir), "doc_id", "n_chars", "source"
+    )
+
+
 def _q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of each user's event stream
     (operators/sessions.py transition_counts): lead() on one user
@@ -5363,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_median": _q_events_rolling_median,
         "dedup_snm": _q_dedup_snm,
         "events_transitions": _q_events_transitions,
+        "mixture_quantile_norm": _q_mixture_quantile_norm,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "fuzzy_edit1": _q_fuzzy_edit1,
@@ -6170,6 +6185,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, count(*)::BIGINT AS n_rows,
                    min(x) AS lo, max(x) AS hi
             FROM b GROUP BY bin""",
+        "mixture_quantile_norm": """
+            WITH g AS (
+              SELECT n_chars AS norm_value,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+              FROM documents),
+            tot AS (SELECT count(*) AS total FROM documents),
+            s AS (
+              SELECT doc_id, source, n_chars,
+                     percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                     ) AS pr
+              FROM documents)
+            SELECT s.doc_id, s.source, s.n_chars, g.norm_value
+            FROM s CROSS JOIN tot
+            JOIN g ON g.rk = round(s.pr * (tot.total - 1))::BIGINT + 1""",
         "events_transitions": """
             WITH t AS (
               SELECT event_type AS src_type,

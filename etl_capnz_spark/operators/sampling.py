@@ -391,3 +391,76 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labelled.withColumn("split", split).drop("component")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    source_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-source quantile normalization onto the GLOBAL distribution:
+    each row's value is replaced by the global value sitting at the
+    same quantile position — the training-mix leveller that makes
+    quality scores comparable across heterogeneous sources (a source
+    whose scorer runs hot no longer floods a score-thresholded mix).
+
+    Discrete, exactly-specified mapping (no interpolation, so the
+    result is a VALUE FROM THE DATA and integer-exact when the input
+    is integer): pr = percent_rank within source over (value, id);
+    global index = round(pr · (N−1)) + 1; normalized value = the
+    global value at that (value, id)-ordered rank. percent_rank and
+    the single float product are the only floating steps and both
+    engines evaluate the identical expression, so even the round()
+    half-cases agree.
+
+    Shape: the global rank comes from the two-phase sharded scan
+    (range shards + per-shard counts to the driver + offset broadcast;
+    localCheckpoint pins the sampled partitioning) — NO one-partition
+    window; the per-source percent_rank is an ordinary per-source
+    window; the final equi-join keys on the integer global rank.
+
+    Output: (id, source, value, norm_value).
+    """
+    from pyspark.sql.window import Window
+
+    staged = (
+        df.select(
+            F.col(value_col).alias("_v"), F.col(id_col).alias("_id")
+        )
+        .repartitionByRange(n_shards, F.col("_v"), F.col("_id"))
+        .sortWithinPartitions("_v", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc
+    offset_col = F.lit(0)
+    for pid, off in sorted(offsets.items()):
+        offset_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+            offset_col
+        )
+    w = Window.partitionBy("_pid").orderBy("_v", "_id")
+    g = staged.select(
+        (F.row_number().over(w) + offset_col).cast("bigint").alias("_rk"),
+        F.col("_v").alias("norm_value"),
+    )
+    sw = Window.partitionBy(source_col).orderBy(value_col, id_col)
+    idx = (
+        F.round(F.percent_rank().over(sw) * F.lit(total - 1)).cast("bigint")
+        + 1
+    )
+    ranked = df.select(
+        id_col, source_col, value_col, idx.alias("_idx")
+    )
+    return ranked.join(g, ranked["_idx"] == g["_rk"]).select(
+        id_col, source_col, value_col, "norm_value"
+    )

@@ -369,3 +369,45 @@ def test_weighted_sample_per_group_partition_invariance(spark, sf_dir):
         .collect()
     )
     assert all(r["count"] == 3 for r in per_group)
+
+
+def test_quantile_normalize_matches_pure_python_and_partition_invariant(spark):
+    """Each row's norm_value is the global value at round(pr*(N-1))+1
+    in (value, id) order, pr = within-source percent_rank; min maps to
+    global min, max to global max; single-row sources map to pr=0."""
+    import random
+
+    from etl_capnz_spark.operators.sampling import quantile_normalize
+
+    rng = random.Random(13)
+    rows = [(i, f"s{i % 3}", rng.randrange(0, 1000)) for i in range(90)]
+    rows.append((90, "lonely", 500))  # single-row source -> pr = 0
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+
+    glob = sorted((v, i) for i, _, v in rows)
+    N = len(glob)
+    by_src = {}
+    for i, s, v in rows:
+        by_src.setdefault(s, []).append((v, i))
+    expect = {}
+    for s, vs in by_src.items():
+        vs.sort()
+        n = len(vs)
+        for rk, (v, i) in enumerate(vs):
+            pr = 0.0 if n == 1 else rk / (n - 1)
+            idx = round(pr * (N - 1))
+            # Python rounds half-even; both engines round half-up on
+            # positives — recompute the half-case the engines' way
+            x = pr * (N - 1)
+            if x - int(x) == 0.5:
+                idx = int(x) + 1
+            expect[i] = glob[idx][0]
+    for frame in (df, df.repartition(7)):
+        got = {
+            r["doc_id"]: r["norm_value"]
+            for r in quantile_normalize(
+                frame, "doc_id", "v", "source"
+            ).collect()
+        }
+        assert got == expect
+    assert expect[90] == glob[0][0]  # lonely source pinned to pr=0
