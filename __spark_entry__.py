@@ -2652,6 +2652,24 @@ def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "ewma")
 
 
+def _q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt's linear trend (operators/timeseries.py
+    holt_per_group, α=β=0.5) — the level+trend double-smoothing
+    extension of events_ewma, same sequential-recursion seam (ONE
+    applyInPandas exchange on user_id) and same bit-exactness
+    discipline: dyadic coefficients make every product exact, the
+    kernel and the DuckDB RECURSIVE CTE oracle evaluate the identical
+    expression association, and both level and trend are emitted RAW
+    so every double matches bit-for-bit."""
+    from etl_capnz_spark.operators.timeseries import holt_per_group
+
+    out = holt_per_group(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "event_id", alpha=0.5, beta=0.5,
+    )
+    return out.select("user_id", "event_id", "value", "level", "trend")
+
+
 def _q_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-1 fuzzy matching via deletion-neighborhood
     blocking (operators/dedup.py edit1_pairs, the FastSS/SymSpell
@@ -5380,6 +5398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_quantile_norm": _q_mixture_quantile_norm,
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
+        "events_holt": _q_events_holt,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
@@ -6346,6 +6365,27 @@ def oracle_sql() -> dict[str, str]:
               FROM seq s JOIN rec r
                 ON s.user_id = r.user_id AND s.rn = r.rn + 1)
             SELECT user_id, event_id, value, y AS ewma
+            FROM rec""",
+        "events_holt": """
+            WITH RECURSIVE seq AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS rn
+              FROM events),
+            rec AS (
+              SELECT user_id, event_id, value, rn,
+                     value AS l, CAST(0.0 AS DOUBLE) AS b
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.event_id, s.value, s.rn,
+                     0.5 * s.value + 0.5 * (r.l + r.b),
+                     0.5 * ((0.5 * s.value + 0.5 * (r.l + r.b)) - r.l)
+                       + 0.5 * r.b
+              FROM seq s JOIN rec r
+                ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+            SELECT user_id, event_id, value,
+                   l AS level, b AS trend
             FROM rec""",
         "fuzzy_edit1": """
             WITH t AS (

@@ -364,6 +364,74 @@ def ewma_per_group(
     )
 
 
+def holt_per_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-group Holt's linear trend (double exponential smoothing) —
+    the level+trend extension of :func:`ewma_per_group`, forecasting
+    the short-horizon drift a plain EWMA lags behind:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        l_1 = x_1, b_1 = 0
+
+    Like the EWMA, row t's state depends on row t−1's OUTPUT, so no
+    Spark window expresses it and it lives in the sanctioned
+    applyInPandas seam (ONE hash exchange on the group key; per-task
+    state is one group's series). The bit-exactness discipline carries
+    over: with dyadic α and β every product is exact (halving never
+    rounds), each step's only roundings are the adds/subtract, and the
+    kernel evaluates the recursion in EXACTLY the association written
+    above — so a DuckDB RECURSIVE CTE evaluating the same expression
+    tree reproduces every raw double bit-identically, even under FMA
+    (a fused 0.5·x + s rounds once on an already-exact product, which
+    equals the separate rounding). Output is RAW doubles — per-step
+    rounding trips on half-even-vs-half-away ties (the EWMA lesson).
+
+    Ties within a group order by (ts, id) in both engines.
+    """
+    import pandas as pd
+
+    a = float(alpha)
+    b_ = float(beta)
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col])
+        ls, bs = [], []
+        lev = trend = None
+        for x in pdf[value_col]:
+            x = float(x)
+            if lev is None:
+                lev, trend = x, 0.0
+            else:
+                prior = lev + trend
+                new_lev = a * x + (1.0 - a) * prior
+                trend = b_ * (new_lev - lev) + (1.0 - b_) * trend
+                lev = new_lev
+            ls.append(lev)
+            bs.append(trend)
+        pdf = pdf.copy()
+        pdf["level"] = ls
+        pdf["trend"] = bs
+        return pdf
+
+    fields = df.select(group_col, id_col, ts_col, value_col).schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", level double, trend double"
+    return (
+        df.select(group_col, id_col, ts_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(_holt, out_schema)
+    )
+
+
 def cusum_alarms(
     df: DataFrame,
     group_col: str,

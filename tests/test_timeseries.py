@@ -155,6 +155,77 @@ def test_ewma_matches_closed_form_and_partition_invariant(spark):
     assert re == got
 
 
+def test_holt_matches_pure_python_and_partition_invariant(spark):
+    """holt_per_group must equal a from-scratch pure-Python Holt
+    recursion BIT-EXACTLY (dyadic α, β: products exact, same
+    association), resolve ts ties by id, and be partition-invariant."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import holt_per_group
+
+    rows = []
+    vals = {}
+    for g in (1, 2):
+        xs = [float((g * 7 + i * 13) % 50) + 0.25 for i in range(40)]
+        vals[g] = xs
+        for i, x in enumerate(xs):
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i // 2)
+            rows.append((g, i, t, x))
+    df = spark.createDataFrame(
+        rows, "g int, rid long, ts timestamp, x double"
+    )
+    a, b = 0.5, 0.25
+    got = {
+        (r["g"], r["rid"]): (r["level"], r["trend"])
+        for r in holt_per_group(
+            df, "g", "ts", "x", "rid", alpha=a, beta=b
+        ).collect()
+    }
+    for g, xs in vals.items():
+        lev, trend = xs[0], 0.0
+        assert got[(g, 0)] == (lev, trend)
+        for i in range(1, len(xs)):
+            prior = lev + trend
+            new_lev = a * xs[i] + (1.0 - a) * prior
+            trend = b * (new_lev - lev) + (1.0 - b) * trend
+            lev = new_lev
+            assert got[(g, i)] == (lev, trend), (g, i)
+    re = {
+        (r["g"], r["rid"]): (r["level"], r["trend"])
+        for r in holt_per_group(
+            df.repartition(13, "rid"), "g", "ts", "x", "rid",
+            alpha=a, beta=b,
+        ).collect()
+    }
+    assert re == got
+
+
+def test_holt_tracks_linear_ramp_exactly_in_the_limit(spark):
+    """On a pure linear ramp x_t = c + m·t the Holt trend must converge
+    to the slope m (a property a single EWMA cannot have — it lags by
+    m·(1−α)/α forever). Checks the operator computes a genuine trend
+    component, not a relabeled EWMA."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import holt_per_group
+
+    m, c = 3.0, 10.0
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), c + m * i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "g int, rid long, ts timestamp, x double"
+    )
+    out = {
+        r["rid"]: (r["level"], r["trend"])
+        for r in holt_per_group(df, "g", "ts", "x", "rid").collect()
+    }
+    lev, trend = out[59]
+    assert abs(trend - m) < 1e-6
+    assert abs(lev - (c + m * 59)) < 1e-5
+
+
 def test_cusum_alarm_and_reset_hand_case(spark):
     """level=10, threshold=5: values 12,4,9,20,1 give s=2,0,0(?),...
     hand-traced: s1=max(0,12-10)=2 (no alarm), s2=max(0,2+4-10)=0,
