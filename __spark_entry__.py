@@ -2686,6 +2686,24 @@ def _q_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(docs, "doc_id", "title")
 
 
+def _q_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler record linkage (operators/linkage.py jw_pairs):
+    2-char Winkler-prefix blocking + a PROVABLE length-ratio band
+    (jw ≥ θ forces min_len/max_len ≥ 5θ−4), then the Python JW kernel
+    — pinned BIT-IDENTICAL to DuckDB's jaro_winkler_similarity by a
+    19k-case fuzz (floored transpositions, empty→0, 0.7 boost gate) —
+    runs only on post-blocking candidates in an Arrow-batched pandas
+    UDF. No CartesianProduct; raw double sims match the oracle
+    bit-for-bit. The oracle blocks identically, so the check is exact
+    over the declared candidate contract."""
+    from etl_capnz_spark.operators.linkage import jw_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    return jw_pairs(docs, "doc_id", "title", threshold=0.9)
+
+
 def _q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel
     (operators/funnel.py): each level joins the next step's
@@ -5400,6 +5418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": _q_events_ewma,
         "events_holt": _q_events_holt,
         "fuzzy_edit1": _q_fuzzy_edit1,
+        "fuzzy_jw": _q_fuzzy_jw,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
@@ -6396,6 +6415,22 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.title, b.title)::INT AS dist
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.title, b.title) <= 1""",
+        "fuzzy_jw": """
+            WITH t AS (
+              SELECT doc_id AS id, substr(text, 1, 12) AS s,
+                     substr(text, 1, 2) AS blk,
+                     length(substr(text, 1, 12)) AS len
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(substr(text, 1, 12)) >= 2)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.s AS str_a, b.s AS str_b,
+                   jaro_winkler_similarity(a.s, b.s) AS sim
+            FROM t a JOIN t b
+              ON a.blk = b.blk AND a.id < b.id
+             AND least(a.len, b.len)
+                 >= greatest(a.len, b.len) * 0.5
+            WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9""",
         "events_funnel_steps": """
             WITH u1 AS (
               SELECT user_id, min(ts) AS t FROM events

@@ -1,0 +1,98 @@
+"""Jaro-Winkler record linkage (operators/linkage.py).
+
+The load-bearing pin is the kernel-vs-DuckDB bit-identity fuzz: the
+oracle entry (`fuzzy_jw`) compares raw doubles, so the Python kernel
+must reproduce DuckDB's jaro_winkler_similarity EXACTLY — including
+the three semantics the textbook definition leaves open (floored
+transpositions, empty→0.0, 0.7 boost gate), each of which was observed
+diverging before the probe (1404/20006 mismatches with float t/2).
+"""
+import random
+
+import pytest
+
+
+def test_jw_textbook_cases():
+    from etl_capnz_spark.operators.linkage import jaro_winkler_py
+
+    assert abs(jaro_winkler_py("martha", "marhta") - 0.9611111111111111) < 1e-15
+    assert abs(jaro_winkler_py("DWAYNE", "DUANE") - 0.84) < 1e-15
+    assert jaro_winkler_py("", "") == 0.0  # DuckDB semantics, not 1.0
+    assert jaro_winkler_py("a", "") == 0.0
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    # below the 0.7 boost gate the prefix bonus must NOT apply:
+    # 'ab'/'ba' has jaro 0 matches in window -> 0.0 stays 0.0
+    assert jaro_winkler_py("ab", "ba") == 0.0
+
+
+def test_jw_kernel_bit_identical_to_duckdb_fuzz():
+    """20k random pairs over three alphabets (incl. 70-char strings
+    past the 64-bit word boundary of bit-parallel implementations):
+    every double equal EXACTLY (==, no tolerance)."""
+    import duckdb
+
+    from etl_capnz_spark.operators.linkage import jaro_winkler_py
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    cases = [("martha", "marhta"), ("DIXON", "DICKSONX"), ("", "")]
+    for alpha, maxlen, n in [
+        ("abcd", 12, 700), ("abcdefghijklmnop", 24, 700), ("ab", 70, 300)
+    ]:
+        for _ in range(n):
+            cases.append((
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen))),
+            ))
+    for s1, s2 in cases:
+        d = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert jaro_winkler_py(s1, s2) == d, (s1, s2)
+
+
+def test_length_band_is_lossless():
+    """The 5θ−4 length-ratio blocking bound must be PROVABLY lossless:
+    no pair outside the band may reach the threshold. Brute-force over
+    random pairs at θ=0.9: every jw ≥ 0.9 pair satisfies
+    min_len/max_len ≥ 0.5."""
+    from etl_capnz_spark.operators.linkage import (
+        _min_len_ratio,
+        jaro_winkler_py,
+    )
+
+    assert _min_len_ratio(0.9) == 0.5
+    rng = random.Random(3)
+    for _ in range(4000):
+        s1 = "".join(rng.choice("ab") for _ in range(rng.randint(1, 16)))
+        s2 = "".join(rng.choice("ab") for _ in range(rng.randint(1, 16)))
+        if jaro_winkler_py(s1, s2) >= 0.9:
+            lo, hi = sorted((len(s1), len(s2)))
+            assert lo >= hi * 0.5, (s1, s2)
+
+
+def test_jw_pairs_planted_and_no_cartesian(spark):
+    """Planted near-identical names within one block must surface with
+    the right sims; a name in a different block must NOT pair even if
+    similar (the declared blocking contract); and the plan must contain
+    no CartesianProduct / BroadcastNestedLoopJoin."""
+    from etl_capnz_spark.operators.linkage import jaro_winkler_py, jw_pairs
+
+    rows = [
+        (1, "jonathan smith"),
+        (2, "jonathan smyth"),   # same block 'jo', high sim
+        (3, "jonathon smith"),   # same block, high sim
+        (4, "donathan smith"),   # block 'do' — out of contract
+        (5, "zz totally other"),
+        (6, "jo"),               # same block, very low sim
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = jw_pairs(df, "id", "name", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in out.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in pair for pair in got)
+    assert all(6 not in pair for pair in got)
+    assert got[(1, 2)] == jaro_winkler_py("jonathan smith", "jonathan smyth")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
