@@ -4425,6 +4425,44 @@ def _q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, k=30)
 
 
+def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared symmetric part↔supplier edge list (the kcore/sssp
+    derivation, factored for the round-4 graph additions)."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.concat(F.lit("p:"), F.col("l_partkey"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey"))
+    return pairs.select(p.alias("src"), s.alias("dst")).unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+
+
+def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py
+    label_propagation, 2 rounds) over the part↔supplier graph — pure
+    counting with a (count desc, label asc) tie-break, no floats, so
+    the oracle unrolls the identical two synchronous rounds as CTEs
+    and matches exactly. Exchanges carry (node, label) pairs only."""
+    from etl_capnz_spark.operators.graph import label_propagation
+
+    return label_propagation(_graph_edges(spark, sf_dir), rounds=2)
+
+
+def _q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py hits, 2 unnormalized
+    power-iteration rounds): every score an exact INTEGER (sums of
+    products of degrees — normalisation is a positive scalar, so the
+    ranking is unchanged and the float-division hazard PageRank must
+    carry disappears). Oracle replays the same two rounds as
+    join/aggregate CTEs with ::BIGINT casts (DuckDB sum→HUGEINT)."""
+    from etl_capnz_spark.operators.graph import hits
+
+    return hits(_graph_edges(spark, sf_dir), rounds=2)
+
+
 def _q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME as-of semantics as events_asof, through the cogrouped
     pandas surface (groupBy.cogroup.applyInPandas + pd.merge_asof per
@@ -5393,6 +5431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_sssp": _q_graph_sssp,
         "graph_kcore": _q_graph_kcore,
+        "graph_lpa": _q_graph_lpa,
+        "graph_hits": _q_graph_hits,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -7021,6 +7061,60 @@ def oracle_sql() -> dict[str, str]:
                      AND EXISTS (SELECT 1 FROM n6 b WHERE b.src = e.dst))
             SELECT src AS node, count(*)::BIGINT AS deg
             FROM e6 GROUP BY src HAVING count(*) >= 30""",
+        "graph_lpa": """
+            WITH pairs AS (
+              SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                              's:' || l_suppkey::VARCHAR AS s
+              FROM lineitem),
+            edges AS (SELECT p AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, p FROM pairs),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+            v1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM edges e JOIN l0 l ON e.src = l.node
+                   GROUP BY e.dst, l.label),
+            t1 AS (SELECT node, label FROM v1
+                   QUALIFY row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC) = 1),
+            l1 AS (SELECT n.node, coalesce(t.label, n.node) AS label
+                   FROM l0 n LEFT JOIN t1 t ON n.node = t.node),
+            v2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                   FROM edges e JOIN l1 l ON e.src = l.node
+                   GROUP BY e.dst, l.label),
+            t2 AS (SELECT node, label FROM v2
+                   QUALIFY row_number() OVER (
+                     PARTITION BY node ORDER BY c DESC, label ASC) = 1)
+            SELECT n.node, coalesce(t.label, n.node) AS label
+            FROM l1 n LEFT JOIN t2 t ON n.node = t.node""",
+        "graph_hits": """
+            WITH pairs AS (
+              SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                              's:' || l_suppkey::VARCHAR AS s
+              FROM lineitem),
+            edges AS (SELECT p AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, p FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            h1 AS (SELECT n.node, coalesce(x.h, 0)::BIGINT AS h
+                   FROM nodes n LEFT JOIN (
+                     SELECT src AS node, count(*)::BIGINT AS h
+                     FROM edges GROUP BY src) x ON n.node = x.node),
+            a1 AS (SELECT n.node, coalesce(x.a, 0)::BIGINT AS a
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.dst AS node, sum(h.h)::BIGINT AS a
+                     FROM edges e JOIN h1 h ON e.src = h.node
+                     GROUP BY e.dst) x ON n.node = x.node),
+            h2 AS (SELECT n.node, coalesce(x.h, 0)::BIGINT AS h
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.src AS node, sum(a.a)::BIGINT AS h
+                     FROM edges e JOIN a1 a ON e.dst = a.node
+                     GROUP BY e.src) x ON n.node = x.node),
+            a2 AS (SELECT n.node, coalesce(x.a, 0)::BIGINT AS a
+                   FROM nodes n LEFT JOIN (
+                     SELECT e.dst AS node, sum(h.h)::BIGINT AS a
+                     FROM edges e JOIN h2 h ON e.src = h.node
+                     GROUP BY e.dst) x ON n.node = x.node)
+            SELECT n.node, h2.h AS hub, a2.a AS auth
+            FROM nodes n JOIN h2 ON n.node = h2.node
+            JOIN a2 ON n.node = a2.node""",
         "graph_sssp": """
             WITH pairs AS (
               SELECT 'p:' || l_partkey::VARCHAR AS p,

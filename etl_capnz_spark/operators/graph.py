@@ -185,3 +185,115 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 100) -> DataFrame:
             .localCheckpoint()
         )
     raise RuntimeError(f"k-core peel did not converge in {max_rounds} rounds")
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan's
+    LPA, the deterministic variant): every node starts labelled with
+    itself; each round, EVERY node simultaneously adopts the most
+    frequent label among its neighbours, ties broken by smallest
+    label — so the whole algorithm is integer/string counting with a
+    total-order tie-break and NO floats, which is what lets a
+    fixed-depth unrolled-CTE oracle match it exactly (the PageRank /
+    sssp / kcore discipline; the asynchronous textbook variant is
+    run-order-dependent and uncheckable).
+
+    ``edges`` must be symmetric/distinct/loop-free (the kcore
+    contract). Per round: one join carrying (node, label), one
+    (node, label) count aggregate, one per-node top-1 window — all
+    exchanges carry keys+labels, never payloads; ``localCheckpoint``
+    truncates lineage per round so plan depth stays constant at any
+    round count. Synchronous LPA on bipartite-ish graphs can
+    oscillate, which is why ``rounds`` is a REQUIRED explicit cap, not
+    a convergence loop: the caller picks the horizon, and the oracle
+    unrolls the same number.
+
+    Returns (node, label).
+    """
+    from pyspark.sql.window import Window
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        # symmetric edges => every node votes, but keep the isolated-
+        # node fallback explicit so the contract survives other inputs
+        labels = (
+            labels.select("node")
+            .join(top, "node", "left")
+            .withColumn("label", F.coalesce("label", F.col("node")))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities, UNNORMALIZED power iteration from
+    a(v) = 1: each round computes h(u) = Σ_{u→v} a(v) then
+    a(v) = Σ_{u→v} h(u). Dropping the usual per-round normalisation
+    keeps every score an exact INTEGER (sums of products of degrees) —
+    the ranking is identical (normalisation is a positive scalar) and
+    the oracle becomes a plain join/aggregate SQL program instead of a
+    float-division hazard: the same trade pagerank cannot make (its
+    damping term forces floats) — together they cover both link-
+    analysis shapes. Scores grow like (σ_max)^(2·rounds), so small
+    round counts are the contract (2 rounds ≈ co-citation strength);
+    bigint overflow at extreme rounds is the caller's trade-off.
+
+    Per round: two joins + two aggregates, each exchanging (node,
+    int) pairs only. Returns (node, hub, auth) for every node.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    auth = nodes.withColumn("a", F.lit(1).cast("bigint"))
+    hub = None
+    for _ in range(rounds):
+        hub = (
+            edges.join(
+                auth.select(F.col("node").alias("dst"), "a"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = (
+            nodes.join(hub, "node", "left")
+            .withColumn("h", F.coalesce("h", F.lit(0).cast("bigint")))
+            .localCheckpoint()
+        )
+        auth = (
+            edges.join(
+                hub.select(F.col("node").alias("src"), "h"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = (
+            nodes.join(auth, "node", "left")
+            .withColumn("a", F.coalesce("a", F.lit(0).cast("bigint")))
+            .localCheckpoint()
+        )
+    return nodes.join(hub, "node").join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )

@@ -138,3 +138,71 @@ def test_kcore_matches_pure_python_peel_and_partition_invariant(spark):
     got7 = {r["node"]: r["deg"]
             for r in kcore(df.repartition(7), 3).collect()}
     assert got7 == peel(3)
+
+
+def test_label_propagation_pure_python_parity_and_partition_invariance(spark):
+    """Synchronous LPA vs a from-scratch pure-Python simulation of the
+    same rule (most frequent neighbour label, ties -> smallest), over a
+    barbell graph (two triangles bridged by one edge) where the labels
+    must collapse within each triangle; plus partition invariance."""
+    from etl_capnz_spark.operators.graph import label_propagation
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x"),
+           ("c", "x")]
+
+    def simulate(rounds):
+        adj = {}
+        for p, q in und:
+            adj.setdefault(p, set()).add(q)
+            adj.setdefault(q, set()).add(p)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                votes = {}
+                for m in adj[n]:
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[n] = best[0][0] if best else n
+            lab = new
+        return lab
+
+    df = _sym(spark, und)
+    for rounds in (1, 2, 3):
+        got = {r["node"]: r["label"]
+               for r in label_propagation(df, rounds).collect()}
+        assert got == simulate(rounds), f"rounds={rounds}"
+    got7 = {r["node"]: r["label"]
+            for r in label_propagation(df.repartition(7), 2).collect()}
+    assert got7 == simulate(2)
+
+
+def test_hits_pure_python_parity_star_graph(spark):
+    """Unnormalized HITS vs a pure-Python power iteration on a directed
+    star-plus-chain: integer scores must match exactly at every round
+    count (sums of products of degrees — no float anywhere)."""
+    from etl_capnz_spark.operators.graph import hits
+
+    dir_edges = [("hubA", "p1"), ("hubA", "p2"), ("hubA", "p3"),
+                 ("hubB", "p2"), ("hubB", "p3"), ("p3", "hubA")]
+
+    def simulate(rounds):
+        nodes = {n for e in dir_edges for n in e}
+        a = {n: 1 for n in nodes}
+        h = {}
+        for _ in range(rounds):
+            h = {n: 0 for n in nodes}
+            for s, d in dir_edges:
+                h[s] += a[d]
+            a = {n: 0 for n in nodes}
+            for s, d in dir_edges:
+                a[d] += h[s]
+        return h, a
+
+    df = spark.createDataFrame(dir_edges, "src string, dst string")
+    for rounds in (1, 2, 3):
+        got = {r["node"]: (r["hub"], r["auth"])
+               for r in hits(df, rounds).collect()}
+        hh, aa = simulate(rounds)
+        assert got == {n: (hh[n], aa[n]) for n in hh}, f"rounds={rounds}"
