@@ -2092,6 +2092,55 @@ def _q_crawl_frontier_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "url", "priority", "fetch_rank", "not_before_ms")
 
 
+def _q_events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set algebra (operators/audit.py kmv_set_ops,
+    k=16): per-day view-user and click-user sketches combine into
+    union / intersection / Jaccard ESTIMATES from k×8 bytes per side —
+    no second scan — beside the exact answers for calibration. k=16
+    (not 64) so sf0.01 days actually exceed k and the estimator path
+    (not just the exhaustive-exact regime) is what the oracle checks.
+    The sketch join is sketch-rows-only; exact counts come from one
+    distinct-pairs aggregate and a keys-only self-join."""
+    from etl_capnz_spark.operators.audit import kmv_set_ops, kmv_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    views = ev.filter(F.col("event_type") == "view").select(
+        day, "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        day, "user_id"
+    )
+    ops = kmv_set_ops(
+        kmv_sketch(views, ["day"], "user_id", k=16),
+        kmv_sketch(clicks, ["day"], "user_id", k=16),
+        ["day"],
+        k=16,
+    )
+    dv = views.distinct()
+    dc = clicks.distinct()
+    exact_u = (
+        dv.union(dc)
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    exact_i = (
+        dv.join(dc, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        ops.join(exact_u, "day")
+        .join(exact_i, "day", "left")  # empty intersections are real
+        .select(
+            "day", "k_union", "n_common", "est_union", "est_inter",
+            "jaccard_est", "exact_union",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+    )
+
+
 def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (operators/audit.py kmv_sketch, k=64)
     of users per event_type, alongside the exact count — the MERGEABLE
@@ -5329,6 +5378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": _q_crawl_robots,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_kmv_setops": _q_events_kmv_setops,
         "events_quantile_sketch": _q_events_quantile_sketch,
         "events_quantile_merge": _q_events_quantile_merge,
         "events_heavy_hitters": _q_events_heavy_hitters,
@@ -8166,6 +8216,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, url, priority, fetch_rank,
                    ((fetch_rank - 1) * 1000)::BIGINT AS not_before_ms
             FROM ranked WHERE fetch_rank <= 3""",
+        "events_kmv_setops": """
+            WITH v AS (
+              SELECT DISTINCT ts::DATE AS day, user_id
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT DISTINCT ts::DATE AS day, user_id
+              FROM events WHERE event_type = 'click'),
+            hv AS (
+              SELECT DISTINCT day,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM v),
+            hc AS (
+              SELECT DISTINCT day,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM c),
+            ska AS (
+              SELECT day, list(h ORDER BY h) AS sk
+              FROM (SELECT day, h,
+                           row_number() OVER (
+                             PARTITION BY day ORDER BY h) AS rn
+                    FROM hv) WHERE rn <= 16 GROUP BY day),
+            skb AS (
+              SELECT day, list(h ORDER BY h) AS sk
+              FROM (SELECT day, h,
+                           row_number() OVER (
+                             PARTITION BY day ORDER BY h) AS rn
+                    FROM hc) WHERE rn <= 16 GROUP BY day),
+            ops AS (
+              SELECT a.day,
+                     list_sort(list_distinct(
+                       list_concat(a.sk, b.sk)))[1:16] AS L,
+                     list_intersect(a.sk, b.sk) AS both_
+              FROM ska a JOIN skb b USING (day)),
+            est AS (
+              SELECT day,
+                     len(L)::BIGINT AS k_union,
+                     len(list_intersect(L, both_))::BIGINT AS n_common,
+                     CASE WHEN len(L) < 16 THEN len(L)::DOUBLE
+                          ELSE round(15.0 / (L[16]::DOUBLE
+                                             / 4503599627370496.0), 6)
+                     END AS est_union
+              FROM ops),
+            ex_u AS (
+              SELECT day, count(DISTINCT user_id)::BIGINT AS exact_union
+              FROM (SELECT * FROM v UNION SELECT * FROM c)
+              GROUP BY day),
+            ex_i AS (
+              SELECT day, count(*)::BIGINT AS exact_inter
+              FROM v JOIN c USING (day, user_id)
+              GROUP BY day)
+            SELECT e.day, e.k_union, e.n_common, e.est_union,
+                   round(e.n_common * e.est_union / e.k_union, 6)
+                     AS est_inter,
+                   round(e.n_common::DOUBLE / e.k_union, 6)
+                     AS jaccard_est,
+                   u.exact_union,
+                   coalesce(i.exact_inter, 0)::BIGINT AS exact_inter
+            FROM est e JOIN ex_u u USING (day)
+            LEFT JOIN ex_i i USING (day)""",
         "events_kmv_distinct": """
             WITH pairs AS (
               SELECT DISTINCT event_type,

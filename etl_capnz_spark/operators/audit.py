@@ -364,6 +364,63 @@ def kmv_merge(
     )
 
 
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches (Beyer et
+    al. 2007): from nothing but the two k-min-hash arrays, estimate the
+    distinct count of the union, the intersection, and the Jaccard
+    similarity — the piece that turns the per-partition distinct
+    sketch into full set algebra at rollup time (audience overlap,
+    cross-corpus contamination, retained-user ratios) with k×8 bytes
+    per side and NO second scan of the data.
+
+    The math: L = the k smallest hashes of sketch(A) ∪ sketch(B) is
+    exactly the KMV sketch of A ∪ B (mergeability), so
+    est_union = (k−1)/m_k as usual; within L, the fraction ρ of hashes
+    present in BOTH sketches is an unbiased Jaccard estimate, and
+    est_inter = ρ · est_union. When |L| < k both sketches were
+    exhaustive and everything is EXACT (n < k regime, same contract as
+    :func:`kmv_sketch`). Deterministic md5 makes every output value
+    oracle-exact even though the estimators approximate.
+
+    ``a`` and ``b`` carry kmv_sketch output keyed by ``group_cols``;
+    the join is an equi-join on those keys (sketch rows, never data
+    rows — at 100 TB this is a join of two tiny rollup tables).
+    Output: group_cols + (k_union, n_common, est_union, est_inter,
+    jaccard_est).
+    """
+    ua = a.select(
+        *group_cols,
+        F.col("sketch").alias("_ska"),
+    )
+    ub = b.select(
+        *group_cols,
+        F.col("sketch").alias("_skb"),
+    )
+    j = ua.join(ub, group_cols)
+    L = F.slice(F.array_sort(F.array_union("_ska", "_skb")), 1, k)
+    kl = F.size(L)
+    common = F.size(
+        F.array_intersect(L, F.array_intersect("_ska", "_skb"))
+    )
+    kth = F.element_at(L, k).cast("double") / F.lit(_KMV_SPACE)
+    est_u = F.when(kl < k, kl.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / kth, 6)
+    )
+    return j.select(
+        *group_cols,
+        kl.alias("k_union"),
+        common.alias("n_common"),
+        est_u.alias("est_union"),
+        F.round(common * est_u / kl, 6).alias("est_inter"),
+        F.round(common.cast("double") / kl, 6).alias("jaccard_est"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,

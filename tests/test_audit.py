@@ -342,3 +342,47 @@ def test_histogram_equidepth_partition_invariant(spark, sf_dir):
     )
     assert a == b
     assert sum(r[1] for r in a) == ev.count()
+
+
+def test_kmv_set_ops_exact_regime_and_union_consistency(spark):
+    """Two pins for theta-style KMV set algebra: (1) exhaustive regime
+    (k > both set sizes) the union / intersection / Jaccard outputs are
+    EXACT, not estimates; (2) at truncating k, est_union from the two
+    sketches equals est_distinct of a sketch built over the raw unioned
+    data (set algebra composes with mergeability), and the Jaccard
+    estimate lands within the ~2/sqrt(k) band of truth."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import kmv_set_ops, kmv_sketch
+
+    a_vals = list(range(0, 600))           # |A|=600
+    b_vals = list(range(400, 1000))        # |B|=600, |A∩B|=200, |A∪B|=1000
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "side string, v long").withColumn(
+        "g", F.lit(1)
+    )
+    av = df.filter("side = 'a'")
+    bv = df.filter("side = 'b'")
+
+    # (1) exhaustive: k = 2048 > 1000
+    big = 2048
+    r = kmv_set_ops(
+        kmv_sketch(av, ["g"], "v", k=big),
+        kmv_sketch(bv, ["g"], "v", k=big),
+        ["g"], k=big,
+    ).collect()[0]
+    assert r["k_union"] == 1000 and r["n_common"] == 200
+    assert r["est_union"] == 1000.0 and r["est_inter"] == 200.0
+    assert abs(r["jaccard_est"] - 0.2) < 1e-9
+
+    # (2) truncating: k = 64
+    k = 64
+    r = kmv_set_ops(
+        kmv_sketch(av, ["g"], "v", k=k),
+        kmv_sketch(bv, ["g"], "v", k=k),
+        ["g"], k=k,
+    ).collect()[0]
+    union_sketch = kmv_sketch(df, ["g"], "v", k=k).collect()[0]
+    assert r["est_union"] == union_sketch["est_distinct"]
+    assert abs(r["jaccard_est"] - 0.2) < 2.0 / (k ** 0.5)
+    assert abs(r["est_inter"] - 200.0) / 200.0 < 0.5
