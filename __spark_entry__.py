@@ -2351,6 +2351,36 @@ def _q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_with_avg(merge_rollups(old, new, keys), keys)
 
 
+def _q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/rollup.py
+    delta_join_view): the enriched orders⋈customer view is maintained
+    under appends on BOTH sides via the delta rule
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — history never joins history, the
+    delta sides broadcast (plan-pinned in tests), so maintenance cost
+    is O(batch), not O(view). The oracle is the full recompute: the
+    MATCH row proves old-view ∪ delta == join of the full tables
+    exactly, including the provenance-disjointness of the three delta
+    terms (any overlap would double rows and break the hash)."""
+    from etl_capnz_spark.operators.rollup import delta_join_view
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    wall = F.lit("1997-01-01").cast("timestamp")
+    a_old = orders.filter(F.col("o_orderdate") < wall)
+    d_a = orders.filter(F.col("o_orderdate") >= wall)
+    b_old = cust.filter(F.col("o_custkey") % 10 != 0)
+    d_b = cust.filter(F.col("o_custkey") % 10 == 0)
+    cols = ["o_orderkey", "o_custkey", "c_name", "o_totalprice",
+            "o_orderdate"]
+    view_old = a_old.join(b_old, ["o_custkey"]).select(*cols)
+    delta = delta_join_view(
+        a_old, d_a, b_old, d_b, ["o_custkey"]
+    ).select(*cols)
+    return view_old.unionByName(delta)
+
+
 def _q_ts_similarity_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity, exact tier (operators/timeseries.py):
     per-user daily activity resampled to 8 equal buckets of the user's
@@ -5402,6 +5432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_similarity_l2": _q_ts_similarity_l2,
         "ts_similarity_dtw": _q_ts_similarity_dtw,
         "incremental_rollup": _q_incremental_rollup,
+        "incremental_join_view": _q_incremental_join_view,
         "events_user_trend": _q_events_user_trend,
         "orders_histogram": _q_orders_histogram,
         "events_session_dynamic": _q_events_session_dynamic,
@@ -8792,6 +8823,10 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) / 100.0, 6) AS avg_value
             FROM events
             GROUP BY ts::DATE, event_type""",
+        "incremental_join_view": """
+            SELECT o_orderkey, o_custkey, c_name, o_totalprice,
+                   o_orderdate
+            FROM orders JOIN customer ON o_custkey = c_custkey""",
         "ts_similarity_l2": """
             WITH daily AS (
               SELECT user_id, ts::DATE AS day, sum(value) AS day_v

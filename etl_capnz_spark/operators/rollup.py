@@ -62,3 +62,38 @@ def rollup_with_avg(rollup: DataFrame, keys: list[str]) -> DataFrame:
         *ROLLUP_COLS,
         F.round(F.col("sum_cents") / F.col("n") / 100.0, 6).alias("avg_value"),
     )
+
+
+def delta_join_view(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view (insert-only): the delta
+    rule Δ(A ⋈ B) = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB) — the join twin
+    of the aggregate maintenance above, and the piece a materialized
+    enriched-fact view needs when both the fact AND the dimension
+    receive appends. Returns the DELTA rows; the caller unions them
+    onto the stored view (``merge == full recompute`` is the oracle,
+    the incremental_rollup contract).
+
+    Scale shape: history (A, B) is never joined against history —
+    every term is delta-driven, so total cost is O(Δ · matched rows),
+    independent of view size. With ``broadcast_deltas`` the two
+    delta-sided joins broadcast the (small by nature) delta batch and
+    the big sides never shuffle at all; at 100 TB with a bucketed
+    history table even the probe is co-located. Correctness needs the
+    three terms to be DISJOINT in provenance, which insert-only
+    guarantees: an (a, b) result pair lands in exactly one term
+    depending on which side(s) of the wall each row arrived.
+    """
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    return (
+        a_old.join(db, on)
+        .unionByName(da.join(b_old, on))
+        .unionByName(da.join(db, on))
+    )
