@@ -2831,6 +2831,37 @@ def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (operators/
+    similarity.py rrf_fuse): for three 'related documents' queries
+    (docs 0–2 — their own 40-char prefix as the lexical query, their
+    own embedding as the dense query, doc_id == vec_id by testdata
+    design), fuse the BM25 top-20 and the brute-cosine top-20 with
+    1/(60+rank) credits. Ranks, not scores, cross the fusion boundary
+    (BM25 and cosine are not commensurable), and with two lists the
+    fused double is ONE commutative add — bit-exact cross-engine, no
+    rounding. The oracle replays both retrievers AND the fusion."""
+    from etl_capnz_spark.operators.similarity import (
+        cosine_topk_brute,
+        rrf_fuse,
+    )
+    from etl_capnz_spark.operators.text import bm25_search
+
+    docs = _docs(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    lex = bm25_search(docs, "text", "doc_id", qd, top_k=20).select(
+        "query_id", F.col("doc_id").alias("id"), "rank"
+    )
+    den = cosine_topk_brute(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=20
+    ).select("query_id", F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse([lex, den], top_k=10)
+
+
 def _q_tar_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard pack → unpack round-trip
     (sinks/tarshard.py): documents hash-route to 8 deterministic tar
@@ -5526,6 +5557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "hybrid_rrf": _q_hybrid_rrf,
         "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
         "events_concurrency": _q_events_concurrency,
@@ -6586,6 +6618,92 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_users
             FROM active JOIN first USING (user_id)
             GROUP BY cohort_week, week_offset""",
+        "hybrid_rrf": """
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, count(*) AS dl
+                   FROM toks GROUP BY doc_id),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+                      FROM toks GROUP BY token),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM dl) AS avgdl),
+            q AS (
+              SELECT doc_id AS query_id, substr(text, 1, 40) AS query
+              FROM documents WHERE doc_id < 3),
+            qtoks AS (
+              SELECT DISTINCT query_id, unnest(list_filter(
+                string_split_regex(lower(trim(query)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM q),
+            lex_scored AS (
+              SELECT qt.query_id, tf.doc_id,
+                     round(sum(
+                       ln(1.0 + (s.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                / s.avgdl))
+                     ), 6) AS score
+              FROM qtoks qt
+              JOIN tf USING (token)
+              JOIN dfreq USING (token)
+              JOIN dl ON dl.doc_id = tf.doc_id, stats s
+              GROUP BY qt.query_id, tf.doc_id),
+            lex_top AS (
+              SELECT query_id, doc_id AS id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rank
+                FROM lex_scored)
+              WHERE rank <= 20),
+            qv AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 3),
+            cv AS (SELECT vec_id AS neighbor_id,
+                          embedding::DOUBLE[] AS v
+                   FROM embeddings),
+            den_scored AS (
+              SELECT query_id, neighbor_id,
+                     round(list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(generate_series(1, len(q.v)),
+                           i -> (q.v)[i] * (c.v)[i])), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(q.v, x -> x * x)),
+                           (x, y) -> x + y))
+                        * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(c.v, x -> x * x)),
+                           (x, y) -> x + y))),
+                       6) AS sim
+              FROM cv c, qv q WHERE neighbor_id <> query_id),
+            den_top AS (
+              SELECT query_id, neighbor_id AS id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY sim DESC, neighbor_id) AS rank
+                FROM den_scored)
+              WHERE rank <= 20),
+            un AS (
+              SELECT * FROM lex_top
+              UNION ALL SELECT * FROM den_top),
+            fused AS (
+              SELECT query_id, id,
+                     sum(1.0 / (60.0 + rank)) AS rrf,
+                     count(*)::BIGINT AS n_lists
+              FROM un GROUP BY query_id, id)
+            SELECT query_id, id, rrf, n_lists, fused_rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf DESC, id) AS fused_rank
+              FROM fused)
+            WHERE fused_rank <= 10""",
         "text_bm25": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(

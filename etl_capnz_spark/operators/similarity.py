@@ -1096,3 +1096,48 @@ def ivf_probe_index(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher SIGIR'09) —
+    the standard hybrid-retrieval combiner: each input list contributes
+    1/(k0 + rank) per result and the fused score is the sum, so a
+    document near the top of ANY list surfaces without score
+    calibration between retrievers (BM25 scores and cosine sims are
+    not commensurable; ranks are). k0=60 is the canonical damping.
+
+    Inputs are ranked lists (query_col, id_col, rank_col 1-based).
+    Shape: one union + one (query, id) aggregate + one per-query
+    top-k window — ranks only ever shuffle, never documents or
+    scores. With TWO lists the fused score is a single commutative
+    add of identical doubles in both engines (bit-exact, no rounding
+    needed); with more lists cross-engine float association is not
+    guaranteed — round before comparing in that regime.
+
+    Output: (query_col, id_col, rrf, n_lists, fused_rank ≤ top_k).
+    """
+    u = None
+    for df_ in lists:
+        part = df_.select(
+            F.col(query_col), F.col(id_col), F.col(rank_col)
+        )
+        u = part if u is None else u.unionByName(part)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))
+        ).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf"), F.col(id_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= top_k
+    )

@@ -292,3 +292,25 @@ def test_semantic_dedup_prunes_planted_copies(spark):
     assert len(kept_ids) == n_orig
     assert n_dups > 0
     assert all(r["vec_id"] in kept_ids for r in emb.select("vec_id").collect())
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF arithmetic pinned by hand: doc 10 at rank 1 in BOTH lists
+    scores 2/61; doc 20 at rank 2+3 scores 1/62+1/63; doc 30 only in
+    one list at rank 3 scores 1/63 — final order 10, 20, 30; a doc
+    absent everywhere is absent; n_lists counts contributions."""
+    from etl_capnz_spark.operators.similarity import rrf_fuse
+
+    la = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id int, id int, rank int",
+    )
+    lb = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 3)], "query_id int, id int, rank int"
+    )
+    rows = {r["id"]: r for r in rrf_fuse([la, lb], top_k=10).collect()}
+    assert rows[10]["rrf"] == 1 / 61.0 + 1 / 61.0
+    assert rows[20]["rrf"] == 1 / 62.0 + 1 / 63.0
+    assert rows[30]["rrf"] == 1 / 63.0
+    assert [rows[i]["fused_rank"] for i in (10, 20, 30)] == [1, 2, 3]
+    assert rows[10]["n_lists"] == 2 and rows[30]["n_lists"] == 1
