@@ -2731,6 +2731,42 @@ def _q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "ewma")
 
 
+def _q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (operators/timeseries.py
+    kaplan_meier): per user, days from first event to first purchase
+    (observed) or to last activity (right-censored) — durations via
+    EXACT integer µs floor-division (a double quotient truncates on
+    the wrong side of near-integer boundaries; `div` never does).
+    d and n_risk are integers off one aggregate; the survival product
+    is the identical time-ordered left fold in both engines
+    (collect_list+aggregate vs list(ORDER BY)+list_reduce), so raw
+    doubles match bit-for-bit. The time axis is calendar-bounded, so
+    the one-partition cumulative window is over dozens of rows."""
+    from etl_capnz_spark.operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    d = (
+        base.join(purch, "user_id", "left")
+        .withColumn("_end", F.coalesce("tp", "t1"))
+        .select(
+            "user_id",
+            F.expr(
+                "(unix_micros(_end) - unix_micros(t0)) div 86400000000"
+            ).alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    return kaplan_meier(d, "dur", "observed")
+
+
 def _q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Holt's linear trend (operators/timeseries.py
     holt_per_group, α=β=0.5) — the level+trend double-smoothing
@@ -5570,6 +5606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_skyline": _q_parts_skyline,
         "events_ewma": _q_events_ewma,
         "events_holt": _q_events_holt,
+        "events_survival": _q_events_survival,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "fuzzy_jw": _q_fuzzy_jw,
         "events_funnel_steps": _q_events_funnel_steps,
@@ -6538,6 +6575,51 @@ def oracle_sql() -> dict[str, str]:
                 ON s.user_id = r.user_id AND s.rn = r.rn + 1)
             SELECT user_id, event_id, value, y AS ewma
             FROM rec""",
+        "events_survival": """
+            WITH base AS (
+              SELECT user_id, min(ts) AS t0, max(ts) AS t1
+              FROM events GROUP BY user_id),
+            purch AS (
+              SELECT user_id, min(ts) AS tp
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            durs AS (
+              SELECT b.user_id,
+                     (epoch_us(coalesce(p.tp, b.t1)) - epoch_us(b.t0))
+                       // 86400000000 AS dur,
+                     CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END
+                       AS observed
+              FROM base b LEFT JOIN purch p ON b.user_id = p.user_id),
+            per_t AS (
+              SELECT dur AS t,
+                     sum(observed)::BIGINT AS n_events,
+                     count(*)::BIGINT AS n_at_t
+              FROM durs GROUP BY dur),
+            risk AS (
+              SELECT t, n_events, n_at_t,
+                     sum(n_at_t) OVER () - coalesce(sum(n_at_t) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS n_risk,
+                     1.0 - n_events / (sum(n_at_t) OVER ()
+                       - coalesce(sum(n_at_t) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)) AS ratio
+              FROM per_t),
+            surv AS (
+              SELECT t, n_events, n_at_t, n_risk,
+                     list_reduce(
+                       list_prepend(1.0::DOUBLE,
+                         list(ratio) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)),
+                       (x, y) -> x * y) AS survival
+              FROM risk)
+            SELECT t, n_risk::BIGINT AS n_risk, n_events,
+                   (n_at_t - n_events)::BIGINT AS n_censored, survival
+            FROM surv WHERE n_events > 0""",
         "events_holt": """
             WITH RECURSIVE seq AS (
               SELECT user_id, event_id, value,

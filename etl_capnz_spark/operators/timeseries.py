@@ -605,3 +605,74 @@ def rolling_median(
     return df.select(
         group_col, id_col, ts_col, F.col(value_col).cast("double")
     ).withColumn("med", med)
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator over right-censored durations —
+    the time-to-event curve (retention, churn, time-to-conversion)
+    computed distributively: S(t) = Π_{u ≤ t} (1 − d_u / n_u) with
+    d_u events at time u and n_u subjects still at risk.
+
+    Exactness discipline: d and n are integers from one aggregate;
+    the only float steps are the per-time ratio (one division) and the
+    cumulative product, which BOTH engines evaluate as the identical
+    left fold over the time-ordered ratio list (collect_list over a
+    ROWS UNBOUNDED PRECEDING frame + F.aggregate here; list(... ORDER
+    BY) + list_reduce in the oracle) — same association, bit-exact,
+    raw doubles out (the EWMA lesson: no rounding).
+
+    Shape: one groupBy(duration) aggregate collapses the cohort to at
+    most |distinct durations| rows; the cumulative windows then run on
+    that TIME-AXIS table, which is calendar-bounded (days in the
+    observation window), not cohort-sized — the one-partition window
+    is over dozens of rows by construction. (For an unbounded time
+    axis, swap in the two-phase sharded prefix scan used by
+    histogram_equidepth.) Censored-only times carry ratio 1 and drop
+    from the output after accumulation, so they shape n_risk without
+    adding steps — the textbook curve.
+
+    Output: (t, n_risk, n_events, n_censored, survival), event times
+    only, ascending.
+    """
+    from pyspark.sql.window import Window
+
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("n_events"),
+        F.count(F.lit(1)).alias("n_at_t"),
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_risk = per_t.withColumn(
+        "n_risk",
+        F.sum("n_at_t").over(w_all)
+        - F.coalesce(F.sum("n_at_t").over(w_prev), F.lit(0)),
+    ).withColumn(
+        "_ratio",
+        F.lit(1.0) - F.col("n_events") / F.col("n_risk"),
+    )
+    surv = with_risk.withColumn(
+        "survival",
+        F.aggregate(
+            F.collect_list("_ratio").over(w_cum),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return surv.filter(F.col("n_events") > 0).select(
+        "t",
+        "n_risk",
+        "n_events",
+        (F.col("n_at_t") - F.col("n_events")).alias("n_censored"),
+        "survival",
+    )

@@ -355,3 +355,45 @@ def test_rolling_median_matches_pure_python_and_partition_invariant(spark):
             ).collect()
         }
         assert got == expect
+
+
+def test_kaplan_meier_hand_case_and_partition_invariance(spark):
+    """Textbook check: durations (1,e) (2,e) (2,c) (3,e) (4,c) give
+    S = 0.8, 0.6, 0.3 at t = 1, 2, 3 — the censored subject at t=2
+    counts in n_risk at 2 but adds no step; t=4 (censored only) emits
+    nothing. Exact fractions chosen so the float fold is exact and the
+    equality can be ==, not approx. Partition-invariant."""
+    from etl_capnz_spark.operators.timeseries import kaplan_meier
+
+    rows = [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "dur long, observed int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "observed").collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert (got[1]["n_risk"], got[1]["n_events"], got[1]["n_censored"]) == (5, 1, 0)
+    assert (got[2]["n_risk"], got[2]["n_events"], got[2]["n_censored"]) == (4, 1, 1)
+    assert (got[3]["n_risk"], got[3]["n_events"], got[3]["n_censored"]) == (2, 1, 0)
+    assert got[1]["survival"] == 0.8
+    assert got[2]["survival"] == 0.8 * (1 - 1 / 4)
+    assert got[3]["survival"] == 0.8 * (1 - 1 / 4) * (1 - 1 / 2)
+    re = {r["t"]: r["survival"]
+          for r in kaplan_meier(
+              df.repartition(7), "dur", "observed"
+          ).collect()}
+    assert re == {t: got[t]["survival"] for t in got}
+
+
+def test_kaplan_meier_all_observed_matches_empirical_survivor(spark):
+    """With NO censoring KM must reduce to the empirical survivor
+    function S(t) = (# durations > t) / n — a closed-form identity a
+    wrong at-risk accounting cannot satisfy."""
+    from etl_capnz_spark.operators.timeseries import kaplan_meier
+
+    durs = [1, 1, 2, 3, 3, 3, 5, 8, 8, 9]
+    df = spark.createDataFrame(
+        [(d, 1) for d in durs], "dur long, observed int"
+    )
+    got = {r["t"]: r["survival"]
+           for r in kaplan_meier(df, "dur", "observed").collect()}
+    n = len(durs)
+    for t, s in got.items():
+        assert abs(s - sum(1 for d in durs if d > t) / n) < 1e-12, t
