@@ -2801,6 +2801,40 @@ def _q_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit1_pairs(docs, "doc_id", "title")
 
 
+def _q_entity_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (blocking → match → cluster →
+    survivorship): Jaro-Winkler pairs at θ=0.9 over 12-char titles
+    (operators/linkage.py jw_pairs) feed min-label connected
+    components (operators/dedup.py), unmatched docs stay singletons,
+    and golden_records collapses each cluster to one canonical record
+    by per-attribute majority vote (count desc, value asc, NULLS LAST
+    pinned — Spark and the oracle default NULL order differently).
+    The oracle replays the whole chain: identical blocking + built-in
+    JW + recursive-CTE components + QUALIFY survivorship."""
+    from etl_capnz_spark.operators.dedup import connected_components
+    from etl_capnz_spark.operators.linkage import golden_records, jw_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("title"),
+        "source",
+    )
+    pairs = jw_pairs(docs, "doc_id", "title", threshold=0.9)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b"
+    )
+    lab = (
+        docs.join(comps, docs["doc_id"] == comps["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            "title",
+            "source",
+        )
+    )
+    return golden_records(lab, "cluster", ["title", "source"])
+
+
 def _q_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro-Winkler record linkage (operators/linkage.py jw_pairs):
     2-char Winkler-prefix blocking + a PROVABLE length-ratio band
@@ -5609,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": _q_events_survival,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "fuzzy_jw": _q_fuzzy_jw,
+        "entity_golden": _q_entity_golden,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
         "sql_not_in_nullaware": _q_sql_not_in_nullaware,
@@ -6650,6 +6685,62 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.title, b.title)::INT AS dist
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.title, b.title) <= 1""",
+        "entity_golden": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id AS id, substr(text, 1, 12) AS s,
+                     substr(text, 1, 2) AS blk,
+                     length(substr(text, 1, 12)) AS len,
+                     source
+              FROM documents
+              WHERE text IS NOT NULL
+                AND length(substr(text, 1, 12)) >= 2),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM t a JOIN t b
+                ON a.blk = b.blk AND a.id < b.id
+               AND least(a.len, b.len)
+                   >= greatest(a.len, b.len) * 0.5
+              WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+            comp AS (
+              SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            alldocs AS (
+              SELECT doc_id, substr(text, 1, 12) AS title, source
+              FROM documents),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS cluster,
+                     d.title, d.source
+              FROM alldocs d LEFT JOIN comp c ON d.doc_id = c.id),
+            base AS (
+              SELECT cluster, count(*)::BIGINT AS n_members
+              FROM lab GROUP BY cluster),
+            tvotes AS (
+              SELECT cluster, title, count(*) AS c
+              FROM lab GROUP BY cluster, title),
+            tcanon AS (
+              SELECT cluster, title FROM tvotes
+              QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY c DESC, title ASC NULLS LAST) = 1),
+            svotes AS (
+              SELECT cluster, source, count(*) AS c
+              FROM lab GROUP BY cluster, source),
+            scanon AS (
+              SELECT cluster, source FROM svotes
+              QUALIFY row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY c DESC, source ASC NULLS LAST) = 1)
+            SELECT b.cluster, b.n_members, tc.title, sc.source
+            FROM base b
+            JOIN tcanon tc USING (cluster)
+            JOIN scanon sc USING (cluster)""",
         "fuzzy_jw": """
             WITH t AS (
               SELECT doc_id AS id, substr(text, 1, 12) AS s,

@@ -154,3 +154,45 @@ def jw_pairs(
     return cand.withColumn("sim", _jw("str_a", "str_b")).filter(
         F.col("sim") >= F.lit(float(threshold))
     )
+
+
+def golden_records(
+    labeled: DataFrame,
+    cluster_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Survivorship — the entity-resolution endgame: collapse each
+    cluster of linked records into ONE canonical ("golden") record by
+    majority vote per attribute, ties broken by smallest value (NULLS
+    LAST explicitly: Spark orders NULLs first ascending, the oracle
+    engine last — left implicit this diverges exactly when a cluster's
+    modal count ties between NULL and a real value).
+
+    Shape: one count aggregate + one top-1 window per attribute, all
+    partitioned by the cluster key — exchanges carry (cluster, value,
+    count) triples; no record payloads cross after the first
+    projection. Attribute votes are independent, so the golden record
+    may mix sources (that is the point of survivorship — field-level,
+    not record-level, truth selection).
+
+    Output: (cluster_col, n_members, *attr_cols).
+    """
+    from pyspark.sql.window import Window
+
+    out = labeled.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    for a in attr_cols:
+        votes = labeled.groupBy(cluster_col, a).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy(cluster_col).orderBy(
+            F.desc("_c"), F.col(a).asc_nulls_last()
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(cluster_col, a)
+        )
+        out = out.join(top, cluster_col)
+    return out

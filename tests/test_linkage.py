@@ -96,3 +96,29 @@ def test_jw_pairs_planted_and_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_golden_records_survivorship_hand_case(spark):
+    """Field-level majority vote with deterministic ties: cluster 1 has
+    names [ann, ann, anne] -> ann; sources [a, b, b] -> b; cluster 2
+    ties 1-1 between NULL and 'x' -> 'x' must win (NULLS LAST pinned —
+    Spark's default asc ordering would pick NULL first). The golden
+    record may mix fields from different members (name from one row,
+    source from another)."""
+    from etl_capnz_spark.operators.linkage import golden_records
+
+    rows = [
+        (1, 1, "ann", "a"),
+        (2, 1, "ann", "b"),
+        (3, 1, "anne", "b"),
+        (4, 2, None, "z"),
+        (5, 2, "x", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, cluster long, name string, source string"
+    )
+    got = {r["cluster"]: r
+           for r in golden_records(df, "cluster", ["name", "source"]).collect()}
+    assert got[1]["n_members"] == 3
+    assert got[1]["name"] == "ann" and got[1]["source"] == "b"
+    assert got[2]["name"] == "x" and got[2]["source"] == "z"
