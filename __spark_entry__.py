@@ -4078,6 +4078,43 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/audit.py benford_digits)
+    over order totals: the digit comes from EXACT integer cents (never
+    log10-of-double or float rendering — both flip boundary values
+    per-engine); expected counts and χ² contributions go through
+    identical log10 expression trees whose 1-ulp libm differences
+    vanish at 6dp. One aggregate, 9 rows; the total rides a window
+    over those 9 rows, not a second scan."""
+    from etl_capnz_spark.operators.audit import benford_digits
+
+    return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (operators/audit.py
+    gini_coefficient): per-customer totals in EXACT integer cents
+    (cent-rounded per order, THEN summed — rounding a float total
+    would re-introduce the order-dependent sum), ranked by the
+    two-phase sharded scan (no one-partition window over a table that
+    grows with the data), so Σ(i·x_i), Σx, n are exact BIGINTs and the
+    single closed-form float expression matches bit-for-bit."""
+    from etl_capnz_spark.operators.audit import gini_coefficient
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("spend_cents")
+        )
+    )
+    return gini_coefficient(
+        spend, "spend_cents", "o_custkey", cents=True
+    )
+
+
 def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto): customers cut into spend deciles
     (ntile over the per-customer aggregate — #customers rows, range-
@@ -5594,6 +5631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
+        "orders_benford": _q_orders_benford,
+        "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
         "graph_triangles": _q_graph_triangles,
@@ -7945,6 +7984,46 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "orders_benford": """
+            WITH per AS (
+              SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR,
+                            1, 1)::INT AS digit,
+                     count(*)::BIGINT AS n_obs
+              FROM orders
+              WHERE round(o_totalprice * 100)::BIGINT > 0
+              GROUP BY 1),
+            tot AS (
+              SELECT digit, n_obs, sum(n_obs) OVER ()::BIGINT AS n
+              FROM per),
+            ex AS (
+              SELECT digit, n_obs,
+                     n * log10(1.0 + 1.0 / digit) AS exp
+              FROM tot)
+            SELECT digit, n_obs,
+                   round(exp, 6) AS expected,
+                   round((n_obs - exp) * (n_obs - exp) / exp, 6)
+                     AS chi2_contrib
+            FROM ex""",
+        "orders_gini": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS x
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT x,
+                     row_number() OVER (
+                       ORDER BY x, o_custkey)::BIGINT AS i
+              FROM spend),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_units,
+                     sum(x)::BIGINT AS total_cents,
+                     sum(i * x)::BIGINT AS a
+              FROM ranked)
+            SELECT n_units, total_cents,
+                   2.0 * a / (n_units * total_cents)
+                   - (n_units + 1.0) / n_units AS gini
+            FROM agg""",
         "revenue_pareto": """
             WITH spend AS (
               SELECT o_custkey, round(sum(o_totalprice), 2) AS spend

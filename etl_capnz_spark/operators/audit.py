@@ -671,3 +671,128 @@ def histogram_equidepth(
             F.max("_x").alias("hi"),
         )
     )
+
+
+def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-significant-digit test — the classic fraud /
+    data-fabrication screen: natural multi-scale magnitudes follow
+    P(d) = log10(1 + 1/d); fabricated or truncated data doesn't.
+
+    The digit is extracted from EXACT integer cents (round(x·100) →
+    substr of the integer's string form) — never from log10-of-double
+    or from float rendering, both of which flip boundary values
+    per-engine. Expected counts and the χ² contribution keep libm in
+    play (log10), but only through identical expression trees whose
+    1-ulp differences vanish at the 6dp rounding.
+
+    One aggregate (9 output rows); the observed-total rides a window
+    over those 9 rows, not a second scan. Output: (digit, n_obs,
+    expected, chi2_contrib), digits 1-9, zero/negative values skipped.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        df.filter(cents > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.sum("n_obs").over(w)
+    exp = n * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return per.select(
+        "digit",
+        "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6)
+        .alias("chi2_contrib"),
+    ).orderBy("digit")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_shards: int = 32,
+    cents: bool = False,
+) -> DataFrame:
+    """Gini concentration coefficient over exact integer cents:
+    G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n with x ascending (the Lorenz
+    closed form) — the single-number complement of revenue_pareto's
+    decile table.
+
+    Exactness: x is integer cents, the rank i comes from the two-phase
+    sharded scan (training_order_sharded's shape — no one-partition
+    global window over the unit table, which unlike a calendar axis
+    grows with the data), so Σ(i·x_i), Σx and n are all EXACT BIGINTs;
+    the only float step is the final closed form, one identical
+    expression in both engines — bit-exact, raw double out.
+
+    ``cents=True`` declares value_col ALREADY an exact integer (e.g. a
+    per-unit sum of cents computed upstream — rounding a float total
+    would re-introduce the order-dependent sum this design avoids).
+
+    Output: 1 row (n_units, total_cents, gini).
+    """
+    from pyspark.sql.window import Window
+
+    x = (
+        F.col(value_col).cast("bigint")
+        if cents
+        else F.round(F.col(value_col) * 100).cast("bigint")
+    )
+    staged = (
+        df.select(F.col(id_col).alias("_id"), x.alias("_x"))
+        .repartitionByRange(n_shards, F.col("_x"), F.col("_id"))
+        .sortWithinPartitions("_x", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()  # pin ONE sampled range partitioning
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.lit(0)
+    for pid, off in sorted(offsets.items()):
+        offset_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+            offset_col
+        )
+    w = Window.partitionBy("_pid").orderBy(
+        F.col("_x").asc(), F.col("_id").asc()
+    )
+    ranked = staged.select(
+        "_x",
+        (F.row_number().over(w) + offset_col).cast("bigint").alias("_i"),
+    )
+    # Σ(i·x_i) accumulates in DECIMAL(38,0): with ranks ~n and n terms
+    # the sum grows like n²·x̄ and leaves int64 near n≈1e8 — the oracle
+    # engine's sum(BIGINT) is 128-bit by default, so the decimal side
+    # keeps Spark exact at the same scales instead of ANSI-throwing.
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_x").alias("total_cents"),
+        F.sum(
+            F.col("_i").cast("decimal(19,0)")
+            * F.col("_x").cast("decimal(19,0)")
+        ).alias("_a"),
+    )
+    # n·S as DOUBLEs: the int64 product overflows (ANSI throw) around
+    # n≈1e9 units of ~1e15 total cents — exactly the 100 TB regime.
+    # One double product rounds once, identically in both engines.
+    g = (
+        F.lit(2.0) * F.col("_a")
+        / (
+            F.col("n_units").cast("double")
+            * F.col("total_cents").cast("double")
+        )
+        - (F.col("n_units") + F.lit(1.0)) / F.col("n_units")
+    )
+    return agg.select("n_units", "total_cents", g.alias("gini"))

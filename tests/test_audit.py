@@ -386,3 +386,50 @@ def test_kmv_set_ops_exact_regime_and_union_consistency(spark):
     assert r["est_union"] == union_sketch["est_distinct"]
     assert abs(r["jaccard_est"] - 0.2) < 2.0 / (k ** 0.5)
     assert abs(r["est_inter"] - 200.0) / 200.0 < 0.5
+
+
+def test_benford_hand_case(spark):
+    """Digit extraction from exact cents: values 1.23 (digit 1), 0.05
+    (digit 5), 23.00 (digit 2), 999.99 (digit 9), 0.0 and -5.0 skipped;
+    per-digit counts pinned and expected follows n·log10(1+1/d)."""
+    import math
+
+    from etl_capnz_spark.operators.audit import benford_digits
+
+    vals = [1.23, 0.05, 23.00, 999.99, 0.0, -5.0, 1.01, 150.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert {d: got[d]["n_obs"] for d in got} == {1: 3, 2: 1, 5: 1, 9: 1}
+    n = 6
+    for d, r in got.items():
+        assert abs(r["expected"] - n * math.log10(1 + 1 / d)) < 1e-6
+
+
+def test_gini_known_distributions(spark):
+    """Closed-form identities: equal shares give G = 0 exactly; one
+    unit owning everything gives G = (n−1)/n exactly; and the result is
+    invariant to input partitioning (the two-phase rank discipline)."""
+    from etl_capnz_spark.operators.audit import gini_coefficient
+
+    n = 40
+    eq = spark.createDataFrame(
+        [(i, 250) for i in range(n)], "id long, c long"
+    )
+    r = gini_coefficient(eq, "c", "id", cents=True).collect()[0]
+    assert r["gini"] == 0.0 and r["n_units"] == n
+
+    one = spark.createDataFrame(
+        [(i, 10000 if i == 7 else 0) for i in range(n)], "id long, c long"
+    )
+    r = gini_coefficient(one, "c", "id", cents=True).collect()[0]
+    # 2 − (n+1)/n and (n−1)/n round at different points: 1-ulp apart
+    assert abs(r["gini"] - (n - 1) / n) < 1e-12
+
+    skew = spark.createDataFrame(
+        [(i, (i * 37) % 991 + 1) for i in range(200)], "id long, c long"
+    )
+    a = gini_coefficient(skew, "c", "id", cents=True).collect()[0]
+    b = gini_coefficient(
+        skew.repartition(13), "c", "id", cents=True
+    ).collect()[0]
+    assert a == b and 0.0 < a["gini"] < 1.0
