@@ -4078,6 +4078,22 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin CV assignment (operators/sampling.py
+    rolling_origin_folds, k=3): every (fold, split, event) membership
+    row — walls are exact integer-microsecond arithmetic ((a − a mod b)
+    / b is an integer the double holds exactly), because a float
+    quotient at a wall flips boundary rows per-engine. Emitting the
+    full assignment (not counts) means the oracle catches membership
+    swaps that preserve counts."""
+    from etl_capnz_spark.operators.sampling import rolling_origin_folds
+
+    out = rolling_origin_folds(
+        _t(spark, sf_dir, "events"), "ts", k=3
+    )
+    return out.select("fold", "split", "event_id")
+
+
 def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen (operators/audit.py benford_digits)
     over order totals: the digit comes from EXACT integer cents (never
@@ -5632,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "orders_benford": _q_orders_benford,
+        "events_cv_folds": _q_events_cv_folds,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -7984,6 +8001,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "events_cv_folds": """
+            WITH mm AS (
+              SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+              FROM events),
+            e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+            f AS (SELECT unnest(generate_series(1, 3)) AS i),
+            walls AS (
+              SELECT i::INT AS fold,
+                     t0 + (((t1 - t0) * i - ((t1 - t0) * i) % 4)
+                           / 4)::BIGINT AS cutoff,
+                     t0 + (((t1 - t0) * i - ((t1 - t0) * i) % 4)
+                           / 4)::BIGINT
+                        + (((t1 - t0) - (t1 - t0) % 4)
+                           / 4)::BIGINT AS test_end
+              FROM f, mm)
+            SELECT fold,
+                   CASE WHEN us <= cutoff THEN 'train'
+                        ELSE 'test' END AS split,
+                   event_id
+            FROM e, walls
+            WHERE us <= test_end""",
         "orders_benford": """
             WITH per AS (
               SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR,

@@ -464,3 +464,66 @@ def quantile_normalize(
     return ranked.join(g, ranked["_idx"] == g["_rk"]).select(
         id_col, source_col, value_col, "norm_value"
     )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    k: int = 3,
+    horizon_slices: int = 1,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds — the
+    only CV scheme that respects time: fold i trains on everything up
+    to cutoff_i and tests on the window right after it, so no fold ever
+    sees the future (random K-fold on temporal data leaks by
+    construction; :func:`leakage_safe_split` guards duplicate leakage,
+    this guards TEMPORAL leakage — the two walls a forecasting/ranking
+    eval needs).
+
+    Cutoffs split the observed [min_ts, max_ts] span into k+1 equal
+    slices: cutoff_i = t0 + (span·i) div (k+1); test_i = (cutoff_i,
+    cutoff_i + (span·horizon_slices) div (k+1)]. Every wall is EXACT
+    integer-microsecond arithmetic — products, modulo, and a division
+    that is exact by construction ((a − a mod b)/b is an integer ≤ 2⁵³,
+    so the double holds it exactly) — because a float quotient at a
+    wall flips membership of boundary rows per-engine.
+
+    Shape: the span is a 1-row aggregate broadcast into a k-way
+    fan-out projection (each row lands in ≤ k folds, each at most once
+    per role) — one scan, no shuffle. Returns the assignment table
+    (input columns + fold + split); rows outside both windows of a
+    fold carry no row for that fold.
+    """
+    mm = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_t0"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("_t1"),
+    )
+
+    def exact_div(a: Column, b: int) -> Column:
+        return ((a - a % F.lit(b)) / F.lit(b)).cast("bigint")
+
+    folds = []
+    us = F.unix_micros(F.col(ts_col))
+    span = F.col("_t1") - F.col("_t0")
+    for i in range(1, k + 1):
+        cutoff = F.col("_t0") + exact_div(span * F.lit(i), k + 1)
+        test_end = cutoff + exact_div(
+            span * F.lit(horizon_slices), k + 1
+        )
+        folds.append(
+            F.when(us <= cutoff, F.struct(F.lit(i).alias("fold"),
+                                          F.lit("train").alias("split")))
+            .when(us <= test_end, F.struct(F.lit(i).alias("fold"),
+                                           F.lit("test").alias("split")))
+        )
+    return (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            "*",
+            F.explode(
+                F.filter(F.array(*folds), lambda s: s.isNotNull())
+            ).alias("_f"),
+        )
+        .select("*", "_f.fold", "_f.split")
+        .drop("_f", "_t0", "_t1")
+    )

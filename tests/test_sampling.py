@@ -411,3 +411,33 @@ def test_quantile_normalize_matches_pure_python_and_partition_invariant(spark):
         }
         assert got == expect
     assert expect[90] == glob[0][0]  # lonely source pinned to pr=0
+
+
+def test_rolling_origin_folds_no_future_leak_and_expanding(spark):
+    """Temporal-wall invariants on a crafted 40-day series: (1) every
+    test row of fold i is strictly AFTER every train row of the same
+    fold (no future leak); (2) train windows strictly expand with i;
+    (3) a row never appears twice in one fold; (4) fold walls are
+    partition-invariant."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.sampling import rolling_origin_folds
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(days=i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = rolling_origin_folds(df, "ts", k=3).collect()
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r["fold"], {"train": set(), "test": set()})
+        by_fold[r["fold"]][r["split"]].add(r["event_id"])
+    assert sorted(by_fold) == [1, 2, 3]
+    for i, parts in by_fold.items():
+        assert parts["train"] and parts["test"]
+        assert max(parts["train"]) < min(parts["test"]), i
+        assert not parts["train"] & parts["test"]
+    assert by_fold[1]["train"] < by_fold[2]["train"] < by_fold[3]["train"]
+    again = rolling_origin_folds(df.repartition(7), "ts", k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
