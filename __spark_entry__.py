@@ -4078,6 +4078,18 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/
+    sampling.py negative_samples, k=4): md5 is the RNG, positions come
+    from the two-phase sharded rank, draws equi-join back on the slot
+    — reproducible across engines, reruns and partitionings, which is
+    what lets the oracle replay every draw exactly (hash arithmetic +
+    row_number positions + the same dedupe/top-k rules)."""
+    from etl_capnz_spark.operators.sampling import negative_samples
+
+    return negative_samples(_docs(spark, sf_dir), "doc_id", k=4)
+
+
 def _q_events_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin CV assignment (operators/sampling.py
     rolling_origin_folds, k=3): every (fold, split, event) membership
@@ -5649,6 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_pareto": _q_revenue_pareto,
         "orders_benford": _q_orders_benford,
         "events_cv_folds": _q_events_cv_folds,
+        "doc_negatives": _q_doc_negatives,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8001,6 +8014,30 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "doc_negatives": """
+            WITH pos AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY md5('neg0' || doc_id::VARCHAR), doc_id
+                     ) - 1 AS position
+              FROM documents),
+            nn AS (SELECT max(position) + 1 AS n FROM pos),
+            draws AS (
+              SELECT d.doc_id AS anchor, j,
+                     ('0x' || substr(md5(
+                        'neg0:' || d.doc_id::VARCHAR
+                        || ':' || j::VARCHAR), 1, 13))::BIGINT
+                       % nn.n AS slot
+              FROM documents d, nn,
+                   (SELECT unnest(generate_series(1, 8)) AS j)),
+            cand AS (
+              SELECT anchor, p.doc_id AS neg_id, min(j) AS j
+              FROM draws JOIN pos p ON slot = p.position
+              WHERE p.doc_id <> anchor
+              GROUP BY anchor, p.doc_id)
+            SELECT anchor, neg_id, j::INT AS j FROM cand
+            QUALIFY row_number() OVER (
+              PARTITION BY anchor ORDER BY j, neg_id) <= 4""",
         "events_cv_folds": """
             WITH mm AS (
               SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1

@@ -527,3 +527,86 @@ def rolling_origin_folds(
         .select("*", "_f.fold", "_f.split")
         .drop("_f", "_t0", "_t1")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: str = "neg0",
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: k
+    pseudo-random non-self partners per anchor, reproducible across
+    reruns, partitionings, and engines — md5 is the RNG (the
+    training_order / sampling discipline; a real rand() cannot be
+    oracle-checked and resamples every retry).
+
+    Mechanics: every row gets a dense position from the two-phase
+    sharded rank (:func:`training_order_sharded` — no one-partition
+    window); each anchor draws ``k·oversample`` slots
+    hash(seed:anchor:j) mod N and equi-joins them back to positions;
+    self-hits drop, duplicate draws keep their smallest j, and the
+    first k survivors by (j, neg_id) win. Oversampling covers
+    self/duplicate losses; an anchor can end under k only if the draw
+    space collapses (tiny corpora — documented, not padded, so the
+    draw arithmetic stays exactly replayable).
+
+    Shape: bounded k·oversample fan-out, one equi-join on the slot,
+    one (anchor, neg) aggregate, one per-anchor window — ids only ever
+    shuffle. Output: (anchor, neg_id, j).
+    """
+    pos = training_order_sharded(df, id_col, seed=seed)
+    n = pos.agg((F.max("position") + 1).alias("_n"))
+    draws = (
+        df.select(F.col(id_col).alias("anchor"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(k * oversample))
+            ).alias("j"),
+        )
+        .select(
+            "anchor",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit(seed),
+                                F.col("anchor").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("_n")
+            ).alias("slot"),
+        )
+    )
+    cand = (
+        draws.join(
+            pos.select(
+                F.col(id_col).alias("neg_id"),
+                F.col("position").alias("slot"),
+            ),
+            "slot",
+        )
+        .filter(F.col("neg_id") != F.col("anchor"))
+        .groupBy("anchor", "neg_id")
+        .agg(F.min("j").alias("j"))
+    )
+    w = Window.partitionBy("anchor").orderBy("j", "neg_id")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("anchor", "neg_id", "j")
+    )

@@ -441,3 +441,32 @@ def test_rolling_origin_folds_no_future_leak_and_expanding(spark):
     assert by_fold[1]["train"] < by_fold[2]["train"] < by_fold[3]["train"]
     again = rolling_origin_folds(df.repartition(7), "ts", k=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_negative_samples_deterministic_no_self_k_each(spark):
+    """Every anchor draws exactly k distinct non-self negatives on a
+    corpus comfortably larger than k·oversample; the same seed
+    reproduces the identical sample under a different partitioning;
+    a different seed draws a different sample."""
+    from etl_capnz_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    out = negative_samples(df, "doc_id", k=4).collect()
+    by_anchor = {}
+    for r in out:
+        assert r["neg_id"] != r["anchor"]
+        by_anchor.setdefault(r["anchor"], set()).add(r["neg_id"])
+    assert len(by_anchor) == 100
+    assert all(len(v) == 4 for v in by_anchor.values())
+    again = sorted(
+        map(tuple, negative_samples(
+            df.repartition(7), "doc_id", k=4
+        ).collect())
+    )
+    assert again == sorted(map(tuple, out))
+    other = sorted(
+        map(tuple, negative_samples(df, "doc_id", k=4, seed="neg1").collect())
+    )
+    assert other != again
