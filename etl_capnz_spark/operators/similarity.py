@@ -449,7 +449,14 @@ def quantize_int8(
     staged = df.select(F.col(id_col), v.alias("_v")).withColumn(
         "_amax", F.array_max(F.transform(F.col("_v"), F.abs))
     )
-    scale = F.when(F.col("_amax") > 0, F.col("_amax") / F.lit(127.0))
+    # guard on the COMPUTED scale, not on amax: a subnormal amax is > 0
+    # yet amax/127 underflows to 0.0, and the codes division then hits
+    # ANSI divide-by-zero (found by the hypothesis roundtrip property).
+    # Sub-~1e-322 vectors quantize to all-zero codes with scale 0 —
+    # the same contract as exactly-zero vectors.
+    scale = F.when(
+        F.col("_amax") / F.lit(127.0) > 0, F.col("_amax") / F.lit(127.0)
+    )
     staged = staged.withColumn("_scale", scale)
     codes = F.when(
         F.col("_scale").isNotNull(),
