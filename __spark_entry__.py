@@ -4078,6 +4078,40 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (operators/funnel.py cuped): the
+    observation window splits at its exact integer-µs midpoint into
+    pre (covariate x) and post (metric y) per-user cent totals, arms
+    by id parity; θ pools across arms and the adjusted variance is the
+    closed form var_y − 2θcov + θ²var_x — no second pass materializes
+    y_adj. Every moment is exact off integer cents; sums go to double
+    BEFORE the moment products (int64 moment products overflow in the
+    100 TB regime)."""
+    from etl_capnz_spark.operators.funnel import cuped
+
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min(F.unix_micros("ts")).alias("_t0"),
+        F.max(F.unix_micros("ts")).alias("_t1"),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    us = F.unix_micros("ts")
+    mid = F.col("_t0") + F.expr("(_t1 - _t0) div 2")
+    per_user = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us <= mid, cents).otherwise(0)).alias("x"),
+            F.sum(F.when(us > mid, cents).otherwise(0)).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+        )
+    )
+    return cuped(per_user, "arm", "x", "y")
+
+
 def _q_doc_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (operators/
     sampling.py negative_samples, k=4): md5 is the RNG, positions come
@@ -5662,6 +5696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": _q_orders_benford,
         "events_cv_folds": _q_events_cv_folds,
         "doc_negatives": _q_doc_negatives,
+        "events_cuped": _q_events_cuped,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8014,6 +8049,65 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "events_cuped": """
+            WITH mm AS (
+              SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+              FROM events),
+            pu AS (
+              SELECT user_id,
+                     sum(CASE WHEN epoch_us(ts)
+                                   <= t0 + (t1 - t0) // 2
+                              THEN round(value * 100)::BIGINT
+                              ELSE 0 END)::BIGINT AS x,
+                     sum(CASE WHEN epoch_us(ts)
+                                   > t0 + (t1 - t0) // 2
+                              THEN round(value * 100)::BIGINT
+                              ELSE 0 END)::BIGINT AS y
+              FROM events, mm GROUP BY user_id),
+            armd AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS arm, x, y
+              FROM pu),
+            pa AS (
+              SELECT arm, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy
+              FROM armd GROUP BY arm),
+            pool AS (
+              SELECT (sum(n)::DOUBLE * sum(sxy)::DOUBLE
+                      - sum(sx)::DOUBLE * sum(sy)::DOUBLE)
+                     / (sum(n)::DOUBLE * sum(sxx)::DOUBLE
+                        - sum(sx)::DOUBLE * sum(sx)::DOUBLE) AS theta,
+                     sum(sx)::DOUBLE / sum(n)::DOUBLE AS xbar
+              FROM pa),
+            stats AS (
+              SELECT arm, n,
+                     sy::DOUBLE / n::DOUBLE AS mean_y,
+                     syy::DOUBLE / n::DOUBLE
+                       - (sy::DOUBLE / n::DOUBLE)
+                         * (sy::DOUBLE / n::DOUBLE) AS var_y,
+                     sx::DOUBLE / n::DOUBLE AS mean_x,
+                     sxx::DOUBLE / n::DOUBLE
+                       - (sx::DOUBLE / n::DOUBLE)
+                         * (sx::DOUBLE / n::DOUBLE) AS var_x,
+                     sxy::DOUBLE / n::DOUBLE
+                       - (sx::DOUBLE / n::DOUBLE)
+                         * (sy::DOUBLE / n::DOUBLE) AS cov,
+                     theta, xbar
+              FROM pa, pool)
+            SELECT arm, n AS n_users,
+                   round(mean_y, 6) AS mean_y,
+                   round(var_y, 6) AS var_y,
+                   round(mean_y - theta * (mean_x - xbar), 6)
+                     AS mean_y_adj,
+                   round(var_y - 2.0 * theta * cov
+                         + theta * theta * var_x, 6) AS var_y_adj,
+                   round(1.0 - (var_y - 2.0 * theta * cov
+                                + theta * theta * var_x) / var_y, 6)
+                     AS var_reduction
+            FROM stats""",
         "doc_negatives": """
             WITH pos AS (
               SELECT doc_id,

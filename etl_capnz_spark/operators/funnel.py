@@ -14,7 +14,7 @@ timestamp, not the event history.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -192,4 +192,79 @@ def attribution(
                 "last_touch"
             ),
         )
+    )
+
+
+def cuped(
+    df: DataFrame,
+    arm_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) — the modern
+    experiment readout: adjust the post-period metric with the
+    pre-period covariate, y_adj = y − θ·(x − x̄_pool) with
+    θ = cov(x,y)/var(x) pooled across arms, shrinking variance by the
+    squared x↔y correlation without biasing the contrast.
+
+    Exactness: x and y are expected as EXACT integers (cents — the
+    rollup discipline: float per-user sums are partition-order-
+    dependent), so every moment (Σx, Σy, Σxy, Σx², Σy²) is exact off
+    ONE per-arm aggregate; θ and the adjusted stats are closed forms
+    over those sums — var(y−θx) = var_y − 2θ·cov + θ²·var_x — so no
+    second pass materializes y_adj. Sums cast to double BEFORE the
+    moment products (n·Σxy − Σx·Σy overflows int64 in the 100 TB
+    regime; one double product rounds once, identically per engine).
+
+    Shape: one per-arm aggregate (arm-count rows), pooled θ from
+    summing those rows (a second tiny aggregate), broadcast back into
+    the per-arm projection. Output per arm: n_users, mean_y, var_y,
+    mean_y_adj, var_y_adj, var_reduction — all rounded 6dp.
+    """
+    per_arm = df.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+    )
+    pooled = per_arm.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    theta = (d("pn") * d("psxy") - d("psx") * d("psy")) / (
+        d("pn") * d("psxx") - d("psx") * d("psx")
+    )
+    xbar_pool = d("psx") / d("pn")
+    j = per_arm.crossJoin(
+        F.broadcast(
+            pooled.select(
+                theta.alias("_theta"), xbar_pool.alias("_xbar")
+            )
+        )
+    )
+    mean_x = d("sx") / d("n")
+    mean_y = d("sy") / d("n")
+    var_y = d("syy") / d("n") - mean_y * mean_y
+    var_x = d("sxx") / d("n") - mean_x * mean_x
+    cov = d("sxy") / d("n") - mean_x * mean_y
+    t = F.col("_theta")
+    mean_adj = mean_y - t * (mean_x - F.col("_xbar"))
+    var_adj = var_y - F.lit(2.0) * t * cov + t * t * var_x
+    return j.select(
+        arm_col,
+        F.col("n").alias("n_users"),
+        F.round(mean_y, 6).alias("mean_y"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(mean_adj, 6).alias("mean_y_adj"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.round(F.lit(1.0) - var_adj / var_y, 6).alias("var_reduction"),
     )

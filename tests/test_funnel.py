@@ -268,3 +268,35 @@ def test_transition_counts_hand_case(spark):
             ("A", "B"): 1, ("B", "A"): 1, ("A", "C"): 1, ("C", None): 1,
             ("B", "B"): 1, ("B", None): 1,
         }
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    """When y = 2x exactly, θ = 2 and the adjusted variance must
+    collapse to ~0 (var_reduction → 1) in BOTH arms, while adjusted
+    means stay finite; with an x that is pure noise w.r.t. y the
+    reduction must be near 0. Integer-cents inputs keep every moment
+    exact, so the θ=2 case is algebraically exact."""
+    from etl_capnz_spark.operators.funnel import cuped
+
+    rows = []
+    for i in range(200):
+        x = (i * 37) % 991 + 100
+        rows.append(("A" if i % 2 == 0 else "B", i, x, 2 * x))
+    df = spark.createDataFrame(rows, "arm string, id long, x long, y long")
+    got = {r["arm"]: r for r in cuped(df, "arm", "x", "y").collect()}
+    for arm in ("A", "B"):
+        assert got[arm]["n_users"] == 100
+        assert got[arm]["var_y"] > 0
+        assert abs(got[arm]["var_y_adj"]) < 1e-6
+        assert abs(got[arm]["var_reduction"] - 1.0) < 1e-6
+
+    # x unrelated to y: reduction near zero
+    rows = []
+    for i in range(400):
+        x = (i * 37) % 991          # fast-cycling residues
+        y = ((i * 811) % 997) * 3   # unrelated cycle
+        rows.append(("A" if i % 2 == 0 else "B", i, x, y))
+    df = spark.createDataFrame(rows, "arm string, id long, x long, y long")
+    got = {r["arm"]: r for r in cuped(df, "arm", "x", "y").collect()}
+    for arm in ("A", "B"):
+        assert abs(got[arm]["var_reduction"]) < 0.1
