@@ -4078,6 +4078,27 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/
+    timeseries.py seasonal_decompose) of the hourly cents series,
+    period 24 / centered 25-row MA: every float is an exact integer
+    numerator over a constant denominator (window sums of integers,
+    w·x − Σ stays integer, seasonal means are integer-sum /
+    integer-product), so trend/seasonal/residual RAW doubles match
+    bit-for-bit with no rounding anywhere. First/last 12 rows are NULL
+    by the textbook incomplete-window contract."""
+    from etl_capnz_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(cents).alias("c"))
+        .withColumn("slot", F.hour("h"))
+    )
+    return seasonal_decompose(hourly, "h", "c", "slot", half=12)
+
+
 def _q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED experiment readout (operators/funnel.py cuped): the
     observation window splits at its exact integer-µs midpoint into
@@ -5697,6 +5718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cv_folds": _q_events_cv_folds,
         "doc_negatives": _q_doc_negatives,
         "events_cuped": _q_events_cuped,
+        "events_seasonal": _q_events_seasonal,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8049,6 +8071,34 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "events_seasonal": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS c,
+                     extract(hour FROM date_trunc('hour', ts))::INT
+                       AS slot
+              FROM events GROUP BY 1, 3),
+            b AS (
+              SELECT h, c, slot,
+                     CASE WHEN count(*) OVER win = 25
+                          THEN sum(c) OVER win END AS tn
+              FROM hourly
+              WINDOW win AS (ORDER BY h
+                             ROWS BETWEEN 12 PRECEDING
+                                      AND 12 FOLLOWING)),
+            d AS (SELECT h, c, slot, tn, 25 * c - tn AS dn FROM b),
+            s AS (
+              SELECT slot, sum(dn)::BIGINT AS sn,
+                     count(*)::BIGINT AS sc
+              FROM d WHERE dn IS NOT NULL GROUP BY slot)
+            SELECT h, c AS cents, d.slot,
+                   tn / 25.0 AS trend,
+                   CASE WHEN dn IS NOT NULL
+                        THEN sn / (25.0 * sc) END AS seasonal,
+                   CASE WHEN dn IS NOT NULL
+                        THEN dn / 25.0 - sn / (25.0 * sc)
+                   END AS residual
+            FROM d LEFT JOIN s USING (slot)""",
         "events_cuped": """
             WITH mm AS (
               SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1

@@ -676,3 +676,75 @@ def kaplan_meier(
         (F.col("n_at_t") - F.col("n_events")).alias("n_censored"),
         "survival",
     )
+
+
+def seasonal_decompose(
+    hourly: DataFrame,
+    t_col: str,
+    cents_col: str,
+    slot_col: str,
+    half: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (trend + seasonal +
+    residual) of a regular integer-valued series — the anomaly-
+    triage lens (is the spike trend, time-of-day, or genuinely
+    unexplained?).
+
+    The whole decomposition is arranged so every float is an exact
+    integer numerator over a constant denominator, making raw doubles
+    bit-reproducible cross-engine with NO rounding anywhere:
+
+    * trend = (Σ window cents) / w, w = 2·half+1 — the window sum of
+      INTEGERS is exact whatever the evaluation order;
+    * detrended ≡ (w·x − Σwindow)/w — the numerator stays integer;
+    * seasonal(slot) = (Σ_slot detrend_num) / (w · n_slot) — again an
+      integer sum over an integer product;
+    * residual = detrend_num/w − seasonal — two exact-numerator
+      divisions and one subtract, identical trees per engine.
+
+    Trend (and everything downstream) is NULL on the first/last
+    ``half`` rows (incomplete window) — the textbook edge contract.
+    The ordered window runs on the TIME AXIS (calendar-bounded rows,
+    the kaplan_meier argument), not the raw events.
+
+    Input: one row per time step (t_col ascending-unique, cents_col
+    exact integer, slot_col the seasonal position — e.g. hour of day).
+    Output: (t_col, cents, slot, trend, seasonal, residual).
+    """
+    from pyspark.sql.window import Window
+
+    w = 2 * half + 1
+    win = Window.orderBy(t_col).rowsBetween(-half, half)
+    base = hourly.select(
+        F.col(t_col),
+        F.col(cents_col).cast("bigint").alias("cents"),
+        F.col(slot_col).alias("slot"),
+    ).withColumn(
+        "_tn",
+        F.when(
+            F.count(F.lit(1)).over(win) == w, F.sum("cents").over(win)
+        ),
+    ).withColumn(
+        "_dn", F.lit(w) * F.col("cents") - F.col("_tn")
+    )
+    seas = (
+        base.filter(F.col("_dn").isNotNull())
+        .groupBy("slot")
+        .agg(
+            F.sum("_dn").alias("_sn"),
+            F.count(F.lit(1)).alias("_sc"),
+        )
+    )
+    out = base.join(F.broadcast(seas), "slot", "left")
+    seasonal = F.col("_sn") / (F.lit(float(w)) * F.col("_sc"))
+    return out.select(
+        t_col,
+        "cents",
+        "slot",
+        (F.col("_tn") / F.lit(float(w))).alias("trend"),
+        F.when(F.col("_dn").isNotNull(), seasonal).alias("seasonal"),
+        F.when(
+            F.col("_dn").isNotNull(),
+            F.col("_dn") / F.lit(float(w)) - seasonal,
+        ).alias("residual"),
+    )

@@ -397,3 +397,40 @@ def test_kaplan_meier_all_observed_matches_empirical_survivor(spark):
     n = len(durs)
     for t, s in got.items():
         assert abs(s - sum(1 for d in durs if d > t) / n) < 1e-12, t
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """Plant x_t = 1000·t (linear trend, in cents) + a period-4
+    seasonal pattern [+500, −500, +300, −300]: with half=2 (w=5) and a
+    zero-mean seasonal whose 5-row moving average is NOT constant, the
+    identity trend+seasonal+residual == x must hold EXACTLY (integer
+    numerators), edges must be NULL, and the recovered seasonal must
+    correlate with the planted one slot-by-slot in sign."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import seasonal_decompose
+
+    season = [500, -500, 300, -300]
+    rows = []
+    for t in range(48):
+        rows.append((
+            dt.datetime(2024, 5, 1) + dt.timedelta(hours=t),
+            1000 * t + season[t % 4],
+            t % 4,
+        ))
+    df = spark.createDataFrame(rows, "h timestamp, c long, slot int")
+    out = sorted(
+        seasonal_decompose(df, "h", "c", "slot", half=2).collect(),
+        key=lambda r: r["h"],
+    )
+    assert all(r["trend"] is None for r in out[:2] + out[-2:])
+    mids = out[2:-2]
+    assert all(r["trend"] is not None for r in mids)
+    for r in mids:
+        # exact reconstruction: cents == trend + seasonal + residual
+        assert abs(r["cents"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+    by_slot = {}
+    for r in mids:
+        by_slot.setdefault(r["slot"], r["seasonal"])
+    for s_idx, planted in enumerate(season):
+        assert by_slot[s_idx] * planted > 0, (s_idx, by_slot[s_idx])
