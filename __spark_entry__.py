@@ -4078,6 +4078,34 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (operators/timeseries.py isotonic_fit):
+    P(purchase | value-bin) fitted monotone by PAVA. The sequential
+    pool-merge kernel runs on the BIN table (bounded by the grid, not
+    the data); pools carry exact integer (Σy, n) so the fit is one
+    division per pool. The oracle is the O(n³) minimax identity
+    fit_k = max_{i≤k} min_{j≥k} avg(y_i..j) — a DIFFERENT algorithm
+    whose real value equals PAVA's and whose doubles equal too because
+    IEEE rounding is monotone (max/min commute with it)."""
+    from etl_capnz_spark.operators.timeseries import isotonic_fit
+
+    ev = _t(spark, sf_dir, "events")
+    bins = (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("sy"),
+        )
+    )
+    return isotonic_fit(bins, "bin", "n", "sy")
+
+
 def _q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition (operators/
     timeseries.py seasonal_decompose) of the hourly cents series,
@@ -5719,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_negatives": _q_doc_negatives,
         "events_cuped": _q_events_cuped,
         "events_seasonal": _q_events_seasonal,
+        "events_isotonic": _q_events_isotonic,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8071,6 +8100,38 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "events_isotonic": """
+            WITH bins AS (
+              SELECT floor(value / 50.0)::BIGINT AS bin,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT AS sy
+              FROM events GROUP BY 1),
+            ord AS (
+              SELECT bin, n, sy,
+                     row_number() OVER (ORDER BY bin) AS k
+              FROM bins),
+            pre AS (
+              SELECT k, bin, n, sy,
+                     sum(n) OVER (ORDER BY k) AS cn,
+                     sum(sy) OVER (ORDER BY k) AS cy
+              FROM ord),
+            ranges AS (
+              SELECT i.k AS i, j.k AS j,
+                     (j.cy - coalesce(ip.cy, 0))::DOUBLE
+                     / (j.cn - coalesce(ip.cn, 0))::DOUBLE AS avg
+              FROM pre i JOIN pre j ON i.k <= j.k
+              LEFT JOIN pre ip ON ip.k = i.k - 1),
+            minj AS (
+              SELECT r.i, p.k, min(r.avg) AS m
+              FROM ranges r JOIN pre p
+                ON r.i <= p.k AND p.k <= r.j
+              GROUP BY r.i, p.k),
+            fitk AS (
+              SELECT k, max(m) AS fit FROM minj
+              WHERE i <= k GROUP BY k)
+            SELECT o.bin, o.n, o.sy, f.fit
+            FROM ord o JOIN fitk f USING (k)""",
         "events_seasonal": """
             WITH hourly AS (
               SELECT date_trunc('hour', ts) AS h,

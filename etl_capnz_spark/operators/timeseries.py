@@ -748,3 +748,82 @@ def seasonal_decompose(
             F.col("_dn") / F.lit(float(w)) - seasonal,
         ).alias("residual"),
     )
+
+
+def pava_reference(
+    points: "list[tuple[int, int, int]]",
+) -> "list[tuple[int, int, int, float]]":
+    """Pure-Python pool-adjacent-violators over (x, n, sum_y) triples
+    sorted by x: merge adjacent pools while a left pool's mean exceeds
+    its right neighbour's, tracking EXACT integer (sum, count) per
+    pool. Returns (x, n, sum_y, fit) — fit is the pool mean, ONE
+    division of exact integers. The readable spec for
+    :func:`isotonic_fit` and the direct algorithmic contrast to the
+    oracle's minimax identity fit_k = max_{i≤k} min_{j≥k} avg(y_i..j)
+    (equal as reals; IEEE rounding is monotone, so max/min commute
+    with it and the doubles agree exactly)."""
+    pools: list[list[int]] = []  # [sum_y, n, first_idx]
+    for idx, (_, n, sy) in enumerate(points):
+        pools.append([sy, n, idx])
+        while len(pools) > 1 and (
+            pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]
+        ):
+            s, c, i0 = pools.pop()
+            pools[-1][0] += s
+            pools[-1][1] += c
+    out = []
+    bounds = [p[2] for p in pools] + [len(points)]
+    for (sy, c, _), lo, hi in zip(pools, bounds, bounds[1:]):
+        for idx in range(lo, hi):
+            x, n, y = points[idx]
+            out.append((x, n, y, sy / c))
+    return out
+
+
+def isotonic_fit(
+    bins: DataFrame,
+    x_col: str,
+    n_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Isotonic regression (PAVA) over pre-binned (x, count, Σlabel)
+    rows — the classifier-calibration step (monotone P(label | score)
+    without a parametric form).
+
+    The sequential pool-merging is inherently imperative, BUT it runs
+    on the BIN table (bounded by the binning grid, not the data — the
+    same bounded-domain argument as kaplan_meier's time axis), so one
+    grouped kernel sees a few dozen rows regardless of corpus size;
+    the O(data) work (binning, counting) stays in the JVM aggregate
+    upstream. Pools carry EXACT integer (Σy, n); the fit is one
+    division per pool, so raw doubles cross-check against the
+    brute-force minimax oracle exactly (see :func:`pava_reference`).
+
+    PAVA merges on >= (ties pool), the standard convention. Output:
+    (x_col, n, sum_y, fit), ascending x.
+    """
+    import pandas as pd
+
+    def _fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_x")
+        pts = list(zip(pdf["_x"], pdf["_n"], pdf["_sy"]))
+        rows = pava_reference([(int(x), int(n), int(s)) for x, n, s in pts])
+        return pd.DataFrame(
+            rows, columns=["_x", "_n", "_sy", "fit"]
+        )
+
+    staged = bins.select(
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(n_col).cast("bigint").alias("_n"),
+        F.col(y_col).cast("bigint").alias("_sy"),
+        F.lit(1).alias("_g"),
+    )
+    out = staged.groupBy("_g").applyInPandas(
+        _fit, "_x bigint, _n bigint, _sy bigint, fit double"
+    )
+    return out.select(
+        F.col("_x").alias(x_col),
+        F.col("_n").alias(n_col),
+        F.col("_sy").alias(y_col),
+        "fit",
+    )

@@ -434,3 +434,49 @@ def test_seasonal_decompose_recovers_planted_components(spark):
         by_slot.setdefault(r["slot"], r["seasonal"])
     for s_idx, planted in enumerate(season):
         assert by_slot[s_idx] * planted > 0, (s_idx, by_slot[s_idx])
+
+
+def test_isotonic_pava_hand_case_and_minimax_identity(spark):
+    """Hand case: bin means 0.6, 0.2, 0.8 violate monotonicity at the
+    first step -> PAVA pools bins 0+1 to 0.4 and leaves 0.8; the
+    distributed fit equals pava_reference; and every fit obeys the
+    minimax identity max-min formula computed in pure Python (a third
+    independent algorithm)."""
+    from etl_capnz_spark.operators.timeseries import (
+        isotonic_fit,
+        pava_reference,
+    )
+
+    pts = [(0, 5, 3), (1, 5, 1), (2, 5, 4)]  # means .6, .2, .8
+    ref = pava_reference(pts)
+    assert [round(f, 9) for *_, f in ref] == [0.4, 0.4, 0.8]
+
+    df = spark.createDataFrame(pts, "bin long, n long, sy long")
+    got = sorted(
+        ((r["bin"], r["n"], r["sy"], r["fit"])
+         for r in isotonic_fit(df, "bin", "n", "sy").collect())
+    )
+    assert got == ref
+
+    # minimax identity on a longer random-ish case
+    pts = [(x, 3 + x % 4, (x * 7) % 11) for x in range(12)]
+    ref = {x: f for x, _, _, f in pava_reference(pts)}
+    cn = [0]
+    cy = [0]
+    for _, n, sy in pts:
+        cn.append(cn[-1] + n)
+        cy.append(cy[-1] + sy)
+
+    def avg(i, j):  # 1-based inclusive
+        return (cy[j] - cy[i - 1]) / (cn[j] - cn[i - 1])
+
+    n = len(pts)
+    for k in range(1, n + 1):
+        mm = max(
+            min(avg(i, j) for j in range(k, n + 1))
+            for i in range(1, k + 1)
+        )
+        assert ref[pts[k - 1][0]] == mm, k
+    # and the fit is non-decreasing
+    fits = [ref[x] for x, _, _ in pts]
+    assert fits == sorted(fits)
