@@ -4768,6 +4768,19 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (operators/graph.py random_walks,
+    3 steps from every node) over the part↔supplier graph — the
+    DeepWalk/node2vec corpus generator with md5 as the RNG: next hop
+    = ranked-neighbour[hash(seed:start:step) mod deg], one equi-join
+    per step, (start, node) pairs only ever shuffle. The oracle
+    unrolls the same three rounds with the same hash arithmetic, so
+    every walk is checked exactly."""
+    from etl_capnz_spark.operators.graph import random_walks
+
+    return random_walks(_graph_edges(spark, sf_dir), walk_len=3)
+
+
 def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (operators/graph.py
     label_propagation, 2 rounds) over the part↔supplier graph — pure
@@ -5769,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": _q_graph_sssp,
         "graph_kcore": _q_graph_kcore,
         "graph_lpa": _q_graph_lpa,
+        "graph_walks": _q_graph_walks,
         "graph_hits": _q_graph_hits,
         "events_props_json": _q_events_props_json,
         "events_funnel": _q_events_funnel,
@@ -7588,6 +7602,43 @@ def oracle_sql() -> dict[str, str]:
                      AND EXISTS (SELECT 1 FROM n6 b WHERE b.src = e.dst))
             SELECT src AS node, count(*)::BIGINT AS deg
             FROM e6 GROUP BY src HAVING count(*) >= 30""",
+        "graph_walks": """
+            WITH pairs AS (
+              SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,
+                              's:' || l_suppkey::VARCHAR AS s
+              FROM lineitem),
+            edges AS (SELECT p AS src, s AS dst FROM pairs
+                      UNION ALL SELECT s, p FROM pairs),
+            ranked AS (
+              SELECT src, dst,
+                     row_number() OVER (
+                       PARTITION BY src ORDER BY dst) - 1 AS idx,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM edges),
+            s0 AS (SELECT DISTINCT src AS start, src AS node
+                   FROM edges),
+            s1 AS (
+              SELECT s.start, r.dst AS node
+              FROM s0 s JOIN ranked r ON r.src = s.node
+              WHERE r.idx = ('0x' || substr(md5(
+                      'walk0:' || s.start || ':1'), 1, 13))::BIGINT
+                    % r.deg),
+            s2 AS (
+              SELECT s.start, r.dst AS node
+              FROM s1 s JOIN ranked r ON r.src = s.node
+              WHERE r.idx = ('0x' || substr(md5(
+                      'walk0:' || s.start || ':2'), 1, 13))::BIGINT
+                    % r.deg),
+            s3 AS (
+              SELECT s.start, r.dst AS node
+              FROM s2 s JOIN ranked r ON r.src = s.node
+              WHERE r.idx = ('0x' || substr(md5(
+                      'walk0:' || s.start || ':3'), 1, 13))::BIGINT
+                    % r.deg)
+            SELECT start, 0 AS step, node FROM s0
+            UNION ALL SELECT start, 1, node FROM s1
+            UNION ALL SELECT start, 2, node FROM s2
+            UNION ALL SELECT start, 3, node FROM s3""",
         "graph_lpa": """
             WITH pairs AS (
               SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS p,

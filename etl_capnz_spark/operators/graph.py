@@ -297,3 +297,72 @@ def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return nodes.join(hub, "node").join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    seed: str = "walk0",
+) -> DataFrame:
+    """Deterministic uniform random walks — the corpus-generation step
+    of node2vec/DeepWalk-style graph embeddings: one walk of
+    ``walk_len`` steps from EVERY node, the next hop drawn uniformly
+    from the current node's neighbours with md5 as the RNG (the
+    negative-sampling discipline: real rand() is neither replayable
+    nor oracle-checkable).
+
+    Mechanics: the adjacency list is ranked once per source (idx
+    0..deg−1, ordered by dst for a stable total order); step s of the
+    walk from ``start`` picks idx = hash52(seed:start:s) mod deg(cur)
+    via ONE equi-join per step on (cur, idx). Exchanges carry (start,
+    cur) node pairs; ``walk_len`` is a small constant, so the plan is
+    walk_len bounded self-join rounds — and the oracle unrolls the
+    same rounds with the same hash arithmetic. A node with no
+    out-edges ends its walk early (inner join) — on the symmetric
+    graphs the callers build, walks always complete.
+
+    Output: (start, step, node) — step 0 is the start itself.
+    """
+    from pyspark.sql.window import Window
+
+    adj = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = adj.withColumn(
+        "idx", (F.row_number().over(w) - 1).cast("bigint")
+    )
+    deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = ranked.join(deg, "src").localCheckpoint(eager=False)
+    state = adj.select(F.col("src").alias("start")).distinct().withColumn(
+        "node", F.col("start")
+    )
+    out = state.withColumn("step", F.lit(0))
+    for s in range(1, walk_len + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("start").cast("string"),
+                        F.lit(str(s)),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        state = (
+            state.withColumn("_h", h)
+            .join(
+                ranked.select(
+                    F.col("src").alias("node"), "dst", "idx", "deg"
+                ),
+                "node",
+            )
+            .filter(F.col("idx") == F.col("_h") % F.col("deg"))
+            .select("start", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(state.withColumn("step", F.lit(s)))
+    return out.select("start", "step", "node")

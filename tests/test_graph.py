@@ -206,3 +206,46 @@ def test_hits_pure_python_parity_star_graph(spark):
                for r in hits(df, rounds).collect()}
         hh, aa = simulate(rounds)
         assert got == {n: (hh[n], aa[n]) for n in hh}, f"rounds={rounds}"
+
+
+def test_random_walks_valid_edges_and_pure_python_parity(spark):
+    """Every consecutive (step s → s+1) hop must be a real edge; every
+    node starts exactly one complete walk (symmetric graph, no dead
+    ends); and the whole walk set equals a pure-Python simulation of
+    the same hash arithmetic — md5 is the RNG, so parity is exact."""
+    import hashlib
+
+    from etl_capnz_spark.operators.graph import random_walks
+
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    df = _sym(spark, und)
+    L = 3
+    out = random_walks(df, walk_len=L, seed="w").collect()
+    adj = {}
+    for p, q in und:
+        adj.setdefault(p, set()).add(q)
+        adj.setdefault(q, set()).add(p)
+    walks = {}
+    for r in out:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert set(walks) == set(adj)
+    for start, steps in walks.items():
+        assert sorted(steps) == list(range(L + 1))
+        assert steps[0] == start
+        for s in range(L):
+            assert steps[s + 1] in adj[steps[s]], (start, s)
+
+    def h52(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    for start in adj:
+        cur = start
+        for s in range(1, L + 1):
+            nbrs = sorted(adj[cur])
+            cur = nbrs[h52(f"w:{start}:{s}") % len(nbrs)]
+            assert walks[start][s] == cur, (start, s)
+
+    again = sorted(map(tuple, random_walks(
+        df.repartition(7), walk_len=L, seed="w"
+    ).collect()))
+    assert again == sorted(map(tuple, out))
