@@ -4078,6 +4078,20 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py cdc_chunks, w=8,
+    mod=64): boundaries where the trailing-8-char md5 ≡ 0 (mod 64), so
+    an edit shifts only its own chunk — the dedup chunker for EDITED
+    documents (chunk_spans handles exact repeats, token windows handle
+    models). The boundary scan is a transform+filter inside the row
+    (one codegen projection, no per-char explode); one explode per
+    chunk. The oracle replays the same scan with list_transform +
+    generate_series + the same hash arithmetic."""
+    from etl_capnz_spark.operators.text import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), "text", "doc_id")
+
+
 def _q_events_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration (operators/timeseries.py isotonic_fit):
     P(purchase | value-bin) fitted monotone by PAVA. The sequential
@@ -5761,6 +5775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": _q_events_cuped,
         "events_seasonal": _q_events_seasonal,
         "events_isotonic": _q_events_isotonic,
+        "chunk_cdc": _q_chunk_cdc,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8151,6 +8166,41 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "chunk_cdc": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS len
+              FROM documents WHERE text IS NOT NULL),
+            b AS (
+              SELECT doc_id, text, len,
+                     list_filter(list_transform(
+                       CASE WHEN len >= 8
+                            THEN generate_series(8, len)
+                            ELSE []::BIGINT[] END,
+                       i -> CASE WHEN ('0x' || substr(md5(
+                              substr(text, (i - 7)::INT, 8)), 1, 13)
+                              )::BIGINT % 64 = 0
+                            THEN i END),
+                       x -> x IS NOT NULL) AS bounds
+              FROM d),
+            sp AS (
+              SELECT doc_id, text,
+                     list_prepend(0::BIGINT, bounds) AS starts,
+                     list_append(bounds, len::BIGINT) AS ends
+              FROM b),
+            ex AS (
+              SELECT doc_id, text, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS i
+              FROM sp),
+            ch AS (
+              SELECT doc_id, (i - 1)::INT AS chunk_idx,
+                     starts[i] AS prev, ends[i] AS e, text
+              FROM ex WHERE ends[i] > starts[i])
+            SELECT doc_id, chunk_idx,
+                   (prev + 1)::INT AS start,
+                   (e - prev)::INT AS length,
+                   md5(substr(text, (prev + 1)::INT, (e - prev)::INT))
+                     AS chunk_hash
+            FROM ch""",
         "events_isotonic": """
             WITH bins AS (
               SELECT floor(value / 50.0)::BIGINT AS bin,

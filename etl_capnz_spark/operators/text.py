@@ -563,3 +563,77 @@ def bm25_search(
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS rolling-hash trick):
+    a chunk boundary falls wherever the hash of the trailing ``window``
+    characters is ≡ 0 (mod ``mod``), so boundaries are properties of
+    the CONTENT — an insertion near the front shifts only the chunk it
+    lands in, and every later chunk still hashes identically. That is
+    the property fixed-width chunking lacks and the reason CDC is the
+    chunker for dedup of *edited* documents (chunk_spans dedups exact
+    repeats; token_window chunks for models; this one survives edits).
+
+    Expression-only plan: the boundary scan is a ``transform`` +
+    ``filter`` over ``sequence(window, len)`` INSIDE the row (no
+    per-character explode — whole-stage codegen keeps it one
+    projection), then one explode per CHUNK. md5 is the rolling hash
+    stand-in — O(len·window) per doc instead of a true O(len) gear
+    hash, the price of staying SQL-expressible and oracle-checkable;
+    a production corpus would swap a mapInPandas gear kernel behind
+    the same output contract. Average chunk ≈ ``mod`` chars.
+
+    Docs shorter than ``window`` are one chunk (the sequence guard
+    matters: ANSI sequence(w, len<w) throws, it doesn't return empty).
+    Output: (id, chunk_idx, start, length, chunk_hash) — start
+    1-based, chunk_hash = md5 of the chunk text.
+    """
+    length = F.length(F.col(text_col))
+    win_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.substring(F.col(text_col), i - window + 1, window)),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    positions = F.when(
+        length >= window, F.sequence(F.lit(window), length)
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.filter(
+        F.transform(
+            positions,
+            lambda i: F.when(win_hash(i) % mod == 0, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    starts = F.concat(F.array(F.lit(0)), bounds)
+    ends = F.concat(bounds, F.array(length))
+    spans = F.filter(
+        F.arrays_zip(
+            starts.alias("prev"), ends.alias("end")
+        ),
+        lambda s: s["end"] > s["prev"],  # drop the empty tail span
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.posexplode(spans).alias("chunk_idx", "_s"),
+    )
+    start = F.col("_s.prev") + 1
+    clen = F.col("_s.end") - F.col("_s.prev")
+    return base.select(
+        id_col,
+        "chunk_idx",
+        start.alias("start"),
+        clen.alias("length"),
+        F.md5(F.substring(F.col("_t"), start, clen)).alias("chunk_hash"),
+    )

@@ -86,3 +86,41 @@ def test_hypothesis_invariants_and_idempotence(spark):
             assert again[i]["clean_text"] == t
 
     check()
+
+
+def test_cdc_chunks_edit_robustness_and_coverage(spark):
+    """The CDC property itself: chunks tile the document exactly
+    (coverage), and after inserting text near the FRONT of a document
+    the chunk-hash multiset of the tail is preserved (boundaries are
+    content-defined) while fixed-width chunking at the same grain
+    would shift every downstream chunk. Short docs are one chunk."""
+    from etl_capnz_spark.operators.text import cdc_chunks
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the rolling hash marks content defined boundaries that "
+        "survive local edits to earlier regions of the document body"
+    ) * 3
+    edited = "INSERTED PREFIX CHANGES EARLY CONTENT " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "tiny")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, "text", "doc_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # coverage: chunks tile [1, len] contiguously in idx order
+    for doc_id, text in [(1, base), (2, edited), (3, "tiny")]:
+        chs = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        pos = 1
+        for c in chs:
+            assert c["start"] == pos
+            pos += c["length"]
+        assert pos == len(text) + 1
+    assert len(by_doc[3]) == 1  # shorter than the window: one chunk
+    # edit robustness: most of doc 1's chunk hashes survive in doc 2
+    h1 = [c["chunk_hash"] for c in by_doc[1]]
+    h2 = set(c["chunk_hash"] for c in by_doc[2])
+    assert len(h1) >= 4
+    surviving = sum(1 for h in h1 if h in h2)
+    assert surviving >= len(h1) - 2  # only the edited region differs
