@@ -4078,6 +4078,32 @@ def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U over per-user spend (operators/funnel.py
+    mann_whitney): rank-based arm comparison immune to revenue whales.
+    Ranks live on the distinct-cents table (domain-bounded window);
+    tied values carry doubled average ranks so every rank sum is an
+    exact integer halved once; the tie-corrected z is one identical
+    float tree rounded 6dp. u_a + u_b = nA·nB identity holds by
+    construction."""
+    from etl_capnz_spark.operators.funnel import mann_whitney
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .withColumn(
+            "arm",
+            F.when(F.col("user_id") % 2 == 0, "A").otherwise("B"),
+        )
+    )
+    return mann_whitney(per_user, "arm", "cents")
+
+
 def _q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (operators/text.py cdc_chunks, w=8,
     mod=64): boundaries where the trailing-8-char md5 ≡ 0 (mod 64), so
@@ -5776,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal": _q_events_seasonal,
         "events_isotonic": _q_events_isotonic,
         "chunk_cdc": _q_chunk_cdc,
+        "events_mann_whitney": _q_events_mann_whitney,
         "orders_gini": _q_orders_gini,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -8166,6 +8193,47 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY n_pair DESC, part_a, part_b
             LIMIT 20""",
+        "events_mann_whitney": """
+            WITH pu AS (
+              SELECT user_id,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS arm
+              FROM events GROUP BY user_id),
+            vals AS (
+              SELECT cents AS v, count(*)::BIGINT AS n,
+                     sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT
+                       AS na
+              FROM pu GROUP BY cents),
+            ranked AS (
+              SELECT v, n, na,
+                     coalesce(sum(n) OVER (
+                       ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS lt
+              FROM vals),
+            agg AS (
+              SELECT sum(na)::BIGINT AS n_a,
+                     sum(n - na)::BIGINT AS n_b,
+                     sum(na * (2 * lt + n + 1))::BIGINT AS s2a,
+                     sum(n * n * n - n)::BIGINT AS ties
+              FROM ranked),
+            st AS (
+              SELECT n_a, n_b,
+                     s2a::DOUBLE / 2.0
+                       - n_a::DOUBLE * (n_a::DOUBLE + 1.0) / 2.0
+                       AS u_a,
+                     n_a::DOUBLE + n_b::DOUBLE AS nn,
+                     ties::DOUBLE AS tiesd
+              FROM agg)
+            SELECT n_a, n_b, u_a,
+                   n_a::DOUBLE * n_b::DOUBLE - u_a AS u_b,
+                   round((u_a - n_a::DOUBLE * n_b::DOUBLE / 2.0)
+                         / sqrt((n_a::DOUBLE * n_b::DOUBLE / 12.0)
+                                * ((nn + 1.0)
+                                   - tiesd / (nn * (nn - 1.0)))), 6)
+                     AS z
+            FROM st""",
         "chunk_cdc": """
             WITH d AS (
               SELECT doc_id, text, length(text) AS len

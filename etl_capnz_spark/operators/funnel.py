@@ -268,3 +268,83 @@ def cuped(
         F.round(var_adj, 6).alias("var_y_adj"),
         F.round(F.lit(1.0) - var_adj / var_y, 6).alias("var_reduction"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    experiment readout: compares arms by RANKS, so a heavy-tailed
+    metric (revenue!) can't hand the verdict to a few whales the way
+    the t/z families do. Completes the experiment suite: proportions
+    (events_ab_test), variance-reduced means (cuped), now ranks.
+
+    Exact-arithmetic construction: values are expected integer
+    (cents), ranks live at the VALUE level — one groupBy(value) then
+    an ordered window over the distinct-value table (domain-bounded:
+    distinct cent amounts, not units). Tied values take the average
+    rank, carried DOUBLED (min+max rank = 2·lt + n + 1 stays integer)
+    so every rank sum is an exact integer halved once at the end.
+    The tie-corrected z uses the standard normal approximation
+    σ² = (nA·nB/12)·((N+1) − Σ(t³−t)/(N(N−1))) — moments cast to
+    double BEFORE products (the 100 TB int64-overflow rule), one
+    identical expression tree per engine, rounded 6dp.
+
+    ``arm_col`` must have exactly TWO values; the lexicographically
+    smaller one is "a". Output: 1 row (n_a, n_b, u_a, u_b, z) with
+    u_a + u_b = nA·nB (the identity, pinned in tests).
+    """
+    from pyspark.sql.window import Window
+
+    arms = df.select(F.col(arm_col).alias("_arm")).distinct()
+    lo = arms.agg(F.min("_arm").alias("_lo"))
+    vals = (
+        df.select(
+            F.col(arm_col).alias("_arm"),
+            F.col(value_col).cast("bigint").alias("_v"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_arm") == F.col("_lo"), 1).otherwise(0)
+            ).alias("na"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = vals.withColumn(
+        "lt", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("r2", 2 * F.col("lt") + F.col("n") + 1)
+    agg = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum(F.col("n") - F.col("na")).alias("n_b"),
+        F.sum(F.col("na") * F.col("r2")).alias("_s2a"),
+        F.sum(
+            F.col("n") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("_ties"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    nn = d("n_a") + d("n_b")
+    sumrank_a = d("_s2a") / F.lit(2.0)
+    u_a = sumrank_a - d("n_a") * (d("n_a") + F.lit(1.0)) / F.lit(2.0)
+    u_b = d("n_a") * d("n_b") - u_a
+    mu = d("n_a") * d("n_b") / F.lit(2.0)
+    sigma2 = (
+        d("n_a") * d("n_b") / F.lit(12.0)
+    ) * ((nn + F.lit(1.0)) - d("_ties") / (nn * (nn - F.lit(1.0))))
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        u_b.alias("u_b"),
+        F.round(z, 6).alias("z"),
+    )

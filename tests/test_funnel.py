@@ -300,3 +300,46 @@ def test_cuped_perfect_covariate_kills_variance(spark):
     got = {r["arm"]: r for r in cuped(df, "arm", "x", "y").collect()}
     for arm in ("A", "B"):
         assert abs(got[arm]["var_reduction"]) < 0.1
+
+
+def test_mann_whitney_against_scipy_convention_hand_case(spark):
+    """Hand case with ties: A = [1, 2, 2, 5], B = [2, 3, 4, 6].
+    Ranks: 1→1; the three 2s share (2+3+4)/3 = 3; 3→5; 4→6; 5→7; 8→6? —
+    computed by hand: sumranks_A = 1 + 3 + 3 + 7 = 14, U_A = 14 − 10 =
+    4, U_B = 16 − 4 = 12; identity u_a + u_b = nA·nB; z negative (A
+    stochastically smaller). A pure-Python rank computation reproduces
+    the operator's u values exactly."""
+    from etl_capnz_spark.operators.funnel import mann_whitney
+
+    a = [1, 2, 2, 5]
+    b = [2, 3, 4, 6]
+    rows = [("A", i, v) for i, v in enumerate(a)] + [
+        ("B", 100 + i, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "arm string, id long, cents long")
+    r = mann_whitney(df, "arm", "cents").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["u_a"] == 4.0 and r["u_b"] == 12.0
+    assert r["u_a"] + r["u_b"] == r["n_a"] * r["n_b"]
+    assert r["z"] < 0
+
+    # pure-python average-rank parity on a messier case
+    import itertools
+
+    a = [(i * 13) % 7 for i in range(30)]
+    b = [(i * 11) % 9 for i in range(40)]
+    allv = sorted(a + b)
+    ranks = {}
+    for v, grp in itertools.groupby(allv):
+        n = len(list(grp))
+        first = allv.index(v) + 1
+        ranks[v] = (first + (first + n - 1)) / 2
+    sum_a = sum(ranks[v] for v in a)
+    u_a = sum_a - len(a) * (len(a) + 1) / 2
+    rows = [("A", i, v) for i, v in enumerate(a)] + [
+        ("B", 100 + i, v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "arm string, id long, cents long")
+    r = mann_whitney(df, "arm", "cents").collect()[0]
+    assert r["u_a"] == u_a
+    assert r["u_a"] + r["u_b"] == len(a) * len(b)
