@@ -4028,6 +4028,20 @@ def _q_events_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/recsys.py
+    item_item_topk, k=5, min_co=2): per-part neighbour lists by
+    basket-cosine over order baskets — the serving artifact a
+    recommender reads (basket_lift ranks pairs globally; this builds
+    the per-item list). Pair volume is Σ|basket|²/2 (small per-order
+    line counts), cosine rounds 6dp BEFORE the rank window for
+    deterministic ties."""
+    from etl_capnz_spark.operators.recsys import item_item_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_item_topk(li, "l_orderkey", "l_partkey", k=5, min_co=2)
+
+
 def _q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     scored by lift = P(a,b) / (P(a)·P(b)). The pair join is a self
@@ -5785,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm": _q_orders_rfm,
         "events_streak": _q_events_streak,
         "basket_lift": _q_basket_lift,
+        "item_item_cf": _q_item_item_cf,
         "events_wau": _q_events_wau,
         "events_wau_hll": _q_events_wau_hll,
         "events_markov": _q_events_markov,
@@ -8171,6 +8186,36 @@ def oracle_sql() -> dict[str, str]:
               FROM daily)
             SELECT wday, coalesce(wau, 0)::BIGINT AS wau
             FROM days LEFT JOIN wau_by_day USING (wday)""",
+        "item_item_cf": """
+            WITH li AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem),
+            co AS (
+              SELECT a.i AS ia, b2.i AS ib, count(*)::BIGINT AS n_co
+              FROM li a JOIN li b2 ON a.b = b2.b AND a.i < b2.i
+              GROUP BY a.i, b2.i
+              HAVING count(*) >= 2),
+            supp AS (
+              SELECT i AS item, count(*)::BIGINT AS n_item
+              FROM li GROUP BY i),
+            both_ AS (
+              SELECT ia AS item, ib AS neighbor, n_co FROM co
+              UNION ALL
+              SELECT ib, ia, n_co FROM co),
+            scored AS (
+              SELECT j.item, j.neighbor, j.n_co,
+                     round(j.n_co / sqrt(s1.n_item::DOUBLE
+                                         * s2.n_item::DOUBLE), 6)
+                       AS cosine
+              FROM both_ j
+              JOIN supp s1 ON j.item = s1.item
+              JOIN supp s2 ON j.neighbor = s2.item)
+            SELECT item, neighbor, n_co, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY item
+                       ORDER BY cosine DESC, neighbor)::INT AS rank
+              FROM scored)
+            WHERE rank <= 5""",
         "basket_lift": """
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
