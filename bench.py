@@ -8,6 +8,7 @@ let Catalyst prune the work away).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -51,6 +52,10 @@ HEADLINE = [
     # round 4d: mergeable quantile sketch + BM25 inverted-index probe
     "events_quantile_sketch",
     "text_bm25",
+    # round 4e: end-to-end entity resolution (JW blocking -> components
+    # -> survivorship) + deterministic random-walk corpus generation
+    "entity_golden",
+    "graph_walks",
 ]
 
 
@@ -89,12 +94,19 @@ def main() -> None:
                 qs[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+                # drop the DF reference NOW: localCheckpoint RDDs
+                # (iterative queries) stay pinned until Python GC runs,
+                # and 27 queries x 3 passes of leaked checkpoint blocks
+                # tax whoever runs last (graph_walks measured 12.6 s in
+                # bench vs 4.4 s standalone before this)
+                gc.collect()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     out = {
