@@ -2878,6 +2878,18 @@ def _q_events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
 
 
+def _q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
+    ln(freq) on ln(rank) over the vocab table — the one-row corpus-
+    health diagnostic (template floods flatten the head). One
+    tokenize aggregate, one vocab-sized rank window (Heaps-law
+    bounded), one closed-form OLS aggregate; log sums are the only
+    order-dependent floats, rounded 6dp."""
+    from etl_capnz_spark.operators.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "text")
+
+
 def _q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 retrieval (operators/text.py bm25_search,
     k1=1.2, b=0.75) for three fixed queries over the documents corpus —
@@ -4241,6 +4253,19 @@ def _q_events_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "ts", k=3
     )
     return out.select("fold", "split", "event_id")
+
+
+def _q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information lang↔source over documents (operators/
+    audit.py mutual_information): the feature-association screen.
+    Probabilities are ratios of exact counts off ONE contingency
+    aggregate (marginals via window sums over the cells, no second
+    scan); the log argument is one integer-ratio expression so both
+    engines evaluate the identical tree; the cell-sum is the only
+    order-dependent step and rounds at 6dp."""
+    from etl_capnz_spark.operators.audit import mutual_information
+
+    return mutual_information(_docs(spark, sf_dir), "lang", "source")
 
 
 def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5811,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "orders_benford": _q_orders_benford,
+        "docs_mutual_info": _q_docs_mutual_info,
         "events_cv_folds": _q_events_cv_folds,
         "doc_negatives": _q_doc_negatives,
         "events_cuped": _q_events_cuped,
@@ -5853,6 +5879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_per_group": _q_sample_weighted_per_group,
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
+        "text_zipf": _q_text_zipf,
         "hybrid_rrf": _q_hybrid_rrf,
         "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
@@ -7103,6 +7130,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY rrf DESC, id) AS fused_rank
               FROM fused)
             WHERE fused_rank <= 10""",
+        "text_zipf": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            freqs AS (
+              SELECT token, count(*)::BIGINT AS freq
+              FROM toks GROUP BY token),
+            ranked AS (
+              SELECT freq,
+                     ln((row_number() OVER (
+                        ORDER BY freq DESC, token))::DOUBLE) AS x,
+                     ln(freq::DOUBLE) AS y
+              FROM freqs),
+            agg AS (
+              SELECT sum(freq)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS vocab,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM ranked)
+            SELECT n_tokens, vocab,
+                   round((vocab::DOUBLE * sxy - sx * sy)
+                         / (vocab::DOUBLE * sxx - sx * sx), 6)
+                     AS slope,
+                   round((sy - ((vocab::DOUBLE * sxy - sx * sy)
+                                / (vocab::DOUBLE * sxx - sx * sx))
+                               * sx) / vocab::DOUBLE, 6)
+                     AS intercept
+            FROM agg""",
         "text_bm25": """
             WITH toks AS (
               SELECT doc_id, unnest(list_filter(
@@ -8478,6 +8535,31 @@ def oracle_sql() -> dict[str, str]:
                    event_id
             FROM e, walls
             WHERE us <= test_end""",
+        "docs_mutual_info": """
+            WITH cells AS (
+              SELECT lang AS x, source AS y, count(*)::BIGINT AS nxy
+              FROM documents GROUP BY lang, source),
+            e AS (
+              SELECT nxy,
+                     sum(nxy) OVER (PARTITION BY x)::BIGINT AS nx,
+                     sum(nxy) OVER (PARTITION BY y)::BIGINT AS ny,
+                     sum(nxy) OVER ()::BIGINT AS n
+              FROM cells),
+            agg AS (
+              SELECT max(n)::BIGINT AS n,
+                     count(*)::BIGINT AS n_cells,
+                     sum((nxy / n::DOUBLE)
+                         * ln((nxy::DOUBLE * n::DOUBLE)
+                              / (nx::DOUBLE * ny::DOUBLE))) AS mi,
+                     -sum((nxy / n::DOUBLE)
+                          * ln(nx::DOUBLE / n::DOUBLE)) AS hx,
+                     -sum((nxy / n::DOUBLE)
+                          * ln(ny::DOUBLE / n::DOUBLE)) AS hy
+              FROM e)
+            SELECT n, n_cells,
+                   round(mi, 6) AS mi_nats,
+                   round(mi / least(hx, hy), 6) AS mi_norm
+            FROM agg""",
         "orders_benford": """
             WITH per AS (
               SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR,

