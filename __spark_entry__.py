@@ -277,6 +277,35 @@ def _q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_polygon_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker ring simplification (operators/geometry.py
+    simplify_rings, eps=0.01) over the parsed alert polygons — the
+    rendering-prep pass. Map-only Arrow seam (rings never shuffle);
+    rows-only checked (the recursive split has no SQL form) with the
+    exact pure-Python parity + brute-force eps-guarantee pins in
+    tests/test_geometry.py. Output avoids list cells (canonicalizer
+    discipline): counts + an md5 ring digest."""
+    from etl_capnz_spark.operators.geometry import simplify_rings
+
+    parsed = _parsed_polygons(spark, sf_dir)
+    out = simplify_rings(parsed, "ring", eps=0.01)
+    return out.select(
+        "k",
+        "poly_idx",
+        "n_in",
+        "n_out",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.flatten("ring_simple"),
+                    lambda x: F.format_number(x, 9),
+                ),
+                ",",
+            )
+        ).alias("ring_digest"),
+    )
+
+
 def _q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shoelace polygon AREA (operators/geometry.py ring_area) — the
     alert-coverage-size metric; ground truth is closed-form (unit
@@ -5676,6 +5705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_polygon_points": _q_polygon_points,
         "cap_polygon_centroid": _q_polygon_centroid,
         "cap_polygon_area": _q_polygon_area,
+        "cap_polygon_simplify": _q_cap_polygon_simplify,
         "cap_centroid_window": _q_centroid_window,
         "cap_circle_parse": _q_circle_parse,
         "cap_geometry_fallback": _q_geometry_fallback,

@@ -379,3 +379,103 @@ def ring_area(ring: Column) -> Column:
     )
     total = F.aggregate(crosses, F.lit(0.0), lambda acc, x: acc + x)
     return F.when(n >= 3, F.abs(total) / F.lit(2.0)).otherwise(F.lit(0.0))
+
+
+def dp_reference(
+    points: "list[tuple[float, float]]", eps: float
+) -> "list[tuple[float, float]]":
+    """Pure-Python Douglas-Peucker over an OPEN polyline with fixed
+    endpoints — the readable spec for :func:`simplify_rings` and its
+    test oracle. Iterative stack (no recursion-depth hazard); keeps
+    every point whose perpendicular distance from the current anchor
+    chord exceeds ``eps``. Distances compare squared (no sqrt)."""
+    n = len(points)
+    if n <= 2:
+        return list(points)
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    e2 = eps * eps
+    while stack:
+        a, b = stack.pop()
+        ax, ay = points[a]
+        bx, by = points[b]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best, best_d2 = -1, e2
+        for i in range(a + 1, b):
+            px, py = points[i]
+            if seg2 == 0.0:
+                d2 = (px - ax) ** 2 + (py - ay) ** 2
+            else:
+                t = ((px - ax) * dx + (py - ay) * dy) / seg2
+                t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+                cx, cy = ax + t * dx, ay + t * dy
+                d2 = (px - cx) ** 2 + (py - cy) ** 2
+            if d2 > best_d2:
+                best, best_d2 = i, d2
+        if best >= 0:
+            keep[best] = True
+            stack.append((a, best))
+            stack.append((best, b))
+    return [p for i, p in enumerate(points) if keep[i]]
+
+
+def simplify_rings(
+    df: DataFrame,
+    ring_col: str,
+    eps: float,
+) -> DataFrame:
+    """Douglas-Peucker ring simplification — the map-tile/rendering
+    prep step: a 10 000-vertex coastline alert polygon draws the same
+    at tolerance ε with a fraction of the points, and every byte of
+    vertex list is payload the feature sink otherwise ships per alert.
+
+    The recursive split is inherently per-geometry imperative → the
+    sanctioned Arrow seam (mapInPandas), map-only: no shuffle, rings
+    never leave their partition. Closed rings (parse_polygon output)
+    simplify as the open polyline first..last-1 with both anchors
+    fixed, then re-close — the fixed-anchor convention (the splitting
+    variant that re-anchors at extreme points changes which points
+    survive, not the ε guarantee). Exactness is pinned against
+    :func:`dp_reference` (BPE-style discipline); the ε guarantee
+    (every dropped point within ε of the kept chain) is property-
+    tested brute-force.
+
+    Output: input columns + (n_in, n_out, ring_simple) — ring_simple
+    closed again.
+    """
+    import pandas as pd
+
+    fields = df.schema
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", n_in int, n_out int, ring_simple array<array<double>>"
+    cols = [f.name for f in fields]
+
+    def _simplify(batches):
+        for pdf in batches:
+            n_in, n_out, simple = [], [], []
+            for ring in pdf[ring_col]:
+                if ring is None or len(ring) < 4:
+                    n_in.append(0 if ring is None else len(ring))
+                    n_out.append(0 if ring is None else len(ring))
+                    simple.append(
+                        None if ring is None else [list(p) for p in ring]
+                    )
+                    continue
+                open_pts = [
+                    (float(p[0]), float(p[1])) for p in ring[:-1]
+                ]
+                kept = dp_reference(open_pts, eps)
+                closed = [list(p) for p in kept] + [list(kept[0])]
+                n_in.append(len(ring))
+                n_out.append(len(closed))
+                simple.append(closed)
+            out = pdf.copy()
+            out["n_in"] = pd.Series(n_in, dtype="int32")
+            out["n_out"] = pd.Series(n_out, dtype="int32")
+            out["ring_simple"] = simple
+            yield out
+
+    return df.select(*cols).mapInPandas(_simplify, out_schema)

@@ -156,3 +156,59 @@ def test_point_in_polygon_join_is_equi_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simplify_rings_parity_and_eps_guarantee(spark):
+    """Three pins for Douglas-Peucker: (1) the distributed kernel
+    equals dp_reference exactly on crafted rings; (2) collinear chains
+    collapse to their endpoints; (3) the ε guarantee holds brute-force
+    — every dropped vertex lies within ε of the simplified chain."""
+    import math
+
+    from etl_capnz_spark.operators.geometry import (
+        dp_reference,
+        simplify_rings,
+    )
+
+    # a noisy square: jittered points along each edge, jitter < eps
+    ring = []
+    for (ax, ay), (bx, by) in [((0, 0), (10, 0)), ((10, 0), (10, 10)),
+                               ((10, 10), (0, 10)), ((0, 10), (0, 0))]:
+        for t in range(10):
+            f = t / 10
+            jx = 0.004 * math.sin(t * 12.9898)
+            ring.append([ax + (bx - ax) * f + jx, ay + (by - ay) * f])
+    ring.append(list(ring[0]))  # close
+
+    df = spark.createDataFrame(
+        [(1, ring)], "k long, ring array<array<double>>"
+    )
+    row = simplify_rings(df, "ring", eps=0.01).collect()[0]
+    got = [tuple(p) for p in row["ring_simple"]]
+    open_pts = [tuple(p) for p in ring[:-1]]
+    want = dp_reference(open_pts, 0.01)
+    assert got == want + [want[0]]
+    assert row["n_out"] < row["n_in"]
+    assert got[0] == tuple(ring[0]) and got[-1] == tuple(ring[0])
+
+    # eps guarantee, brute force: every original vertex within eps of
+    # some segment of the simplified chain
+    def seg_d(p, a, b):
+        ax, ay = a
+        bx, by = b
+        dx, dy = bx - ax, by - ay
+        s2 = dx * dx + dy * dy
+        if s2 == 0:
+            return math.dist(p, a)
+        t = max(0.0, min(1.0, ((p[0] - ax) * dx + (p[1] - ay) * dy) / s2))
+        return math.dist(p, (ax + t * dx, ay + t * dy))
+
+    for p in open_pts:
+        d = min(seg_d(p, got[i], got[i + 1]) for i in range(len(got) - 1))
+        assert d <= 0.01 + 1e-12, p
+
+    # collinear chain collapses to endpoints
+    line = [[float(i), 0.0] for i in range(20)]
+    assert dp_reference([tuple(p) for p in line], 1e-9) == [
+        (0.0, 0.0), (19.0, 0.0)
+    ]
