@@ -2907,6 +2907,17 @@ def _q_events_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"), "user_id", "ts")
 
 
+def _q_text_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL vs the corpus blend (operators/text.py
+    source_kl) — the mix-drift diagnostic behind the mixture
+    operators. One (source, token) aggregate; totals via window sums;
+    integer-ratio log trees (the mutual-information discipline);
+    per-source sum rounds 6dp."""
+    from etl_capnz_spark.operators.text import source_kl
+
+    return source_kl(_docs(spark, sf_dir), "text", "source")
+
+
 def _q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency fit (operators/text.py zipf_fit): OLS of
     ln(freq) on ln(rank) over the vocab table — the one-row corpus-
@@ -5910,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tar_shard_roundtrip": _q_tar_shard_roundtrip,
         "text_bm25": _q_text_bm25,
         "text_zipf": _q_text_zipf,
+        "text_source_kl": _q_text_source_kl,
         "hybrid_rrf": _q_hybrid_rrf,
         "orders_histogram_equidepth": _q_orders_histogram_equidepth,
         "events_sequence_match": _q_events_sequence_match,
@@ -7160,6 +7172,29 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY rrf DESC, id) AS fused_rank
               FROM fused)
             WHERE fused_rank <= 10""",
+        "text_source_kl": """
+            WITH tf AS (
+              SELECT source, token, count(*)::BIGINT AS nst
+              FROM (
+                SELECT source, unnest(list_filter(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t <> '')) AS token
+                FROM documents)
+              GROUP BY source, token),
+            e AS (
+              SELECT source, nst,
+                     sum(nst) OVER (PARTITION BY source)::BIGINT AS ns,
+                     sum(nst) OVER (PARTITION BY token)::BIGINT AS nt,
+                     sum(nst) OVER ()::BIGINT AS n
+              FROM tf)
+            SELECT source,
+                   max(ns)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS vocab,
+                   round(sum((nst / ns::DOUBLE)
+                         * ln((nst::DOUBLE * n::DOUBLE)
+                              / (ns::DOUBLE * nt::DOUBLE))), 6)
+                     AS kl_nats
+            FROM e GROUP BY source""",
         "text_zipf": """
             WITH toks AS (
               SELECT unnest(list_filter(

@@ -685,3 +685,57 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def source_kl(
+    df: DataFrame, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source KL divergence KL(P_source ‖ P_corpus) over unigram
+    distributions — the training-mix drift diagnostic: which source's
+    token distribution sits furthest from the blend it feeds? (The
+    quantile-normalization and temperature-mixture operators decide
+    WEIGHTS; this measures the distributional distance that motivates
+    them.) Finite by construction: the corpus includes every source,
+    so P_corpus dominates P_source.
+
+    Exactness: one (source, token) aggregate; source and corpus
+    totals derive from window sums over it (no second scan); each KL
+    term is exact-count ratios through one identical log tree; the
+    per-source sum is the only order-dependent step (6dp).
+
+    Output: (source, n_tokens, vocab, kl_nats).
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("nst"))
+    )
+    ws = Window.partitionBy("source")
+    wt = Window.partitionBy("token")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = (
+        tf.withColumn("ns", F.sum("nst").over(ws))
+        .withColumn("nt", F.sum("nst").over(wt))
+        .withColumn("n", F.sum("nst").over(wall))
+    )
+    # p_s = nst/ns, p_c = nt/n; term = p_s * ln((nst*n)/(ns*nt)) —
+    # the integer-ratio arrangement (the mutual_information discipline)
+    term = (F.col("nst") / F.col("ns").cast("double")) * F.log(
+        (F.col("nst").cast("double") * F.col("n").cast("double"))
+        / (F.col("ns").cast("double") * F.col("nt").cast("double"))
+    )
+    return (
+        e.groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(term), 6).alias("kl_nats"),
+        )
+    )

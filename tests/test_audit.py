@@ -490,3 +490,38 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     df = spark.createDataFrame([(flat,)], "text string")
     r = zipf_fit(df, "text").collect()[0]
     assert abs(r["slope"]) < 1e-6
+
+
+def test_source_kl_identities(spark):
+    """KL identities: a source distributed exactly like the corpus
+    blend has KL = 0 (two identical sources); a source concentrated on
+    tokens the other source never uses has KL = its share of
+    ln(n/ns)... pinned directly against a pure-Python computation."""
+    import math
+
+    from etl_capnz_spark.operators.text import source_kl
+
+    # two sources with IDENTICAL token distributions -> corpus blend
+    # equals each source -> KL = 0 for both
+    text = "alpha beta beta gamma"
+    df = spark.createDataFrame(
+        [("s1", text), ("s2", text)], "source string, text string"
+    )
+    for r in source_kl(df, "text", "source").collect():
+        assert r["kl_nats"] == 0.0
+
+    # disjoint vocabularies: compute expected KL in pure Python
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "c d d d")], "source string, text string"
+    )
+    got = {r["source"]: r for r in source_kl(df, "text", "source").collect()}
+    # corpus: a:2 b:1 c:1 d:3, n=7; s1: n=3 -> terms for a,b
+    kl1 = (2 / 3) * math.log((2 * 7) / (3 * 2)) + (1 / 3) * math.log(
+        (1 * 7) / (3 * 1)
+    )
+    kl2 = (1 / 4) * math.log((1 * 7) / (4 * 1)) + (3 / 4) * math.log(
+        (3 * 7) / (4 * 3)
+    )
+    assert abs(got["s1"]["kl_nats"] - kl1) < 1e-6
+    assert abs(got["s2"]["kl_nats"] - kl2) < 1e-6
+    assert got["s1"]["vocab"] == 2 and got["s2"]["vocab"] == 2
