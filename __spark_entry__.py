@@ -4308,6 +4308,40 @@ def _q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(_docs(spark, sf_dir), "lang", "source")
 
 
+def _q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly triage — the composition the
+    decomposition exists for: hours whose RESIDUAL (cents − trend −
+    time-of-day seasonal) exceeds the robust-z gate, MAD-scaled over the
+    residuals (operators/timeseries.seasonal_decompose +
+    operators/audit.mad_outliers with a constant group). A raw-value
+    gate pages on every busy-hour peak; the residual gate pages only
+    on what trend and seasonality do NOT explain. Oracle replays the
+    full decomposition AND the MAD gate."""
+    from etl_capnz_spark.operators.audit import mad_outliers
+    from etl_capnz_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(cents).alias("c"))
+        .withColumn("slot", F.hour("h"))
+    )
+    dec = (
+        seasonal_decompose(hourly, "h", "c", "slot", half=12)
+        .filter(F.col("residual").isNotNull())
+        .select("h", "cents", "residual", F.lit(1).alias("_g"))
+    )
+    # 2.5, not the 3.5 production default: the synthetic stream is
+    # tame (zero 3.5-sigma hours at sf0.01) and a 0-row entry checks
+    # nothing - 2.5 yields real flagged rows at both driver SFs
+    out = mad_outliers(dec, "residual", "_g", threshold=2.5)
+    return out.select(
+        "h", "cents", "residual",
+        F.round("robust_z", 6).alias("robust_z"),
+    )
+
+
 def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen (operators/audit.py benford_digits)
     over order totals: the digit comes from EXACT integer cents (never
@@ -5876,6 +5910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_mad": _q_events_anomaly_mad,
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
+        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "orders_benford": _q_orders_benford,
         "docs_mutual_info": _q_docs_mutual_info,
         "events_cv_folds": _q_events_cv_folds,
@@ -8625,6 +8660,45 @@ def oracle_sql() -> dict[str, str]:
                    round(mi, 6) AS mi_nats,
                    round(mi / least(hx, hy), 6) AS mi_norm
             FROM agg""",
+        "events_seasonal_anomaly": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS c,
+                     extract(hour FROM date_trunc('hour', ts))::INT
+                       AS slot
+              FROM events GROUP BY 1, 3),
+            b AS (
+              SELECT h, c, slot,
+                     CASE WHEN count(*) OVER win = 25
+                          THEN sum(c) OVER win END AS tn
+              FROM hourly
+              WINDOW win AS (ORDER BY h
+                             ROWS BETWEEN 12 PRECEDING
+                                      AND 12 FOLLOWING)),
+            d AS (SELECT h, c, slot, tn, 25 * c - tn AS dn FROM b),
+            sm AS (
+              SELECT slot, sum(dn)::BIGINT AS sn,
+                     count(*)::BIGINT AS sc
+              FROM d WHERE dn IS NOT NULL GROUP BY slot),
+            res AS (
+              SELECT h, c AS cents,
+                     dn / 25.0 - sn / (25.0 * sc) AS residual
+              FROM d JOIN sm USING (slot)
+              WHERE dn IS NOT NULL),
+            med AS (SELECT quantile_cont(residual, 0.5) AS m FROM res),
+            dev AS (
+              SELECT r.*, abs(r.residual - med.m) AS adev, med.m
+              FROM res r, med),
+            mad AS (SELECT quantile_cont(adev, 0.5) AS md FROM dev),
+            z AS (
+              SELECT h, cents, residual,
+                     CASE WHEN 1.4826 * mad.md > 0
+                          THEN (residual - m) / (1.4826 * mad.md)
+                          WHEN residual <> m THEN 'inf'::DOUBLE
+                          ELSE 0.0 END AS rz
+              FROM dev, mad)
+            SELECT h, cents, residual, round(rz, 6) AS robust_z
+            FROM z WHERE abs(rz) > 2.5""",
         "orders_benford": """
             WITH per AS (
               SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR,

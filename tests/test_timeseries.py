@@ -480,3 +480,56 @@ def test_isotonic_pava_hand_case_and_minimax_identity(spark):
     # and the fit is non-decreasing
     fits = [ref[x] for x, _, _ in pts]
     assert fits == sorted(fits)
+
+
+def test_seasonal_anomaly_pages_on_residual_not_raw_peaks(spark):
+    """The reason the composition exists: plant (a) a tall-but-NORMAL
+    busy-hour peak that recurs every day (seasonal — must NOT flag)
+    and (b) one hour whose value breaks its own slot's pattern
+    (must flag). A raw-value MAD gate over the same series flags the
+    daily peaks instead — pinned as the contrast."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.audit import mad_outliers
+    from etl_capnz_spark.operators.timeseries import seasonal_decompose
+
+    rows = []
+    anomaly_h = dt.datetime(2024, 5, 4, 3)
+    for d in range(8):
+        for hod in range(24):
+            h = dt.datetime(2024, 5, 1) + dt.timedelta(days=d, hours=hod)
+            # moderate spike: a 25-row MA over a period-24 signal
+            # leaks amplitude/25 into residuals (the textbook even-
+            # period artifact) - keep leakage well under the gate
+            v = 1000 + (1500 if hod == 12 else 0)  # daily noon spike
+            v += (hod * 37) % 100                  # slot texture
+            # aperiodic noise: a perfectly periodic series has
+            # IDENTICAL residuals on most rows -> MAD = 0 -> the gate
+            # degenerates to flag-everything (observed); ±70 noise
+            # keeps MAD healthy and well under the anomaly
+            import math
+            v += round(70 * math.sin(d * 24 + hod))
+            if h == anomaly_h:
+                v += 4000                           # the real anomaly
+            rows.append((h, v, hod))
+    df = spark.createDataFrame(rows, "h timestamp, c long, slot int")
+    dec = (
+        seasonal_decompose(df, "h", "c", "slot", half=12)
+        .filter(F.col("residual").isNotNull())
+        .select("h", "residual", F.lit(1).alias("g"))
+    )
+    flagged = {
+        r["h"] for r in mad_outliers(dec, "residual", "g", 3.5).collect()
+    }
+    assert anomaly_h in flagged
+    noon_hours = {r[0] for r in rows if r[0].hour == 12}
+    assert not (flagged & noon_hours)  # seasonal peaks never page
+
+    raw = df.select("h", F.col("c").cast("double").alias("v"),
+                    F.lit(1).alias("g"))
+    raw_flagged = {
+        r["h"] for r in mad_outliers(raw, "v", "g", 3.5).collect()
+    }
+    assert raw_flagged & noon_hours  # the raw gate DOES page on noon
