@@ -4308,6 +4308,23 @@ def _q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(_docs(spark, sf_dir), "lang", "source")
 
 
+def _q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly cents series, lags 1..48
+    (operators/timeseries.py autocorrelation) — the period detector
+    feeding seasonal_decompose (the lag-24 peak IS the season length).
+    Lag pairs via one bounded fan-out + equi-join on the row number
+    (no dynamic lead offsets); exact integer moments per lag; one
+    closed-form Pearson tree rounded 6dp."""
+    from etl_capnz_spark.operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(cents).alias("c")
+    )
+    return autocorrelation(hourly, "h", "c", max_lag=48)
+
+
 def _q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-adjusted anomaly triage — the composition the
     decomposition exists for: hours whose RESIDUAL (cents − trend −
@@ -5911,6 +5928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_cogroup": _q_events_asof_cogroup,
         "revenue_pareto": _q_revenue_pareto,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
+        "events_acf": _q_events_acf,
         "orders_benford": _q_orders_benford,
         "docs_mutual_info": _q_docs_mutual_info,
         "events_cv_folds": _q_events_cv_folds,
@@ -8659,6 +8677,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, n_cells,
                    round(mi, 6) AS mi_nats,
                    round(mi / least(hx, hy), 6) AS mi_norm
+            FROM agg""",
+        "events_acf": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS c
+              FROM events GROUP BY 1),
+            base AS (
+              SELECT c AS x,
+                     row_number() OVER (ORDER BY h) AS rn
+              FROM hourly),
+            fan AS (
+              SELECT x, lag, rn + lag AS target
+              FROM base, (SELECT unnest(generate_series(1, 48)) AS lag)),
+            pairs AS (
+              SELECT f.lag, f.x, b.x AS y
+              FROM fan f JOIN base b ON f.target = b.rn),
+            agg AS (
+              SELECT lag, count(*)::BIGINT AS n_pairs,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy
+              FROM pairs GROUP BY lag)
+            SELECT lag::INT AS lag, n_pairs,
+                   round((n_pairs::DOUBLE * sxy::DOUBLE
+                          - sx::DOUBLE * sy::DOUBLE)
+                         / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                                * (n_pairs::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE)), 6)
+                     AS acf
             FROM agg""",
         "events_seasonal_anomaly": """
             WITH hourly AS (

@@ -827,3 +827,71 @@ def isotonic_fit(
         F.col("_sy").alias(y_col),
         "fit",
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    t_col: str,
+    cents_col: str,
+    max_lag: int = 48,
+) -> DataFrame:
+    """Autocorrelation function over a regular integer-valued series —
+    the PERIOD DETECTOR: :func:`seasonal_decompose` assumes you know
+    the season length; the ACF's first major peak (lag 24 on hourly
+    business data) is how you find it, and a flat ACF says "don't
+    bother decomposing".
+
+    Pearson r at each lag L over the (x_t, x_{t+L}) pairs. Lag pairs
+    come from ONE equi-join: each row fans out to (rn + L) target
+    slots for L = 1..max_lag (bounded fan-out of the time-axis table,
+    the calendar-bounded argument), joined back on the row number —
+    no per-lag window pass, no dynamic `lead` offset (Spark requires
+    literal offsets). Every moment is an exact integer sum per lag;
+    r is one closed-form float tree over sums cast to double (the
+    int64-overflow rule), rounded 6dp.
+
+    Input must be one row per time step. Output: (lag, n_pairs, acf).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(t_col)
+    base = series.select(
+        F.col(cents_col).cast("bigint").alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fan = base.select(
+        "x",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+        (F.col("rn") + F.col("lag")).alias("target"),
+    )
+    pairs = fan.join(
+        base.select(
+            F.col("x").alias("y"), F.col("rn").alias("target")
+        ),
+        "target",
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n = d("n_pairs")
+    num = n * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (n * d("sxx") - d("sx") * d("sx"))
+        * (n * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")

@@ -533,3 +533,40 @@ def test_seasonal_anomaly_pages_on_residual_not_raw_peaks(spark):
         r["h"] for r in mad_outliers(raw, "v", "g", 3.5).collect()
     }
     assert raw_flagged & noon_hours  # the raw gate DOES page on noon
+
+
+def test_autocorrelation_finds_planted_period(spark):
+    """A period-24 cosine must put the ACF maximum at lag 24 (≈ +1)
+    and the minimum at lag 12 (≈ −1); an aperiodic ramp-free noise
+    series must stay small at every lag."""
+    import datetime as dt
+    import math
+
+    from etl_capnz_spark.operators.timeseries import autocorrelation
+
+    rows = [
+        (
+            dt.datetime(2024, 5, 1) + dt.timedelta(hours=t),
+            round(1000 + 500 * math.cos(2 * math.pi * t / 24)),
+        )
+        for t in range(24 * 10)
+    ]
+    df = spark.createDataFrame(rows, "h timestamp, c long")
+    acf = {r["lag"]: r["acf"]
+           for r in autocorrelation(df, "h", "c", max_lag=30).collect()}
+    assert acf[24] > 0.99
+    assert acf[12] < -0.99
+    assert max(acf, key=lambda L: acf[L]) == 24
+    assert min(acf, key=lambda L: acf[L]) == 12
+
+    noise = [
+        (
+            dt.datetime(2024, 5, 1) + dt.timedelta(hours=t),
+            round(1000 + 300 * math.sin(t * 12.9898 + t * t * 0.7)),
+        )
+        for t in range(240)
+    ]
+    df = spark.createDataFrame(noise, "h timestamp, c long")
+    acf = {r["lag"]: r["acf"]
+           for r in autocorrelation(df, "h", "c", max_lag=30).collect()}
+    assert all(abs(v) < 0.35 for v in acf.values())
