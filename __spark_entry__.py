@@ -4308,6 +4308,30 @@ def _q_docs_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(_docs(spark, sf_dir), "lang", "source")
 
 
+def _q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation view-cents vs purchase-cents per hour, lags
+    ±24 (operators/timeseries.py cross_correlation): the lead/lag
+    discovery readout (positive peak lag = views lead purchases).
+    Missing hours on either side are genuine zero activity (coalesce,
+    not dropped rows). Same bounded fan-out join and exact-moment
+    Pearson discipline as events_acf."""
+    from etl_capnz_spark.operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", cents)),
+            F.lit(0),
+        ).alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)),
+            F.lit(0),
+        ).alias("b"),
+    )
+    return cross_correlation(hourly, "h", "a", "b", max_lag=24)
+
+
 def _q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the hourly cents series, lags 1..48
     (operators/timeseries.py autocorrelation) — the period detector
@@ -5929,6 +5953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_pareto": _q_revenue_pareto,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "events_acf": _q_events_acf,
+        "events_xcorr": _q_events_xcorr,
         "orders_benford": _q_orders_benford,
         "docs_mutual_info": _q_docs_mutual_info,
         "events_cv_folds": _q_events_cv_folds,
@@ -8677,6 +8702,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, n_cells,
                    round(mi, 6) AS mi_nats,
                    round(mi / least(hx, hy), 6) AS mi_norm
+            FROM agg""",
+        "events_xcorr": """
+            WITH hourly AS (
+              SELECT date_trunc('hour', ts) AS h,
+                     coalesce(sum(CASE WHEN event_type = 'view'
+                       THEN round(value * 100)::BIGINT END), 0)::BIGINT
+                       AS a,
+                     coalesce(sum(CASE WHEN event_type = 'purchase'
+                       THEN round(value * 100)::BIGINT END), 0)::BIGINT
+                       AS b
+              FROM events GROUP BY 1),
+            base AS (
+              SELECT a, b, row_number() OVER (ORDER BY h) AS rn
+              FROM hourly),
+            fan AS (
+              SELECT a, lag, rn + lag AS target
+              FROM base,
+                   (SELECT unnest(generate_series(-24, 24)) AS lag)),
+            pairs AS (
+              SELECT f.lag, f.a, bb.b AS y
+              FROM fan f JOIN base bb ON f.target = bb.rn),
+            agg AS (
+              SELECT lag, count(*)::BIGINT AS n_pairs,
+                     sum(a)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(a * y)::BIGINT AS sxy,
+                     sum(a * a)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy
+              FROM pairs GROUP BY lag)
+            SELECT lag::INT AS lag, n_pairs,
+                   round((n_pairs::DOUBLE * sxy::DOUBLE
+                          - sx::DOUBLE * sy::DOUBLE)
+                         / sqrt((n_pairs::DOUBLE * sxx::DOUBLE
+                                 - sx::DOUBLE * sx::DOUBLE)
+                                * (n_pairs::DOUBLE * syy::DOUBLE
+                                   - sy::DOUBLE * sy::DOUBLE)), 6)
+                     AS xcf
             FROM agg""",
         "events_acf": """
             WITH hourly AS (

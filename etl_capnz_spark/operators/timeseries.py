@@ -895,3 +895,64 @@ def autocorrelation(
         "n_pairs",
         F.round(num / den, 6).alias("acf"),
     ).orderBy("lag")
+
+
+def cross_correlation(
+    series: DataFrame,
+    t_col: str,
+    a_col: str,
+    b_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Cross-correlation between two aligned integer series — the
+    lead/lag discovery tool (`does A lead B, and by how much?`): the
+    lag of the XCF peak is the offset at which A best predicts B
+    (positive lag = A leads). The causal-structure complement of
+    :func:`autocorrelation`'s period detection.
+
+    Pairs (a_t, b_{t+lag}) for lag = −max_lag..max_lag via the same
+    bounded fan-out + row-number equi-join (negative lags ride the
+    same join — the target index just shifts the other way). Exact
+    integer moments per lag; closed-form Pearson over double-cast
+    sums, 6dp. Output: (lag, n_pairs, xcf), lag ascending.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(t_col)
+    base = series.select(
+        F.col(a_col).cast("bigint").alias("a"),
+        F.col(b_col).cast("bigint").alias("b"),
+        F.row_number().over(w).alias("rn"),
+    )
+    fan = base.select(
+        "a",
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("lag"),
+        (F.col("rn") + F.col("lag")).alias("target"),
+    )
+    pairs = fan.join(
+        base.select(F.col("b").alias("y"), F.col("rn").alias("target")),
+        "target",
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("a").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("a") * F.col("y")).alias("sxy"),
+        F.sum(F.col("a") * F.col("a")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n = d("n_pairs")
+    num = n * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (n * d("sxx") - d("sx") * d("sx"))
+        * (n * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "lag", "n_pairs", F.round(num / den, 6).alias("xcf")
+    ).orderBy("lag")

@@ -570,3 +570,33 @@ def test_autocorrelation_finds_planted_period(spark):
     acf = {r["lag"]: r["acf"]
            for r in autocorrelation(df, "h", "c", max_lag=30).collect()}
     assert all(abs(v) < 0.35 for v in acf.values())
+
+
+def test_cross_correlation_finds_planted_lead(spark):
+    """Plant B as A shifted by +6 hours (plus texture): the XCF peak
+    must land exactly at lag +6 with r ≈ 1, and the reversed pair
+    peaks at −6 — sign convention pinned (positive lag = A leads)."""
+    import datetime as dt
+    import math
+
+    from etl_capnz_spark.operators.timeseries import cross_correlation
+
+    n = 240
+    sig = [round(1000 + 400 * math.sin(t * 0.7) + 150 * math.cos(t * 1.3))
+           for t in range(n + 6)]
+    rows = [
+        (dt.datetime(2024, 5, 1) + dt.timedelta(hours=t),
+         sig[t], sig[t + 6])
+        for t in range(n)
+    ]
+    df = spark.createDataFrame(rows, "h timestamp, a long, b long")
+    # b_t = a_{t+6}: pairing (a_t, b_{t+lag}) peaks when t+lag+6 = t+... 
+    xcf = {r["lag"]: r["xcf"]
+           for r in cross_correlation(df, "h", "a", "b", 12).collect()}
+    best = max(xcf, key=lambda L: xcf[L])
+    assert xcf[best] > 0.99
+    rev = {r["lag"]: r["xcf"]
+           for r in cross_correlation(df, "h", "b", "a", 12).collect()}
+    best_rev = max(rev, key=lambda L: rev[L])
+    assert rev[best_rev] > 0.99
+    assert best == -best_rev and abs(best) == 6
