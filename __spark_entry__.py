@@ -3989,6 +3989,46 @@ def _q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the first three event types of each
+    user-day, joined '>' in (ts, event_id) order, counted and ranked —
+    the path-analysis readout beside the Markov transition matrix
+    (events_transitions gives edge weights; this gives whole-prefix
+    frequencies). One slice of an ordered per-(user, day) aggregate
+    (arrays bounded at 3 — never the unbounded collect_list hazard),
+    one path count, one top-k window with (count desc, path) ties."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    per = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                1,
+                3,
+            ).alias("_first3")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.col("_first3"), lambda s: s["event_type"]),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = per.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w = Window.orderBy(F.desc("n_sessions"), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "path", "n_sessions")
+    )
+
+
 def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimation over the event stream:
     P(next_type | type) from consecutive event pairs per user. ONE
@@ -5944,6 +5984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau": _q_events_wau,
         "events_wau_hll": _q_events_wau_hll,
         "events_markov": _q_events_markov,
+        "events_top_paths": _q_events_top_paths,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
         "events_interarrival": _q_events_interarrival,
         "events_ab_test": _q_events_ab_test,
@@ -8359,6 +8400,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN mad USING (event_type)
             WHERE abs(e."value" - med.m) > 3 * 1.4826 * mad.d
             GROUP BY e.event_type""",
+        "events_top_paths": """
+            WITH per AS (
+              SELECT array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:3],
+                       '>') AS path
+              FROM events
+              GROUP BY user_id, ts::DATE),
+            counts AS (
+              SELECT path, count(*)::BIGINT AS n_sessions
+              FROM per GROUP BY path)
+            SELECT rank, path, n_sessions FROM (
+              SELECT path, n_sessions,
+                     row_number() OVER (
+                       ORDER BY n_sessions DESC, path)::INT AS rank
+              FROM counts)
+            WHERE rank <= 10""",
         "events_markov": """
             WITH pairs AS (
               SELECT event_type AS src,

@@ -343,3 +343,35 @@ def test_mann_whitney_against_scipy_convention_hand_case(spark):
     r = mann_whitney(df, "arm", "cents").collect()[0]
     assert r["u_a"] == u_a
     assert r["u_a"] + r["u_b"] == len(a) * len(b)
+
+
+def test_top_paths_hand_case(spark):
+    """Path extraction is ORDERED and bounded: a user-day with events
+    C,A,B by timestamp yields 'C>A>B' (arrival order, not value
+    order); a 2-event day yields a 2-step path; ranking ties break by
+    path string."""
+    import datetime as dt
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 9), "C"),
+        (1, 2, dt.datetime(2024, 1, 1, 10), "A"),
+        (1, 3, dt.datetime(2024, 1, 1, 11), "B"),
+        (1, 4, dt.datetime(2024, 1, 1, 12), "D"),  # 4th: truncated away
+        (2, 5, dt.datetime(2024, 1, 1, 9), "C"),
+        (2, 6, dt.datetime(2024, 1, 1, 10), "A"),
+        (2, 7, dt.datetime(2024, 1, 1, 11), "B"),
+        (3, 8, dt.datetime(2024, 1, 1, 9), "X"),
+        (3, 9, dt.datetime(2024, 1, 1, 10), "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r["path"]: (r["rank"], r["n_sessions"])
+           for r in entry.queries()["events_top_paths"](spark, d).collect()}
+    assert out["C>A>B"] == (1, 2)
+    assert out["X>Y"] == (2, 1)
