@@ -4029,6 +4029,46 @@ def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (lower weighted median: the
+    smallest value whose cumulative weight reaches half the total) —
+    price per returnflag weighted by quantity, so a 50-unit line
+    counts 50×. The DISCRETE rule keeps everything integer-exact:
+    cents values, integer weights, a cumulative-weight window over the
+    per-(group, value) aggregate, and a 2·cum ≥ total comparison that
+    never divides. Window runs on the distinct-value table (the
+    mann_whitney domain-bounded argument)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    per_v = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            cents.alias("v"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wcum = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("flag")
+    ranked = per_v.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "total", F.sum("w").over(wall)
+    )
+    hit = ranked.filter(2 * F.col("cum") >= F.col("total"))
+    wmin = Window.partitionBy("flag").orderBy("v")
+    return (
+        hit.withColumn("_rn", F.row_number().over(wmin))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "flag",
+            F.col("v").alias("weighted_median_cents"),
+            "total",
+        )
+    )
+
+
 def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimation over the event stream:
     P(next_type | type) from consecutive event pairs per user. ONE
@@ -5985,6 +6025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau_hll": _q_events_wau_hll,
         "events_markov": _q_events_markov,
         "events_top_paths": _q_events_top_paths,
+        "lineitem_weighted_median": _q_lineitem_weighted_median,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
         "events_interarrival": _q_events_interarrival,
         "events_ab_test": _q_events_ab_test,
@@ -8416,6 +8457,26 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_sessions DESC, path)::INT AS rank
               FROM counts)
             WHERE rank <= 10""",
+        "lineitem_weighted_median": """
+            WITH per_v AS (
+              SELECT l_returnflag AS flag,
+                     round(l_extendedprice * 100)::BIGINT AS v,
+                     sum(l_quantity::BIGINT)::BIGINT AS w
+              FROM lineitem GROUP BY 1, 2),
+            ranked AS (
+              SELECT flag, v, w,
+                     sum(w) OVER (PARTITION BY flag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cum,
+                     sum(w) OVER (PARTITION BY flag)::BIGINT AS total
+              FROM per_v),
+            hit AS (
+              SELECT flag, v, total,
+                     row_number() OVER (
+                       PARTITION BY flag ORDER BY v) AS rn
+              FROM ranked WHERE 2 * cum >= total)
+            SELECT flag, v AS weighted_median_cents, total
+            FROM hit WHERE rn = 1""",
         "events_markov": """
             WITH pairs AS (
               SELECT event_type AS src,

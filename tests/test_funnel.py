@@ -375,3 +375,36 @@ def test_top_paths_hand_case(spark):
            for r in entry.queries()["events_top_paths"](spark, d).collect()}
     assert out["C>A>B"] == (1, 2)
     assert out["X>Y"] == (2, 1)
+
+
+def test_weighted_median_hand_case(spark):
+    """Lower weighted median: values (1¢ w=1), (2¢ w=2), (10¢ w=1):
+    total 4, half 2 → cumulative at v=2 is 3 ≥ 2 → median 2 — a heavy
+    middle value wins over both the unweighted median of values and
+    the mean; and a dominant weight (w=100 on 10¢) drags it there."""
+    import datetime as dt  # noqa: F401
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_extendedprice double, l_quantity long",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        return {
+            r["flag"]: r["weighted_median_cents"]
+            for r in entry.queries()["lineitem_weighted_median"](
+                spark, d
+            ).collect()
+        }
+
+    got = run([("A", 0.01, 1), ("A", 0.02, 2), ("A", 0.10, 1)])
+    assert got["A"] == 2
+    got = run([("B", 0.01, 1), ("B", 0.02, 2), ("B", 0.10, 100)])
+    assert got["B"] == 10
