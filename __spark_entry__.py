@@ -4069,6 +4069,57 @@ def _q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-decay training-set builder — label + features with a
+    leak-proof wall: features come strictly BEFORE the 14-day holdout
+    (exact integer-µs boundary off the global max ts), the label is
+    below-median activity IN the holdout (a binary churn label is
+    constant on this uniformly-active synthetic stream — observed 0%
+    at every window size — so the median split is what yields a
+    trainable target while keeping every number exact: integer counts,
+    one cross-engine-pinned percentile). Two aggregates total: per-user
+    one-pass, plus a 1-row median broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    mm = ev.agg(F.max(F.unix_micros("ts")).alias("_t1"))
+    wall = F.col("_t1") - F.lit(14 * 86400 * 1000000)
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pre = us < wall
+    per_user = (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, 1).otherwise(0)).alias("n_events_pre"),
+            F.sum(
+                F.when(
+                    pre & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("n_purchases_pre"),
+            F.countDistinct(
+                F.when(pre, F.to_date("ts"))
+            ).alias("n_active_days_pre"),
+            F.sum(F.when(pre, cents).otherwise(0)).alias("cents_pre"),
+            F.sum(F.when(~pre, 1).otherwise(0)).alias("_n_post"),
+        )
+    )
+    med = per_user.agg(
+        F.expr("percentile(_n_post, 0.5)").alias("_med")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(med))
+        .select(
+            "user_id",
+            "n_events_pre",
+            "n_purchases_pre",
+            "n_active_days_pre",
+            "cents_pre",
+            F.when(F.col("_n_post") < F.col("_med"), 1)
+            .otherwise(0)
+            .alias("low_future_engagement"),
+        )
+    )
+
+
 def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimation over the event stream:
     P(next_type | type) from consecutive event pairs per user. ONE
@@ -6026,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov": _q_events_markov,
         "events_top_paths": _q_events_top_paths,
         "lineitem_weighted_median": _q_lineitem_weighted_median,
+        "events_churn_features": _q_events_churn_features,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
         "events_interarrival": _q_events_interarrival,
         "events_ab_test": _q_events_ab_test,
@@ -8477,6 +8529,32 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE 2 * cum >= total)
             SELECT flag, v AS weighted_median_cents, total
             FROM hit WHERE rn = 1""",
+        "events_churn_features": """
+            WITH mm AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+            pu AS (
+              SELECT user_id,
+                     sum(CASE WHEN epoch_us(ts) < t1 - 1209600000000
+                              THEN 1 ELSE 0 END)::BIGINT
+                       AS n_events_pre,
+                     sum(CASE WHEN epoch_us(ts) < t1 - 1209600000000
+                               AND event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT
+                       AS n_purchases_pre,
+                     count(DISTINCT CASE
+                       WHEN epoch_us(ts) < t1 - 1209600000000
+                       THEN ts::DATE END)::BIGINT AS n_active_days_pre,
+                     sum(CASE WHEN epoch_us(ts) < t1 - 1209600000000
+                              THEN round(value * 100)::BIGINT
+                              ELSE 0 END)::BIGINT AS cents_pre,
+                     sum(CASE WHEN epoch_us(ts) >= t1 - 1209600000000
+                              THEN 1 ELSE 0 END)::BIGINT AS n_post
+              FROM events, mm GROUP BY user_id),
+            med AS (SELECT quantile_cont(n_post, 0.5) AS m FROM pu)
+            SELECT user_id, n_events_pre, n_purchases_pre,
+                   n_active_days_pre, cents_pre,
+                   CASE WHEN n_post < m THEN 1 ELSE 0 END
+                     AS low_future_engagement
+            FROM pu, med""",
         "events_markov": """
             WITH pairs AS (
               SELECT event_type AS src,

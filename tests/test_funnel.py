@@ -408,3 +408,52 @@ def test_weighted_median_hand_case(spark):
     assert got["A"] == 2
     got = run([("B", 0.01, 1), ("B", 0.02, 2), ("B", 0.10, 100)])
     assert got["B"] == 10
+
+
+def test_churn_features_leakproof_wall_and_label(spark):
+    """The wall must be leak-proof and the label balanced: plant users
+    whose pre/post behavior differs sharply and verify (1) post-wall
+    events never leak into any *_pre feature, (2) the below-median
+    label splits the population, (3) a user entirely post-wall has
+    all-zero features."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    t1 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # users 1-4: lots of pre activity, varying post activity 0..3
+    for u in range(1, 5):
+        for i in range(10):
+            eid += 1
+            rows.append((eid, t1 - dt.timedelta(days=20 + i), u,
+                         "view", 10.0))
+        for i in range(u - 1):
+            eid += 1
+            rows.append((eid, t1 - dt.timedelta(days=2 + i), u,
+                         "view", 10.0))
+    # user 9: ONLY post-wall activity
+    eid += 1
+    rows.append((eid, t1 - dt.timedelta(days=1), 9, "purchase", 99.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: r
+           for r in entry.queries()["events_churn_features"](
+               spark, d).collect()}
+    for u in range(1, 5):
+        assert got[u]["n_events_pre"] == 10      # post events excluded
+        assert got[u]["n_purchases_pre"] == 0
+    assert got[9]["n_events_pre"] == 0           # entirely post-wall
+    assert got[9]["cents_pre"] == 0
+    labels = [r["low_future_engagement"] for r in got.values()]
+    assert 0 < sum(labels) < len(labels)         # balanced, not constant
+    # user 1 has 0 post events (below median), user 4 has 3 (above)
+    assert got[1]["low_future_engagement"] == 1
+    assert got[4]["low_future_engagement"] == 0
