@@ -4120,6 +4120,43 @@ def _q_events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over the event-type distribution,
+    plus the ln(k_types)-normalized variant — the predictability
+    feature (a 1-type user is a bot-or-burst smell at entropy 0; a
+    uniform user maxes at 1.0). Integer-ratio log trees off one
+    (user, type) aggregate (the mutual-information discipline);
+    per-user sums over ≤ 5 cells round at 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    e = cells.withColumn("n", F.sum("c").over(wu)).withColumn(
+        "k", F.count(F.lit(1)).over(wu)
+    )
+    term = (F.col("c") / F.col("n").cast("double")) * F.log(
+        F.col("c").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("k").alias("n_types"),
+            F.round(-F.sum(term), 6).alias("entropy_nats"),
+            F.round(
+                F.when(
+                    F.max("k") > 1,
+                    -F.sum(term) / F.log(F.max("k").cast("double")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy_norm"),
+        )
+    )
+
+
 def _q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition estimation over the event stream:
     P(next_type | type) from consecutive event pairs per user. ONE
@@ -6078,6 +6115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": _q_events_top_paths,
         "lineitem_weighted_median": _q_lineitem_weighted_median,
         "events_churn_features": _q_events_churn_features,
+        "events_user_entropy": _q_events_user_entropy,
         "tpch_qoq_growth": _q_tpch_qoq_growth,
         "events_interarrival": _q_events_interarrival,
         "events_ab_test": _q_events_ab_test,
@@ -8555,6 +8593,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_post < m THEN 1 ELSE 0 END
                      AS low_future_engagement
             FROM pu, med""",
+        "events_user_entropy": """
+            WITH cells AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY user_id, event_type),
+            e AS (
+              SELECT user_id, c,
+                     sum(c) OVER (PARTITION BY user_id)::BIGINT AS n,
+                     count(*) OVER (PARTITION BY user_id)::BIGINT AS k
+              FROM cells)
+            SELECT user_id,
+                   max(n)::BIGINT AS n_events,
+                   max(k)::BIGINT AS n_types,
+                   round(-sum((c / n::DOUBLE)
+                         * ln(c::DOUBLE / n::DOUBLE)), 6)
+                     AS entropy_nats,
+                   round(CASE WHEN max(k) > 1
+                         THEN -sum((c / n::DOUBLE)
+                              * ln(c::DOUBLE / n::DOUBLE))
+                              / ln(max(k)::DOUBLE)
+                         ELSE 0.0 END, 6) AS entropy_norm
+            FROM e GROUP BY user_id""",
         "events_markov": """
             WITH pairs AS (
               SELECT event_type AS src,

@@ -457,3 +457,42 @@ def test_churn_features_leakproof_wall_and_label(spark):
     # user 1 has 0 post events (below median), user 4 has 3 (above)
     assert got[1]["low_future_engagement"] == 1
     assert got[4]["low_future_engagement"] == 0
+
+
+def test_user_entropy_identities(spark):
+    """Entropy identities: a 1-type user scores exactly 0 (both
+    columns); a perfectly uniform 4-type user scores ln(4) and
+    normalized exactly 1.0; a skewed user lands strictly between."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    t = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for _ in range(8):
+        eid += 1
+        rows.append((eid, t, 1, "view", 1.0))         # constant user
+    for ty in ("a", "b", "c", "d") * 3:
+        eid += 1
+        rows.append((eid, t, 2, ty, 1.0))             # uniform user
+    for ty in ["a"] * 9 + ["b"]:
+        eid += 1
+        rows.append((eid, t, 3, ty, 1.0))             # skewed user
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: r
+           for r in entry.queries()["events_user_entropy"](
+               spark, d).collect()}
+    assert got[1]["entropy_nats"] == 0.0
+    assert got[1]["entropy_norm"] == 0.0
+    assert abs(got[2]["entropy_nats"] - math.log(4)) < 1e-6
+    assert got[2]["entropy_norm"] == 1.0
+    assert 0.0 < got[3]["entropy_norm"] < 1.0
