@@ -4564,6 +4564,76 @@ def _q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
 
 
+def _q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles — the table behind orders_gini's single
+    number: customers ascending by spend, cut into 10 equal-population
+    buckets (exact SQL-ntile semantics via the front-loaded remainder
+    arithmetic of orders_histogram_equidepth), cumulative share of
+    total cents per decile. Integer cents cumulative sums; the share
+    division is the only float, rounded 6dp. The bottom-decile share
+    vs 1/10 IS the inequality readout."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = spend.withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(wall))
+    # exact ntile: bucket b gets ceil-sized buckets first (SQL ntile)
+    decile = F.when(
+        (F.col("_rn") - 1)
+        < (F.col("_n") % 10) * (F.floor(F.col("_n") / 10) + 1),
+        F.floor(
+            (F.col("_rn") - 1) / (F.floor(F.col("_n") / 10) + 1)
+        ),
+    ).otherwise(
+        F.col("_n") % 10
+        + F.floor(
+            (
+                F.col("_rn")
+                - 1
+                - (F.col("_n") % 10) * (F.floor(F.col("_n") / 10) + 1)
+            )
+            / F.floor(F.col("_n") / 10)
+        )
+    ).cast("int") + 1
+    per = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        "cents",
+        F.round(
+            F.sum("cents").over(wcum).cast("double")
+            / F.sum("cents").over(wtot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
 def _q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend (operators/audit.py
     gini_coefficient): per-customer totals in EXACT integer cents
@@ -6136,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_cdc": _q_chunk_cdc,
         "events_mann_whitney": _q_events_mann_whitney,
         "orders_gini": _q_orders_gini,
+        "orders_lorenz": _q_orders_lorenz,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
         "graph_triangles": _q_graph_triangles,
@@ -9084,6 +9155,28 @@ def oracle_sql() -> dict[str, str]:
                    round((n_obs - exp) * (n_obs - exp) / exp, 6)
                      AS chi2_contrib
             FROM ex""",
+        "orders_lorenz": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS cents
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT cents,
+                     ntile(10) OVER (ORDER BY cents, o_custkey)::INT
+                       AS decile
+              FROM spend),
+            per AS (
+              SELECT decile, count(*)::BIGINT AS n_customers,
+                     sum(cents)::BIGINT AS cents
+              FROM ranked GROUP BY decile)
+            SELECT decile, n_customers, cents,
+                   round((sum(cents) OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))::DOUBLE
+                         / (sum(cents) OVER ())::DOUBLE, 6)
+                     AS cum_share
+            FROM per""",
         "orders_gini": """
             WITH spend AS (
               SELECT o_custkey,

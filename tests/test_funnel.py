@@ -496,3 +496,28 @@ def test_user_entropy_identities(spark):
     assert abs(got[2]["entropy_nats"] - math.log(4)) < 1e-6
     assert got[2]["entropy_norm"] == 1.0
     assert 0.0 < got[3]["entropy_norm"] < 1.0
+
+
+def test_lorenz_deciles_properties(spark):
+    """Lorenz invariants on the driver data at sf0.001: deciles
+    1..10, cumulative share strictly increasing to exactly 1.0,
+    bottom-decile share below the equal-split 0.1 (spend is skewed),
+    and population sizes match SQL-ntile (ceil-first buckets)."""
+    import __spark_entry__ as entry
+
+    rows = sorted(
+        entry.queries()["orders_lorenz"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1.0
+    assert shares[0] < 0.1
+    sizes = [r["n_customers"] for r in rows]
+    n = sum(sizes)
+    big, small = -(-n // 10), n // 10
+    assert all(s in (big, small) for s in sizes)
+    assert sizes == sorted(sizes, reverse=True) or big == small
