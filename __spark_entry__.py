@@ -4634,6 +4634,79 @@ def _q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness (Fano factor of daily event counts:
+    variance/mean over the user's ACTIVE-day counts) — the bot/burst
+    screen beside entropy: a metronomic bot sits near 0, a Poisson
+    human near 1, a bursty account well above. Integer daily counts
+    → exact sums; population variance via the n·Σx²−(Σx)² form cast
+    to double before products (the CUPED rule); one ratio, 6dp."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = (
+        n * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) / (n * n)
+    return agg.select(
+        "user_id",
+        "n_days",
+        F.col("sx").alias("n_events"),
+        F.round(
+            F.when(mean > 0, var / mean).otherwise(F.lit(0.0)), 6
+        ).alias("fano"),
+    )
+
+
+def _q_orders_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer spend —
+    T = Σ (x_i/X)·ln(x_i·n/X) — the DECOMPOSABLE inequality measure
+    (unlike Gini, Theil splits exactly into within-group +
+    between-group terms, so a 100 TB warehouse can attribute
+    inequality to segments). Integer cents; each term is one
+    integer-ratio log tree (the mutual-information discipline); the
+    sum rounds 6dp. Zero-spend units contribute 0 (x·ln x → 0)."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    e = spend.withColumn("xt", F.sum("x").over(wall)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    term = F.when(
+        F.col("x") > 0,
+        (F.col("x") / F.col("xt").cast("double"))
+        * F.log(
+            F.col("x").cast("double")
+            * F.col("n").cast("double")
+            / F.col("xt").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    return e.agg(
+        F.max("n").alias("n_units"),
+        F.max("xt").alias("total_cents"),
+        F.round(F.sum(term), 6).alias("theil_t"),
+    )
+
+
 def _q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend (operators/audit.py
     gini_coefficient): per-customer totals in EXACT integer cents
@@ -6207,6 +6280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mann_whitney": _q_events_mann_whitney,
         "orders_gini": _q_orders_gini,
         "orders_lorenz": _q_orders_lorenz,
+        "orders_theil": _q_orders_theil,
+        "events_burstiness": _q_events_burstiness,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
         "graph_triangles": _q_graph_triangles,
@@ -9177,6 +9252,41 @@ def oracle_sql() -> dict[str, str]:
                          / (sum(cents) OVER ())::DOUBLE, 6)
                      AS cum_share
             FROM per""",
+        "orders_theil": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+                       AS x
+              FROM orders GROUP BY o_custkey),
+            e AS (
+              SELECT x, sum(x) OVER ()::BIGINT AS xt,
+                     count(*) OVER ()::BIGINT AS n
+              FROM spend)
+            SELECT max(n)::BIGINT AS n_units,
+                   max(xt)::BIGINT AS total_cents,
+                   round(sum(CASE WHEN x > 0
+                     THEN (x / xt::DOUBLE)
+                          * ln(x::DOUBLE * n::DOUBLE / xt::DOUBLE)
+                     ELSE 0.0 END), 6) AS theil_t
+            FROM e""",
+        "events_burstiness": """
+            WITH daily AS (
+              SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS c
+              FROM events GROUP BY user_id, ts::DATE),
+            agg AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n_days,
+                     sum(c)::BIGINT AS sx,
+                     sum(c * c)::BIGINT AS sxx
+              FROM daily GROUP BY user_id)
+            SELECT user_id, n_days, sx AS n_events,
+                   round(CASE WHEN sx::DOUBLE / n_days::DOUBLE > 0
+                     THEN ((n_days::DOUBLE * sxx::DOUBLE
+                            - sx::DOUBLE * sx::DOUBLE)
+                           / (n_days::DOUBLE * n_days::DOUBLE))
+                          / (sx::DOUBLE / n_days::DOUBLE)
+                     ELSE 0.0 END, 6) AS fano
+            FROM agg""",
         "orders_gini": """
             WITH spend AS (
               SELECT o_custkey,

@@ -521,3 +521,60 @@ def test_lorenz_deciles_properties(spark):
     big, small = -(-n // 10), n // 10
     assert all(s in (big, small) for s in sizes)
     assert sizes == sorted(sizes, reverse=True) or big == small
+
+
+def test_theil_and_fano_identities(spark):
+    """Theil: equal shares give exactly 0; one-owner gives ln(n) (the
+    Theil maximum). Fano: a constant daily count gives 0; a planted
+    bursty pattern exceeds 1 (over-dispersed); a Poisson-ish spread
+    sits near 1."""
+    import datetime as dt
+    import math
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    def write(rows, schema, name, d):
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, name))
+
+    d = tempfile.mkdtemp()
+    t = dt.datetime(2024, 1, 1)
+    # equal spend: 40 customers x 1 order of $1
+    write([(i, i, "O", 1.0, t, "x") for i in range(40)],
+          "o_orderkey long, o_custkey long, o_orderstatus string, "
+          "o_totalprice double, o_orderdate timestamp, "
+          "o_orderpriority string", "orders.parquet", d)
+    r = entry.queries()["orders_theil"](spark, d).collect()[0]
+    assert r["theil_t"] == 0.0
+
+    d2 = tempfile.mkdtemp()
+    rows = [(0, 0, "O", 100.0, t, "x")] + [
+        (i, i, "O", 0.0, t, "x") for i in range(1, 40)
+    ]
+    write(rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+          "o_totalprice double, o_orderdate timestamp, "
+          "o_orderpriority string", "orders.parquet", d2)
+    r = entry.queries()["orders_theil"](spark, d2).collect()[0]
+    assert abs(r["theil_t"] - math.log(40)) < 1e-6
+
+    d3 = tempfile.mkdtemp()
+    ev = []
+    eid = 0
+    for day in range(10):           # user 1: constant 5/day
+        for _ in range(5):
+            eid += 1
+            ev.append((eid, t + dt.timedelta(days=day), 1, "view", 1.0))
+    for day in range(10):           # user 2: 1/day except one 50-burst
+        for _ in range(50 if day == 3 else 1):
+            eid += 1
+            ev.append((eid, t + dt.timedelta(days=day), 2, "view", 1.0))
+    write(ev, "event_id long, ts timestamp, user_id long, "
+          "event_type string, value double", "events.parquet", d3)
+    got = {r["user_id"]: r["fano"]
+           for r in entry.queries()["events_burstiness"](
+               spark, d3).collect()}
+    assert got[1] == 0.0
+    assert got[2] > 1.0
