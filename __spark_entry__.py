@@ -4707,6 +4707,54 @@ def _q_orders_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration per market segment — the
+    GROUPED member of the concentration family (Gini/Theil/Lorenz are
+    corpus-global): HHI = Σ share_i² of customer spend within each
+    segment, the antitrust-style "is this segment a few whales?"
+    readout. Integer cents make it one exact-integer-sums ratio:
+    Σx²/(Σx)² — numerator and denominator exact, one division, 6dp.
+    Also emits n_effective = 1/HHI (the equivalent number of
+    equal-size customers — same division, more readable)."""
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    "c_mktsegment",
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("x")
+        )
+    )
+    agg = spend.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("total_cents"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)")
+            * F.col("x").cast("decimal(19,0)")
+        ).alias("_sxx"),
+    )
+    hhi = F.col("_sxx").cast("double") / (
+        F.col("total_cents").cast("double")
+        * F.col("total_cents").cast("double")
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "total_cents",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(F.lit(1.0) / hhi, 6).alias("n_effective"),
+    )
+
+
 def _q_orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend (operators/audit.py
     gini_coefficient): per-customer totals in EXACT integer cents
@@ -6281,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_gini": _q_orders_gini,
         "orders_lorenz": _q_orders_lorenz,
         "orders_theil": _q_orders_theil,
+        "orders_hhi": _q_orders_hhi,
         "events_burstiness": _q_events_burstiness,
         "audit_constraints": _q_audit_constraints,
         "table_profile": _q_table_profile,
@@ -9286,6 +9335,29 @@ def oracle_sql() -> dict[str, str]:
                            / (n_days::DOUBLE * n_days::DOUBLE))
                           / (sx::DOUBLE / n_days::DOUBLE)
                      ELSE 0.0 END, 6) AS fano
+            FROM agg""",
+        "orders_hhi": """
+            WITH spend AS (
+              SELECT c.c_mktsegment, o.o_custkey,
+                     sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT
+                       AS x
+              FROM orders o JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment, o.o_custkey),
+            agg AS (
+              SELECT c_mktsegment,
+                     count(*)::BIGINT AS n_customers,
+                     sum(x)::BIGINT AS total_cents,
+                     sum(x::HUGEINT * x::HUGEINT) AS sxx
+              FROM spend GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n_customers, total_cents,
+                   round(sxx::DOUBLE
+                         / (total_cents::DOUBLE
+                            * total_cents::DOUBLE), 6) AS hhi,
+                   round(1.0 / (sxx::DOUBLE
+                         / (total_cents::DOUBLE
+                            * total_cents::DOUBLE)), 6)
+                     AS n_effective
             FROM agg""",
         "orders_gini": """
             WITH spend AS (

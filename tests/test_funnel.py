@@ -578,3 +578,33 @@ def test_theil_and_fano_identities(spark):
                spark, d3).collect()}
     assert got[1] == 0.0
     assert got[2] > 1.0
+
+
+def test_hhi_identities(spark):
+    """HHI identities: n equal customers give exactly 1/n (n_effective
+    = n); a monopoly gives exactly 1.0 (n_effective = 1)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    t = dt.datetime(2024, 1, 1)
+    oschema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string")
+    cschema = ("c_custkey long, c_name string, c_nationkey int, "
+               "c_acctbal double, c_mktsegment string")
+    d = tempfile.mkdtemp()
+    orders = [(i, i % 8, "O", 5.0, t, "x") for i in range(80)]
+    orders += [(100 + i, 100, "O", 7.0, t, "x") for i in range(3)]
+    cust = [(i, f"c{i}", 0, 0.0, "EQ") for i in range(8)]
+    cust += [(100, "mono", 0, 0.0, "MONO")]
+    spark.createDataFrame(orders, oschema).write.mode("overwrite").parquet(
+        os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(cust, cschema).write.mode("overwrite").parquet(
+        os.path.join(d, "customer.parquet"))
+    got = {r["c_mktsegment"]: r
+           for r in entry.queries()["orders_hhi"](spark, d).collect()}
+    assert got["EQ"]["hhi"] == 0.125 and got["EQ"]["n_effective"] == 8.0
+    assert got["MONO"]["hhi"] == 1.0 and got["MONO"]["n_effective"] == 1.0
