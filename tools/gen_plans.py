@@ -729,6 +729,47 @@ NOTES = {
         "the same single join; coalesced zeros keep silent hours as "
         "data, not gaps."
     ),
+    "events_top_paths": (
+        "Path analysis: ordered per-(user,day) aggregate sliced at 3 "
+        "(bounded arrays, never the unbounded collect_list hazard), "
+        "one path count, one deterministic top-k window."
+    ),
+    "lineitem_weighted_median": (
+        "Weighted median: cumulative-weight window over the "
+        "distinct-value table, 2*cum >= total comparison that never "
+        "divides - integer-exact end to end."
+    ),
+    "events_churn_features": (
+        "Training-set builder: one per-user pass with a leak-proof "
+        "integer-us wall splitting feature and label windows, plus a "
+        "1-row median broadcast for the balanced label."
+    ),
+    "events_user_entropy": (
+        "Behavioral entropy: one (user,type) aggregate; totals as "
+        "window sums over the cells; integer-ratio log trees."
+    ),
+    "orders_lorenz": (
+        "Lorenz deciles: per-customer cents aggregate -> exact-ntile "
+        "bucket arithmetic -> 10-row cumulative windows. The window "
+        "over customers is the pareto-decile shape (range-partitioned "
+        "sort at scale)."
+    ),
+    "orders_theil": (
+        "Theil T: per-customer cents -> window totals -> one 1-row "
+        "aggregate of integer-ratio log terms. Decomposability means "
+        "segment attribution needs only per-segment reruns of the "
+        "same shape."
+    ),
+    "events_burstiness": (
+        "Fano factor: daily-count aggregate -> per-user moment "
+        "aggregate -> closed-form variance/mean. Two exchanges, both "
+        "key-sized."
+    ),
+    "orders_hhi": (
+        "HHI: broadcast customer dim -> per-(segment,customer) cents "
+        "-> per-segment exact sums ratio with a 128-bit squared "
+        "accumulator. Groups are segment-sized; no window at all."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
