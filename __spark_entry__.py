@@ -256,6 +256,63 @@ def _parsed_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density hotspot detection over alert anchor points (each
+    parsed polygon's first vertex): 5-degree cells, per-cell counts,
+    and a LOCAL-MAXIMUM test against the 8-neighborhood — the
+    "where is alert activity densest, and is this cell a peak or a
+    shoulder?" readout. The neighborhood test is the grid-cell
+    equi-join discipline (geo_point_in_polygon's shape): each cell
+    fans out to its 8 neighbor addresses and joins back — no
+    CartesianProduct, cells-only exchanges. Ties count as local
+    maxima on both sides (deterministic)."""
+    from pyspark.sql.window import Window  # noqa: F401
+
+    pts = _parsed_polygons(spark, sf_dir).select(
+        F.element_at(F.col("ring"), 1).alias("_p")
+    ).select(
+        F.floor(F.element_at("_p", 1) / 5).cast("int").alias("cx"),
+        F.floor(F.element_at("_p", 2) / 5).cast("int").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    contrib = cells.select(
+        F.explode(offs).alias("_o"), "cx", "cy", "n_points"
+    ).select(
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        F.col("n_points").alias("nb"),
+    )
+    nb_max = contrib.groupBy("cx", "cy").agg(
+        F.max("nb").alias("max_neighbor")
+    )
+    return (
+        cells.join(nb_max, ["cx", "cy"], "left")
+        .select(
+            "cx",
+            "cy",
+            "n_points",
+            F.coalesce("max_neighbor", F.lit(0)).alias("max_neighbor"),
+            (
+                F.col("n_points")
+                >= F.coalesce("max_neighbor", F.lit(0))
+            )
+            .cast("int")
+            .alias("is_local_max"),
+        )
+        .filter(F.col("n_points") >= 5)
+    )
+
+
 def _q_polygon_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _parsed_polygons(spark, sf_dir).select(
         "k", "poly_idx", F.posexplode("ring").alias("pt_idx", "pt")
@@ -6151,6 +6208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_polygon_centroid": _q_polygon_centroid,
         "cap_polygon_area": _q_polygon_area,
         "cap_polygon_simplify": _q_cap_polygon_simplify,
+        "geo_hotspots": _q_geo_hotspots,
         "cap_centroid_window": _q_centroid_window,
         "cap_circle_parse": _q_circle_parse,
         "cap_geometry_fallback": _q_geometry_fallback,
@@ -6621,6 +6679,34 @@ def oracle_sql() -> dict[str, str]:
         # polygon strings (square, open; triangle, open; poisoned), so the
         # oracle states the expected parse/centroid results directly from
         # the generating integers — an independent check on the parser.
+        "geo_hotspots": f"""{_DUCK},
+            pts AS (
+              SELECT floor(lon0::DOUBLE / 5)::INT AS cx,
+                     floor(lat0::DOUBLE / 5)::INT AS cy
+              FROM cap WHERE g IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT floor(lon0::DOUBLE / 5)::INT,
+                     floor(lat0::DOUBLE / 5)::INT
+              FROM cap WHERE g = 2),
+            cells AS (
+              SELECT cx, cy, count(*)::BIGINT AS n_points
+              FROM pts GROUP BY cx, cy),
+            contrib AS (
+              SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy,
+                     c.n_points AS nb
+              FROM cells c,
+                   (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                           (1,-1),(1,0),(1,1)) o(dx, dy)),
+            nbm AS (
+              SELECT cx, cy, max(nb)::BIGINT AS max_neighbor
+              FROM contrib GROUP BY cx, cy)
+            SELECT c.cx, c.cy, c.n_points,
+                   coalesce(n.max_neighbor, 0)::BIGINT AS max_neighbor,
+                   CASE WHEN c.n_points >= coalesce(n.max_neighbor, 0)
+                        THEN 1 ELSE 0 END AS is_local_max
+            FROM cells c LEFT JOIN nbm n
+              ON c.cx = n.cx AND c.cy = n.cy
+            WHERE c.n_points >= 5""",
         "cap_polygon_points": f"""{_DUCK}
             SELECT k, 0 AS poly_idx, pt_idx,
                    (lon0 + dlon)::DOUBLE AS lon, (lat0 + dlat)::DOUBLE AS lat

