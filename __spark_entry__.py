@@ -9346,13 +9346,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT h, cents, residual, round(rz, 6) AS robust_z
             FROM z WHERE abs(rz) > 2.5""",
         "orders_benford": """
-            WITH per AS (
+            WITH obs AS (
               SELECT substr((round(o_totalprice * 100)::BIGINT)::VARCHAR,
                             1, 1)::INT AS digit,
                      count(*)::BIGINT AS n_obs
               FROM orders
               WHERE round(o_totalprice * 100)::BIGINT > 0
               GROUP BY 1),
+            per AS (
+              -- all digits 1-9 always present: an absent digit keeps
+              -- its full expected-count mass in the chi^2 (n_obs=0)
+              SELECT d.digit, coalesce(obs.n_obs, 0)::BIGINT AS n_obs
+              FROM (SELECT unnest(range(1, 10))::INT AS digit) d
+              LEFT JOIN obs ON obs.digit = d.digit),
             tot AS (
               SELECT digit, n_obs, sum(n_obs) OVER ()::BIGINT AS n
               FROM per),

@@ -687,18 +687,27 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
 
     One aggregate (9 output rows); the observed-total rides a window
     over those 9 rows, not a second scan. Output: (digit, n_obs,
-    expected, chi2_contrib), digits 1-9, zero/negative values skipped.
+    expected, chi2_contrib), ALWAYS all digits 1-9 — a fully-absent
+    digit (the most anomalous case this screen exists to catch) joins
+    in with n_obs=0 so its full expected-count mass n·log10(1+1/d)
+    lands in the χ² as (0−exp)²/exp instead of silently vanishing.
+    Zero/negative values skipped.
     """
     from pyspark.sql.window import Window
 
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     d = F.substring(cents.cast("string"), 1, 1).cast("int")
-    per = (
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    per = digits.join(
         df.filter(cents > 0)
         .select(d.alias("digit"))
         .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_obs"))
-    )
+        .agg(F.count(F.lit(1)).alias("n_obs")),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
     w = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

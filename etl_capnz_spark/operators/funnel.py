@@ -221,13 +221,21 @@ def cuped(
     the per-arm projection. Output per arm: n_users, mean_y, var_y,
     mean_y_adj, var_y_adj, var_reduction — all rounded 6dp.
     """
+    # Σxy / Σx² / Σy² accumulate in DECIMAL(38,0): per-row products of
+    # cent-scale int64s (~1e6² = 1e12 each) leave int64 near 1e7 rows —
+    # trivially the 100 TB regime. decimal(19,0)·decimal(19,0) widens
+    # to decimal(38,0) and sums exactly (the gini_coefficient
+    # discipline, audit.py); totals cast to double once in the closed
+    # forms below.
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
     per_arm = df.groupBy(arm_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x_col).alias("sx"),
         F.sum(y_col).alias("sy"),
-        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
-        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
-        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     pooled = per_arm.agg(
         F.sum("n").alias("pn"),
@@ -320,13 +328,18 @@ def mann_whitney(
     ranked = vals.withColumn(
         "lt", F.coalesce(F.sum("n").over(w), F.lit(0))
     ).withColumn("r2", 2 * F.col("lt") + F.col("n") + 1)
+    # Σ(na·r2) and Σ(n³−n) accumulate in DECIMAL(38,0): r2 ~ 2N so
+    # na·r2 sums toward N² (int64 exit near N≈2e9), and a single value
+    # with ≳2.1M occurrences overflows n³ outright (zero-inflated
+    # revenue — the headline use case). decimal factors widen the
+    # products to decimal(38,0); totals go to double once below.
+    nad = F.col("na").cast("decimal(19,0)")
+    nd = F.col("n").cast("decimal(19,0)")
     agg = ranked.agg(
         F.sum("na").alias("n_a"),
         F.sum(F.col("n") - F.col("na")).alias("n_b"),
-        F.sum(F.col("na") * F.col("r2")).alias("_s2a"),
-        F.sum(
-            F.col("n") * F.col("n") * F.col("n") - F.col("n")
-        ).alias("_ties"),
+        F.sum(nad * F.col("r2").cast("decimal(19,0)")).alias("_s2a"),
+        F.sum(nd * nd * nd - nd).alias("_ties"),
     )
 
     def d(c: str) -> Column:

@@ -442,10 +442,31 @@ def simplify_rings(
     (every dropped point within ε of the kept chain) is property-
     tested brute-force.
 
+    Degenerate guard: when every interior point falls within ε the DP
+    pass keeps only the two anchors, and re-closing would emit the
+    3-point zero-area ring [p0, pLast, p0] — below the 4-point closed-
+    ring minimum parse_polygon/ring_area enforce everywhere else. In
+    that case the interior point FARTHEST from the anchor chord
+    (lowest index on ties — deterministic) is retained, so the output
+    always honours the ≥4-point closed-ring contract.
+
     Output: input columns + (n_in, n_out, ring_simple) — ring_simple
     closed again.
     """
     import pandas as pd
+
+    def _chord_d2(pts, i):
+        ax, ay = pts[0]
+        bx, by = pts[-1]
+        px, py = pts[i]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            return (px - ax) ** 2 + (py - ay) ** 2
+        t = ((px - ax) * dx + (py - ay) * dy) / seg2
+        t = 0.0 if t < 0.0 else (1.0 if t > 1.0 else t)
+        cx, cy = ax + t * dx, ay + t * dy
+        return (px - cx) ** 2 + (py - cy) ** 2
 
     fields = df.schema
     out_schema = ", ".join(
@@ -468,6 +489,12 @@ def simplify_rings(
                     (float(p[0]), float(p[1])) for p in ring[:-1]
                 ]
                 kept = dp_reference(open_pts, eps)
+                if len(kept) == 2 and len(open_pts) >= 3:
+                    far = max(
+                        range(1, len(open_pts) - 1),
+                        key=lambda i: (_chord_d2(open_pts, i), -i),
+                    )
+                    kept = [open_pts[0], open_pts[far], open_pts[-1]]
                 closed = [list(p) for p in kept] + [list(kept[0])]
                 n_in.append(len(ring))
                 n_out.append(len(closed))

@@ -261,6 +261,10 @@ def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
     Per round: two joins + two aggregates, each exchanging (node,
     int) pairs only. Returns (node, hub, auth) for every node.
     """
+    if rounds < 1:
+        # hub is only defined by the loop body; rounds=0 would leave it
+        # None and crash the final join with a bare AttributeError.
+        raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

@@ -399,10 +399,19 @@ def test_benford_hand_case(spark):
     vals = [1.23, 0.05, 23.00, 999.99, 0.0, -5.0, 1.01, 150.0]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = {r["digit"]: r for r in benford_digits(df, "v").collect()}
-    assert {d: got[d]["n_obs"] for d in got} == {1: 3, 2: 1, 5: 1, 9: 1}
+    # ALL digits 1-9 always present; absent digits ride with n_obs=0 so
+    # their expected-count mass still lands in the chi^2
+    assert sorted(got) == list(range(1, 10))
+    assert {d: got[d]["n_obs"] for d in got} == {
+        1: 3, 2: 1, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0, 9: 1
+    }
     n = 6
     for d, r in got.items():
-        assert abs(r["expected"] - n * math.log10(1 + 1 / d)) < 1e-6
+        exp = n * math.log10(1 + 1 / d)
+        assert abs(r["expected"] - exp) < 1e-6
+        if r["n_obs"] == 0:
+            # the fully-absent-digit contribution: (0 - exp)^2 / exp
+            assert abs(r["chi2_contrib"] - exp) < 1e-6
 
 
 def test_gini_known_distributions(spark):

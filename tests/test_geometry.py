@@ -213,6 +213,25 @@ def test_simplify_rings_parity_and_eps_guarantee(spark):
         (0.0, 0.0), (19.0, 0.0)
     ]
 
+    # degenerate guard: when DP would keep only the two anchors
+    # (every interior point within eps), the kernel retains the
+    # farthest interior point so the closed output still honours the
+    # >=4-point ring contract used by parse_polygon/ring_area
+    flat = [[0.0, 0.0], [1.0, 0.004], [2.0, 0.001], [3.0, 0.0],
+            [0.0, 0.0]]
+    dfd = spark.createDataFrame(
+        [(1, flat)], "k long, ring array<array<double>>"
+    )
+    rowd = simplify_rings(dfd, "ring", eps=0.01).collect()[0]
+    gotd = [tuple(p) for p in rowd["ring_simple"]]
+    # dp_reference alone would give the 3-point degenerate close
+    assert dp_reference([tuple(p) for p in flat[:-1]], 0.01) == [
+        (0.0, 0.0), (3.0, 0.0)
+    ]
+    assert len(gotd) == 4 and gotd[0] == gotd[-1]
+    assert gotd == [(0.0, 0.0), (1.0, 0.004), (3.0, 0.0), (0.0, 0.0)]
+    assert rowd["n_out"] == 4
+
 
 def test_hotspot_local_max_semantics(spark, sf_dir):
     """Grid hotspots on the driver fixture: every returned cell meets

@@ -207,6 +207,12 @@ def test_hits_pure_python_parity_star_graph(spark):
         hh, aa = simulate(rounds)
         assert got == {n: (hh[n], aa[n]) for n in hh}, f"rounds={rounds}"
 
+    # rounds < 1 is a contract error, not an AttributeError deep in
+    # the final join (hub is only defined by the loop body)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rounds"):
+        hits(df, 0)
+
 
 def test_random_walks_valid_edges_and_pure_python_parity(spark):
     """Every consecutive (step s → s+1) hop must be a real edge; every
