@@ -81,6 +81,123 @@ def jaro_winkler_py(s1: str, s2: str) -> float:
     return sim
 
 
+def jw_batch_np(a_list, b_list):
+    """Numpy-vectorized Jaro-Winkler over a BATCH of pairs — the Arrow
+    kernel behind :func:`jw_pairs` (VERDICT r4 task 2: the per-pair
+    Python loop was the single most expensive bench kernel at 41% of
+    the driver's entity_golden total).
+
+    Bit-identical to :func:`jaro_winkler_py` (the readable spec, itself
+    fuzz-pinned to DuckDB): every float enters through the SAME IEEE
+    operations in the SAME association — ``(m/l1 + m/l2 + (m-t)/m)/3``
+    elementwise in float64 is the same three divisions/two adds Python
+    performs, and the boost ``sim + pref*0.1*(1-sim)`` likewise. The
+    greedy matching is sequential in (i, j) but independent ACROSS
+    pairs, so the loops run over CHARACTER POSITIONS (≤ max length in
+    batch, ~101 steps for 70-char fuzz strings) with all pairs advanced
+    per step — O(Lmax·Wmax) numpy passes instead of O(n) Python pair
+    loops. Strings decode via utf-32-le (code points, exactly Python's
+    character comparison semantics). Returns float64 ndarray.
+    """
+    import numpy as np
+
+    n = len(a_list)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    l1 = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in b_list), dtype=np.int64, count=n)
+    L1 = int(l1.max())
+    L2 = int(l2.max())
+    if L1 == 0 or L2 == 0:
+        return np.zeros(n, dtype=np.float64)
+    # code-point matrices; distinct negative pads so pad never equals
+    # pad or any real character (code points are >= 0)
+    A = np.full((n, L1), -1, dtype=np.int64)
+    B = np.full((n, L2), -2, dtype=np.int64)
+    for i, s in enumerate(a_list):
+        if s:
+            A[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    for i, s in enumerate(b_list):
+        if s:
+            B[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+
+    bound = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    bmax = int(bound.max())
+    m2 = np.zeros((n, L2), dtype=bool)
+    mA = np.zeros((n, L1), dtype=bool)
+    for i in range(L1):
+        # the greedy match is sequential in i (m2 state carries), but
+        # within one i every row needs only its FIRST eligible j —
+        # one 2D candidate mask over the window span + argmax, no
+        # inner j loop. Rows with i >= l1 hold pad -1 which never
+        # equals any B cell — no activity mask needed.
+        wlo = max(0, i - bmax)
+        whi = min(L2, i + bmax + 1)
+        if wlo >= whi:
+            continue
+        c = A[:, i]
+        lo = np.maximum(0, i - bound)
+        hi = np.minimum(l2, i + bound + 1)
+        jidx = np.arange(wlo, whi)
+        cand = (
+            (B[:, wlo:whi] == c[:, None])
+            & ~m2[:, wlo:whi]
+            & (jidx[None, :] >= lo[:, None])
+            & (jidx[None, :] < hi[:, None])
+        )
+        rows = np.nonzero(cand.any(axis=1))[0]
+        if rows.size:
+            jstar = wlo + cand[rows].argmax(axis=1)
+            m2[rows, jstar] = True
+            mA[rows, i] = True
+    m = mA.sum(axis=1)
+
+    # transpositions: matched chars of each side in order, compared
+    # positionally; scatter by per-row running match index
+    maxm = int(m.max())
+    sims = np.zeros(n, dtype=np.float64)
+    if maxm > 0:
+        S1 = np.full((n, maxm), -1, dtype=np.int64)
+        S2 = np.full((n, maxm), -2, dtype=np.int64)
+        o1 = np.cumsum(mA, axis=1) - 1
+        r, cpos = np.nonzero(mA)
+        S1[r, o1[r, cpos]] = A[r, cpos]
+        o2 = np.cumsum(m2, axis=1) - 1
+        r, cpos = np.nonzero(m2)
+        S2[r, o2[r, cpos]] = B[r, cpos]
+        k = np.arange(maxm)
+        t = (
+            (S1 != S2) & (k[None, :] < m[:, None])
+        ).sum(axis=1) // 2  # floored, matching DuckDB
+
+        has = m > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (m / l1 + m / l2 + (m - t) / m) / 3
+        sim = np.where(has, sim, 0.0)
+
+        # Winkler boost: common prefix up to 4 (stops at min length),
+        # applied only above the 0.7 Jaro threshold
+        P = min(4, L1, L2)
+        if P > 0:
+            kp = np.arange(P)
+            eq = (
+                (A[:, :P] == B[:, :P])
+                & (kp[None, :] < l1[:, None])
+                & (kp[None, :] < l2[:, None])
+            )
+            pref = np.cumprod(eq, axis=1).sum(axis=1)
+        else:
+            pref = np.zeros(n, dtype=np.int64)
+        boosted = sim + pref * 0.1 * (1 - sim)
+        sims = np.where(sim > 0.7, boosted, sim)
+    # either-empty rows: l1/l2 == 0 ⇒ m == 0 ⇒ already 0.0
+    return sims
+
+
 def _min_len_ratio(threshold: float) -> float:
     """Provable blocking bound: jw = j + ℓ·0.1·(1−j) ≤ 0.6·j + 0.4
     (ℓ ≤ 4), and j ≤ (2 + min_len/max_len)/3 because m ≤ min_len and
@@ -106,9 +223,11 @@ def jw_pairs(
     by DESIGN, not by accident, and the oracle blocks identically so
     the implementation is still checked exactly). The length-ratio
     band (see :func:`_min_len_ratio`) is provably lossless within a
-    block. The JW kernel is Python (inherently procedural greedy
-    matching — no SQL expression form), but it runs ONLY on
-    post-blocking candidates via an Arrow-batched pandas UDF.
+    block. The JW kernel is procedural (greedy matching — no SQL
+    expression form) and runs ONLY on post-blocking candidates via an
+    Arrow-batched pandas UDF: a per-batch distinct-pair memo feeding
+    :func:`jw_batch_np`, the numpy kernel vectorized ACROSS pairs
+    (bit-identical to :func:`jaro_winkler_py`, the readable spec).
 
     Plan: project → equi-join on (block, provable band) → map-only
     verify. No CartesianProduct (pinned in tests).
@@ -118,10 +237,20 @@ def jw_pairs(
 
     def _jw_kernel(a, b):
         # no type hints: `from __future__ import annotations` stringifies
-        # them and pyspark's hint inference rejects the string form
-        return pd.Series(
-            [jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
+        # them and pyspark's hint inference rejects the string form.
+        # Per-batch memo first: template corpora repeat (a, b) pairs
+        # heavily, and the numpy kernel then runs once per DISTINCT
+        # pair (factorize is exact tuple equality — no hash-collision
+        # hazard).
+        import numpy as np
+
+        codes, uniq = pd.factorize(
+            pd.Series(list(zip(a, b)), dtype="object"), sort=False
         )
+        sims = jw_batch_np(
+            [p[0] for p in uniq], [p[1] for p in uniq]
+        )
+        return pd.Series(np.asarray(sims)[codes], dtype="float64")
 
     _jw = pandas_udf(_jw_kernel, "double")
 

@@ -51,6 +51,36 @@ def test_jw_kernel_bit_identical_to_duckdb_fuzz():
         assert jaro_winkler_py(s1, s2) == d, (s1, s2)
 
 
+def test_jw_batch_np_bit_identical_to_pure_python_fuzz():
+    """The numpy batch kernel (the Arrow seam behind jw_pairs since r5)
+    must equal the pure-Python spec EXACTLY (==, no tolerance) on the
+    same fuzz families — transitively bit-identical to DuckDB via the
+    test above. Includes the unicode plane (utf-32 decode path), empty
+    strings, and the all-empty batch."""
+    from etl_capnz_spark.operators.linkage import (
+        jaro_winkler_py,
+        jw_batch_np,
+    )
+
+    rng = random.Random(11)
+    cases = [("martha", "marhta"), ("DIXON", "DICKSONX"), ("", ""),
+             ("a", ""), ("ab", "ba"), ("abc", "abc"),
+             ("māori tūī", "maori tui"), ("日本語テスト", "日本語てスト")]
+    for alpha, maxlen, n in [
+        ("abcd", 12, 700), ("abcdefghijklmnop", 24, 700), ("ab", 70, 300)
+    ]:
+        for _ in range(n):
+            cases.append((
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(0, maxlen))),
+            ))
+    got = jw_batch_np([c[0] for c in cases], [c[1] for c in cases])
+    for k, (s1, s2) in enumerate(cases):
+        assert got[k] == jaro_winkler_py(s1, s2), (s1, s2)
+    assert list(jw_batch_np([], [])) == []
+    assert list(jw_batch_np(["", ""], ["", "x"])) == [0.0, 0.0]
+
+
 def test_length_band_is_lossless():
     """The 5θ−4 length-ratio blocking bound must be PROVABLY lossless:
     no pair outside the band may reach the threshold. Brute-force over
