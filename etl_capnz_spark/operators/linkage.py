@@ -111,19 +111,22 @@ def jw_batch_np(a_list, b_list):
     if L1 == 0 or L2 == 0:
         return np.zeros(n, dtype=np.float64)
     # code-point matrices; distinct negative pads so pad never equals
-    # pad or any real character (code points are >= 0)
-    A = np.full((n, L1), -1, dtype=np.int64)
-    B = np.full((n, L2), -2, dtype=np.int64)
-    for i, s in enumerate(a_list):
-        if s:
-            A[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            )
-    for i, s in enumerate(b_list):
-        if s:
-            B[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            )
+    # pad or any real character (code points are >= 0). ONE decode of
+    # the whole batch + index scatter — a per-row fill loop was the
+    # actual hot spot at 400k-pair batches (2.8 s of pure Python).
+    def _fill(strs, lens, width, pad):
+        M = np.full((n, width), pad, dtype=np.int64)
+        flat = np.frombuffer(
+            "".join(strs).encode("utf-32-le"), dtype=np.uint32
+        )
+        rows = np.repeat(np.arange(n), lens)
+        starts = np.cumsum(lens) - lens
+        cols = np.arange(len(flat)) - np.repeat(starts, lens)
+        M[rows, cols] = flat
+        return M
+
+    A = _fill(a_list, l1, L1, -1)
+    B = _fill(b_list, l2, L2, -2)
 
     bound = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
     bmax = int(bound.max())
