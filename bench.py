@@ -59,7 +59,64 @@ HEADLINE = [
 ]
 
 
+def _calibrate_inprocess(rounds: int = 6) -> float:
+    """Fixed-size calibration kernel: sort + hash-agg over GENERATED
+    longs (no I/O, no sf dependence) — the same JVM codegen shape CPU
+    contention hits hardest (BENCH_r04: 22 envelope violations, all
+    host noise; the two queries that did NOT inflate were the
+    Python-kernel ones). Runs in its OWN SparkSession inside a FRESH
+    subprocess (see :func:`_calibrate`): an in-bench sample reads the
+    bench JVM's accumulated GC debt / code-cache weight as a 1.5-2.2x
+    slowdown on a provably idle host — the exact false signal the
+    calibration exists to kill; a fresh JVM measures the HOST alone.
+    Runs ``rounds`` times; the first two are dropped (JIT ramp), the
+    median of the rest is the host datum. Pinned kernel: any change
+    invalidates every recorded ``ref_sec``."""
+    import statistics
+
+    from etl_capnz_spark.session import get_session
+
+    spark = get_session("bench-calibrate")
+    spark.sparkContext.setLogLevel("ERROR")
+    times = []
+    for _ in range(rounds):
+        t0 = time.time()
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .selectExpr("(id * 2654435761) % 9999991 AS k", "id")
+            .groupBy("k")
+            .agg({"id": "sum"})
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        times.append(time.time() - t0)
+    spark.stop()
+    return round(statistics.median(times[2:]), 4)
+
+
+def _calibrate() -> float:
+    """Run the calibration kernel in a fresh subprocess JVM and return
+    its host datum; -1.0 if the probe fails (never fails the bench)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--calibrate"],
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+        return float(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
+    if "--calibrate" in sys.argv:
+        print(_calibrate_inprocess())
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -77,6 +134,22 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+
+    # Host-contention calibration (VERDICT r4 task 1): BENCH_r04
+    # recorded 22 envelope violations that were 100% fleet noise
+    # (median 2.07x inflation; every one vanished on the idle host).
+    # The fix: sample a pinned calibration kernel in a FRESH
+    # subprocess JVM right before the timed passes and again right
+    # after them (fresh JVM = the sample reads the HOST, not the bench
+    # JVM's accumulated GC debt; the timed passes sit between the two
+    # samples, so sustained contention shows in both);
+    # host_factor = min(sample)/ref, envelopes
+    # evaluate on sec/host_factor, and contended=true above threshold
+    # so a loaded-host artifact can defend itself.
+    try:
+        load_before = os.getloadavg()[0]
+    except OSError:
+        load_before = -1.0
     # Full untimed warmup pass: each query has its own generated code, so
     # warming one query leaves the others paying JIT + page-cache faults in
     # the timed pass (measured: cold first pass reads ~2x the steady state).
@@ -101,12 +174,39 @@ def main() -> None:
                 # bench vs 4.4 s standalone before this)
                 gc.collect()
 
+    # settle before probing: the bench JVM runs background GC /
+    # cleanup for a few seconds after a full pass, and a probe spawned
+    # into that window reads 4x on an idle host
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(5.0)
+    calib_before = _calibrate()
+
+    # TWO timed passes, per-query MIN: a single JVM stall (one observed
+    # full-GC pause put an 8 s spike on one query of an otherwise-idle
+    # run) lands on one pass only, and min-of-2 is the steady-state
+    # number the envelope budgets actually model. Sustained contention
+    # still shows: it inflates BOTH passes and the calibration samples.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        gc.collect()
+    for _ in range(2):
+        for name in names:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = round(time.time() - t0, 3)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+            gc.collect()
+
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(5.0)
+    calib_after = _calibrate()
+    try:
+        load_after = os.getloadavg()[0]
+    except OSError:
+        load_after = -1.0
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -121,19 +221,59 @@ def main() -> None:
     # Self-reported regression check (VERDICT r3 item 5): compare each
     # timing against its recorded budget so a noise wiggle is
     # distinguishable from a real regression without eyeballing history.
-    # Budgets only apply at the envelope's recorded sf.
+    # Budgets only apply at the envelope's recorded sf. Timings are
+    # normalized by host_factor (the worse of the two calibration
+    # samples over the idle-host reference) so a contended fleet host
+    # can't record false violations — BENCH_r04's failure mode.
     env_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_ENVELOPES.json"
     )
     if os.path.exists(env_path):
         with open(env_path) as f:
             envelopes = json.load(f)
+        calib = envelopes.get("calibration", {})
+        ref = calib.get("ref_sec")
+        host_factor = 1.0
+        if (
+            ref
+            and calib_before > 0
+            and calib_after > 0
+            and calib.get("cpus")
+            == int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ):
+            # MIN of the two probes: sustained contention (the r4
+            # failure mode - a loaded fleet host for the whole round)
+            # inflates both, while a one-sided transient (bench JVM
+            # background GC, a passing cron task) inflates only one
+            # and must not flag an idle run. Clamp below at 1.0: a
+            # faster-than-reference host must not TIGHTEN budgets
+            # (that would manufacture violations out of the reference
+            # host's slowness, the same lie in the other direction).
+            host_factor = max(
+                1.0, round(min(calib_before, calib_after) / ref, 3)
+            )
+        out["calibration"] = {
+            "before_sec": calib_before,
+            "after_sec": calib_after,
+            "ref_sec": ref,
+            "host_factor": host_factor,
+            "loadavg_before": round(load_before, 2),
+            "loadavg_after": round(load_after, 2),
+        }
+        out["contended"] = host_factor >= calib.get(
+            "contended_threshold", 1.3
+        )
         if sf == envelopes.get("sf"):
             violations = {
-                q: {"sec": t, "budget_sec": envelopes["queries"][q]["budget_sec"]}
+                q: {
+                    "sec": t,
+                    "normalized_sec": round(t / host_factor, 3),
+                    "budget_sec": envelopes["queries"][q]["budget_sec"],
+                }
                 for q, t in timings.items()
                 if q in envelopes["queries"]
-                and t > envelopes["queries"][q]["budget_sec"]
+                and t / host_factor
+                > envelopes["queries"][q]["budget_sec"]
             }
             out["envelope_violations"] = violations
 
