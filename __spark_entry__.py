@@ -5943,6 +5943,31 @@ def _q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_features(synthesize_png_media(docs, filter_type=4))
 
 
+def _q_media_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD real compressed-image codec (operators/multimodal.py):
+    baseline JFIF JPEG from the public T.81 spec — Annex-K quant
+    tables, canonical Huffman DC/AC entropy coding, zigzag scan,
+    differential DC, 8x8 DCT pair, JFIF color — stdlib+numpy only.
+    Payloads are 16x16 SOLID-COLOR frames (the image family whose
+    lossy decode has a closed form): a constant block survives the
+    FDCT as a pure DC coefficient and every AC quantizes to zero, so
+    the oracle can replay the entire codec — RGB→YCbCr rounding, DC
+    quantize/dequantize at the quality-75 table values (8 luma / 9
+    chroma), the DC-only IDCT, and YCbCr→RGB — as exact SQL algebra
+    with the codec's pinned round-half-up(+1e-9 guard) convention.
+    A MATCH means the Huffman stream, DC prediction, dequantization
+    and both color transforms round-tripped every pixel exactly;
+    patterned images (full AC path) are pinned in pytest against a
+    naive O(8^4) reference decoder."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_jpeg_features(synthesize_jpeg_media(docs))
+
+
 def _q_media_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED audio decode (operators/multimodal.py): the
     closed-form linear samples → the G.711 mu-law encoder (byte-equal
@@ -6295,6 +6320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
         "media_png_decode": _q_media_png_decode,
+        "media_jpeg_decode": _q_media_jpeg_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
         "media_gif_decode": _q_media_gif_decode,
         "media_mixed_decode": _q_media_mixed_decode,
@@ -10229,6 +10255,58 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "media_jpeg_decode": """
+            -- DC-only baseline-JPEG algebra at quality 75 (DC quant
+            -- steps: luma floor((16*50+50)/100)=8, chroma
+            -- floor((17*50+50)/100)=9). Every float expression below
+            -- mirrors the codec's association and its pinned
+            -- round-half-up convention floor(x + 0.5 + 1e-9).
+            WITH rgb AS (
+              SELECT doc_id,
+                     ((doc_id * 7 + 29) % 256)::DOUBLE AS r,
+                     ((doc_id * 7 + 130) % 256)::DOUBLE AS g,
+                     ((doc_id * 7 + 231) % 256)::DOUBLE AS b
+              FROM documents),
+            ycc AS (
+              SELECT doc_id,
+                     greatest(0, least(255, floor(
+                       0.299 * r + 0.587 * g + 0.114 * b
+                       + 0.5 + 1e-9))) AS y,
+                     greatest(0, least(255, floor(
+                       -0.1687 * r - 0.3313 * g + 0.5 * b + 128.0
+                       + 0.5 + 1e-9))) AS cb,
+                     greatest(0, least(255, floor(
+                       0.5 * r - 0.4187 * g - 0.0813 * b + 128.0
+                       + 0.5 + 1e-9))) AS cr
+              FROM rgb),
+            dec AS (
+              SELECT doc_id,
+                     greatest(0, least(255, floor(
+                       (CASE WHEN y >= 128 THEN 1 ELSE -1 END)
+                       * floor(abs(8 * (y - 128)) / 8.0 + 0.5)
+                       * 8 / 8.0 + 128.0 + 0.5 + 1e-9))) AS y2,
+                     greatest(0, least(255, floor(
+                       (CASE WHEN cb >= 128 THEN 1 ELSE -1 END)
+                       * floor(abs(8 * (cb - 128)) / 9.0 + 0.5)
+                       * 9 / 8.0 + 128.0 + 0.5 + 1e-9))) AS cb2,
+                     greatest(0, least(255, floor(
+                       (CASE WHEN cr >= 128 THEN 1 ELSE -1 END)
+                       * floor(abs(8 * (cr - 128)) / 9.0 + 0.5)
+                       * 9 / 8.0 + 128.0 + 0.5 + 1e-9))) AS cr2
+              FROM ycc)
+            SELECT doc_id AS media_id, 16::INT AS width,
+                   16::INT AS height,
+                   round(greatest(0, least(255, floor(
+                     y2 + 1.402 * (cr2 - 128.0) + 0.5 + 1e-9)))
+                     ::DOUBLE, 6) AS mean_r,
+                   round(greatest(0, least(255, floor(
+                     y2 - 0.344136 * (cb2 - 128.0)
+                        - 0.714136 * (cr2 - 128.0) + 0.5 + 1e-9)))
+                     ::DOUBLE, 6) AS mean_g,
+                   round(greatest(0, least(255, floor(
+                     y2 + 1.772 * (cb2 - 128.0) + 0.5 + 1e-9)))
+                     ::DOUBLE, 6) AS mean_b
+            FROM dec""",
         "media_mixed_decode": """
             WITH px AS (SELECT unnest(generate_series(0, 47)) AS p),
             rc AS (

@@ -433,3 +433,146 @@ def test_mixed_codec_auto_dispatch(spark):
     for d in range(9):
         assert rows[d]["width"] == 8 and rows[d]["height"] == 6
         assert rows[d]["mean_r"] is not None
+
+
+def test_jpeg_fast_decoder_equals_naive_reference():
+    """The numpy matrix-IDCT decoder must equal the O(8^4) per-pixel
+    reference EXACTLY (shared entropy decode, independent numerics:
+    naive double-loop IDCT + per-pixel color floats) on gradients,
+    random noise, multiple qualities and non-multiple-of-8 sizes —
+    the full AC/Huffman/ZRL path, not just solid DC blocks."""
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_reference_decode,
+    )
+
+    rng = np.random.RandomState(11)
+    images = []
+    yy, xx = np.mgrid[0:16, 0:24]
+    images.append(
+        np.stack(
+            [(yy * 9 + xx * 3) % 256, (yy * 5) % 256, (xx * 11) % 256],
+            axis=2,
+        ).astype(np.uint8)
+    )
+    images.append(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8))
+    images.append(rng.randint(0, 256, (10, 13, 3)).astype(np.uint8))
+    for px in images:
+        for q in (50, 75, 90):
+            raw = encode_jpeg(px, q)
+            fast = decode_jpeg(raw)
+            ref = jpeg_reference_decode(raw)
+            assert fast.shape == px.shape
+            assert np.array_equal(fast, ref), (px.shape, q)
+
+
+def test_jpeg_solid_color_closed_form():
+    """Solid 16x16 frames decode to a CONSTANT image whose value obeys
+    the DC-only codec algebra the oracle mirrors in SQL: YCbCr with the
+    pinned rounding, DC quantize at q75 steps (8 luma / 9 chroma),
+    dequant, /8, color back. Luma (step 8) round-trips exactly."""
+    import math
+
+    import numpy as np
+
+    from etl_capnz_spark.operators.multimodal import (
+        _jpeg_solid_rgb,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def rhu(x):
+        return math.floor(x + 0.5 + 1e-9)
+
+    def clip(v):
+        return min(255, max(0, v))
+
+    for d in (0, 1, 7, 123, 255, 9999, 31337):
+        r, g, b = _jpeg_solid_rgb(d)
+        px = np.zeros((16, 16, 3), np.uint8)
+        px[:, :] = (r, g, b)
+        dec = decode_jpeg(encode_jpeg(px, 75))
+        assert (dec == dec[0, 0]).all()  # still solid after decode
+        y = clip(rhu(0.299 * r + 0.587 * g + 0.114 * b))
+        cb = clip(rhu(-0.1687 * r - 0.3313 * g + 0.5 * b + 128.0))
+        cr = clip(rhu(0.5 * r - 0.4187 * g - 0.0813 * b + 128.0))
+
+        def dc_cycle(p, q):
+            sign = 1 if p >= 128 else -1
+            coef = sign * math.floor(abs(8 * (p - 128)) / q + 0.5)
+            return clip(rhu(coef * q / 8.0 + 128.0))
+
+        y2 = dc_cycle(y, 8)
+        cb2 = dc_cycle(cb, 9)
+        cr2 = dc_cycle(cr, 9)
+        assert y2 == y  # luma step divides the DC gain exactly
+        want = (
+            clip(rhu(y2 + 1.402 * (cr2 - 128.0))),
+            clip(rhu(y2 - 0.344136 * (cb2 - 128.0)
+                     - 0.714136 * (cr2 - 128.0))),
+            clip(rhu(y2 + 1.772 * (cb2 - 128.0))),
+        )
+        assert tuple(dec[0, 0]) == want, d
+        # lossy but tight: chroma step 9 keeps solid colors within 2
+        assert max(
+            abs(int(a) - int(c)) for a, c in zip((r, g, b), want)
+        ) <= 2
+
+
+def test_jpeg_structural_rejections():
+    """Honest scope: progressive (SOF2), restart intervals (DRI),
+    subsampled frames and truncated streams raise ValueError — they
+    isolate to NULL rows in the Spark path, never mis-decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_capnz_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    raw = bytearray(encode_jpeg(px, 75))
+    sof = raw.index(b"\xff\xc0")
+    prog = bytearray(raw)
+    prog[sof + 1] = 0xC2  # masquerade as progressive
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(raw)
+    sub[sof + 11] = 0x22  # claim 2x2 sampling for component 1
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(raw[: len(raw) // 2]))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_decode_features_malformed_isolation(spark):
+    """Spark-side decode over real JPEG payloads; a garbage payload
+    yields NULL dims without poisoning the batch (T8 discipline)."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = synthesize_jpeg_media(docs)
+    broken = spark.createDataFrame(
+        [(99, bytearray(b"\xff\xd8 definitely not a scan"))],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in media.unionByName(broken)
+        .transform(decode_jpeg_features)
+        .collect()
+    }
+    assert len(out) == 7
+    assert out[99]["width"] is None and out[99]["mean_b"] is None
+    for i in range(6):
+        assert out[i]["width"] == 16 and out[i]["height"] == 16
+        assert out[i]["mean_r"] is not None
