@@ -76,3 +76,107 @@ class CapHttpDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(CapHttpDataSource)
+
+
+# --- streaming half of the custom-source matrix (Spark 4
+# SimpleDataSourceStreamReader; VERDICT r4 task 4) -------------------------
+#
+# ``spark.readStream.format("capnz_feed_stream").option("path", dir)``
+# tails a LANDED-SNAPSHOT directory: each immutable landed file holds one
+# XML document per line (the same text-per-line contract as
+# streaming/stream.read_xml_stream), files ordered by name. The offset is
+# {"files": n, "seq": m} — how many files (and total rows) have been
+# consumed — so replay-from-offset is DETERMINISTIC: files are immutable
+# once landed and the ordering is lexicographic, so readBetweenOffsets
+# re-produces byte-identical rows after a crash. This is the bridge that
+# makes the NON-replayable HTTP feed replayable: the batch fetcher
+# (fetch_urls / capnz_http) lands snapshots; the stream source only ever
+# reads the landed log. Rows: (seq, path, xml), seq globally continuous.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.types import LongType
+
+STREAM_SCHEMA = StructType(
+    [
+        StructField("seq", LongType(), False),
+        StructField("path", StringType(), False),
+        StructField("xml", StringType(), True),
+    ]
+)
+
+
+class CapFeedStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.dir = options.get("path", "")
+        if not self.dir:
+            raise ValueError("capnz_feed_stream requires option 'path'")
+
+    def _landed(self):
+        import os
+
+        try:
+            names = os.listdir(self.dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in sorted(names):
+            # producers land via write-temp-then-rename; dot/underscore
+            # prefixes are the in-progress / metadata convention
+            if n.startswith((".", "_")):
+                continue
+            p = os.path.join(self.dir, n)
+            if os.path.isfile(p):
+                out.append(p)
+        return out
+
+    def _read_files(self, paths, seq0):
+        seq = seq0
+        for p in paths:
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if line:
+                        yield (seq, p, line)
+                        seq += 1
+
+    def initialOffset(self) -> dict:
+        return {"files": 0, "seq": 0}
+
+    def read(self, start: dict):
+        files = self._landed()
+        new = files[start["files"] :]
+        if not new:
+            return iter([]), dict(start)
+        rows = list(self._read_files(new, start["seq"]))
+        end = {
+            "files": len(files),
+            "seq": start["seq"] + len(rows),
+        }
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # crash replay: identical rows for an identical offset range —
+        # immutable landed files + name ordering make this exact
+        files = self._landed()
+        return self._read_files(
+            files[start["files"] : end["files"]], start["seq"]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # landed files are retained; retention is the producer's
+
+
+class CapFeedStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "capnz_feed_stream"
+
+    def schema(self):
+        return STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return CapFeedStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(CapFeedStreamSource)
