@@ -5926,6 +5926,253 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_ds_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-shape multi-level rollup (VERDICT r4 task 5): revenue by
+    (year, quarter, month) with ROLLUP subtotals and a share-of-year
+    column. Money accumulates as EXACT integer cents (the rollup
+    discipline — a float grand total over the whole fact table sits
+    ~1e-4 from its true value, enough to flip a 2dp rounding); the one
+    float step is the final share division. ROLLUP computes all four
+    levels in ONE pass (Spark expands grouping sets inside a single
+    partial/final hash aggregate — no per-level rescans); level =
+    count of NULLed group keys, keys coalesced to -1 sentinels so the
+    canonicalizer never meets a NULL."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+    )
+    agg = base.rollup("y", "q", "m").agg(
+        F.sum("_c").alias("cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy("y")
+    year_total = F.max(
+        F.when(
+            F.col("q").isNull() & F.col("m").isNull(), F.col("cents")
+        )
+    ).over(w)
+    return agg.select(
+        F.coalesce("y", F.lit(-1)).alias("y"),
+        F.coalesce("q", F.lit(-1)).alias("q"),
+        F.coalesce("m", F.lit(-1)).alias("m"),
+        (
+            F.col("y").isNull().cast("int")
+            + F.col("q").isNull().cast("int")
+            + F.col("m").isNull().cast("int")
+        ).alias("level"),
+        "cents",
+        "n_orders",
+        F.when(
+            F.col("y").isNotNull(),
+            F.round(
+                F.col("cents").cast("double")
+                / year_total.cast("double"),
+                6,
+            ),
+        ).alias("share_of_year"),
+    )
+
+
+def _q_ds_cube_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS grouping-sets shape: customer-nation x order-year revenue
+    CUBE — ((nation, year), (nation), (year), ()) in one pass, exactly
+    the 4-set GROUPING SETS the DS catalog queries use. Nation is a
+    broadcast dim (25 rows at any sf); cents discipline as everywhere;
+    level decodes which subtotal a row is."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("_c"),
+        )
+    )
+    return (
+        base.cube("nation", "y")
+        .agg(
+            F.sum("_c").alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            F.coalesce("y", F.lit(-1)).alias("y"),
+            (
+                F.col("nation").isNull().cast("int") * 2
+                + F.col("y").isNull().cast("int")
+            ).alias("level"),
+            "cents",
+            "n_orders",
+        )
+    )
+
+
+def _q_ds_yoy_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS same-store-YoY shape: yearly revenue per customer nation,
+    joined to its own prior year via LAG, percent change at 6dp. The
+    window partitions by nation over YEAR rows (bounded: nations x
+    years — the post-aggregate table, never the fact table), so the
+    sort is trivially small at any sf."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("y")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "nation",
+        "y",
+        "cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round(
+                (F.col("cents") - prev).cast("double")
+                / prev.cast("double"),
+                6,
+            ),
+        ).alias("yoy_pct"),
+    )
+
+
+def _q_ds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS catalog/store channel shape, Spark-first: the DS original
+    UNIONs one aggregate per channel; here the channel is a CASE
+    column and ONE rollup pass produces per-channel-per-year rows AND
+    the all-channel subtotals the union would have needed a second
+    scan for — the deliberate one-pass rewrite (the fact table is read
+    once, partial aggregation still pushes below the exchange).
+    express = urgent/high order priority, standard = the rest."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.lit("express"),
+        )
+        .otherwise(F.lit("standard"))
+        .alias("channel"),
+        F.year("o_orderdate").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+    )
+    return (
+        base.rollup("channel", "y")
+        .agg(
+            F.sum("_c").alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("y", F.lit(-1)).alias("y"),
+            "cents",
+            "n_orders",
+        )
+    )
+
+
+def _q_ds_cohort_ltv_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS customer-cohort shape: cohort = first-order year, LTV =
+    lifetime cents, NTILE(10) within cohort (ordered by ltv, custkey —
+    fully deterministic), reported per (cohort, decile). The ntile
+    window partitions by cohort over the per-CUSTOMER aggregate; at
+    100 TB a hot cohort would use the two-phase sharded rank
+    (operators/sampling.py training_order_sharded) — this entry keeps
+    the canonical DS window form and says so."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("ltv_cents"),
+    )
+    w = Window.partitionBy("cohort").orderBy("ltv_cents", "o_custkey")
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return tiled.groupBy("cohort", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("ltv_cents").alias("cents"),
+        F.min("ltv_cents").alias("min_ltv"),
+        F.max("ltv_cents").alias("max_ltv"),
+    )
+
+
+def _q_ds_brand_qoq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS brand-momentum shape: lineitem x broadcast part dim,
+    revenue per (brand, year-quarter), LAG for quarter-over-quarter
+    growth, top-5 brands per quarter by growth (rank over the
+    post-aggregate table). Two windows compose over the SAME
+    (brand, quarter) aggregate — no second fact scan; quarter key is
+    y*10+q so lag order is total without a date dim."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (
+                F.year("l_shipdate") * 10 + F.quarter("l_shipdate")
+            ).alias("yq"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wl = Window.partitionBy("brand").orderBy("yq")
+    prev = F.lag("cents").over(wl)
+    grown = per.select(
+        "brand",
+        "yq",
+        "cents",
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            F.round(
+                (F.col("cents") - prev).cast("double")
+                / prev.cast("double"),
+                6,
+            ),
+        ).alias("qoq_pct"),
+    ).filter(F.col("qoq_pct").isNotNull())
+    wr = Window.partitionBy("yq").orderBy(
+        F.desc("qoq_pct"), F.col("brand")
+    )
+    return (
+        grown.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select("yq", "rnk", "brand", "cents", "qoq_pct")
+    )
+
+
 def _q_media_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL COMPRESSED image decode (operators/multimodal.py): per-doc
     deterministic pixel planes → real PNG files (zlib IDAT, Paeth
@@ -6319,6 +6566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "ds_rollup_revenue": _q_ds_rollup_revenue,
+        "ds_cube_nation_year": _q_ds_cube_nation_year,
+        "ds_yoy_nation": _q_ds_yoy_nation,
+        "ds_channel_rollup": _q_ds_channel_rollup,
+        "ds_cohort_ltv_decile": _q_ds_cohort_ltv_decile,
+        "ds_brand_qoq_topk": _q_ds_brand_qoq_topk,
         "media_png_decode": _q_media_png_decode,
         "media_jpeg_decode": _q_media_jpeg_decode,
         "media_mulaw_decode": _q_media_mulaw_decode,
@@ -10255,6 +10508,135 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "ds_rollup_revenue": """
+            WITH base AS (
+              SELECT year(o_orderdate)::INT AS y,
+                     quarter(o_orderdate)::INT AS q,
+                     month(o_orderdate)::INT AS m,
+                     (round(o_totalprice * 100))::BIGINT AS c
+              FROM orders),
+            agg AS (
+              SELECT y, q, m, sum(c)::BIGINT AS cents,
+                     count(*)::BIGINT AS n_orders
+              FROM base GROUP BY ROLLUP (y, q, m)),
+            yt AS (
+              SELECT *,
+                     max(CASE WHEN q IS NULL AND m IS NULL
+                              THEN cents END)
+                       OVER (PARTITION BY y) AS year_total
+              FROM agg)
+            SELECT coalesce(y, -1)::INT AS y,
+                   coalesce(q, -1)::INT AS q,
+                   coalesce(m, -1)::INT AS m,
+                   ((y IS NULL)::INT + (q IS NULL)::INT
+                    + (m IS NULL)::INT)::INT AS level,
+                   cents, n_orders,
+                   CASE WHEN y IS NOT NULL THEN
+                     round(cents::DOUBLE / year_total::DOUBLE, 6)
+                   END AS share_of_year
+            FROM yt""",
+        "ds_cube_nation_year": """
+            WITH base AS (
+              SELECT n.n_name AS nation,
+                     year(o.o_orderdate)::INT AS y,
+                     (round(o.o_totalprice * 100))::BIGINT AS c
+              FROM orders o
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              JOIN nation n ON cu.c_nationkey = n.n_nationkey)
+            SELECT coalesce(nation, 'ALL') AS nation,
+                   coalesce(y, -1)::INT AS y,
+                   ((nation IS NULL)::INT * 2 + (y IS NULL)::INT)::INT
+                     AS level,
+                   sum(c)::BIGINT AS cents,
+                   count(*)::BIGINT AS n_orders
+            FROM base GROUP BY CUBE (nation, y)""",
+        "ds_yoy_nation": """
+            WITH yearly AS (
+              SELECT n.n_name AS nation,
+                     year(o.o_orderdate)::INT AS y,
+                     sum((round(o.o_totalprice * 100))::BIGINT)::BIGINT
+                       AS cents
+              FROM orders o
+              JOIN customer cu ON o.o_custkey = cu.c_custkey
+              JOIN nation n ON cu.c_nationkey = n.n_nationkey
+              GROUP BY 1, 2)
+            SELECT nation, y, cents,
+                   lag(cents) OVER (PARTITION BY nation ORDER BY y)
+                     ::BIGINT AS prev_cents,
+                   CASE WHEN lag(cents) OVER (PARTITION BY nation
+                                              ORDER BY y) IS NOT NULL
+                         AND lag(cents) OVER (PARTITION BY nation
+                                              ORDER BY y) != 0
+                   THEN round((cents - lag(cents) OVER (
+                          PARTITION BY nation ORDER BY y))::DOUBLE
+                        / (lag(cents) OVER (PARTITION BY nation
+                                            ORDER BY y))::DOUBLE, 6)
+                   END AS yoy_pct
+            FROM yearly""",
+        "ds_channel_rollup": """
+            WITH base AS (
+              SELECT CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                          THEN 'express' ELSE 'standard' END
+                       AS channel,
+                     year(o_orderdate)::INT AS y,
+                     (round(o_totalprice * 100))::BIGINT AS c
+              FROM orders)
+            SELECT coalesce(channel, 'ALL') AS channel,
+                   coalesce(y, -1)::INT AS y,
+                   sum(c)::BIGINT AS cents,
+                   count(*)::BIGINT AS n_orders
+            FROM base GROUP BY ROLLUP (channel, y)""",
+        "ds_cohort_ltv_decile": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     min(year(o_orderdate))::INT AS cohort,
+                     sum((round(o_totalprice * 100))::BIGINT)::BIGINT
+                       AS ltv_cents
+              FROM orders GROUP BY o_custkey),
+            tiled AS (
+              SELECT cohort, ltv_cents,
+                     ntile(10) OVER (PARTITION BY cohort
+                                     ORDER BY ltv_cents, o_custkey)
+                       ::INT AS decile
+              FROM per_cust)
+            SELECT cohort, decile,
+                   count(*)::BIGINT AS n_customers,
+                   sum(ltv_cents)::BIGINT AS cents,
+                   min(ltv_cents)::BIGINT AS min_ltv,
+                   max(ltv_cents)::BIGINT AS max_ltv
+            FROM tiled GROUP BY 1, 2""",
+        "ds_brand_qoq_topk": """
+            WITH per AS (
+              SELECT p.p_brand AS brand,
+                     (year(l.l_shipdate) * 10
+                      + quarter(l.l_shipdate))::INT AS yq,
+                     sum((round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100))::BIGINT)::BIGINT AS cents
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2),
+            grown AS (
+              SELECT brand, yq, cents,
+                     CASE WHEN lag(cents) OVER (PARTITION BY brand
+                                                ORDER BY yq)
+                            IS NOT NULL
+                           AND lag(cents) OVER (PARTITION BY brand
+                                                ORDER BY yq) != 0
+                     THEN round((cents - lag(cents) OVER (
+                            PARTITION BY brand ORDER BY yq))::DOUBLE
+                          / (lag(cents) OVER (PARTITION BY brand
+                                              ORDER BY yq))::DOUBLE, 6)
+                     END AS qoq_pct
+              FROM per),
+            ranked AS (
+              SELECT yq,
+                     row_number() OVER (PARTITION BY yq
+                                        ORDER BY qoq_pct DESC, brand)
+                       ::INT AS rnk,
+                     brand, cents, qoq_pct
+              FROM grown WHERE qoq_pct IS NOT NULL)
+            SELECT yq, rnk, brand, cents, qoq_pct
+            FROM ranked WHERE rnk <= 5""",
         "media_jpeg_decode": """
             -- DC-only baseline-JPEG algebra at quality 75 (DC quant
             -- steps: luma floor((16*50+50)/100)=8, chroma
