@@ -5926,6 +5926,25 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_events_poisson_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed bootstrap CI machinery (operators/funnel.py
+    poisson_bootstrap): 64 replicates of the mean event value, each a
+    per-row Poisson(1) WEIGHT drawn from hash52(seed:id:b) against
+    precomputed integer thresholds — no resampling shuffle, partial
+    aggregation collapses the B-way fan-out to B rows per partition
+    before the exchange (the reason this estimator exists at 100 TB).
+    The oracle replays the identical hash ladder; every replicate's
+    (n_eff, sum_cents, mean) matches exactly."""
+    from etl_capnz_spark.operators.funnel import poisson_bootstrap
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap(
+        ev, "event_id", "value", replicates=64, seed="boot0"
+    )
+
+
 def _q_ds_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS-shape multi-level rollup (VERDICT r4 task 5): revenue by
     (year, quarter, month) with ROLLUP subtotals and a share-of-year
@@ -6566,6 +6585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "events_poisson_bootstrap": _q_events_poisson_bootstrap,
         "ds_rollup_revenue": _q_ds_rollup_revenue,
         "ds_cube_nation_year": _q_ds_cube_nation_year,
         "ds_yoy_nation": _q_ds_yoy_nation,
@@ -10508,6 +10528,39 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "events_poisson_bootstrap": """
+            -- Poisson(1) inverse-CDF thresholds scaled to 2^52,
+            -- identical integer constants to the engine's ladder
+            WITH fan AS (
+              SELECT e.event_id,
+                     (round(e.value * 100))::BIGINT AS c,
+                     b.b
+              FROM events e,
+                   (SELECT unnest(range(0, 64))::INT AS b) b),
+            hashed AS (
+              SELECT b, c,
+                     ('0x' || substr(md5('boot0:' || event_id::VARCHAR
+                                         || ':' || b::VARCHAR),
+                                     1, 13))::BIGINT AS h
+              FROM fan),
+            weighted AS (
+              SELECT b, c,
+                     CASE WHEN h <= 1656781714176974 THEN 0
+                          WHEN h <= 3313563428353948 THEN 1
+                          WHEN h <= 4141954285442435 THEN 2
+                          WHEN h <= 4418084571138597 THEN 3
+                          WHEN h <= 4487117142562638 THEN 4
+                          WHEN h <= 4500923656847446 THEN 5
+                          WHEN h <= 4503224742561580 THEN 6
+                          WHEN h <= 4503553469092171 THEN 7
+                          WHEN h <= 4503594559908495 THEN 8
+                          ELSE 9 END AS w
+              FROM hashed)
+            SELECT b, sum(w)::BIGINT AS n_eff,
+                   sum(w * c)::BIGINT AS sum_cents,
+                   round(sum(w * c)::DOUBLE / sum(w)::DOUBLE, 6)
+                     AS mean_cents
+            FROM weighted GROUP BY b""",
         "ds_rollup_revenue": """
             WITH base AS (
               SELECT year(o_orderdate)::INT AS y,

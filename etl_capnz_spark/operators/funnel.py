@@ -361,3 +361,93 @@ def mann_whitney(
         u_b.alias("u_b"),
         F.round(z, 6).alias("z"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to the 52-bit hash domain,
+# computed ONCE in exact-enough Python floats and embedded as INTEGER
+# constants: both engines compare the bigint hash directly against
+# these, so replicate weights carry zero float-comparison hazard.
+def _poisson1_thresholds():
+    import math
+
+    cdf, term = 0.0, math.exp(-1.0)
+    out = []
+    for k in range(9):  # P(X > 8) < 1e-6: cap the ladder at 8
+        cdf += term
+        out.append(min(int(cdf * (1 << 52)), (1 << 52) - 1))
+        term /= k + 1
+    return out
+
+
+_POISSON1_T = _poisson1_thresholds()
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    replicates: int = 64,
+    seed: str = "boot0",
+) -> DataFrame:
+    """Distributed bootstrap WITHOUT resampling — the Poisson bootstrap
+    (the classic large-scale trick: at n rows, multinomial(n) resample
+    weights converge to independent Poisson(1), so each replicate is a
+    per-row WEIGHT, not a shuffle of the data). The weight for (row,
+    replicate b) is the Poisson(1) inverse CDF evaluated on
+    hash52(seed:id:b) — md5 as the RNG (the random-walks discipline:
+    replayable, oracle-checkable, partition-invariant), compared
+    against precomputed INTEGER thresholds so no float ever decides a
+    weight.
+
+    Scale shape: explode(sequence(0..B-1)) fans each row to B
+    (replicate, weight) pairs, but partial aggregation collapses them
+    to B partial sums per partition BEFORE the exchange — the shuffle
+    carries B rows per partition regardless of data size, which is
+    the whole reason this estimator exists at 100 TB. Money in exact
+    cents; the per-replicate mean is the one float, rounded 6dp.
+
+    Output: one row per replicate (b, n_eff, sum_cents, mean_cents) —
+    the caller derives CIs by exact order statistics over these B
+    rows (pinned in tests).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    b = F.explode(
+        F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+    ).alias("b")
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"), cents.alias("_c")
+    ).select("_id", "_c", b)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("_id"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(9)
+    for k in range(8, -1, -1):
+        w = F.when(h <= F.lit(_POISSON1_T[k]), F.lit(k)).otherwise(w)
+    weighted = rows.select("b", w.alias("_w"), "_c")
+    agg = weighted.groupBy("b").agg(
+        F.sum("_w").alias("n_eff"),
+        F.sum(F.col("_w") * F.col("_c")).alias("sum_cents"),
+    )
+    return agg.select(
+        "b",
+        "n_eff",
+        "sum_cents",
+        F.round(
+            F.col("sum_cents").cast("double")
+            / F.col("n_eff").cast("double"),
+            6,
+        ).alias("mean_cents"),
+    )

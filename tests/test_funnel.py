@@ -608,3 +608,31 @@ def test_hhi_identities(spark):
            for r in entry.queries()["orders_hhi"](spark, d).collect()}
     assert got["EQ"]["hhi"] == 0.125 and got["EQ"]["n_effective"] == 8.0
     assert got["MONO"]["hhi"] == 1.0 and got["MONO"]["n_effective"] == 1.0
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    """Three pins for the Poisson bootstrap: (1) replicate weights
+    behave like Poisson(1) — mean effective n within 5% of n and not
+    all equal; (2) results are partition-invariant (hash RNG, no
+    sampling state); (3) a 95% CI from exact order statistics over
+    the replicate means covers the true mean."""
+    from etl_capnz_spark.operators.funnel import poisson_bootstrap
+
+    n = 400
+    rows = [(i, float(100 + (i * 37) % 211)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = poisson_bootstrap(df, "id", "v", replicates=48).collect()
+    assert len(out) == 48
+    effs = [r["n_eff"] for r in out]
+    assert abs(sum(effs) / len(effs) - n) < 0.05 * n
+    assert len(set(effs)) > 1
+    means = sorted(r["mean_cents"] for r in out)
+    true_mean = sum(v for _, v in rows) / n * 100
+    lo, hi = means[1], means[-2]  # ~95% band from 48 replicates
+    assert lo <= true_mean <= hi
+    # partition invariance
+    out2 = poisson_bootstrap(
+        df.repartition(13), "id", "v", replicates=48
+    ).collect()
+    assert sorted((r["b"], r["n_eff"], r["sum_cents"]) for r in out2) == \
+        sorted((r["b"], r["n_eff"], r["sum_cents"]) for r in out)
