@@ -5926,6 +5926,23 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_fuzzy_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking (operators/linkage.py phonetic_pairs): classic
+    American Soundex as a pure expression chain — H/W transparency,
+    consonant classes, per-digit run collapse (no regex backreferences:
+    the oracle's RE2 has none), letter+3 padding — blocks sound-alike
+    titles that share no spelling prefix, then the bit-identical JW
+    kernel verifies candidates inside the provable length band. The
+    oracle replays the identical translate/regexp chain and DuckDB's
+    builtin jaro_winkler_similarity."""
+    from etl_capnz_spark.operators.linkage import phonetic_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    return phonetic_pairs(docs, "doc_id", "title", threshold=0.85)
+
+
 def _q_events_poisson_bootstrap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6585,6 +6602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
         "events_poisson_bootstrap": _q_events_poisson_bootstrap,
         "ds_rollup_revenue": _q_ds_rollup_revenue,
         "ds_cube_nation_year": _q_ds_cube_nation_year,
@@ -10528,6 +10546,48 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "fuzzy_phonetic_block": """
+            WITH src AS (
+              SELECT doc_id, substr(text, 1, 12) AS title
+              FROM documents),
+            stripped AS (
+              SELECT doc_id, title, length(title)::INT AS len,
+                     upper(regexp_replace(title, '[^A-Za-z]', '', 'g'))
+                       AS u
+              FROM src),
+            coded AS (
+              SELECT doc_id, title, len, substr(u, 1, 1) AS first,
+                     translate(
+                       substr(u, 1, 1)
+                       || regexp_replace(substr(u, 2), '[HW]', '', 'g'),
+                       'BFPVCGJKQSXZDTLMNRAEIOUY',
+                       '111122222222334556000000') AS t0
+              FROM stripped WHERE u != ''),
+            collapsed AS (
+              SELECT doc_id, title, len, first,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(t0,
+                  '0{2,}', '0', 'g'), '1{2,}', '1', 'g'),
+                  '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+                  '4{2,}', '4', 'g'), '5{2,}', '5', 'g'),
+                  '6{2,}', '6', 'g') AS c
+              FROM coded),
+            keyed AS (
+              SELECT doc_id, title, len,
+                     first || substr(
+                       translate(substr(c, 2), '0', '') || '000',
+                       1, 3) AS code
+              FROM collapsed)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.code,
+                   a.title AS str_a, b.title AS str_b,
+                   jaro_winkler_similarity(a.title, b.title) AS sim
+            FROM keyed a JOIN keyed b
+              ON a.code = b.code AND a.doc_id < b.doc_id
+             AND least(a.len, b.len)
+                 >= greatest(a.len, b.len) * 0.25
+            WHERE jaro_winkler_similarity(a.title, b.title)
+                  >= 0.85""",
         "events_poisson_bootstrap": """
             -- Poisson(1) inverse-CDF thresholds scaled to 2^52,
             -- identical integer constants to the engine's ladder

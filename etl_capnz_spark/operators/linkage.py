@@ -334,3 +334,107 @@ def golden_records(
         )
         out = out.join(top, cluster_col)
     return out
+
+
+def phonetic_code(col: Column) -> Column:
+    """Classic American Soundex as a PURE expression chain (no UDF —
+    translate + regexp only, so the whole thing stays inside
+    whole-stage codegen and the oracle mirrors it verbatim):
+
+    1. strip non-letters, uppercase; the first LETTER is kept as-is;
+    2. H/W are transparent in the tail (removed BEFORE coding, so same
+       codes separated by H/W collapse — the rule naive ports miss);
+    3. consonant classes → digits (BFPV=1 CGJKQSXZ=2 DT=3 L=4 MN=5
+       R=6), vowels+Y → the run-breaking '0';
+    4. adjacent equal digits collapse (per-digit `d{2,}` regexes — RE2
+       in the oracle engine has no backreferences, so no `(\\d)\\1+`);
+    5. the first letter's own code is dropped, the 0s vanish, and the
+       result pads/truncates to letter + 3 digits.
+
+    Empty after stripping → NULL (no phantom '000' block).
+    """
+    big = 1_000_000
+    u = F.upper(F.regexp_replace(col, "[^A-Za-z]", ""))
+    first = F.substring(u, 1, 1)
+    tail = F.regexp_replace(F.substring(u, 2, big), "[HW]", "")
+    coded = F.translate(
+        F.concat(first, tail),
+        "BFPVCGJKQSXZDTLMNRAEIOUY",
+        "111122222222334556000000",
+    )
+    collapsed = coded
+    for d in "0123456":
+        collapsed = F.regexp_replace(
+            collapsed, d + "{2,}", d
+        )
+    body = F.translate(F.substring(collapsed, 2, big), "0", "")
+    return F.when(
+        u != "",
+        F.concat(first, F.substring(F.concat(body, F.lit("000")), 1, 3)),
+    )
+
+
+def phonetic_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    threshold: float = 0.85,
+) -> DataFrame:
+    """Phonetic blocking + Jaro-Winkler verify — the Febrl-style
+    complement to :func:`jw_pairs`: prefix blocking misses sound-alike
+    spellings that diverge in the first letters' SPELLING but not
+    their phonetics ("Catherine"/"Katharine" share no 2-char prefix
+    but block together under Soundex... here both block keys are
+    honest: candidates share their full Soundex code). Same provable
+    length band inside the block, same Arrow JW kernel on candidates
+    only, same no-CartesianProduct plan.
+
+    Output: (id_a, id_b, code, str_a, str_b, sim >= threshold).
+    """
+    import pandas as pd  # noqa: F401  (kernel import parity)
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw_kernel(a, b):
+        import numpy as np
+
+        codes, uniq = pd.factorize(
+            pd.Series(list(zip(a, b)), dtype="object"), sort=False
+        )
+        sims = jw_batch_np(
+            [p[0] for p in uniq], [p[1] for p in uniq]
+        )
+        return pd.Series(np.asarray(sims)[codes], dtype="float64")
+
+    _jw = pandas_udf(_jw_kernel, "double")
+
+    ratio = _min_len_ratio(threshold)
+    t = (
+        df.filter(F.col(str_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(str_col).alias("_s"),
+            phonetic_code(F.col(str_col)).alias("_code"),
+            F.length(str_col).alias("_len"),
+        )
+        .filter(F.col("_code").isNotNull())
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._code") == F.col("b._code"))
+        & (F.col("a._id") < F.col("b._id"))
+        & (
+            F.least(F.col("a._len"), F.col("b._len"))
+            >= F.greatest(F.col("a._len"), F.col("b._len")) * F.lit(ratio)
+        ),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a._code").alias("code"),
+        F.col("a._s").alias("str_a"),
+        F.col("b._s").alias("str_b"),
+    )
+    cand = cand.repartition(F.col("id_a"), F.col("id_b"))
+    return cand.withColumn("sim", _jw("str_a", "str_b")).filter(
+        F.col("sim") >= F.lit(float(threshold))
+    )

@@ -152,3 +152,59 @@ def test_golden_records_survivorship_hand_case(spark):
     assert got[1]["n_members"] == 3
     assert got[1]["name"] == "ann" and got[1]["source"] == "b"
     assert got[2]["name"] == "x" and got[2]["source"] == "z"
+
+
+def test_phonetic_code_textbook_cases(spark):
+    """Classic Soundex pins, including every rule naive ports miss:
+    H/W transparency (Ashcraft→A261 not A226, Pfister→P236 through
+    the PF collapse, Tymczak's vowel-broken run), padding (Lee→L000),
+    non-letters stripped, empty → NULL."""
+    from pyspark.sql import functions as F2
+
+    from etl_capnz_spark.operators.linkage import phonetic_code
+
+    cases = [
+        ("Robert", "R163"), ("Rupert", "R163"),
+        ("Ashcraft", "A261"), ("Ashcroft", "A261"),
+        ("Tymczak", "T522"), ("Pfister", "P236"),
+        ("Honeyman", "H555"), ("Catherine", "C365"),
+        ("Katharine", "K365"), ("Jackson", "J250"),
+        ("Washington", "W252"), ("Lee", "L000"),
+        ("Gutierrez", "G362"), ("O'Brien-2nd", "O165"),
+        ("", None), ("123", None), ("Wu", "W000"), ("Hwang", "H520"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "name string")
+    got = [
+        r[0] for r in df.select(phonetic_code(F2.col("name"))).collect()
+    ]
+    assert got == [c[1] for c in cases]
+
+
+def test_phonetic_pairs_blocks_soundalikes_prefix_blocking_misses(spark):
+    """Catherine/Katharine share NO spelling prefix (different first
+    letters -> different phonetic codes too: C365 vs K365 — honest
+    blocking). But Jon/John-style same-initial sound-alikes must pair
+    under phonetic blocking even when the 2-char prefix differs
+    (Jon/John diverge at char 2), and the plan stays
+    CartesianProduct-free."""
+    from etl_capnz_spark.operators.linkage import (
+        jaro_winkler_py,
+        phonetic_pairs,
+    )
+
+    rows = [
+        (1, "Jonathan Smith"),
+        (2, "Johnathan Smith"),   # J535 both; 2-char prefixes Jo/Jo
+        (3, "Jnathan Smith"),     # dropped vowel, still J535
+        (4, "Maxwell Turner"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = phonetic_pairs(df, "id", "name", threshold=0.85)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)]["code"] == "J535"
+    assert got[(1, 2)]["sim"] == jaro_winkler_py(
+        "Jonathan Smith", "Johnathan Smith"
+    )
+    assert all(4 not in k for k in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
