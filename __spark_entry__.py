@@ -5926,6 +5926,111 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell counts over alert anchor points
+    (operators/geometry.py geohash_encode): the standard base32
+    interleaved-bit cell key via the closed-form quantization —
+    floor((lon+180)/360·2^n) — as a pure integer-arithmetic
+    expression tree, no UDF. A shared prefix IS the spatial bucket,
+    so neighbor search and spatial dedup become groupBy/join on
+    substrings (the grid-cell equi-join discipline with a portable,
+    hierarchical key). Oracle replays the identical quantize/
+    interleave arithmetic, generated from the same spec."""
+    from etl_capnz_spark.operators.geometry import geohash_encode
+
+    pts = _parsed_polygons(spark, sf_dir).select(
+        F.element_at(F.col("ring"), 1).alias("_p")
+    )
+    cells = pts.select(
+        geohash_encode(
+            F.element_at("_p", 2), F.element_at("_p", 1), 5
+        ).alias("geohash")
+    )
+    return cells.groupBy("geohash").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+def _q_ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration diagnostics — the reliability-diagram
+    table behind Expected Calibration Error: the corpus quality score
+    (same hashed-feature linear model as text_classifier_score) bins
+    into 10 equal-width confidence bins against a deterministic label
+    (token count >= 40); per bin: n, mean confidence, positive rate,
+    and the weighted |acc − conf| ECE contribution. Mean confidence
+    accumulates in exact integer MICRO-units (the cents discipline:
+    a float sum over a bin is partition-order-dependent); ECE itself =
+    sum(contrib), pinned in pytest. ALL 10 bins always present (the
+    Benford lesson: an empty bin is a calibration signal, not a
+    missing row)."""
+    from etl_capnz_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 13), 16, 10)
+        .cast("bigint")
+        % 64
+    )
+    weight = (
+        ((bucket * F.lit(2654435761)) % 1000).cast("double") / 1000.0
+        - 0.5
+    )
+    margin = tok.groupBy("doc_id").agg(
+        F.sum(weight).alias("_m"), F.count("*").alias("n_tokens")
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("_m") / F.col("n_tokens")))),
+        6,
+    )
+    scored = margin.select(
+        F.least(F.floor(score * 10).cast("int"), F.lit(9)).alias("bin"),
+        F.round(score * 1000000).cast("bigint").alias("_micro"),
+        (F.col("n_tokens") >= 40).cast("int").alias("_pos"),
+    )
+    bins = spark.range(0, 10).select(F.col("id").cast("int").alias("bin"))
+    per = bins.join(
+        scored.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_micro").alias("_sm"),
+            F.sum("_pos").alias("n_pos"),
+        ),
+        "bin",
+        "left",
+    ).select(
+        "bin",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("_sm", F.lit(0)).alias("_sm"),
+        F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+    )
+    total = per.agg(F.sum("n_docs").alias("_N"))
+    conf = F.col("_sm").cast("double") / (
+        F.col("n_docs").cast("double") * F.lit(1000000.0)
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    return per.crossJoin(F.broadcast(total)).select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.when(F.col("n_docs") > 0, F.round(conf, 6)).alias("mean_conf"),
+        F.when(F.col("n_docs") > 0, F.round(acc, 6)).alias("frac_pos"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("_N").cast("double")
+                * F.abs(acc - conf),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ece_contrib"),
+    )
+
+
 def _q_fuzzy_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic blocking (operators/linkage.py phonetic_pairs): classic
     American Soundex as a pure expression chain — H/W transparency,
@@ -6602,6 +6707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "geo_geohash": _q_geo_geohash,
+        "ml_calibration_ece": _q_ml_calibration_ece,
         "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
         "events_poisson_bootstrap": _q_events_poisson_bootstrap,
         "ds_rollup_revenue": _q_ds_rollup_revenue,
@@ -6945,6 +7052,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN has_sig THEN 'Valid Until: ' || sig_valid_until END",
             "CASE WHEN has_sig THEN 'Fingerprint: ' || sig_fingerprint END",
         ]
+    )
+    # geohash oracle: the same closed-form quantize/interleave arithmetic
+    # as operators/geometry.geohash_encode, generated here so both sides
+    # derive from one spec (precision 5: lon 13 bits, lat 12)
+    _gh_p = 5
+    _gh_bits = 5 * _gh_p
+    _gh_nlon = (_gh_bits + 1) // 2
+    _gh_nlat = _gh_bits // 2
+    _gh_terms = " + ".join(
+        [
+            f"(((gx >> {_gh_nlon - 1 - i}) & 1) * {1 << (_gh_bits - 1 - 2 * i)})"
+            for i in range(_gh_nlon)
+        ]
+        + [
+            f"(((gy >> {_gh_nlat - 1 - i}) & 1) * {1 << (_gh_bits - 1 - (2 * i + 1))})"
+            for i in range(_gh_nlat)
+        ]
+    )
+    _gh_chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"(((t >> {5 * (_gh_p - 1 - k)}) & 31) + 1)::INT, 1)"
+        for k in range(_gh_p)
     )
     return {
         "cap_active_alerts": f"""{_DUCK}
@@ -10546,6 +10675,67 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "geo_geohash": f"""{_DUCK},
+            pts AS (
+              SELECT lon0::DOUBLE AS lon, lat0::DOUBLE AS lat
+              FROM cap WHERE g IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT lon0::DOUBLE, lat0::DOUBLE FROM cap WHERE g = 2),
+            q AS (
+              SELECT least(greatest(floor((lon + 180.0) / 360.0
+                       * {1 << _gh_nlon})::BIGINT, 0),
+                       {(1 << _gh_nlon) - 1}) AS gx,
+                     least(greatest(floor((lat + 90.0) / 180.0
+                       * {1 << _gh_nlat})::BIGINT, 0),
+                       {(1 << _gh_nlat) - 1}) AS gy
+              FROM pts),
+            tt AS (SELECT ({_gh_terms}) AS t FROM q),
+            gh AS (SELECT {_gh_chars} AS geohash FROM tt)
+            SELECT geohash, count(*)::BIGINT AS n_points
+            FROM gh GROUP BY geohash""",
+        "ml_calibration_ece": """
+            WITH tok2 AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            scored0 AS (
+              SELECT doc_id,
+                     sum((((('0x' || substr(md5(token), 1, 13))::BIGINT
+                            % 64) * 2654435761) % 1000)::DOUBLE
+                         / 1000.0 - 0.5) AS m,
+                     count(*)::BIGINT AS n_tokens
+              FROM tok2 GROUP BY doc_id),
+            scored AS (
+              SELECT least(floor(round(1.0 / (1.0 + exp(-(m / n_tokens))),
+                                       6) * 10)::INT, 9) AS bin,
+                     (round(round(1.0 / (1.0 + exp(-(m / n_tokens))), 6)
+                            * 1000000))::BIGINT AS micro,
+                     (n_tokens >= 40)::INT AS pos
+              FROM scored0),
+            per AS (
+              SELECT b.bin,
+                     coalesce(count(s.bin), 0)::BIGINT AS n_docs,
+                     coalesce(sum(s.micro), 0)::BIGINT AS sm,
+                     coalesce(sum(s.pos), 0)::BIGINT AS n_pos
+              FROM (SELECT unnest(range(0, 10))::INT AS bin) b
+              LEFT JOIN scored s ON s.bin = b.bin
+              GROUP BY b.bin),
+            tot AS (SELECT sum(n_docs)::BIGINT AS N FROM per)
+            SELECT bin, n_docs, n_pos,
+                   CASE WHEN n_docs > 0 THEN
+                     round(sm::DOUBLE / (n_docs::DOUBLE * 1000000.0), 6)
+                   END AS mean_conf,
+                   CASE WHEN n_docs > 0 THEN
+                     round(n_pos::DOUBLE / n_docs::DOUBLE, 6)
+                   END AS frac_pos,
+                   CASE WHEN n_docs > 0 THEN
+                     round(n_docs::DOUBLE / N::DOUBLE
+                           * abs(n_pos::DOUBLE / n_docs::DOUBLE
+                                 - sm::DOUBLE
+                                   / (n_docs::DOUBLE * 1000000.0)), 6)
+                   ELSE 0.0 END AS ece_contrib
+            FROM per, tot""",
         "fuzzy_phonetic_block": """
             WITH src AS (
               SELECT doc_id, substr(text, 1, 12) AS title

@@ -506,3 +506,63 @@ def simplify_rings(
             yield out
 
     return df.select(*cols).mapInPandas(_simplify, out_schema)
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """Standard geohash encoding as PURE integer-arithmetic expressions
+    (no UDF, no loop at runtime — the Python loop below builds a fixed
+    codegen-friendly expression tree): quantize lon to ceil(5p/2) bits
+    and lat to floor(5p/2), interleave lon-first, emit 5-bit groups
+    through the geohash base32 alphabet. The classic closed form —
+    floor((lon+180)/360 * 2^n) — replaces the textbook bisection loop,
+    so the oracle can replay it as the same arithmetic. Out-of-range
+    inputs clip to the edge cell (lon=180 belongs to the last cell).
+
+    Geohash cells are the equi-join discipline for spatial data: a
+    shared prefix IS the bucket key, so neighbor search / spatial
+    dedup becomes a groupBy/join on substrings — never a distance
+    cross-product.
+    """
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(1 << n_lon))
+            .cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit((1 << n_lon) - 1),
+    )
+    y = F.least(
+        F.greatest(
+            F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(1 << n_lat))
+            .cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit((1 << n_lat) - 1),
+    )
+    total = F.lit(0).cast("bigint")
+    for i in range(n_lon):  # lon occupies even positions from the top
+        bit = F.shiftright(x, n_lon - 1 - i).bitwiseAND(F.lit(1))
+        total = total + bit * F.lit(1 << (bits - 1 - 2 * i))
+    for i in range(n_lat):  # lat the odd positions
+        bit = F.shiftright(y, n_lat - 1 - i).bitwiseAND(F.lit(1))
+        total = total + bit * F.lit(1 << (bits - 1 - (2 * i + 1)))
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (
+                F.shiftright(total, 5 * (precision - 1 - k)).bitwiseAND(
+                    F.lit(31)
+                )
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for k in range(precision)
+    ]
+    return F.concat(*chars)

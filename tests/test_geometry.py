@@ -249,3 +249,70 @@ def test_hotspot_local_max_semantics(spark, sf_dir):
         assert (r["is_local_max"] == 1) == (
             r["n_points"] >= r["max_neighbor"]
         )
+
+
+def test_geohash_closed_form_equals_bisection_reference(spark):
+    """The closed-form quantize/interleave geohash must equal the
+    textbook bisection algorithm on the classic test vector
+    (u4pruy) and 200 random globe points at precisions 4-6; range
+    edges clip into the boundary cell."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from etl_capnz_spark.operators.geometry import geohash_encode
+
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat, lon, precision):
+        lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+        out, bit, ch, even = [], 0, 0, True
+        while len(out) < precision:
+            if even:
+                mid = (lon_i[0] + lon_i[1]) / 2
+                if lon >= mid:
+                    ch |= 1 << (4 - bit)
+                    lon_i[0] = mid
+                else:
+                    lon_i[1] = mid
+            else:
+                mid = (lat_i[0] + lat_i[1]) / 2
+                if lat >= mid:
+                    ch |= 1 << (4 - bit)
+                    lat_i[0] = mid
+                else:
+                    lat_i[1] = mid
+            even = not even
+            if bit < 4:
+                bit += 1
+            else:
+                out.append(B32[ch])
+                bit = 0
+                ch = 0
+        return "".join(out)
+
+    rng = random.Random(9)
+    pts = [(57.64911, 10.40744), (-41.2865, 174.7762), (0.0, 0.0),
+           (90.0, 180.0), (-90.0, -180.0)]
+    pts += [(rng.uniform(-90, 90), rng.uniform(-180, 180))
+            for _ in range(200)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (4, 5, 6):
+        got = [
+            r[0]
+            for r in df.select(
+                geohash_encode(F2.col("lat"), F2.col("lon"), p)
+            ).collect()
+        ]
+        for (la, lo), g in zip(pts, got):
+            # the north/east edges belong to the boundary cell: the
+            # bisection reference with >= mid produces the same cell
+            assert g == ref(min(la, 89.9999999), min(lo, 179.9999999),
+                            p) or g == ref(la, lo, p), (la, lo, p)
+    row = df.limit(1)
+    assert (
+        row.select(
+            geohash_encode(F2.lit(57.64911), F2.lit(10.40744), 6)
+        ).collect()[0][0]
+        == "u4pruy"
+    )
