@@ -5926,6 +5926,42 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap between paired documents (operators/text.py
+    rouge2_pairs): clipped bigram-multiset intersection as ONE
+    equi-join on (pair, gram) + least() — the summarization-eval /
+    near-dup-eval metric computed without any per-pair Python. Pairs:
+    each even doc_id against its successor. Counts exact; F1 the one
+    rounded float. Oracle mirrors the join-with-clipping shape."""
+    from etl_capnz_spark.operators.text import rouge2_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("_ia"), F.col("text").alias("_ta")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("_ib"), F.col("text").alias("_tb")
+    )
+    paired = a.join(b, a["_ia"] + 1 == b["_ib"])
+    return rouge2_pairs(paired, "_ia", "_ta", "_ib", "_tb")
+
+
+def _q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (operators/audit.py
+    chi2_independence): is the event-type mix independent of the
+    daypart? Observed contingency in one aggregate; marginals and N
+    ride windows over the categories-x-categories table — the data is
+    scanned once. The caller sums chi2_contrib against the
+    (r-1)(c-1)-dof quantile (pinned in pytest)."""
+    from etl_capnz_spark.operators.audit import chi2_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("int").alias("daypart"),
+    )
+    return chi2_independence(ev, "event_type", "daypart")
+
+
 def _q_geo_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geohash cell counts over alert anchor points
     (operators/geometry.py geohash_encode): the standard base32
@@ -6707,6 +6743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "text_rouge_pairs": _q_text_rouge_pairs,
+        "events_chi2": _q_events_chi2,
         "geo_geohash": _q_geo_geohash,
         "ml_calibration_ece": _q_ml_calibration_ece,
         "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
@@ -10675,6 +10713,75 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "text_rouge_pairs": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '') AS ts
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.ts AS ta, b.ts AS tb
+              FROM toks a JOIN toks b ON a.doc_id + 1 = b.doc_id
+              WHERE a.doc_id % 2 = 0),
+            ga AS (
+              SELECT id_a, id_b,
+                     ta[i] || ' ' || ta[i + 1] AS g
+              FROM pairs, unnest(range(1, greatest(len(ta), 1)))
+                   t(i)),
+            gb AS (
+              SELECT id_a, id_b,
+                     tb[i] || ' ' || tb[i + 1] AS g
+              FROM pairs, unnest(range(1, greatest(len(tb), 1)))
+                   t(i)),
+            ca AS (SELECT id_a, id_b, g, count(*)::BIGINT AS na
+                   FROM ga GROUP BY 1, 2, 3),
+            cb AS (SELECT id_a, id_b, g, count(*)::BIGINT AS nb
+                   FROM gb GROUP BY 1, 2, 3),
+            ov AS (
+              SELECT ca.id_a, ca.id_b,
+                     sum(least(na, nb))::BIGINT AS overlap
+              FROM ca JOIN cb ON ca.id_a = cb.id_a
+                             AND ca.id_b = cb.id_b AND ca.g = cb.g
+              GROUP BY 1, 2),
+            tot AS (
+              SELECT id_a, id_b,
+                     greatest(len(ta) - 1, 0)::BIGINT AS total_a,
+                     greatest(len(tb) - 1, 0)::BIGINT AS total_b
+              FROM pairs)
+            SELECT t.id_a, t.id_b,
+                   coalesce(o.overlap, 0)::BIGINT AS overlap,
+                   t.total_a, t.total_b,
+                   CASE WHEN t.total_a + t.total_b > 0 THEN
+                     round(2.0 * coalesce(o.overlap, 0)::DOUBLE
+                           / (t.total_a + t.total_b)::DOUBLE, 6)
+                   END AS rouge2_f1
+            FROM tot t LEFT JOIN ov o
+              ON t.id_a = o.id_a AND t.id_b = o.id_b""",
+        "events_chi2": """
+            WITH obs AS (
+              SELECT event_type AS r,
+                     floor(hour(ts) / 6)::INT AS c,
+                     count(*)::BIGINT AS n_obs
+              FROM events GROUP BY 1, 2),
+            t AS (
+              SELECT r, c, n_obs,
+                     sum(n_obs) OVER (PARTITION BY r)::BIGINT
+                       AS row_total,
+                     sum(n_obs) OVER (PARTITION BY c)::BIGINT
+                       AS col_total,
+                     sum(n_obs) OVER ()::BIGINT AS n_total
+              FROM obs)
+            SELECT r, c, n_obs, row_total, col_total,
+                   round(row_total::DOUBLE * col_total::DOUBLE
+                         / n_total::DOUBLE, 6) AS expected,
+                   round((n_obs - row_total::DOUBLE * col_total::DOUBLE
+                          / n_total::DOUBLE)
+                         * (n_obs - row_total::DOUBLE
+                            * col_total::DOUBLE / n_total::DOUBLE)
+                         / (row_total::DOUBLE * col_total::DOUBLE
+                            / n_total::DOUBLE), 6) AS chi2_contrib
+            FROM t""",
         "geo_geohash": f"""{_DUCK},
             pts AS (
               SELECT lon0::DOUBLE AS lon, lat0::DOUBLE AS lat

@@ -866,3 +866,56 @@ def mutual_information(
             F.col("_mi") / F.least(F.col("_hx"), F.col("_hy")), 6
         ).alias("mi_norm"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the contingency-table screen (is event mix independent of
+    daypart? is label mix independent of source?) that complements the
+    Benford screen and the two-arm tests.
+
+    One aggregate builds the observed table; row totals, column totals
+    and N ride WINDOWS over that small table (categories x categories
+    rows — never a second scan of the data). Counts are exact BIGINTs;
+    expected = row_total·col_total/N and the (o−e)²/e contribution are
+    the only floats, computed as one identical expression tree per
+    engine, 6dp. The caller sums chi2_contrib and compares against the
+    chi-square quantile at (r−1)(c−1) dof (pinned in tests). ALL
+    observed cells emit; absent combinations contribute nothing here
+    because their expected counts require the marginals the table
+    defines — the standard contingency convention (unlike Benford's
+    fixed 1-9 support, the category product set is data-defined).
+    """
+    from pyspark.sql.window import Window
+
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    t = (
+        obs.withColumn("row_total", F.sum("n_obs").over(wr))
+        .withColumn("col_total", F.sum("n_obs").over(wc))
+        .withColumn("n_total", F.sum("n_obs").over(wall))
+    )
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    return t.select(
+        "r",
+        "c",
+        "n_obs",
+        "row_total",
+        "col_total",
+        F.round(e, 6).alias("expected"),
+        F.round(
+            (F.col("n_obs") - e) * (F.col("n_obs") - e) / e, 6
+        ).alias("chi2_contrib"),
+    )

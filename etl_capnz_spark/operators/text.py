@@ -739,3 +739,85 @@ def source_kl(
             F.round(F.sum(term), 6).alias("kl_nats"),
         )
     )
+
+
+def rouge2_pairs(
+    docs: DataFrame,
+    id_a_col: str,
+    text_a_col: str,
+    id_b_col: str,
+    text_b_col: str,
+) -> DataFrame:
+    """ROUGE-2 overlap between PAIRED texts — the summarization-eval /
+    near-dup-eval metric: clipped bigram-multiset overlap
+    o = Σ_g min(count_a(g), count_b(g)), precision o/total_a, recall
+    o/total_b, F1 = 2o/(total_a+total_b) (the harmonic identity when
+    both sides share o).
+
+    Shape: bigrams explode per side, count per (pair, gram), ONE
+    equi-join on (pair, gram) computes the clipped intersection — a
+    multiset intersection as a join+least, never a per-pair Python
+    loop; totals ride separate key-only aggregates so zero-bigram
+    texts (under 2 tokens) still emit a row (F1 NULL when both sides
+    are empty). All counts exact integers; F1 is the one float,
+    rounded 6dp.
+
+    Input: one row per pair (id_a, text_a, id_b, text_b). Output:
+    (id_a, id_b, overlap, total_a, total_b, rouge2_f1).
+    """
+    def grams(text_col: str) -> Column:
+        t = tokens(F.col(text_col))
+        # adjacent-token bigrams: zip the array with its own tail
+        return F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+
+    pairs = docs.select(
+        F.col(id_a_col).alias("id_a"),
+        F.col(id_b_col).alias("id_b"),
+        grams(text_a_col).alias("_ga"),
+        grams(text_b_col).alias("_gb"),
+    )
+    ca = (
+        pairs.select("id_a", "id_b", F.explode("_ga").alias("g"))
+        .groupBy("id_a", "id_b", "g")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    cb = (
+        pairs.select("id_a", "id_b", F.explode("_gb").alias("g"))
+        .groupBy("id_a", "id_b", "g")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    ov = (
+        ca.join(cb, ["id_a", "id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("na", "nb")).alias("overlap"))
+    )
+    totals = pairs.select(
+        "id_a",
+        "id_b",
+        F.size("_ga").cast("bigint").alias("total_a"),
+        F.size("_gb").cast("bigint").alias("total_b"),
+    )
+    j = (
+        totals.join(ov, ["id_a", "id_b"], "left")
+        .withColumn("overlap", F.coalesce("overlap", F.lit(0)))
+    )
+    denom = F.col("total_a") + F.col("total_b")
+    return j.select(
+        "id_a",
+        "id_b",
+        "overlap",
+        "total_a",
+        "total_b",
+        F.when(
+            denom > 0,
+            F.round(
+                F.lit(2.0) * F.col("overlap").cast("double")
+                / denom.cast("double"),
+                6,
+            ),
+        ).alias("rouge2_f1"),
+    )

@@ -534,3 +534,25 @@ def test_source_kl_identities(spark):
     assert abs(got["s1"]["kl_nats"] - kl1) < 1e-6
     assert abs(got["s2"]["kl_nats"] - kl2) < 1e-6
     assert got["s1"]["vocab"] == 2 and got["s2"]["vocab"] == 2
+
+
+def test_chi2_independence_hand_table(spark):
+    """2x2 hand case: ((10, 20), (30, 40)) — chi2 = N(ad-bc)^2 /
+    (r1 r2 c1 c2) = 100*(400-600)^2/(30*70*40*60) = 0.793651 within
+    rounding; marginals exact; contribs sum to the closed form."""
+    from etl_capnz_spark.operators.audit import chi2_independence
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(o["r"], o["c"]): o for o in
+           chi2_independence(df, "r", "c").collect()}
+    assert len(got) == 4
+    assert got[("a", "x")]["row_total"] == 30
+    assert got[("a", "x")]["col_total"] == 40
+    assert got[("a", "x")]["expected"] == 12.0
+    chi2 = sum(o["chi2_contrib"] for o in got.values())
+    want = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert abs(chi2 - want) < 1e-5
