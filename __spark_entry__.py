@@ -5926,6 +5926,26 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostics (operators/similarity.py
+    matryoshka_gap): cosine at full 64 dims vs the first-16-dim prefix
+    for each consecutive vector pair — how much similarity signal the
+    truncated prefix keeps, measured not assumed. Map-only array-HOF
+    arithmetic; the oracle recomputes both cosines with the fold-exact
+    dot/norm SQL and the identical rounding order."""
+    from etl_capnz_spark.operators.similarity import matryoshka_gap
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb")
+    )
+    paired = a.join(b, a["id_a"] + 1 == b["id_b"])
+    return matryoshka_gap(paired, "_ea", "_eb", dims=16)
+
+
 def _q_text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-2 overlap between paired documents (operators/text.py
     rouge2_pairs): clipped bigram-multiset intersection as ONE
@@ -6743,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
         "events_chi2": _q_events_chi2,
         "geo_geohash": _q_geo_geohash,
@@ -10713,6 +10734,31 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "emb_matryoshka": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     a.v AS va, b.v AS vb,
+                     a.v[1:16] AS ta, b.v[1:16] AS tb
+              FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+              WHERE a.vec_id % 2 = 0),
+            c AS (
+              SELECT id_a, id_b,
+                     round({oracles.dot_sql('va', 'vb')}
+                           / ({oracles.norm_sql('va')}
+                              * {oracles.norm_sql('vb')}), 6)
+                       AS cos_full,
+                     round({oracles.dot_sql('ta', 'tb')}
+                           / ({oracles.norm_sql('ta')}
+                              * {oracles.norm_sql('tb')}), 6)
+                       AS cos_trunc
+              FROM p)
+            SELECT id_a, id_b, cos_full, cos_trunc,
+                   round(abs(cos_full - cos_trunc), 6) AS abs_gap,
+                   ((cos_full >= 0) = (cos_trunc >= 0))::INT
+                     AS sign_agree
+            FROM c""",
         "text_rouge_pairs": """
             WITH toks AS (
               SELECT doc_id, list_filter(

@@ -1148,3 +1148,40 @@ def rrf_fuse(
     return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
         F.col("fused_rank") <= top_k
     )
+
+
+def matryoshka_gap(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    dims: int,
+) -> DataFrame:
+    """Matryoshka-truncation diagnostics: for paired vectors, the
+    cosine at FULL dimension vs the cosine of the first ``dims``
+    coordinates (renormalization is implicit — truncated norms divide
+    the truncated dot). The readout every embedding-compression
+    decision needs: how much similarity signal survives the truncated
+    prefix (MRL-trained models concentrate it there; random models
+    don't — this measures, not assumes).
+
+    Pure array-HOF arithmetic (slice + the fold-exact dot/norm of
+    :func:`cosine`), map-only over the pair frame. Output: input ids,
+    cos_full, cos_trunc, abs_gap, sign_agree — rounding at 6dp AFTER
+    the gap/sign so the derived columns are consistent with the
+    rounded cosines the oracle recomputes.
+    """
+    a = F.col(a_col).cast("array<double>")
+    b = F.col(b_col).cast("array<double>")
+    at = F.slice(a, 1, dims)
+    bt = F.slice(b, 1, dims)
+    cf = F.round(cosine(a, b), 6)
+    ct = F.round(cosine(at, bt), 6)
+    return pairs.select(
+        *[c for c in pairs.columns if c not in (a_col, b_col)],
+        cf.alias("cos_full"),
+        ct.alias("cos_trunc"),
+        F.round(F.abs(cf - ct), 6).alias("abs_gap"),
+        (
+            (cf >= 0) == (ct >= 0)
+        ).cast("int").alias("sign_agree"),
+    )
