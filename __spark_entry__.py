@@ -5926,6 +5926,45 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal retroactive correction (sinks/warehouse.py
+    bitemporal_apply): the warehouse learns on tx 2021-01-01 that every
+    7th customer's segment/balance had been different since valid
+    1997-06-01 — the old belief closes in TRANSACTION time (still
+    queryable at old tx instants), its pre-correction valid slice and
+    the corrected open row re-insert at the new tx — the
+    audit/compliance shape SCD-2 alone cannot express. Dimension rows
+    never shuffle (tx-current LEFT JOIN broadcast(corrections), one
+    Generate). Oracle constructs the four row families analytically."""
+    from etl_capnz_spark.sinks.warehouse import bitemporal_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit("2020-01-01").cast("date").alias("tx_from"),
+        F.lit(None).cast("date").alias("tx_to"),
+    )
+    corrections = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("CORRECTED").alias("segment"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") + 5000).alias(
+            "bal_cents"
+        ),
+        F.lit("1997-06-01").cast("date").alias("valid_from"),
+    )
+    return bitemporal_apply(
+        dim,
+        corrections,
+        "k",
+        ["segment", "bal_cents"],
+        tx_time="2021-01-01",
+    )
+
+
 def _q_emb_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation diagnostics (operators/similarity.py
     matryoshka_gap): cosine at full 64 dims vs the first-16-dim prefix
@@ -6763,6 +6802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
         "events_chi2": _q_events_chi2,
@@ -10734,6 +10774,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "scd2_bitemporal": """
+            WITH base AS (
+              SELECT c_custkey AS k, c_mktsegment AS segment,
+                     (round(c_acctbal * 100))::BIGINT AS bal_cents
+              FROM customer)
+            SELECT k, segment, bal_cents,
+                   DATE '1995-01-01' AS valid_from,
+                   NULL::DATE AS valid_to,
+                   DATE '2020-01-01' AS tx_from, NULL::DATE AS tx_to
+            FROM base WHERE k % 7 != 0
+            UNION ALL  -- old belief, closed in transaction time
+            SELECT k, segment, bal_cents, DATE '1995-01-01', NULL,
+                   DATE '2020-01-01', DATE '2021-01-01'
+            FROM base WHERE k % 7 = 0
+            UNION ALL  -- pre-correction valid slice at the new tx
+            SELECT k, segment, bal_cents, DATE '1995-01-01',
+                   DATE '1997-06-01', DATE '2021-01-01', NULL
+            FROM base WHERE k % 7 = 0
+            UNION ALL  -- corrected open row
+            SELECT k, 'CORRECTED', bal_cents + 5000,
+                   DATE '1997-06-01', NULL, DATE '2021-01-01', NULL
+            FROM base WHERE k % 7 = 0""",
         "emb_matryoshka": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),

@@ -279,3 +279,136 @@ def scd2_snapshot_at(
         (F.col(from_col).isNull() | (F.col(from_col) <= d))
         & (F.col(to_col).isNull() | (d < F.col(to_col)))
     )
+
+
+def bitemporal_apply(
+    dim: DataFrame,
+    corrections: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    tx_time: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    tx_from_col: str = "tx_from",
+    tx_to_col: str = "tx_to",
+    broadcast_corrections: bool = True,
+) -> DataFrame:
+    """Bitemporal (valid-time x transaction-time) retroactive
+    correction — the fourth member of the no-table-format family: the
+    warehouse learns AT ``tx_time`` that a key's attributes have been
+    different SINCE the correction's ``valid_from``. SCD-2 alone
+    cannot express this (it conflates "when true" with "when
+    recorded"); bitemporal keeps both axes so the question "what did
+    we BELIEVE on date X about the state on date V?" stays answerable
+    after the fix — the audit/compliance query.
+
+    Semantics per corrected key, applied to TX-CURRENT rows
+    (``tx_to IS NULL``) whose valid interval intersects
+    [valid_from, ∞):
+
+    * the intersecting row is CLOSED in transaction time
+      (``tx_to = tx_time``) — byte-preserved otherwise (the old belief
+      remains queryable at old tx instants);
+    * its pre-correction slice [row.valid_from, c.valid_from) is
+      re-inserted with the OLD attributes at ``tx_from = tx_time``
+      (empty slice → no row);
+    * the corrected row [c.valid_from, ∞) with the NEW attributes is
+      inserted at ``tx_from = tx_time``.
+
+    Non-intersecting rows, rows of untouched keys, and tx-closed
+    history pass through byte-identical WITHOUT entering the join —
+    the scd2_apply discipline: tx-current rows LEFT JOIN
+    broadcast(corrections), one Generate fan-out, zero shuffles of
+    dimension rows for a small correction batch. ``corrections`` must
+    be unique per key: (key, attrs..., valid_from).
+    """
+    from pyspark.sql import functions as F
+
+    tx_cur = dim.filter(F.col(tx_to_col).isNull())
+    tx_hist = dim.filter(F.col(tx_to_col).isNotNull())
+    corr = corrections.select(
+        F.col(key_col),
+        *[F.col(a).alias(f"_c_{a}") for a in attr_cols],
+        F.col(valid_from_col).alias("_c_vf"),
+        F.lit(True).alias("_has_c"),
+    )
+    if broadcast_corrections:
+        corr = F.broadcast(corr)
+    j = tx_cur.join(corr, key_col, "left")
+
+    tx_d = F.lit(tx_time).cast("date")
+    intersects = F.coalesce(F.col("_has_c"), F.lit(False)) & (
+        F.col(valid_to_col).isNull()
+        | (F.col(valid_to_col) > F.col("_c_vf"))
+    )
+
+    def _row(vals, vf, vt, tf, tt):
+        return F.struct(
+            *[v.alias(a) for a, v in zip(attr_cols, vals)],
+            vf.cast("date").alias(valid_from_col),
+            vt.cast("date").alias(valid_to_col),
+            tf.cast("date").alias(tx_from_col),
+            tt.cast("date").alias(tx_to_col),
+        )
+
+    old_vals = [F.col(a) for a in attr_cols]
+    new_vals = [F.col(f"_c_{a}") for a in attr_cols]
+    unchanged = _row(
+        old_vals,
+        F.col(valid_from_col),
+        F.col(valid_to_col),
+        F.col(tx_from_col),
+        F.col(tx_to_col),
+    )
+    tx_closed = _row(
+        old_vals,
+        F.col(valid_from_col),
+        F.col(valid_to_col),
+        F.col(tx_from_col),
+        tx_d,
+    )
+    pre_slice = _row(
+        old_vals, F.col(valid_from_col), F.col("_c_vf"), tx_d, F.lit(None)
+    )
+    corrected = _row(new_vals, F.col("_c_vf"), F.lit(None), tx_d, F.lit(None))
+    fanout = F.when(
+        intersects,
+        F.when(
+            F.col(valid_from_col) < F.col("_c_vf"),
+            F.array(tx_closed, pre_slice, corrected),
+        ).otherwise(F.array(tx_closed, corrected)),
+    ).otherwise(F.array(unchanged))
+    merged = (
+        j.select(F.col(key_col), F.explode(fanout).alias("_r"))
+        .select(key_col, "_r.*")
+    )
+    passthrough = tx_hist.select(
+        key_col, *attr_cols, valid_from_col, valid_to_col,
+        tx_from_col, tx_to_col,
+    )
+    return merged.unionByName(passthrough)
+
+
+def bitemporal_snapshot(
+    dim: DataFrame,
+    valid_at: str,
+    tx_at: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    tx_from_col: str = "tx_from",
+    tx_to_col: str = "tx_to",
+) -> DataFrame:
+    """Dual-axis point-in-time query: the rows we BELIEVED at ``tx_at``
+    to describe the state at ``valid_at`` — both intervals half-open
+    [from, to) with NULL = ∞. Pure filter (partition-prunable on
+    either date axis at scale)."""
+    from pyspark.sql import functions as F
+
+    v = F.lit(valid_at).cast("date")
+    t = F.lit(tx_at).cast("date")
+    return dim.filter(
+        (F.col(tx_from_col) <= t)
+        & (F.col(tx_to_col).isNull() | (F.col(tx_to_col) > t))
+        & (F.col(valid_from_col) <= v)
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > v))
+    )

@@ -319,3 +319,81 @@ def test_scd2_snapshot_at_reconstructs_past_and_present(spark):
     for d in ("2024-03-01", "2024-06-01", "2024-12-31"):
         ks = [r["k"] for r in scd2_snapshot_at(hist, d).collect()]
         assert len(ks) == len(set(ks))
+
+
+def test_bitemporal_correction_and_dual_axis_snapshot(spark):
+    """Bitemporal semantics end to end: a retroactive correction closes
+    the old belief in TRANSACTION time only; four snapshot probes pin
+    the two axes independently (old tx still sees the old belief; new
+    tx sees the corrected state only for valid dates past the
+    correction point). Edge cases: correction exactly at a row's
+    valid_from emits no empty pre-slice; a row whose valid interval
+    ended before the correction passes through open."""
+    from etl_capnz_spark.sinks.warehouse import (
+        bitemporal_apply,
+        bitemporal_snapshot,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open row since 1995
+            (1, "A", 100, "1995-01-01", None, "2020-01-01", None),
+            # key 2: valid interval already ended before the correction
+            (2, "B", 200, "1995-01-01", "1996-01-01", "2020-01-01", None),
+            # key 3: correction lands exactly on valid_from
+            (3, "C", 300, "1997-06-01", None, "2020-01-01", None),
+            # key 4: untouched
+            (4, "D", 400, "1995-01-01", None, "2020-01-01", None),
+        ],
+        "k long, seg string, cents long, valid_from string, "
+        "valid_to string, tx_from string, tx_to string",
+    ).selectExpr(
+        "k", "seg", "cents",
+        "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to",
+        "cast(tx_from as date) tx_from",
+        "cast(tx_to as date) tx_to",
+    )
+    corr = spark.createDataFrame(
+        [(1, "A2", 150, "1997-06-01"), (2, "B2", 250, "1997-06-01"),
+         (3, "C2", 350, "1997-06-01")],
+        "k long, seg string, cents long, valid_from string",
+    ).selectExpr("k", "seg", "cents",
+                 "cast(valid_from as date) valid_from")
+    out = bitemporal_apply(dim, corr, "k", ["seg", "cents"],
+                           tx_time="2021-01-01")
+    rows = sorted(
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]),
+         str(r["tx_from"]), str(r["tx_to"]))
+        for r in out.collect()
+    )
+    # key 1: closed original + pre-slice + corrected = 3 rows
+    assert sum(1 for r in rows if r[0] == 1) == 3
+    # key 2: non-intersecting -> passes through open, 1 row
+    assert [r for r in rows if r[0] == 2] == [
+        (2, "B", "1995-01-01", "1996-01-01", "2020-01-01", "None")
+    ]
+    # key 3: exactly-at-valid_from -> closed + corrected, NO pre-slice
+    assert sum(1 for r in rows if r[0] == 3) == 2
+    assert not any(
+        r[0] == 3 and r[2] == r[3] for r in rows
+    )  # no zero-length slice
+    # key 4 untouched
+    assert [r for r in rows if r[0] == 4] == [
+        (4, "D", "1995-01-01", "None", "2020-01-01", "None")
+    ]
+
+    def snap(valid, tx):
+        return {
+            r["k"]: (r["seg"], r["cents"])
+            for r in bitemporal_snapshot(out, valid, tx).collect()
+        }
+
+    # what did we believe BEFORE the correction about 1998? old state.
+    assert snap("1998-01-01", "2020-06-01")[1] == ("A", 100)
+    # what do we believe NOW about 1998? corrected state.
+    assert snap("1998-01-01", "2021-06-01")[1] == ("A2", 150)
+    # what do we believe NOW about 1996 (pre-correction valid)? old.
+    assert snap("1996-06-01", "2021-06-01")[1] == ("A", 100)
+    # the axes are independent: old tx + old valid = old.
+    assert snap("1996-06-01", "2020-06-01")[1] == ("A", 100)
