@@ -5926,6 +5926,50 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_events_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by closed-form normal equations
+    (operators/funnel.py ols_multi): value-cents regressed on
+    hour-of-day and day-of-week — one two-phase aggregate of nine
+    decimal(38,0) moment sums, Cramer's rule as a pinned double
+    expression tree, R² from the moment identity. No iteration, no
+    ML library; pinned against numpy lstsq in pytest."""
+    from etl_capnz_spark.operators.funnel import ols_multi
+
+    ev = _t(spark, sf_dir, "events")
+    return ols_multi(
+        ev,
+        F.round(F.col("value") * 100).cast("bigint"),
+        F.hour("ts"),
+        F.dayofweek("ts"),
+    )
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment dedup (operators/dedup.py
+    containment_pairs) — the excerpt detector resemblance misses: each
+    document is paired (same-bucket join, never cross) against a
+    150-char excerpt of itself plus its bucket peers; the excerpt's
+    shingles sit inside the full doc's, so cont_excerpt_in_doc ≈ 1
+    while Jaccard is small (Broder's containment-vs-resemblance
+    distinction, both directions emitted). Oracle mirrors with list
+    arithmetic over the same synthesized excerpt rows."""
+    from etl_capnz_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    full = docs.select(
+        "doc_id", "text", F.col("doc_id").alias("bucket")
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 150).alias("text"),
+        F.col("doc_id").alias("bucket"),
+    )
+    aug = full.unionByName(excerpts)
+    return containment_pairs(
+        aug, "text", "doc_id", "bucket", min_containment=0.8
+    )
+
+
 def _q_scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal retroactive correction (sinks/warehouse.py
     bitemporal_apply): the warehouse learns on tx 2021-01-01 that every
@@ -6802,6 +6846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "events_ols_multi": _q_events_ols_multi,
+        "dedup_containment": _q_dedup_containment,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -10774,6 +10820,89 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "events_ols_multi": """
+            -- dayofweek: DuckDB is 0=Sunday, Spark 1=Sunday -> +1
+            WITH rows_ AS (
+              SELECT (round(value * 100))::BIGINT AS y,
+                     hour(ts)::BIGINT AS x1,
+                     (dayofweek(ts) + 1)::BIGINT AS x2
+              FROM events),
+            m AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(x1)::HUGEINT AS sx1, sum(x2)::HUGEINT AS sx2,
+                     sum(x1 * x1)::HUGEINT AS sx11,
+                     sum(x2 * x2)::HUGEINT AS sx22,
+                     sum(x1 * x2)::HUGEINT AS sx12,
+                     sum(y)::HUGEINT AS sy,
+                     sum(x1 * y)::HUGEINT AS sx1y,
+                     sum(x2 * y)::HUGEINT AS sx2y,
+                     sum(y * y)::HUGEINT AS syy
+              FROM rows_),
+            d AS (
+              SELECT n,
+                     n::DOUBLE AS a, sx1::DOUBLE AS b, sx2::DOUBLE AS c,
+                     sx1::DOUBLE AS dd, sx11::DOUBLE AS e,
+                     sx12::DOUBLE AS f,
+                     sx2::DOUBLE AS g, sx12::DOUBLE AS h,
+                     sx22::DOUBLE AS i,
+                     sy::DOUBLE AS r1, sx1y::DOUBLE AS r2,
+                     sx2y::DOUBLE AS r3,
+                     syy::DOUBLE AS syy_d
+              FROM m),
+            dets AS (
+              SELECT n, r1, r2, r3, syy_d, a,
+                a * (e * i - f * h) - b * (dd * i - f * g)
+                  + c * (dd * h - e * g) AS det,
+                r1 * (e * i - f * h) - b * (r2 * i - f * r3)
+                  + c * (r2 * h - e * r3) AS det0,
+                a * (r2 * i - f * r3) - r1 * (dd * i - f * g)
+                  + c * (dd * r3 - r2 * g) AS det1,
+                a * (e * r3 - r2 * h) - b * (dd * r3 - r2 * g)
+                  + r1 * (dd * h - e * g) AS det2
+              FROM d)
+            SELECT n,
+                   CASE WHEN det != 0 THEN round(det0 / det, 6) END
+                     AS b0,
+                   CASE WHEN det != 0 THEN round(det1 / det, 6) END
+                     AS b1,
+                   CASE WHEN det != 0 THEN round(det2 / det, 6) END
+                     AS b2,
+                   CASE WHEN det != 0
+                         AND syy_d - r1 * r1 / a != 0 THEN
+                     round(1.0 - (syy_d - (det0 / det) * r1
+                                  - (det1 / det) * r2
+                                  - (det2 / det) * r3)
+                           / (syy_d - r1 * r1 / a), 6)
+                   END AS r2
+            FROM dets""",
+        "dedup_containment": f"""
+            WITH aug AS (
+              SELECT doc_id AS id, doc_id AS bucket, text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, doc_id, substr(text, 1, 150)
+              FROM documents),
+            base AS (
+              SELECT id, bucket,
+                     list_distinct({oracles.shingles_sql('text')}) AS sh
+              FROM aug),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b,
+                     len(list_intersect(a.sh, b.sh))::BIGINT AS inter
+              FROM base a JOIN base b USING (bucket)
+              WHERE a.id < b.id),
+            scored AS (
+              SELECT id_a, id_b, n_a, n_b, inter,
+                     round(CASE WHEN n_a > 0
+                           THEN inter::DOUBLE / n_a::DOUBLE
+                           ELSE 0.0 END, 6) AS cont_a_in_b,
+                     round(CASE WHEN n_b > 0
+                           THEN inter::DOUBLE / n_b::DOUBLE
+                           ELSE 0.0 END, 6) AS cont_b_in_a
+              FROM pairs)
+            SELECT * FROM scored
+            WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""",
         "scd2_bitemporal": """
             WITH base AS (
               SELECT c_custkey AS k, c_mktsegment AS segment,

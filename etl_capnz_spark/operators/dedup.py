@@ -867,3 +867,60 @@ def sorted_neighborhood_pairs(
             ).alias("id_b"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bucket_col: str,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Directional CONTAINMENT over word-bigram sets — the excerpt/
+    quote detector Jaccard structurally misses: a 50-shingle excerpt
+    inside a 5000-shingle article has Jaccard ≈ 0.01 but containment
+    |A∩B|/|A| = 1.0. Broder's resemblance-vs-containment distinction;
+    both directions emitted so the caller knows WHICH side is the
+    excerpt.
+
+    Same candidate discipline as :func:`ngram_jaccard_pairs`: pairs
+    form within ``bucket_col`` groups (LSH band / length bucket /
+    planted-dup bucket at test scale), never a global cross join; the
+    intersection is array arithmetic on distinct shingle sets.
+    Survivors: max(containment) >= threshold.
+
+    Output: (id_a, id_b, n_a, n_b, inter, cont_a_in_b, cont_b_in_a).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(bucket_col).alias("bucket"),
+        F.array_distinct(word_shingles(F.col(text_col))).alias("sh"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
+    na = F.size(F.col("l.sh"))
+    nb = F.size(F.col("r.sh"))
+    ca = F.when(na > 0, inter.cast("double") / na.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    cb = F.when(nb > 0, inter.cast("double") / nb.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            na.cast("bigint").alias("n_a"),
+            nb.cast("bigint").alias("n_b"),
+            inter.cast("bigint").alias("inter"),
+            F.round(ca, 6).alias("cont_a_in_b"),
+            F.round(cb, 6).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a")
+            >= F.lit(float(min_containment))
+        )
+    )

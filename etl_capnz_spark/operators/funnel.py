@@ -451,3 +451,80 @@ def poisson_bootstrap(
             6,
         ).alias("mean_cents"),
     )
+
+
+def ols_multi(
+    df: DataFrame,
+    y_col: Column,
+    x1_col: Column,
+    x2_col: Column,
+) -> DataFrame:
+    """Two-feature OLS by CLOSED-FORM normal equations — in-engine
+    multiple regression with no iteration and no ML library: one
+    two-phase aggregate collects the nine moment sums (n, Σx1, Σx2,
+    Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y) plus Σy², and Cramer's rule
+    over the 3x3 system yields (b0, b1, b2); R² follows from the
+    moment identity SSE = Σy² − b0Σy − b1Σx1y − b2Σx2y.
+
+    Exactness: callers pass INTEGER-valued expressions (cents, hours,
+    weekday codes); the moments accumulate in decimal(38,0) (the cuped
+    discipline — x²y-scale products leave int64 far below 100 TB row
+    counts), and the determinant arithmetic is one pinned double
+    expression tree per engine. Singular systems (collinear features)
+    emit NULL coefficients rather than garbage (det guarded at 0).
+
+    Output: 1 row (n, b0, b1, b2, r2), 6dp.
+    """
+    d19 = "decimal(19,0)"
+    x1 = x1_col.cast(d19)
+    x2 = x2_col.cast(d19)
+    y = y_col.cast(d19)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    a, b, c = d("n"), d("sx1"), d("sx2")
+    dd, e, f = d("sx1"), d("sx11"), d("sx12")
+    g, h, i = d("sx2"), d("sx12"), d("sx22")
+    r1, r2_, r3 = d("sy"), d("sx1y"), d("sx2y")
+
+    def det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+        return (
+            m11 * (m22 * m33 - m23 * m32)
+            - m12 * (m21 * m33 - m23 * m31)
+            + m13 * (m21 * m32 - m22 * m31)
+        )
+
+    det = det3(a, b, c, dd, e, f, g, h, i)
+    # Cramer: det_k replaces column k of M with the RHS (Sy, Sx1y, Sx2y)
+    det0 = det3(r1, b, c, r2_, e, f, r3, h, i)
+    det1 = det3(a, r1, c, dd, r2_, f, g, r3, i)
+    det2 = det3(a, b, r1, dd, e, r2_, g, h, r3)
+    b0 = det0 / det
+    b1 = det1 / det
+    b2 = det2 / det
+    sse = d("syy") - b0 * d("sy") - b1 * d("sx1y") - b2 * d("sx2y")
+    sst = d("syy") - d("sy") * d("sy") / d("n")
+    ok = det != F.lit(0.0)
+    return agg.select(
+        "n",
+        F.when(ok, F.round(b0, 6)).alias("b0"),
+        F.when(ok, F.round(b1, 6)).alias("b1"),
+        F.when(ok, F.round(b2, 6)).alias("b2"),
+        F.when(
+            ok & (sst != F.lit(0.0)),
+            F.round(F.lit(1.0) - sse / sst, 6),
+        ).alias("r2"),
+    )

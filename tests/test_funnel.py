@@ -636,3 +636,39 @@ def test_poisson_bootstrap_weights_and_ci(spark):
     ).collect()
     assert sorted((r["b"], r["n_eff"], r["sum_cents"]) for r in out2) == \
         sorted((r["b"], r["n_eff"], r["sum_cents"]) for r in out)
+
+
+def test_ols_multi_matches_numpy_lstsq(spark):
+    """Closed-form Cramer OLS must match numpy's lstsq on a planted
+    linear model with noise (coefficients within 1e-6 of lstsq, which
+    is itself near the planted truth), and a collinear design (x2 =
+    2*x1) must emit NULL coefficients, not garbage."""
+    import numpy as np
+
+    from etl_capnz_spark.operators.funnel import ols_multi
+    from pyspark.sql import functions as F2
+
+    rng = np.random.RandomState(4)
+    n = 500
+    x1 = rng.randint(0, 24, n)
+    x2 = rng.randint(1, 8, n)
+    y = (250 + 30 * x1 - 12 * x2 + rng.randint(-40, 41, n)).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 long, x2 long, y long",
+    )
+    got = ols_multi(
+        df, F2.col("y"), F2.col("x1"), F2.col("x2")
+    ).collect()[0]
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y.astype(float), rcond=None)
+    assert abs(got["b0"] - beta[0]) < 1e-5
+    assert abs(got["b1"] - beta[1]) < 1e-5
+    assert abs(got["b2"] - beta[2]) < 1e-5
+    assert 0.9 < got["r2"] <= 1.0
+
+    collinear = df.withColumn("x2", 2 * F2.col("x1"))
+    bad = ols_multi(
+        collinear, F2.col("y"), F2.col("x1"), F2.col("x2")
+    ).collect()[0]
+    assert bad["b0"] is None and bad["b1"] is None and bad["r2"] is None
