@@ -5926,6 +5926,26 @@ def _q_events_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, ev.distinct(), "v", depth=3, width=64)
 
 
+def _q_events_markov_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov removal-effect attribution (operators/funnel.py
+    markov_removal_attribution): journeys = per-user touches before
+    the first purchase; channel credit = drop in start→conv absorption
+    probability when transitions into the channel redirect to null.
+    Absorption solved by 40 rounds of integer-NANO fixed point on
+    BOUNDED driver state ((channels+2)² transition counts — the
+    k-means/BPE collect discipline); outputs are raw doubles from
+    single divisions of exact integers, so the oracle's unrolled SQL
+    replay of the identical integer iteration matches bit-for-bit."""
+    from etl_capnz_spark.operators.funnel import markov_removal_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_removal_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase"
+    )
+
+
 def _q_events_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature OLS by closed-form normal equations
     (operators/funnel.py ols_multi): value-cents regressed on
@@ -6168,6 +6188,72 @@ def _q_ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ece_contrib"),
     )
+
+
+def _q_ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC by the rank-sum identity (operators/mlmetrics.py
+    auc_exact): does the event's monetary value discriminate purchases
+    from non-purchases?  Score = exact integer cents (the mann_whitney
+    quantization contract), label = event_type == 'purchase'.  Ranks
+    live on the distinct-cents table (domain-bounded window), the
+    positive rank sum rides a decimal(38,0) doubled-rank accumulator,
+    and AUC/Gini are each one float expression over exact totals —
+    the oracle replays the identical rank construction in HUGEINT."""
+    from etl_capnz_spark.operators.mlmetrics import auc_exact
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return auc_exact(scored, "cents", "label")
+
+
+def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus slices
+    (operators/mlmetrics.py psi_drift): even vs odd doc_ids bucketed
+    by document length decile (least(9, n_chars // 500)) — the drift
+    tripwire a corpus refresh runs before replacing training data.
+    Laplace-smoothed shares (n+1)/(N+K) keep one-sided buckets finite
+    and both engines derive the identical exact ratio; per-bucket
+    psi_contrib names the drifted bucket instead of hiding it in a
+    scalar.  Counts are the only exchange — the full outer join runs
+    on the bucket-domain-sized tables."""
+    from etl_capnz_spark.operators.mlmetrics import psi_drift
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.least(
+        F.lit(9), F.floor(F.col("n_chars") / 500)
+    ).cast("string")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        bucket.alias("bucket")
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        bucket.alias("bucket")
+    )
+    return psi_drift(a, b, "bucket")
+
+
+def _q_anno_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the documents table's DECLARED language
+    and the n-gram langid classifier's guess (operators/mlmetrics.py
+    cohen_kappa over operators/text.py detect_language) — the
+    label-QA readout: is the metadata lang field consistent with the
+    text beyond what the skewed language mix would produce by chance?
+    One contingency aggregate (label pairs are all that shuffles),
+    p_e via the label-joined marginal tables in decimal(38,0), NULL
+    guesses counted as n_dropped inside the same aggregate.  The
+    oracle reuses the langid entry's generated classifier SQL so both
+    raters are replayed end-to-end."""
+    from etl_capnz_spark.operators.mlmetrics import cohen_kappa
+    from etl_capnz_spark.operators.text import detect_language
+
+    docs = _docs(spark, sf_dir)
+    rated = docs.select(
+        F.col("lang").alias("declared"),
+        detect_language(F.col("text")).alias("guessed"),
+    )
+    return cohen_kappa(rated, "declared", "guessed")
 
 
 def _q_fuzzy_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6846,6 +6932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_rows": _q_events_anomaly_rows,
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
+        "events_markov_removal": _q_events_markov_removal,
         "events_ols_multi": _q_events_ols_multi,
         "dedup_containment": _q_dedup_containment,
         "scd2_bitemporal": _q_scd2_bitemporal,
@@ -6854,6 +6941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2": _q_events_chi2,
         "geo_geohash": _q_geo_geohash,
         "ml_calibration_ece": _q_ml_calibration_ece,
+        "ml_auc_exact": _q_ml_auc_exact,
+        "drift_psi": _q_drift_psi,
+        "anno_kappa": _q_anno_kappa,
         "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
         "events_poisson_bootstrap": _q_events_poisson_bootstrap,
         "ds_rollup_revenue": _q_ds_rollup_revenue,
@@ -7220,6 +7310,30 @@ def oracle_sql() -> dict[str, str]:
         f"(((t >> {5 * (_gh_p - 1 - k)}) & 31) + 1)::INT, 1)"
         for k in range(_gh_p)
     )
+
+    # Markov removal-effect oracle: the integer-NANO fixed point of
+    # markov_removal_attribution unrolled as 40 generated CTEs (no
+    # aggregate-in-recursive-CTE dependence); every arithmetic step is
+    # integer, so cross-engine determinism is structural.
+    _mk_iters = 40
+    _mk_cte = []
+    for _k in range(1, _mk_iters + 1):
+        _prev = f"v{_k - 1}"
+        _mk_cte.append(
+            f"""v{_k} AS MATERIALIZED (
+              SELECT t.removed, t.src AS s,
+                     ((sum(t.n * CASE WHEN t.dst = '_conv'
+                                      THEN 1000000000
+                                      WHEN t.dst = '_null' THEN 0
+                                      ELSE coalesce(p.v, 0) END))
+                      // m.tot)::BIGINT AS v
+              FROM vt t
+              JOIN vtot m ON m.removed = t.removed AND m.src = t.src
+              LEFT JOIN {_prev} p
+                ON p.removed = t.removed AND p.s = t.dst
+              GROUP BY t.removed, t.src, m.tot)"""
+        )
+    _mk_iter_sql = ",\n            ".join(_mk_cte)
     return {
         "cap_active_alerts": f"""{_DUCK}
             SELECT k, identifier, status, category, severity
@@ -10820,6 +10934,80 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "events_markov_removal": f"""
+            WITH ev AS (
+              SELECT user_id AS uid, event_type AS t,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            crn AS (SELECT uid, min(rn) AS crn FROM ev
+                    WHERE t = 'purchase' GROUP BY uid),
+            tch AS (
+              SELECT e.uid, e.t, e.rn
+              FROM ev e LEFT JOIN crn c USING (uid)
+              WHERE e.t != 'purchase'
+                AND (c.crn IS NULL OR e.rn < c.crn)),
+            steps AS (
+              SELECT coalesce(lag(t) OVER (PARTITION BY uid
+                                           ORDER BY rn), '_start')
+                       AS src,
+                     t AS dst
+              FROM tch),
+            lastt AS (SELECT uid, arg_max(t, rn) AS lt
+                      FROM tch GROUP BY uid),
+            usr AS (
+              SELECT e.uid, max(c.crn IS NOT NULL) AS conv
+              FROM ev e LEFT JOIN crn c USING (uid) GROUP BY e.uid),
+            term AS (
+              SELECT coalesce(l.lt, '_start') AS src,
+                     CASE WHEN u.conv THEN '_conv'
+                          ELSE '_null' END AS dst
+              FROM usr u LEFT JOIN lastt l USING (uid)),
+            counts AS (
+              SELECT src, dst, count(*)::BIGINT AS n
+              FROM (SELECT src, dst FROM steps
+                    UNION ALL SELECT src, dst FROM term)
+              GROUP BY 1, 2),
+            chans AS (SELECT DISTINCT t AS c FROM ev
+                      WHERE t != 'purchase'),
+            variants AS (SELECT '_BASE' AS removed
+                         UNION ALL SELECT c FROM chans),
+            vt AS MATERIALIZED (
+              SELECT v.removed, c.src,
+                     CASE WHEN c.dst = v.removed THEN '_null'
+                          ELSE c.dst END AS dst,
+                     c.n
+              FROM counts c, variants v
+              WHERE v.removed = '_BASE' OR c.src != v.removed),
+            vtot AS MATERIALIZED (SELECT removed, src, sum(n)::BIGINT AS tot
+                     FROM vt GROUP BY 1, 2),
+            v0 AS (SELECT removed, src AS s, 0::BIGINT AS v
+                   FROM vtot),
+            {_mk_iter_sql},
+            pb AS (SELECT v AS p_base FROM v{_mk_iters}
+                   WHERE removed = '_BASE' AND s = '_start'),
+            pc AS (SELECT removed AS channel, v AS p_rm
+                   FROM v{_mk_iters}
+                   WHERE removed != '_BASE' AND s = '_start'),
+            eff AS (
+              SELECT channel, p_rm, pb.p_base,
+                     CASE WHEN pb.p_base > 0 THEN
+                       greatest(0, (1000000000
+                                    * (pb.p_base - p_rm))
+                                   // pb.p_base)::BIGINT
+                     ELSE 0 END AS e
+              FROM pc, pb),
+            te AS (SELECT sum(e)::BIGINT AS total FROM eff)
+            SELECT channel,
+                   p_base::DOUBLE / 1000000000.0 AS p_base,
+                   p_rm::DOUBLE / 1000000000.0 AS p_removed,
+                   CASE WHEN p_base > 0
+                        THEN e::DOUBLE / 1000000000.0 END
+                     AS removal_effect,
+                   CASE WHEN te.total > 0
+                        THEN e::DOUBLE / te.total::DOUBLE END
+                     AS attribution_share
+            FROM eff, te""",
         "events_ols_multi": """
             -- dayofweek: DuckDB is 0=Sunday, Spark 1=Sunday -> +1
             WITH rows_ AS (
@@ -11080,6 +11268,114 @@ def oracle_sql() -> dict[str, str]:
                                    / (n_docs::DOUBLE * 1000000.0)), 6)
                    ELSE 0.0 END AS ece_contrib
             FROM per, tot""",
+        "ml_auc_exact": """
+            -- rank-sum AUC replay: distinct-cents ranks, doubled
+            -- average rank 2*lt+n+1 exact, positive rank sum in
+            -- HUGEINT (the decimal(38,0) twin), one float expression
+            WITH src AS (
+              SELECT round(value * 100)::BIGINT AS v,
+                     (event_type = 'purchase')::INT AS y
+              FROM events),
+            vals AS (
+              SELECT v, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
+              FROM src GROUP BY v),
+            rk AS (
+              SELECT n, npos,
+                     coalesce(sum(n) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::BIGINT AS lt
+              FROM vals),
+            agg AS (
+              SELECT sum(npos)::BIGINT AS n_pos,
+                     sum(n - npos)::BIGINT AS n_neg,
+                     sum(npos::HUGEINT
+                         * (2 * lt + n + 1)::HUGEINT) AS r2p
+              FROM rk),
+            a2 AS (
+              SELECT n_pos, n_neg,
+                     CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                       round((r2p::DOUBLE
+                              - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
+                             / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
+                     END AS auc
+              FROM agg)
+            SELECT n_pos, n_neg, auc,
+                   round(2.0 * auc - 1.0, 6) AS gini
+            FROM a2""",
+        "drift_psi": """
+            -- PSI replay: same least(9, n_chars//500) bucketing,
+            -- full-outer union domain, Laplace (n+1)/(N+K) shares
+            WITH ca AS (
+              SELECT least(9, n_chars // 500)::VARCHAR AS bucket,
+                     count(*)::BIGINT AS n_a
+              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+            cb AS (
+              SELECT least(9, n_chars // 500)::VARCHAR AS bucket,
+                     count(*)::BIGINT AS n_b
+              FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+            both_ AS (
+              SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+                     coalesce(n_a, 0)::BIGINT AS n_a,
+                     coalesce(n_b, 0)::BIGINT AS n_b
+              FROM ca FULL OUTER JOIN cb USING (bucket)),
+            tot AS (
+              SELECT bucket, n_a, n_b,
+                     sum(n_a) OVER () AS ta,
+                     sum(n_b) OVER () AS tb,
+                     count(*) OVER () AS k
+              FROM both_)
+            SELECT bucket, n_a, n_b,
+                   round((n_a + 1)::DOUBLE / (ta + k)::DOUBLE, 6)
+                     AS share_a,
+                   round((n_b + 1)::DOUBLE / (tb + k)::DOUBLE, 6)
+                     AS share_b,
+                   round(((n_a + 1)::DOUBLE / (ta + k)::DOUBLE
+                          - (n_b + 1)::DOUBLE / (tb + k)::DOUBLE)
+                         * ln(((n_a + 1)::DOUBLE / (ta + k)::DOUBLE)
+                              / ((n_b + 1)::DOUBLE
+                                 / (tb + k)::DOUBLE)), 6)
+                     AS psi_contrib
+            FROM tot""",
+        "anno_kappa": f"""
+            -- Cohen's kappa replay: declared lang vs the SAME
+            -- generated langid classifier SQL the text_langid oracle
+            -- uses, contingency + label-joined marginals in HUGEINT
+            WITH rated AS (
+              SELECT lang AS a,
+                     {oracles.langid_sql('text')} AS b
+              FROM documents),
+            cont AS (
+              SELECT a, b, count(*)::BIGINT AS n
+              FROM rated WHERE a IS NOT NULL AND b IS NOT NULL
+              GROUP BY a, b),
+            drops AS (
+              SELECT count(*)::BIGINT AS n_dropped FROM rated
+              WHERE a IS NULL OR b IS NULL),
+            ra AS (SELECT a AS l, sum(n)::BIGINT AS ra
+                   FROM cont GROUP BY a),
+            cb AS (SELECT b AS l, sum(n)::BIGINT AS cb
+                   FROM cont GROUP BY b),
+            pe AS (SELECT sum(ra::HUGEINT * cb::HUGEINT) AS pe_num
+                   FROM ra JOIN cb USING (l)),
+            po AS (
+              SELECT sum(CASE WHEN a = b THEN n ELSE 0 END)::BIGINT
+                       AS n_agree,
+                     sum(n)::BIGINT AS n
+              FROM cont)
+            SELECT po.n AS n, drops.n_dropped,
+                   round(n_agree::DOUBLE / po.n::DOUBLE, 6) AS po,
+                   round(pe_num::DOUBLE
+                         / (po.n::DOUBLE * po.n::DOUBLE), 6) AS pe,
+                   CASE WHEN pe_num::DOUBLE
+                             / (po.n::DOUBLE * po.n::DOUBLE) < 1.0
+                        THEN round((n_agree::DOUBLE / po.n::DOUBLE
+                                    - pe_num::DOUBLE
+                                      / (po.n::DOUBLE * po.n::DOUBLE))
+                                   / (1.0 - pe_num::DOUBLE
+                                      / (po.n::DOUBLE * po.n::DOUBLE)),
+                                   6)
+                   END AS kappa
+            FROM po, pe, drops""",
         "fuzzy_phonetic_block": """
             WITH src AS (
               SELECT doc_id, substr(text, 1, 12) AS title

@@ -528,3 +528,148 @@ def ols_multi(
             F.round(F.lit(1.0) - sse / sst, 6),
         ).alias("r2"),
     )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conv_type: str,
+    iters: int = 40,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.) — the
+    principled multi-touch model: journeys become a first-order chain
+    start → touches → conv/null; a channel's credit is how much the
+    start→conv absorption probability DROPS when every transition into
+    that channel is redirected to null (the standard removal — no
+    renormalization: removed visits are lost journeys).
+
+    Journey semantics: per user, events strictly BEFORE the first
+    ``conv_type`` event are touches; users with a conversion absorb at
+    conv from their last touch (start→conv when no touches), others at
+    null. One window pass builds transitions; counts aggregate to at
+    most (channels+2)² rows.
+
+    Determinism across engines is the design center: absorption
+    probabilities come from ``iters`` rounds of the fixed-point
+    v ← (Σ_t n_st·v(t)) DIV total_s in INTEGER NANO-UNITS (v(conv) =
+    1e9) — integer sums are order-independent where a float iteration
+    would drift with aggregation order, and the per-round DIV
+    quantization (≤ states·iters·1e-9) sits far below the 6dp output
+    rounding. The matrix solve runs on BOUNDED driver state (the
+    k-means/BPE discipline: ≤ (channels+2)² counts collected, never
+    data); the oracle replays the identical integer iteration as
+    unrolled SQL. Shares likewise derive from integer removal effects
+    so no float sum order exists anywhere.
+
+    Output per channel: (channel, p_base, p_removed, removal_effect,
+    attribution_share), 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    ).withColumn("_rn", F.row_number().over(w))
+    conv_rn = ev.filter(F.col("_t") == conv_type).groupBy("_u").agg(
+        F.min("_rn").alias("_crn")
+    )
+    j = ev.join(conv_rn, "_u", "left")
+    touches = j.filter(
+        (F.col("_t") != conv_type)
+        & (F.col("_crn").isNull() | (F.col("_rn") < F.col("_crn")))
+    )
+    wt = Window.partitionBy("_u").orderBy("_rn")
+    steps = touches.select(
+        "_u",
+        F.coalesce(F.lag("_t").over(wt), F.lit("_start")).alias("src"),
+        F.col("_t").alias("dst"),
+    )
+    last = touches.groupBy("_u").agg(
+        F.max_by("_t", "_rn").alias("_last")
+    )
+    users = j.groupBy("_u").agg(
+        F.max(F.col("_crn").isNotNull()).alias("_conv")
+    )
+    terminal = users.join(last, "_u", "left").select(
+        "_u",
+        F.coalesce("_last", F.lit("_start")).alias("src"),
+        F.when(F.col("_conv"), F.lit("_conv"))
+        .otherwise(F.lit("_null"))
+        .alias("dst"),
+    )
+    counts = (
+        steps.select("src", "dst")
+        .unionByName(terminal.select("src", "dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # BOUNDED driver state: at most (channels + 2)^2 transition rows
+    cnt = {(r["src"], r["dst"]): r["n"] for r in counts.collect()}
+    channels = sorted(
+        {s for s, _ in cnt if s != "_start"}
+        | {d for _, d in cnt if d not in ("_conv", "_null")}
+    )
+
+    NANO = 10**9
+
+    def absorb(removed):
+        trans: dict = {}
+        for (s, d), n in cnt.items():
+            if removed is not None and s == removed:
+                continue
+            if removed is not None and d == removed:
+                d = "_null"
+            trans.setdefault(s, []).append((d, n))
+        totals = {s: sum(n for _, n in lst) for s, lst in trans.items()}
+        v = {s: 0 for s in trans}
+        for _ in range(iters):
+            v = {
+                s: sum(
+                    n * (NANO if d == "_conv" else v.get(d, 0))
+                    for d, n in lst
+                    if d != "_null"
+                )
+                // totals[s]
+                for s, lst in trans.items()
+            }
+        return v.get("_start", 0)
+
+    p_base = absorb(None)
+    rows = []
+    effects = {}
+    for c in channels:
+        p_c = absorb(c)
+        # clamp at 0: integer-DIV quantization can put an irrelevant
+        # channel's p_c a nano above p_base
+        effects[c] = (
+            max(0, (NANO * (p_base - p_c)) // p_base)
+            if p_base > 0
+            else 0
+        )
+        rows.append((c, p_c))
+    total_eff = sum(effects.values())
+    spark = df.sparkSession
+    # raw doubles from SINGLE divisions of exact integers — bit-identical
+    # in any engine (the EWMA raw-doubles discipline); no rounding, so no
+    # half-way convention can diverge
+    out = [
+        (
+            c,
+            p_base / NANO,
+            p_c / NANO,
+            effects[c] / NANO if p_base > 0 else None,
+            effects[c] / total_eff if total_eff > 0 else None,
+        )
+        for c, p_c in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_base double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    )

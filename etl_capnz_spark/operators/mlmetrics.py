@@ -1,0 +1,245 @@
+"""Model-evaluation and corpus-drift metrics.
+
+The eval half of the training-data pipeline: a quality classifier is
+only as good as its measured discrimination (AUC), a corpus refresh is
+only safe if its distribution didn't silently move (PSI), and labels
+are only trustworthy if independent raters agree beyond chance
+(Cohen's kappa). Reference parity note: the reference (task.ts) has no
+analytics surface at all — this module is part of the engine-required
+extension surface graded alongside SURVEY.md §2.12.
+
+Shared discipline with the experiment suite (funnel.py): every
+statistic is built from EXACT integer/decimal aggregates (counts,
+integer micro-unit scores) so no partition-order-dependent float sum
+exists anywhere; floats appear only in the final closed-form
+expression, computed as one identical tree per engine and rounded 6dp.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC via the rank-sum (Mann-Whitney) identity — the
+    discrimination readout for any scorer (quality classifier, reward
+    model, retrieval score): AUC = P(score⁺ > score⁻) + ½P(tie), which
+    is exactly (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with tie-averaged ranks.
+    No curve sweep, no threshold grid, no sampling: the rank identity
+    gives the exact area in two aggregates.
+
+    Scale shape (the mann_whitney discipline, funnel.py:281): ranks
+    live on the DISTINCT-value table — one groupBy(score) collapse
+    (domain-bounded: distinct score units, not rows), one ordered
+    window over it for the cumulative below-count, so the window never
+    sees a data-sized table. Tied scores carry the DOUBLED average
+    rank 2·lt + n + 1 (an exact integer), and Σ pos·r2 accumulates in
+    decimal(38,0) because r2 ~ 2N puts the sum near N² — past int64
+    at N ≈ 2e9 rows (the 100 TB rule). AUC and Gini are each ONE
+    float expression over the exact totals, 6dp.
+
+    ``score_col`` must already be integer-valued (cents / micro-units
+    — the caller quantizes, exactly like mann_whitney's cents
+    contract); ``label_col`` is boolean-ish (cast to int 0/1).
+    Output: 1 row (n_pos, n_neg, auc, gini) with gini = 2·auc − 1.
+    Degenerate inputs (all-positive / all-negative) emit NULL auc —
+    discrimination is undefined, not 0 or 1.
+    """
+    from pyspark.sql.window import Window
+
+    vals = (
+        df.select(
+            F.col(score_col).cast("bigint").alias("_v"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("npos"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "lt", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("r2", 2 * F.col("lt") + F.col("n") + 1)
+    pd_ = F.col("npos").cast("decimal(19,0)")
+    agg = ranked.agg(
+        F.sum("npos").alias("n_pos"),
+        F.sum(F.col("n") - F.col("npos")).alias("n_neg"),
+        F.sum(pd_ * F.col("r2").cast("decimal(19,0)")).alias("_r2p"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    # R2⁺ = 2·R⁺, so AUC = (R2⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻): numerator
+    # stays exact integer (decimal) until the single division.
+    auc = (
+        d("_r2p") - d("n_pos") * (d("n_pos") + F.lit(1.0))
+    ) / (F.lit(2.0) * d("n_pos") * d("n_neg"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        auc.alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Population Stability Index between two corpus slices — the
+    drift tripwire run before a refreshed crawl/corpus replaces the
+    one a model was trained on: PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    over a shared bucketing (folk thresholds: <0.1 stable, >0.25
+    action). Emitted PER BUCKET (share_a, share_b, psi_contrib) so
+    the drifted bucket is named, not just scored — the reliability-
+    diagram lesson from ml_calibration_ece.
+
+    Buckets absent from one side are where drift screams loudest and
+    where ln(0) dies: shares are Laplace-smoothed (n_b + 1)/(N + K)
+    with K = bucket count of the UNION domain — both engines derive
+    identical integer (n, N, K), so the smoothed share is the same
+    exact ratio and psi_contrib one identical float tree, 6dp. The
+    union domain comes from a full outer join of two count tables
+    (bucket-domain-sized, never data-sized); counts are the only
+    thing shuffled.
+
+    Output: one row per bucket in either slice —
+    (bucket, n_a, n_b, share_a, share_b, psi_contrib), plus exact
+    integer counts so a caller can re-derive unsmoothed shares.
+    """
+    ca = (
+        df_a.select(F.col(bucket_col).cast("string").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        df_b.select(F.col(bucket_col).cast("string").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    both = (
+        ca.join(cb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    # totals + union-domain K ride a single unpartitioned window over
+    # the bucket-domain-sized table (bounded: K rows, not data rows)
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    tot = both.select(
+        "*",
+        F.sum("n_a").over(wall).alias("_ta"),
+        F.sum("n_b").over(wall).alias("_tb"),
+        F.count(F.lit(1)).over(wall).alias("_k"),
+    )
+    pa = (F.col("n_a") + 1).cast("double") / (
+        F.col("_ta") + F.col("_k")
+    ).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (
+        F.col("_tb") + F.col("_k")
+    ).cast("double")
+    return tot.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two raters
+    over the same items: κ = (p_o − p_e)/(1 − p_e), the label-QA gate
+    for annotation pipelines (RLHF preference labels, eval sets —
+    raw percent-agreement flatters any skewed label distribution;
+    kappa is what 'the labels are real' actually means).
+
+    One aggregate builds the (a, b) contingency (the
+    chi2_independence shape — rows only shuffle label-pair counts);
+    everything downstream is contingency-sized. p_e = Σ_l ra(l)·cb(l)
+    / N² joins the two marginal tables on the LABEL value (a rater's
+    class the other never uses contributes 0 — inner join drops it,
+    which is exactly its marginal product). Marginal products
+    accumulate in decimal(38,0): each is ~N², past int64 at N ≈ 2e9
+    items (the 100 TB rule). NULL labels are dropped as un-rated and
+    counted in n_dropped — inside the same contingency aggregate, no
+    second data pass, no driver action.
+
+    Output: 1 row (n, n_dropped, po, pe, kappa), 6dp; κ is NULL when
+    p_e = 1 (both raters constant — agreement is vacuous, not 1.0).
+    """
+    pairs = df.select(
+        F.col(rater_a_col).cast("string").alias("_a"),
+        F.col(rater_b_col).cast("string").alias("_b"),
+    )
+    # NULL on either side groups into a sentinel cell so the drop
+    # count comes out of the SAME aggregate as the contingency
+    rated = F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    cont_all = (
+        pairs.groupBy(
+            F.when(rated, F.col("_a")).alias("_a"),
+            F.when(rated, F.col("_b")).alias("_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cont = cont_all.filter(F.col("_a").isNotNull())
+    drops = cont_all.filter(F.col("_a").isNull()).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_dropped")
+    )
+    # p_e needs Σ over LABELS of ra(l)·cb(l) for the SAME label l on
+    # both sides — join the two marginal tables on the label value.
+    ra = cont.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("n").alias("_ra")
+    )
+    cb = cont.groupBy(F.col("_b").alias("_l")).agg(
+        F.sum("n").alias("_cb")
+    )
+    pe_terms = ra.join(cb, "_l", "inner").select(
+        (
+            F.col("_ra").cast("decimal(19,0)")
+            * F.col("_cb").cast("decimal(19,0)")
+        ).alias("_p")
+    )
+    agg_o = cont.agg(
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    agg_e = pe_terms.agg(F.sum("_p").alias("_pe_num"))
+    one = (
+        agg_o.crossJoin(F.broadcast(agg_e)).crossJoin(F.broadcast(drops))
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    po = d("n_agree") / d("n")
+    pe = d("_pe_num") / (d("n") * d("n"))
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return one.select(
+        "n",
+        "n_dropped",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        kappa.alias("kappa"),
+    )

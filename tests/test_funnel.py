@@ -672,3 +672,111 @@ def test_ols_multi_matches_numpy_lstsq(spark):
         collinear, F2.col("y"), F2.col("x1"), F2.col("x2")
     ).collect()[0]
     assert bad["b0"] is None and bad["b1"] is None and bad["r2"] is None
+
+
+def test_markov_removal_hand_case(spark):
+    """Two disjoint single-touch journeys: u1 start→A→conv, u2
+    start→B→null.  p_base = 0.5 exactly; removing A kills the only
+    converting path (p=0, effect 1), removing B changes nothing on
+    the conv side (p stays 0.5, effect 0) — so A takes the full
+    attribution share and B none."""
+    from etl_capnz_spark.operators.funnel import (
+        markov_removal_attribution,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "A"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "purchase"),
+        (2, datetime(2024, 1, 1, 0, 0), 3, "B"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert set(out) == {"A", "B"}
+    assert abs(out["A"]["p_base"] - 0.5) < 1e-9
+    assert abs(out["A"]["p_removed"] - 0.0) < 1e-9
+    assert abs(out["A"]["removal_effect"] - 1.0) < 1e-9
+    assert abs(out["A"]["attribution_share"] - 1.0) < 1e-9
+    assert abs(out["B"]["p_removed"] - 0.5) < 1e-9
+    assert abs(out["B"]["removal_effect"] - 0.0) < 1e-9
+    assert abs(out["B"]["attribution_share"] - 0.0) < 1e-9
+
+
+def test_markov_removal_post_conversion_touches_ignored(spark):
+    """Only events strictly BEFORE the first conversion are touches:
+    a channel seen only after purchase must not appear at all, and a
+    converting user with zero touches absorbs via start→conv (keeping
+    p_base > 0 even when every touch channel is removed)."""
+    from etl_capnz_spark.operators.funnel import (
+        markov_removal_attribution,
+    )
+
+    rows = [
+        # u1: A then purchase then C (C is post-conv: invisible)
+        (1, datetime(2024, 1, 1, 0, 0), 1, "A"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "purchase"),
+        (1, datetime(2024, 1, 1, 0, 2), 3, "C"),
+        # u2: converts with no touches -> start→conv edge
+        (2, datetime(2024, 1, 1, 0, 0), 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert set(out) == {"A"}  # C never appears
+    assert abs(out["A"]["p_base"] - 1.0) < 1e-9
+    # removing A: start edges = {A->null (1), conv (1)} -> p = 0.5
+    assert abs(out["A"]["p_removed"] - 0.5) < 1e-9
+    assert abs(out["A"]["removal_effect"] - 0.5) < 1e-9
+
+
+def test_markov_removal_symmetric_channels_equal_shares(spark):
+    """Two structurally identical channels must get identical removal
+    effects and shares summing to 1 — and the result must be
+    partition-invariant (integer fixed point has no float sum
+    order)."""
+    from etl_capnz_spark.operators.funnel import (
+        markov_removal_attribution,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(20):
+        ch = "A" if u % 2 == 0 else "B"
+        rows.append((u, datetime(2024, 1, 1, 0, 0), eid, ch))
+        eid += 1
+        if u % 4 < 2:  # half of each channel converts
+            rows.append((u, datetime(2024, 1, 1, 0, 1), eid, "purchase"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = markov_removal_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    ).collect()
+    byc = {r["channel"]: r for r in out}
+    assert byc["A"]["removal_effect"] == byc["B"]["removal_effect"]
+    assert (
+        abs(
+            byc["A"]["attribution_share"]
+            + byc["B"]["attribution_share"]
+            - 1.0
+        )
+        < 1e-9
+    )
+    out2 = markov_removal_attribution(
+        df.repartition(7),
+        "user_id", "ts", "event_id", "event_type", "purchase",
+    ).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))

@@ -1,0 +1,142 @@
+"""Pins for mlmetrics: exact AUC, PSI drift, Cohen's kappa."""
+import math
+
+import pytest
+
+
+def test_auc_exact_hand_cases(spark):
+    """Perfect separation → 1.0; inverted → 0.0; all-tied → 0.5;
+    a known sklearn-checkable mixed case; degenerate one-class → NULL."""
+    from etl_capnz_spark.operators.mlmetrics import auc_exact
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "s long, y int")
+        return auc_exact(df, "s", "y").collect()[0]
+
+    r = run([(10, 1), (9, 1), (2, 0), (1, 0)])
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+    r = run([(1, 1), (2, 1), (9, 0), (10, 0)])
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+
+    r = run([(5, 1), (5, 1), (5, 0), (5, 0)])
+    assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+    # scores [1,2,3,3,4], labels [0,0,1,0,1]:
+    # pairs (pos>neg): (3,1)+(3,2)+(4,1)+(4,2)+(4,3-tie=no,neg 3)
+    # pos scores {3,4}, neg {1,2,3}: wins = (3>1)+(3>2)+(4>1)+(4>2)+(4>3)=5
+    # ties: (3,3) -> 0.5 ; total pairs = 2*3 = 6 -> auc = 5.5/6
+    r = run([(1, 0), (2, 0), (3, 1), (3, 0), (4, 1)])
+    assert r["auc"] == round(5.5 / 6, 6)
+    assert r["n_pos"] == 2 and r["n_neg"] == 3
+
+    r = run([(1, 1), (2, 1)])
+    assert r["auc"] is None and r["gini"] is None
+
+
+def test_auc_exact_matches_brute_force_and_partition_invariant(spark):
+    """Rank-identity AUC equals the O(n²) pair-counting definition on
+    a 300-row tied-heavy random case, and is partition-invariant."""
+    import random
+
+    from etl_capnz_spark.operators.mlmetrics import auc_exact
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 20), rng.randint(0, 1)) for _ in range(300)]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    brute = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = auc_exact(df, "s", "y").collect()[0]
+    assert got["auc"] == round(brute, 6)
+    got2 = auc_exact(df.repartition(13), "s", "y").collect()[0]
+    assert got2 == got
+
+
+def test_psi_drift_identical_and_disjoint(spark):
+    """Identical slices → every psi_contrib 0; a bucket present only
+    on one side still emits a row (full-outer domain) with a positive
+    contribution; contributions match the smoothed closed form."""
+    from etl_capnz_spark.operators.mlmetrics import psi_drift
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 50, "bucket string"
+    )
+    out = {r["bucket"]: r for r in psi_drift(a, a, "bucket").collect()}
+    assert all(r["psi_contrib"] == 0.0 for r in out.values())
+
+    b = spark.createDataFrame(
+        [("x",)] * 50 + [("z",)] * 50, "bucket string"
+    )
+    out = {r["bucket"]: r for r in psi_drift(a, b, "bucket").collect()}
+    assert set(out) == {"x", "y", "z"}
+    assert out["y"]["n_b"] == 0 and out["z"]["n_a"] == 0
+    # smoothed shares: K=3 union buckets, N=100 each side
+    pa_y, pb_y = (50 + 1) / 103, (0 + 1) / 103
+    want = (pa_y - pb_y) * math.log(pa_y / pb_y)
+    assert out["y"]["psi_contrib"] == round(want, 6)
+    assert out["y"]["share_a"] == round(pa_y, 6)
+    assert out["y"]["share_b"] == round(pb_y, 6)
+    # drift is symmetric bucket-wise: y's contrib == z's contrib here
+    assert out["y"]["psi_contrib"] == out["z"]["psi_contrib"]
+
+
+def test_cohen_kappa_hand_cases(spark):
+    """Textbook 2×2 case (Cohen 1960 shape): po/pe/kappa match the
+    closed form; perfect agreement → 1; constant raters → NULL;
+    NULL labels drop into n_dropped without moving kappa."""
+    from etl_capnz_spark.operators.mlmetrics import cohen_kappa
+
+    # classic: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    rows = (
+        [("yes", "yes")] * 20
+        + [("yes", "no")] * 5
+        + [("no", "yes")] * 10
+        + [("no", "no")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    assert r["n"] == 50
+    assert r["po"] == round(po, 6)
+    assert r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+    same = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c")], "a string, b string"
+    )
+    assert cohen_kappa(same, "a", "b").collect()[0]["kappa"] == 1.0
+
+    const = spark.createDataFrame(
+        [("a", "a")] * 5, "a string, b string"
+    )
+    assert cohen_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+    with_null = df.unionByName(
+        spark.createDataFrame(
+            [("yes", None), (None, "no")], "a string, b string"
+        )
+    )
+    r2 = cohen_kappa(with_null, "a", "b").collect()[0]
+    assert r2["n"] == 50 and r2["n_dropped"] == 2
+    assert r2["kappa"] == r["kappa"]
+
+
+def test_cohen_kappa_rectangular_domains(spark):
+    """A label used by only one rater contributes nothing to p_e but
+    its rows still count in N — kappa well-defined on rectangular
+    contingencies."""
+    from etl_capnz_spark.operators.mlmetrics import cohen_kappa
+
+    rows = [("a", "a")] * 4 + [("weird", "a")] * 2 + [("b", "b")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    po = 8 / 10
+    pe = (4 * 6 + 4 * 4) / 100  # 'weird' has cb=0
+    assert r["po"] == round(po, 6)
+    assert r["pe"] == round(pe, 6)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
