@@ -5946,6 +5946,25 @@ def _q_events_markov_removal(
     )
 
 
+def _q_events_attrib_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based attribution family (operators/funnel.py
+    position_attribution): linear / U-shaped 40-20-40 / first-touch /
+    last-touch credits per channel over the SAME journey extraction
+    as the Markov entry — converting users only, touches strictly
+    before first purchase.  Credits are integer NANO units via true
+    DIV (bit-for-bit the oracle's //), summed as BIGINTs, divided
+    once to doubles; the disagreement between the four columns (and
+    vs events_markov_removal) is the analyst's actual readout."""
+    from etl_capnz_spark.operators.funnel import position_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return position_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", "purchase"
+    )
+
+
 def _q_events_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-feature OLS by closed-form normal equations
     (operators/funnel.py ols_multi): value-cents regressed on
@@ -6933,6 +6952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer": _q_scd2_customer,
         "scd2_snapshot_at": _q_scd2_snapshot_at,
         "events_markov_removal": _q_events_markov_removal,
+        "events_attrib_position": _q_events_attrib_position,
         "events_ols_multi": _q_events_ols_multi,
         "dedup_containment": _q_dedup_containment,
         "scd2_bitemporal": _q_scd2_bitemporal,
@@ -10934,6 +10954,42 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(((doc_id * 7 + r * 13 + c * 31 + 202) % 256)
                      ::DOUBLE), 6) AS mean_b
             FROM grid GROUP BY doc_id""",
+        "events_attrib_position": """
+            -- same journey extraction as the markov oracle; credits
+            -- in integer nano via // so both engines sum exact ints
+            WITH ev AS (
+              SELECT user_id AS uid, event_type AS t,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            crn AS (SELECT uid, min(rn) AS crn FROM ev
+                    WHERE t = 'purchase' GROUP BY uid),
+            tch AS (
+              SELECT e.uid, e.t,
+                     row_number() OVER (PARTITION BY e.uid
+                                        ORDER BY e.rn) AS p,
+                     count(*) OVER (PARTITION BY e.uid) AS k
+              FROM ev e JOIN crn c USING (uid)
+              WHERE e.t != 'purchase' AND e.rn < c.crn),
+            credits AS (
+              SELECT t AS channel,
+                     (1000000000 // k)::BIGINT AS lin,
+                     (CASE WHEN k = 1 THEN 1000000000
+                           WHEN k = 2 THEN 500000000
+                           WHEN p = 1 OR p = k THEN 400000000
+                           ELSE 200000000 // (k - 2) END)::BIGINT AS u,
+                     (CASE WHEN p = 1 THEN 1000000000
+                           ELSE 0 END)::BIGINT AS ft,
+                     (CASE WHEN p = k THEN 1000000000
+                           ELSE 0 END)::BIGINT AS lt
+              FROM tch)
+            SELECT channel,
+                   count(*)::BIGINT AS n_touch_conv,
+                   sum(lin)::DOUBLE / 1000000000.0 AS linear,
+                   sum(u)::DOUBLE / 1000000000.0 AS u_shape,
+                   sum(ft)::DOUBLE / 1000000000.0 AS first_touch,
+                   sum(lt)::DOUBLE / 1000000000.0 AS last_touch
+            FROM credits GROUP BY channel""",
         "events_markov_removal": f"""
             WITH ev AS (
               SELECT user_id AS uid, event_type AS t,

@@ -673,3 +673,101 @@ def markov_removal_attribution(
         "channel string, p_base double, p_removed double, "
         "removal_effect double, attribution_share double",
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conv_type: str,
+) -> DataFrame:
+    """Heuristic position-based attribution — the rule family every
+    marketing stack runs beside the Markov model
+    (:func:`markov_removal_attribution`): each CONVERTING journey
+    distributes exactly one unit of credit over its touches by
+    position. Four standard rules side by side per channel, because
+    the disagreement BETWEEN rules is the actual readout (a channel
+    that wins under last-touch and loses under linear is a closer,
+    not a prospector):
+
+    - linear: 1/k to each of k touches
+    - u-shaped (position-based 40/20/40): 40% first, 40% last,
+      20% split over the middle; k=1 takes 100%, k=2 splits 50/50
+    - first_touch / last_touch: winner-take-all at either end
+
+    Journey semantics identical to the Markov operator: touches are
+    events strictly before the first ``conv_type`` event; users who
+    never convert assign no credit (their journeys are the null-path
+    evidence the heuristics ignore — exactly why Markov exists).
+
+    Exact-arithmetic: credits are INTEGER NANO-units via integer
+    division (1/k → NANO // k), summed as BIGINTs — no float sum
+    order anywhere; each journey leaks < k nano to quantization
+    (documented, far under the 6dp output). One user-partitioned
+    window pass positions the touches; one groupBy(channel) sums
+    credits — ids and small ints are all that shuffle.
+
+    Output per channel: (channel, n_touch_conv, linear, u_shape,
+    first_touch, last_touch), credits as raw doubles from single
+    divisions of the exact integer sums.
+    """
+    from pyspark.sql.window import Window
+
+    NANO = 1_000_000_000
+    w = Window.partitionBy("_u").orderBy("_ts", "_id")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+    ).withColumn("_rn", F.row_number().over(w))
+    conv_rn = ev.filter(F.col("_t") == conv_type).groupBy("_u").agg(
+        F.min("_rn").alias("_crn")
+    )
+    # converting users only: inner join, touches strictly before
+    touches = ev.join(conv_rn, "_u").filter(
+        (F.col("_t") != conv_type) & (F.col("_rn") < F.col("_crn"))
+    )
+    wj = Window.partitionBy("_u").orderBy("_rn")
+    pos = touches.select(
+        "_u",
+        "_t",
+        F.row_number().over(wj).alias("_p"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("_u")
+        ).alias("_k"),
+    )
+    k, p = F.col("_k"), F.col("_p")
+    first, last = p == 1, p == k
+    # true integer DIV (not floor-of-double-division): bit-for-bit
+    # the oracle's // by construction, no float in the credit path
+    lin = F.expr(f"{NANO} DIV _k").cast("bigint")
+    u_credit = (
+        F.when(k == 1, F.lit(NANO))
+        .when(k == 2, F.lit(NANO // 2))
+        .when(first | last, F.lit(4 * NANO // 10))
+        .otherwise(F.expr(f"{2 * NANO // 10} DIV (_k - 2)"))
+        .cast("bigint")
+    )
+    ft = F.when(first, F.lit(NANO)).otherwise(F.lit(0)).cast("bigint")
+    lt = F.when(last, F.lit(NANO)).otherwise(F.lit(0)).cast("bigint")
+    agg = pos.groupBy(F.col("_t").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touch_conv"),
+        F.sum(lin).alias("_lin"),
+        F.sum(u_credit).alias("_u"),
+        F.sum(ft).alias("_ft"),
+        F.sum(lt).alias("_lt"),
+    )
+    def dn(c: str) -> Column:
+        return F.col(c).cast("double") / F.lit(float(NANO))
+
+    return agg.select(
+        "channel",
+        "n_touch_conv",
+        dn("_lin").alias("linear"),
+        dn("_u").alias("u_shape"),
+        dn("_ft").alias("first_touch"),
+        dn("_lt").alias("last_touch"),
+    )

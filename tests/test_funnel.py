@@ -780,3 +780,76 @@ def test_markov_removal_symmetric_channels_equal_shares(spark):
         "user_id", "ts", "event_id", "event_type", "purchase",
     ).collect()
     assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_position_attribution_hand_case(spark):
+    """Three-touch converting journey A,B,C→purchase plus a
+    non-converter D: linear thirds, U 40/20/40, first/last winner
+    take all, D absent (no credit from non-converters)."""
+    from etl_capnz_spark.operators.funnel import position_attribution
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "A"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "B"),
+        (1, datetime(2024, 1, 1, 0, 2), 3, "C"),
+        (1, datetime(2024, 1, 1, 0, 3), 4, "purchase"),
+        (2, datetime(2024, 1, 1, 0, 0), 5, "D"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in position_attribution(
+            df, "user_id", "ts", "event_id", "event_type", "purchase"
+        ).collect()
+    }
+    assert set(out) == {"A", "B", "C"}
+    third = (10**9 // 3) / 1e9
+    assert out["A"]["linear"] == third == out["B"]["linear"]
+    assert out["A"]["u_shape"] == 0.4 and out["C"]["u_shape"] == 0.4
+    assert out["B"]["u_shape"] == 0.2
+    assert out["A"]["first_touch"] == 1.0 and out["A"]["last_touch"] == 0.0
+    assert out["C"]["last_touch"] == 1.0 and out["C"]["first_touch"] == 0.0
+    assert out["B"]["first_touch"] == 0.0 and out["B"]["last_touch"] == 0.0
+
+
+def test_position_attribution_k1_k2_and_invariance(spark):
+    """k=1 journey gives its only touch full credit under every rule;
+    k=2 U-shape splits 50/50; totals conserve ~one unit per
+    conversion; partition-invariant."""
+    from etl_capnz_spark.operators.funnel import position_attribution
+
+    rows = [
+        # u1: single touch
+        (1, datetime(2024, 1, 1, 0, 0), 1, "A"),
+        (1, datetime(2024, 1, 1, 0, 1), 2, "purchase"),
+        # u2: two touches
+        (2, datetime(2024, 1, 1, 0, 0), 3, "B"),
+        (2, datetime(2024, 1, 1, 0, 1), 4, "A"),
+        (2, datetime(2024, 1, 1, 0, 2), 5, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    res = position_attribution(
+        df, "user_id", "ts", "event_id", "event_type", "purchase"
+    )
+    out = {r["channel"]: r for r in res.collect()}
+    assert out["A"]["linear"] == 1.0 + 0.5
+    assert out["A"]["u_shape"] == 1.0 + 0.5
+    assert out["B"]["u_shape"] == 0.5
+    assert out["A"]["first_touch"] == 1.0  # u1 only; u2 first is B
+    assert out["B"]["first_touch"] == 1.0
+    assert out["A"]["last_touch"] == 2.0  # last in both journeys
+    for col in ("linear", "u_shape", "first_touch", "last_touch"):
+        total = sum(r[col] for r in out.values())
+        assert abs(total - 2.0) < 1e-6  # 2 conversions
+    out2 = {
+        r["channel"]: r
+        for r in position_attribution(
+            df.repartition(7),
+            "user_id", "ts", "event_id", "event_type", "purchase",
+        ).collect()
+    }
+    assert out2 == out
