@@ -11334,7 +11334,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events),
             vals AS (
               SELECT v, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
-              FROM src GROUP BY v),
+              FROM src WHERE v IS NOT NULL AND y IS NOT NULL
+              GROUP BY v),
+            drops AS (
+              SELECT count(*)::BIGINT AS n_dropped FROM src
+              WHERE v IS NULL OR y IS NULL),
             rk AS (
               SELECT n, npos,
                      coalesce(sum(n) OVER (ORDER BY v
@@ -11355,9 +11359,9 @@ def oracle_sql() -> dict[str, str]:
                              / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
                      END AS auc
               FROM agg)
-            SELECT n_pos, n_neg, auc,
+            SELECT n_pos, n_neg, n_dropped, auc,
                    round(2.0 * auc - 1.0, 6) AS gini
-            FROM a2""",
+            FROM a2, drops""",
         "drift_psi": """
             -- PSI replay: same least(9, n_chars//500) bucketing,
             -- full-outer union domain, Laplace (n+1)/(N+K) shares
@@ -11370,10 +11374,13 @@ def oracle_sql() -> dict[str, str]:
                      count(*)::BIGINT AS n_b
               FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
             both_ AS (
+              -- null-safe key: a NULL bucket on both sides meets in
+              -- ONE row (IS NOT DISTINCT FROM = Spark eqNullSafe)
               SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
                      coalesce(n_a, 0)::BIGINT AS n_a,
                      coalesce(n_b, 0)::BIGINT AS n_b
-              FROM ca FULL OUTER JOIN cb USING (bucket)),
+              FROM ca FULL OUTER JOIN cb
+                ON ca.bucket IS NOT DISTINCT FROM cb.bucket),
             tot AS (
               SELECT bucket, n_a, n_b,
                      sum(n_a) OVER () AS ta,

@@ -43,23 +43,30 @@ def auc_exact(
 
     ``score_col`` must already be integer-valued (cents / micro-units
     — the caller quantizes, exactly like mann_whitney's cents
-    contract); ``label_col`` is boolean-ish (cast to int 0/1).
-    Output: 1 row (n_pos, n_neg, auc, gini) with gini = 2·auc − 1.
-    Degenerate inputs (all-positive / all-negative) emit NULL auc —
-    discrimination is undefined, not 0 or 1.
+    contract); ``label_col`` is boolean-ish (cast to int 0/1). Rows
+    with a NULL score or NULL label are un-scorable/un-labeled: they
+    are DROPPED and surfaced in ``n_dropped`` — the cohen_kappa
+    discipline, counted inside the SAME grouping aggregate (no second
+    data pass); the pre-fix behavior silently folded unlabeled rows
+    into the negatives.
+    Output: 1 row (n_pos, n_neg, n_dropped, auc, gini) with
+    gini = 2·auc − 1. Degenerate inputs (all-positive / all-negative)
+    emit NULL auc — discrimination is undefined, not 0 or 1.
     """
     from pyspark.sql.window import Window
 
-    vals = (
-        df.select(
-            F.col(score_col).cast("bigint").alias("_v"),
-            F.col(label_col).cast("int").alias("_y"),
-        )
-        .groupBy("_v")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("_y").alias("npos"),
-        )
+    src = df.select(
+        F.col(score_col).cast("bigint").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    ok = F.col("_v").isNotNull() & F.col("_y").isNotNull()
+    grouped = src.groupBy(ok.alias("_ok"), "_v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("npos"),
+    )
+    vals = grouped.filter(F.col("_ok")).drop("_ok")
+    drops = grouped.filter(~F.col("_ok")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_dropped")
     )
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vals.withColumn(
@@ -83,9 +90,10 @@ def auc_exact(
     auc = F.when(
         (F.col("n_pos") > 0) & (F.col("n_neg") > 0), F.round(auc, 6)
     )
-    return agg.select(
-        F.col("n_pos").cast("bigint").alias("n_pos"),
-        F.col("n_neg").cast("bigint").alias("n_neg"),
+    return agg.crossJoin(F.broadcast(drops)).select(
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("bigint").alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+        F.col("n_dropped"),
         auc.alias("auc"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
     )
@@ -127,10 +135,21 @@ def psi_drift(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
+    # null-safe join key: a NULL bucket present on BOTH sides must
+    # meet in ONE row (plain full-outer never matches NULL=NULL, so a
+    # two-sided NULL bucket showed up as two one-sided rows, inflating
+    # K and mis-reporting each side's share as one-sided drift)
     both = (
-        ca.join(cb, "bucket", "full_outer")
+        ca.alias("_ca")
+        .join(
+            cb.alias("_cb"),
+            F.col("_ca.bucket").eqNullSafe(F.col("_cb.bucket")),
+            "full_outer",
+        )
         .select(
-            "bucket",
+            F.coalesce(F.col("_ca.bucket"), F.col("_cb.bucket")).alias(
+                "bucket"
+            ),
             F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
             F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
         )

@@ -762,8 +762,15 @@ def rouge2_pairs(
     are empty). All counts exact integers; F1 is the one float,
     rounded 6dp.
 
-    Input: one row per pair (id_a, text_a, id_b, text_b). Output:
-    (id_a, id_b, overlap, total_a, total_b, rouge2_f1).
+    Input: one row per pair (id_a, text_a, id_b, text_b), and
+    (id_a, id_b) MUST be unique — it is the grouping/join key, so a
+    duplicated pair row would pool its bigram counts across the
+    duplicates and fan the pooled overlap back onto each copy
+    (inflated per-row overlap/F1). Callers with genuinely repeated id
+    pairs must first mint a surrogate pair key
+    (monotonically_increasing_id) and pass it as id_a or id_b; the
+    built-in pair generators here (consecutive-doc_id joins) satisfy
+    uniqueness by construction.
     """
     def grams(text_col: str) -> Column:
         t = tokens(F.col(text_col))

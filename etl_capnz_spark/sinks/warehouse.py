@@ -312,8 +312,16 @@ def bitemporal_apply(
     * its pre-correction slice [row.valid_from, c.valid_from) is
       re-inserted with the OLD attributes at ``tx_from = tx_time``
       (empty slice → no row);
-    * the corrected row [c.valid_from, ∞) with the NEW attributes is
-      inserted at ``tx_from = tx_time``.
+    * the corrected slice [max(c.valid_from, row.valid_from),
+      row.valid_to) with the NEW attributes is inserted at
+      ``tx_from = tx_time`` — each intersecting slice keeps its OWN
+      valid interval, so a key with an SCD2-style multi-slice
+      tx-current history (several disjoint valid slices) yields
+      disjoint corrected slices, never overlapping open rows, and
+      ``bitemporal_snapshot`` keeps its at-most-one-row-per-key
+      invariant at every (valid, tx) point. For a single open slice
+      containing c.valid_from this is exactly the corrected open row
+      [c.valid_from, ∞).
 
     Non-intersecting rows, rows of untouched keys, and tx-closed
     history pass through byte-identical WITHOUT entering the join —
@@ -370,7 +378,13 @@ def bitemporal_apply(
     pre_slice = _row(
         old_vals, F.col(valid_from_col), F.col("_c_vf"), tx_d, F.lit(None)
     )
-    corrected = _row(new_vals, F.col("_c_vf"), F.lit(None), tx_d, F.lit(None))
+    corrected = _row(
+        new_vals,
+        F.greatest(F.col(valid_from_col), F.col("_c_vf")),
+        F.col(valid_to_col),
+        tx_d,
+        F.lit(None),
+    )
     fanout = F.when(
         intersects,
         F.when(

@@ -85,11 +85,19 @@ def register(spark) -> None:
 # tails a LANDED-SNAPSHOT directory: each immutable landed file holds one
 # XML document per line (the same text-per-line contract as
 # streaming/stream.read_xml_stream), files ordered by name. The offset is
-# {"files": n, "seq": m} — how many files (and total rows) have been
-# consumed — so replay-from-offset is DETERMINISTIC: files are immutable
-# once landed and the ordering is lexicographic, so readBetweenOffsets
-# re-produces byte-identical rows after a crash. This is the bridge that
-# makes the NON-replayable HTTP feed replayable: the batch fetcher
+# {"files": n, "seq": m, "last": name, "batch": [names]} — count + total
+# rows consumed, PLUS the lexicographic consumed-watermark name and the
+# explicit file list of the batch that produced the offset. New files are
+# selected by ``name > last`` (never by position), so replay is
+# DETERMINISTIC even against a misbehaving producer; ``readBetweenOffsets``
+# replays exactly ``end["batch"]`` — byte-identical rows after a crash no
+# matter what landed since. The monotone-naming contract (producers land
+# timestamp-prefixed names via write-temp-then-rename) is ENFORCED, not
+# assumed: read() recounts the files at-or-below the watermark and raises
+# if a file ever lands out of order or disappears, instead of silently
+# skipping it and re-reading consumed files (the pre-fix count-based
+# offset's failure mode). This is the bridge that makes the
+# NON-replayable HTTP feed replayable: the batch fetcher
 # (fetch_urls / capnz_http) lands snapshots; the stream source only ever
 # reads the landed log. Rows: (seq, path, xml), seq globally continuous.
 
@@ -140,27 +148,65 @@ class CapFeedStreamReader(SimpleDataSourceStreamReader):
                         seq += 1
 
     def initialOffset(self) -> dict:
-        return {"files": 0, "seq": 0}
+        return {"files": 0, "seq": 0, "last": ""}
 
     def read(self, start: dict):
+        import os
+
         files = self._landed()
-        new = files[start["files"] :]
+        last = start.get("last")
+        if last is None:
+            # legacy count-based checkpoint (pre name-watermark): one
+            # positional selection to upgrade, then offsets carry names
+            new = files[start["files"] :]
+        else:
+            consumed = (
+                [p for p in files if os.path.basename(p) <= last]
+                if last
+                else []
+            )
+            if len(consumed) != start["files"]:
+                raise RuntimeError(
+                    "capnz_feed_stream: landed-file log mutated under "
+                    f"the checkpoint — {len(consumed)} files sort <= the "
+                    f"consumed watermark {last!r} but the offset recorded "
+                    f"{start['files']} consumed. A producer landed a file "
+                    "out of lexicographic order (or deleted a consumed "
+                    "one); the replayability contract requires immutable, "
+                    "monotone-named landings (timestamp-prefixed, "
+                    "write-temp-then-rename)."
+                )
+            new = [p for p in files if os.path.basename(p) > last]
         if not new:
             return iter([]), dict(start)
         rows = list(self._read_files(new, start["seq"]))
         end = {
-            "files": len(files),
+            "files": start["files"] + len(new),
             "seq": start["seq"] + len(rows),
+            "last": os.path.basename(new[-1]),
+            # the explicit batch file list: readBetweenOffsets replays
+            # EXACTLY these, independent of anything landed since
+            "batch": [os.path.basename(p) for p in new],
         }
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        import os
+
         # crash replay: identical rows for an identical offset range —
-        # immutable landed files + name ordering make this exact
-        files = self._landed()
-        return self._read_files(
-            files[start["files"] : end["files"]], start["seq"]
-        )
+        # the end offset names its batch files explicitly, so the replay
+        # set is exact regardless of later landings (legacy count-only
+        # offsets fall back to positional slicing of the sorted listing)
+        batch = end.get("batch")
+        start_last = start.get("last")
+        if batch is not None and start_last is not None:
+            if start_last:
+                batch = [n for n in batch if n > start_last]
+            paths = [os.path.join(self.dir, n) for n in batch]
+        else:
+            # legacy count-based offset on either end: positional slice
+            paths = self._landed()[start["files"] : end["files"]]
+        return self._read_files(paths, start["seq"])
 
     def commit(self, end: dict) -> None:
         pass  # landed files are retained; retention is the producer's

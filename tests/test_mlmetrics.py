@@ -56,6 +56,55 @@ def test_auc_exact_matches_brute_force_and_partition_invariant(spark):
     assert got2 == got
 
 
+def test_auc_exact_null_rows_drop_into_n_dropped(spark):
+    """NULL label or NULL score rows are un-scorable, not negatives:
+    they land in n_dropped and the AUC over the labeled rows is
+    unchanged (the regression: n counted every row while sum(_y)
+    skipped NULLs, so unlabeled rows silently inflated n_neg)."""
+    from etl_capnz_spark.operators.mlmetrics import auc_exact
+
+    clean = [(10, 1), (9, 1), (2, 0), (1, 0)]
+    df = spark.createDataFrame(
+        clean + [(7, None), (None, 1), (None, None)], "s long, y int"
+    )
+    r = auc_exact(df, "s", "y").collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert r["n_dropped"] == 3
+    assert r["auc"] == 1.0
+
+    base = auc_exact(
+        spark.createDataFrame(clean, "s long, y int"), "s", "y"
+    ).collect()[0]
+    assert base["n_dropped"] == 0
+    assert (base["auc"], base["n_pos"], base["n_neg"]) == (
+        r["auc"], r["n_pos"], r["n_neg"]
+    )
+
+    # all rows unlabeled: counts 0, AUC NULL (not a crash, not 0)
+    allnull = spark.createDataFrame([(1, None)] * 3, "s long, y int")
+    r3 = auc_exact(allnull, "s", "y").collect()[0]
+    assert (r3["n_pos"], r3["n_neg"], r3["n_dropped"]) == (0, 0, 3)
+    assert r3["auc"] is None
+
+
+def test_psi_drift_null_bucket_meets_itself(spark):
+    """A NULL bucket present on BOTH sides joins null-safe into ONE
+    union-domain row (the regression: plain full-outer never matches
+    NULL=NULL, so it emitted two one-sided rows, inflating K and
+    reporting phantom drift)."""
+    from etl_capnz_spark.operators.mlmetrics import psi_drift
+
+    a = spark.createDataFrame(
+        [("x",)] * 40 + [(None,)] * 10, "bucket string"
+    )
+    out = psi_drift(a, a, "bucket").collect()
+    assert len(out) == 2  # K = {x, NULL}, not 3
+    null_rows = [r for r in out if r["bucket"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["n_a"] == 10 and null_rows[0]["n_b"] == 10
+    assert all(r["psi_contrib"] == 0.0 for r in out)
+
+
 def test_psi_drift_identical_and_disjoint(spark):
     """Identical slices → every psi_contrib 0; a bucket present only
     on one side still emits a row (full-outer domain) with a positive

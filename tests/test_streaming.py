@@ -1357,17 +1357,65 @@ def test_custom_stream_source_replay_determinism(spark, tmp_path):
     start = rdr.initialOffset()
     it, end = rdr.read(start)
     live = list(it)
-    assert end == {"files": 2, "seq": 3}
+    assert end == {
+        "files": 2,
+        "seq": 3,
+        "last": "b.txt",
+        "batch": ["a.txt", "b.txt"],
+    }
     replay1 = list(rdr.readBetweenOffsets(start, end))
     replay2 = list(rdr.readBetweenOffsets(start, end))
     assert replay1 == replay2 == live
-    # partial range replays only its files, seq offset honoured
-    mid = {"files": 1, "seq": 2}
+    # partial range replays only its files, seq offset honoured —
+    # both as a legacy count-only offset and a name-watermark one
+    mid_legacy = {"files": 1, "seq": 2}
+    tail = list(rdr.readBetweenOffsets(mid_legacy, end))
+    assert [(s, x) for s, _, x in tail] == [(2, "r3")]
+    mid = {"files": 1, "seq": 2, "last": "a.txt"}
     tail = list(rdr.readBetweenOffsets(mid, end))
     assert [(s, x) for s, _, x in tail] == [(2, "r3")]
     # no-progress read returns the same offset (no phantom epochs)
     it2, end2 = rdr.read(end)
     assert list(it2) == [] and end2 == end
+
+
+def test_custom_stream_source_enforces_monotone_landings(
+    spark, tmp_path
+):
+    """The offset carries the consumed-watermark NAME and the explicit
+    batch file list: replay stays exact even when files land AFTER the
+    batch was read, and a producer landing a file that sorts BEFORE
+    the watermark is a loud RuntimeError — never a silent skip plus
+    re-read of consumed files (the pre-fix count-based offset's
+    failure mode)."""
+    import pytest as _pytest
+
+    from etl_capnz_spark.sources.http_source import CapFeedStreamReader
+
+    land = tmp_path / "landed"
+    land.mkdir()
+    (land / "b.txt").write_text("r1\n")
+    (land / "d.txt").write_text("r2\n")
+    rdr = CapFeedStreamReader({"path": str(land)})
+    start = rdr.initialOffset()
+    it, end = rdr.read(start)
+    live = list(it)
+
+    # a file lands BETWEEN the consumed names after the batch ran:
+    # replay of (start, end) must reproduce the ORIGINAL rows exactly
+    (land / "c.txt").write_text("late\n")
+    assert list(rdr.readBetweenOffsets(start, end)) == live
+    # ...and the next read() refuses to proceed: c.txt sorts below the
+    # d.txt watermark, so the monotone-naming contract was broken
+    with _pytest.raises(RuntimeError, match="out of lexicographic"):
+        rdr.read(end)
+
+    # clean continuation: a correctly-ordered landing reads normally
+    (land / "c.txt").unlink()
+    (land / "e.txt").write_text("r3\n")
+    it3, end3 = rdr.read(end)
+    assert [(s, x) for s, _, x in it3] == [(2, "r3")]
+    assert end3["last"] == "e.txt" and end3["batch"] == ["e.txt"]
 
 
 def test_custom_stream_source_composes_with_stream_features(

@@ -397,3 +397,75 @@ def test_bitemporal_correction_and_dual_axis_snapshot(spark):
     assert snap("1996-06-01", "2021-06-01")[1] == ("A", 100)
     # the axes are independent: old tx + old valid = old.
     assert snap("1996-06-01", "2020-06-01")[1] == ("A", 100)
+
+
+def test_bitemporal_multi_slice_history_never_overlaps(spark):
+    """A key with an SCD2-style MULTI-slice tx-current history (exactly
+    what scd2_apply produces): the correction must clip to each
+    intersecting slice's own valid interval — one corrected slice per
+    slice, never a duplicate open row per slice — so every
+    bitemporal_snapshot point still returns at most ONE row per key
+    (the regression: the pre-fix code emitted the open corrected row
+    once per intersecting slice, giving 2 rows per post-correction
+    snapshot point)."""
+    from etl_capnz_spark.sinks.warehouse import (
+        bitemporal_apply,
+        bitemporal_snapshot,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (5, "E1", 510, "1995-01-01", "1996-07-01", "2020-01-01", None),
+            (5, "E2", 520, "1996-07-01", "1998-02-01", "2020-01-01", None),
+            (5, "E3", 530, "1998-02-01", None, "2020-01-01", None),
+        ],
+        "k long, seg string, cents long, valid_from string, "
+        "valid_to string, tx_from string, tx_to string",
+    ).selectExpr(
+        "k", "seg", "cents",
+        "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to",
+        "cast(tx_from as date) tx_from",
+        "cast(tx_to as date) tx_to",
+    )
+    corr = spark.createDataFrame(
+        [(5, "EC", 550, "1997-06-01")],
+        "k long, seg string, cents long, valid_from string",
+    ).selectExpr("k", "seg", "cents",
+                 "cast(valid_from as date) valid_from")
+    out = bitemporal_apply(dim, corr, "k", ["seg", "cents"],
+                           tx_time="2021-01-01")
+    rows = [
+        (r["seg"], str(r["valid_from"]), str(r["valid_to"]),
+         str(r["tx_from"]), str(r["tx_to"]))
+        for r in out.collect()
+    ]
+    # slice 1 ended before c_vf: passes through open, untouched
+    assert (
+        "E1", "1995-01-01", "1996-07-01", "2020-01-01", "None"
+    ) in rows
+    # slice 2 contains c_vf: closed + pre-slice + clipped corrected
+    assert (
+        "EC", "1997-06-01", "1998-02-01", "2021-01-01", "None"
+    ) in rows
+    # slice 3 wholly after c_vf: closed + corrected keeps ITS interval
+    assert (
+        "EC", "1998-02-01", "None", "2021-01-01", "None"
+    ) in rows
+    # no duplicate open corrected rows (the pre-fix bug emitted two)
+    assert (
+        sum(1 for r in rows if r[0] == "EC" and r[2] == "None") == 1
+    )
+    assert len(rows) == 1 + 3 + 2  # pass-through + (closed,pre,corr) + (closed,corr)
+
+    # at-most-one-row-per-key at EVERY probed (valid, tx) point
+    for valid, tx, want in [
+        ("1995-06-01", "2021-06-01", ("E1", 510)),   # pre-history slice
+        ("1997-01-01", "2021-06-01", ("E2", 520)),   # pre-correction slice
+        ("1997-08-01", "2021-06-01", ("EC", 550)),   # corrected, slice 2
+        ("1999-01-01", "2021-06-01", ("EC", 550)),   # corrected, slice 3
+        ("1999-01-01", "2020-06-01", ("E3", 530)),   # old belief, old tx
+    ]:
+        got = bitemporal_snapshot(out, valid, tx).collect()
+        assert len(got) == 1, (valid, tx, got)
+        assert (got[0]["seg"], got[0]["cents"]) == want, (valid, tx)
