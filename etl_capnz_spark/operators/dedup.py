@@ -875,6 +875,7 @@ def containment_pairs(
     id_col: str,
     bucket_col: str,
     min_containment: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Directional CONTAINMENT over word-bigram sets — the excerpt/
     quote detector Jaccard structurally misses: a 50-shingle excerpt
@@ -889,6 +890,16 @@ def containment_pairs(
     intersection is array arithmetic on distinct shingle sets.
     Survivors: max(containment) >= threshold.
 
+    ``max_bucket`` caps hot buckets with the :func:`lsh_candidates`
+    star discipline (the 100 TB template-corpus hazard: a quote that
+    every doc carries lands them all in one bucket → B² pairs): a
+    bucket over the cap pairs each member against the bucket's min-id
+    representative only — B−1 pairs, real containment still computed
+    per emitted pair, and the downstream connected-components merge
+    recovers the cluster. Per-bucket emission ≤ max(max_bucket², B−1),
+    measured in tools/skew_probe.py. Default ``None`` preserves the
+    exact uncapped pair set (the oracle-checked contract entries).
+
     Output: (id_a, id_b, n_a, n_b, inter, cont_a_in_b, cont_b_in_a).
     """
     base = df.select(
@@ -896,31 +907,70 @@ def containment_pairs(
         F.col(bucket_col).alias("bucket"),
         F.array_distinct(word_shingles(F.col(text_col))).alias("sh"),
     )
-    left = base.alias("l")
-    right = base.alias("r")
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))
-    na = F.size(F.col("l.sh"))
-    nb = F.size(F.col("r.sh"))
-    ca = F.when(na > 0, inter.cast("double") / na.cast("double")).otherwise(
-        F.lit(0.0)
-    )
-    cb = F.when(nb > 0, inter.cast("double") / nb.cast("double")).otherwise(
-        F.lit(0.0)
-    )
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+
+    def _scored(pairs: DataFrame) -> DataFrame:
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        na = F.size(F.col("sh_a"))
+        nb = F.size(F.col("sh_b"))
+        ca = F.when(
+            na > 0, inter.cast("double") / na.cast("double")
+        ).otherwise(F.lit(0.0))
+        cb = F.when(
+            nb > 0, inter.cast("double") / nb.cast("double")
+        ).otherwise(F.lit(0.0))
+        return pairs.select(
+            "id_a",
+            "id_b",
             na.cast("bigint").alias("n_a"),
             nb.cast("bigint").alias("n_b"),
             inter.cast("bigint").alias("inter"),
             F.round(ca, 6).alias("cont_a_in_b"),
             F.round(cb, 6).alias("cont_b_in_a"),
-        )
-        .filter(
+        ).filter(
             F.greatest("cont_a_in_b", "cont_b_in_a")
             >= F.lit(float(min_containment))
         )
+
+    if max_bucket is None:
+        pairs = (
+            base.alias("l")
+            .join(base.alias("r"), "bucket")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.sh").alias("sh_a"),
+                F.col("r.sh").alias("sh_b"),
+            )
+        )
+        return _scored(pairs)
+    # hot-bucket star cap: count + representative in one window pass;
+    # lazy localCheckpoint pins the shingle lineage (three consumers)
+    w = Window.partitionBy("bucket")
+    b2 = (
+        base.withColumn("_c", F.count(F.lit(1)).over(w))
+        .withColumn("_rep", F.min("id").over(w))
+        .localCheckpoint(eager=False)
     )
+    cold = b2.filter(F.col("_c") <= max_bucket).select("id", "bucket", "sh")
+    clique = (
+        cold.alias("l")
+        .join(cold.alias("r"), "bucket")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+    )
+    reps = b2.filter(
+        (F.col("_c") > max_bucket) & (F.col("id") == F.col("_rep"))
+    ).select("bucket", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    star = (
+        b2.filter((F.col("_c") > max_bucket) & (F.col("id") > F.col("_rep")))
+        .select("bucket", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        .join(reps, "bucket")
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    return _scored(clique.unionByName(star))

@@ -317,13 +317,21 @@ def random_walks(
 
     Mechanics: the adjacency list is ranked once per source (idx
     0..deg−1, ordered by dst for a stable total order); step s of the
-    walk from ``start`` picks idx = hash52(seed:start:s) mod deg(cur)
-    via ONE equi-join per step on (cur, idx). Exchanges carry (start,
-    cur) node pairs; ``walk_len`` is a small constant, so the plan is
-    walk_len bounded self-join rounds — and the oracle unrolls the
-    same rounds with the same hash arithmetic. A node with no
-    out-edges ends its walk early (inner join) — on the symmetric
-    graphs the callers build, walks always complete.
+    walk from ``start`` picks idx = hash52(seed:start:s) mod deg(cur).
+    The step is TWO bounded equi-joins: walker state joins the
+    one-row-per-node degree table first (fan-out exactly 1) to
+    compute idx as a column, then equi-joins the ranked adjacency on
+    BOTH (node, idx) — at most one adjacency row matches, so each
+    walker emits exactly one row per step. (The earlier single-key
+    join on node alone materialized deg(node) rows per walker before
+    a post-join idx filter kept one — a scale-killer on power-law
+    hubs: 10⁶-degree hub × co-located walkers; measured in
+    tools/skew_probe.py.) Exchanges carry (start, cur) node pairs;
+    ``walk_len`` is a small constant, so the plan is walk_len bounded
+    join rounds — and the oracle unrolls the same rounds with the
+    same hash arithmetic. A node with no out-edges ends its walk
+    early (inner join) — on the symmetric graphs the callers build,
+    walks always complete.
 
     Output: (start, step, node) — step 0 is the start itself.
     """
@@ -336,6 +344,12 @@ def random_walks(
     )
     deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranked = ranked.join(deg, "src").localCheckpoint(eager=False)
+    # one row per node, derived from the CHECKPOINTED ranked frame so
+    # the per-step degree join never recomputes the ranking window
+    deg_tbl = ranked.filter(F.col("idx") == 0).select(
+        F.col("src").alias("node"), "deg"
+    )
+    adj_idx = ranked.select(F.col("src").alias("node"), "dst", "idx")
     state = adj.select(F.col("src").alias("start")).distinct().withColumn(
         "node", F.col("start")
     )
@@ -359,13 +373,9 @@ def random_walks(
         ).cast("bigint")
         state = (
             state.withColumn("_h", h)
-            .join(
-                ranked.select(
-                    F.col("src").alias("node"), "dst", "idx", "deg"
-                ),
-                "node",
-            )
-            .filter(F.col("idx") == F.col("_h") % F.col("deg"))
+            .join(deg_tbl, "node")
+            .withColumn("idx", F.col("_h") % F.col("deg"))
+            .join(adj_idx, ["node", "idx"])
             .select("start", F.col("dst").alias("node"))
             # lazy checkpoint: the output unions EVERY step, and without
             # the pin step s re-executes joins 1..s (quadratic work in

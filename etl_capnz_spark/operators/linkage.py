@@ -201,6 +201,47 @@ def jw_batch_np(a_list, b_list):
     return sims
 
 
+def _cap_blocks(t: DataFrame, key: str, max_block: int) -> DataFrame:
+    """Hot-block cap for linkage candidate generation — the
+    lsh_candidates two-level discipline adapted to similarity verify
+    (where a star fallback would silently skip REAL comparisons):
+
+    1. **Refine**: blocks over the cap get the EXACT string length
+       appended to the block key — sound-alike/same-prefix pairs of
+       identical length (the dominant true-match case inside a hot
+       block: typos that substitute, not insert) stay candidates,
+       while the block shatters by length. Recall trade is explicit
+       and mirrors the LSH refine step: a cross-length pair inside a
+       hot block is lost unless a finer upstream block catches it.
+    2. **Drop**: a refined block STILL over the cap (e.g. 10⁶
+       same-length 'JOHN' variants) is removed from candidate
+       generation entirely — the Febrl/record-linkage rule that an
+       uninformative giant block generates noise pairs, not links.
+       Nothing silent: tools/skew_probe.py measures the emitted-pair
+       curves, and callers needing those records must supply a finer
+       block key.
+
+    Per-block emission after capping ≤ max_block² — linear in the
+    block's row count, never quadratic in a hot block.
+    """
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(key)
+    refined = t.withColumn("_bc", F.count(F.lit(1)).over(w1)).withColumn(
+        key,
+        F.when(
+            F.col("_bc") > max_block,
+            F.concat_ws("#", F.col(key), F.col("_len").cast("string")),
+        ).otherwise(F.col(key)),
+    )
+    w2 = Window.partitionBy(key)
+    return (
+        refined.withColumn("_c2", F.count(F.lit(1)).over(w2))
+        .filter(F.col("_c2") <= max_block)
+        .drop("_bc", "_c2")
+    )
+
+
 def _min_len_ratio(threshold: float) -> float:
     """Provable blocking bound: jw = j + ℓ·0.1·(1−j) ≤ 0.6·j + 0.4
     (ℓ ≤ 4), and j ≤ (2 + min_len/max_len)/3 because m ≤ min_len and
@@ -216,9 +257,13 @@ def jw_pairs(
     str_col: str,
     threshold: float = 0.9,
     block_prefix: int = 2,
+    max_block: int | None = None,
 ) -> DataFrame:
     """All (a, b) pairs with jaro_winkler(a, b) >= threshold whose
     strings share their first ``block_prefix`` characters.
+    ``max_block`` bounds hot-block emission via :func:`_cap_blocks`
+    (length-refine, then drop — default None keeps the exact
+    uncapped candidate set).
 
     The shared-prefix block is the candidate-generation contract (the
     standard Winkler assumption — the boost itself presumes a common
@@ -268,6 +313,8 @@ def jw_pairs(
             F.length(str_col).alias("_len"),
         )
     )
+    if max_block is not None:
+        t = _cap_blocks(t, "_blk", max_block)
     a, b = t.alias("a"), t.alias("b")
     cand = a.join(
         b,
@@ -379,6 +426,7 @@ def phonetic_pairs(
     id_col: str,
     str_col: str,
     threshold: float = 0.85,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Phonetic blocking + Jaro-Winkler verify — the Febrl-style
     complement to :func:`jw_pairs`: prefix blocking misses sound-alike
@@ -387,7 +435,9 @@ def phonetic_pairs(
     but block together under Soundex... here both block keys are
     honest: candidates share their full Soundex code). Same provable
     length band inside the block, same Arrow JW kernel on candidates
-    only, same no-CartesianProduct plan.
+    only, same no-CartesianProduct plan. ``max_block`` bounds
+    hot-block emission via :func:`_cap_blocks` (length-refine, then
+    drop — default None keeps the exact uncapped candidate set).
 
     Output: (id_a, id_b, code, str_a, str_b, sim >= threshold).
     """
@@ -418,6 +468,8 @@ def phonetic_pairs(
         )
         .filter(F.col("_code").isNotNull())
     )
+    if max_block is not None:
+        t = _cap_blocks(t, "_code", max_block)
     a, b = t.alias("a"), t.alias("b")
     cand = a.join(
         b,

@@ -344,3 +344,50 @@ def test_sorted_neighborhood_matches_global_order_pairs(spark):
             ).collect()
         }
         assert got7 == got
+
+
+def test_capped_containment_star_and_cold_exactness(spark):
+    """containment_pairs max_bucket: a 100-member hot bucket (the
+    every-doc-carries-the-quote template hazard) emits exactly the 99
+    star pairs against the min-id representative — real containment
+    still computed per pair — while cold buckets keep the exact
+    uncapped pair set."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.dedup import containment_pairs
+
+    hot = spark.range(100).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("hot").alias("bkt"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    cold = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("cold").alias("bkt"),
+        F.concat(
+            F.lit("alpha beta gamma delta suffix"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    df = hot.unionByName(cold)
+
+    capped = containment_pairs(
+        df, "text", "doc_id", "bkt", min_containment=0.5, max_bucket=8
+    ).collect()
+    hot_pairs = {(r["id_a"], r["id_b"]) for r in capped if r["id_a"] >= 1000}
+    assert hot_pairs == {(1000, i) for i in range(1001, 1100)}
+    # identical texts: containment 1.0 both directions, computed for real
+    assert all(
+        r["cont_a_in_b"] == 1.0 and r["cont_b_in_a"] == 1.0
+        for r in capped
+        if r["id_a"] >= 1000
+    )
+    # cold bucket: capped output == exact uncapped output
+    uncapped = containment_pairs(
+        cold, "text", "doc_id", "bkt", min_containment=0.5
+    ).collect()
+    cold_capped = sorted(
+        tuple(r) for r in capped if r["id_a"] < 1000
+    )
+    assert cold_capped == sorted(tuple(r) for r in uncapped)
+    assert len(cold_capped) == 10  # C(5,2): shared 4-shingle prefix

@@ -208,3 +208,54 @@ def test_phonetic_pairs_blocks_soundalikes_prefix_blocking_misses(spark):
     assert all(4 not in k for k in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_max_block_caps_hot_blocks_refine_then_drop(spark):
+    """Hot-block cap (jw_pairs/phonetic_pairs max_block): a hot prefix
+    block refines by exact length — same-length variants stay
+    candidates, sub-blocks still over the cap drop entirely — while
+    cold blocks keep the exact uncapped pair set."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.linkage import jw_pairs, phonetic_pairs
+
+    # hot block "zq": 60 same-length names (refined sub-block still hot
+    # at cap 16 -> dropped) + 24 names over 8 distinct lengths (each
+    # refined sub-block of 3 survives); cold block "ka": 3 names.
+    rows = [(i, "zqaaaax%02d" % i) for i in range(60)]
+    rows += [
+        (100 + 8 * l + j, "zqb" + "m" * l + "x%d" % j)
+        for l in range(8)
+        for j in range(3)
+    ]
+    rows += [(900, "karen"), (901, "karin"), (902, "karyn")]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    capped = jw_pairs(
+        df, "id", "name", threshold=0.85, max_block=16
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 60-name same-length sub-block dropped: no pair touches ids 0-59
+    assert not any(a < 60 or b < 60 for a, b in ids)
+    # survivors from the refined sub-blocks pair within their length
+    assert (100, 101) in ids
+    # cold block exact: equals the uncapped run restricted to it
+    cold = {
+        (a, b) for a, b in ids if a >= 900
+    }
+    uncapped_cold = {
+        (r["id_a"], r["id_b"])
+        for r in jw_pairs(df, "id", "name", threshold=0.85).collect()
+        if r["id_a"] >= 900
+    }
+    assert cold == uncapped_cold and len(cold) == 3
+
+    # phonetic flavor: same-soundex hot block drops when same-length
+    hot = [(i, "smith%02d" % i) for i in range(40)]  # same code+len
+    hot += [(500, "karen"), (501, "karyn")]
+    pdf = spark.createDataFrame(hot, "id long, name string")
+    got = phonetic_pairs(
+        pdf, "id", "name", threshold=0.8, max_block=8
+    ).collect()
+    gids = {(r["id_a"], r["id_b"]) for r in got}
+    assert gids == {(500, 501)}
