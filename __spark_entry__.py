@@ -6009,6 +6009,42 @@ def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN removal (operators/dedup.py
+    substring_span_dedup) — the Lee-et-al exact-substring dedup mode
+    over the planted-dup corpus: any ≥20-token run that occurred
+    earlier in the corpus is cut, first occurrence keeps its tokens.
+    The +200000 exact copies empty entirely; the +100000 trailing-
+    extra-token near-dups keep only their novel tail. Two compact
+    exchanges (hash-first-occurrence window, per-doc island merge);
+    the oracle replays the identical shingle/window/island pipeline
+    over unnested token ranges."""
+    from etl_capnz_spark.operators.dedup import substring_span_dedup
+
+    return substring_span_dedup(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", k=20
+    )
+
+
+def _q_text_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training (operators/text.py
+    lr_train_hashed): logistic regression over 32 hashed bag-of-words
+    buckets, label = declared lang == 'en', 10 full-batch integer
+    gradient steps — per step ONE ≤33-value integer gradient vector
+    collects to the driver (k-means discipline), the weight update is
+    exact integer arithmetic (rational sigmoid, truncating div), so
+    the whole trajectory is deterministic and the oracle replays the
+    identical 10 iterations as generated MATERIALIZED CTEs (the
+    events_markov_removal discipline). Output: (feature, w_nano)
+    with the bias at feature = -1."""
+    from etl_capnz_spark.operators.text import lr_train_hashed
+
+    docs = _docs(spark, sf_dir).select(
+        "text", (F.col("lang") == "en").alias("y")
+    )
+    return lr_train_hashed(docs, "text", "y", n_features=32, iters=10)
+
+
 def _q_scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal retroactive correction (sinks/warehouse.py
     bitemporal_apply): the warehouse learns on tx 2021-01-01 that every
@@ -6955,6 +6991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attrib_position": _q_events_attrib_position,
         "events_ols_multi": _q_events_ols_multi,
         "dedup_containment": _q_dedup_containment,
+        "dedup_substring_spans": _q_dedup_substring,
+        "text_lr_train": _q_text_lr_train,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -7354,6 +7392,53 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY t.removed, t.src, m.tot)"""
         )
     _mk_iter_sql = ",\n            ".join(_mk_cte)
+
+    # Logistic-regression training oracle: lr_train_hashed's 10
+    # integer full-batch gradient steps unrolled as generated CTEs —
+    # rational sigmoid in BIGINT (z clamped to ±8e9 so z·1e9 fits),
+    # gradient sums in HUGEINT, truncating // matching Spark's div
+    # and the driver's trunc_div. Every step integer → structural
+    # cross-engine determinism, the markov-oracle discipline.
+    _lr_iters, _lr_d = 10, 32
+    _lr_cte = []
+    for _k in range(1, _lr_iters + 1):
+        _pw = f"lw{_k - 1}"
+        _lr_cte.append(
+            f"""lz{_k} AS (
+              SELECT f.doc_id, f.y,
+                     (SELECT w FROM {_pw} WHERE j = -1)
+                     + coalesce(s.sw, 0) AS z
+              FROM lrf f LEFT JOIN (
+                SELECT fx.doc_id, sum(w.w)::BIGINT AS sw
+                FROM lrfx fx JOIN {_pw} w USING (j)
+                GROUP BY fx.doc_id) s USING (doc_id)),
+            le{_k} AS MATERIALIZED (
+              SELECT doc_id,
+                     (500000000
+                      + (greatest(-8000000000,
+                                  least(8000000000, z)) * 1000000000)
+                        // (2 * (1000000000
+                                 + abs(greatest(-8000000000,
+                                                least(8000000000, z)))))
+                      - y * 1000000000)::BIGINT AS e
+              FROM lz{_k}),
+            lg{_k} AS (
+              SELECT j, sum(e)::HUGEINT AS g
+              FROM (SELECT fx.j, e.e
+                    FROM lrfx fx JOIN le{_k} e USING (doc_id)
+                    UNION ALL
+                    SELECT -1::BIGINT, e FROM le{_k})
+              GROUP BY j),
+            lw{_k} AS MATERIALIZED (
+              SELECT w.j,
+                     (w.w - (coalesce(g.g, 0) // nn.n))::BIGINT AS w
+              FROM lw{_k - 1} w LEFT JOIN lg{_k} g USING (j), lrn nn)"""
+        )
+    _lr_iter_sql = ",\n            ".join(_lr_cte)
+    _lr_toks = (
+        "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        "t -> t <> '')"
+    )
     return {
         "cap_active_alerts": f"""{_DUCK}
             SELECT k, identifier, status, category, severity
@@ -11147,6 +11232,69 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT * FROM scored
             WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""",
+        "text_lr_train": f"""
+            WITH lrf AS MATERIALIZED (
+              SELECT doc_id, (lang = 'en')::BIGINT AS y,
+                     list_distinct(list_transform({_lr_toks},
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                            % {_lr_d})) AS b
+              FROM documents),
+            lrfx AS MATERIALIZED (
+              SELECT doc_id, unnest(b) AS j FROM lrf),
+            lrn AS (SELECT count(*)::BIGINT AS n FROM lrf),
+            lw0 AS (
+              SELECT unnest(generate_series(-1, {_lr_d - 1}))::BIGINT
+                       AS j,
+                     0::BIGINT AS w),
+            {_lr_iter_sql}
+            SELECT j AS feature, w AS w_nano FROM lw{_lr_iters}""",
+        "dedup_substring_spans": _DUCK_AUG
+        + """
+            , t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+            sh AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(toks[i + 1:i + 20], ' ')) AS h
+              FROM t, unnest(range(0, greatest(len(toks) - 19, 0)))
+                   u(i)),
+            d AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h
+                         ORDER BY doc_id, pos) AS rn
+                FROM sh)
+              WHERE rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > coalesce(lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos), -21) + 20
+                          THEN 1 ELSE 0 END AS brk
+              FROM d),
+            isl2 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS island
+              FROM isl),
+            iv AS (
+              SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+              FROM isl2 GROUP BY 1, 2),
+            tok AS (
+              SELECT t.doc_id, r.i, toks[r.i] AS tk
+              FROM t, unnest(range(1, len(toks) + 1)) r(i)),
+            kept AS (
+              SELECT tok.doc_id, i, tk FROM tok
+              WHERE NOT EXISTS (
+                SELECT 1 FROM iv
+                WHERE iv.doc_id = tok.doc_id
+                  AND tok.i - 1 BETWEEN iv.s AND iv.e)),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(tk, ' ' ORDER BY i) AS clean
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+                   (len(toks) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+                   coalesce(clean, '') AS clean_text
+            FROM t LEFT JOIN agg USING (doc_id)""",
         "scd2_bitemporal": """
             WITH base AS (
               SELECT c_custkey AS k, c_mktsegment AS segment,

@@ -974,3 +974,108 @@ def containment_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
     )
     return _scored(clique.unionByName(star))
+
+
+def substring_span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal across document boundaries — the
+    Lee-et-al ("Deduplicating Training Data Makes Language Models
+    Better") exact-substring mode, the one dedup discipline
+    line/chunk/winnow/minhash/containment don't cover: any run of
+    ``k`` or more tokens that occurred EARLIER in the corpus (lower
+    doc id, then lower position — including earlier in the same
+    document) is cut from the text; the first occurrence keeps its
+    tokens.
+
+    Exactness via overlapping shingles (the distributed stand-in for
+    the single-node suffix array): every k-token window hashes to a
+    shingle; a token is removed iff some NON-first-occurrence shingle
+    covers it. A maximal duplicated run of length L ≥ k covers all
+    its tokens with L−k+1 duplicate shingles, and a token in no
+    duplicated ≥k run is covered by none — so the removed set equals
+    the suffix-array answer exactly, position by position.
+
+    Scale shape: shingling is a narrow O(n·k) expression (md5 over
+    each k-slice, whole-stage codegen; the CPU-side amplification is
+    the price of not holding a corpus-wide suffix array). Exactly TWO
+    exchanges of compact tuples: (16-byte hash, id, pos) for the
+    global first-occurrence window, then (id, pos) for the per-doc
+    interval merge + reassembly join — document text never shuffles.
+    Duplicate positions collapse to MERGED islands before the
+    coverage test (islands ≤ n/k per doc, so reassembly is
+    O(n²/k) worst-case per doc, not O(n²)).
+
+    Tokenization is a raw single-space split (byte-preserving on
+    reassembly for space-separated text; the chunk_span_dedup
+    contract). Docs shorter than ``k`` tokens pass through untouched;
+    a fully-duplicated document stays in the output with
+    ``clean_text = ''`` (the caller decides whether to drop empties).
+
+    Output: (id_col, n_tokens, n_removed, clean_text).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - (k - 1)
+    sh = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_toks"),
+    )
+    shingled = docs.select(
+        F.col(id_col).alias("_id"), F.posexplode(sh).alias("pos", "h")
+    )
+    w = Window.partitionBy("h").orderBy("_id", "pos")
+    dups = (
+        shingled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("_id", "pos")
+    )
+    # merge overlapping/adjacent [pos, pos+k-1] intervals per doc:
+    # sorted by pos, the furthest previous end is lag(pos)+k-1, so a
+    # new island starts when the gap exceeds the span length
+    wd = Window.partitionBy("_id").orderBy("pos")
+    isl = dups.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.lag("pos").over(wd), F.lit(-k - 1)) + k,
+            1,
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(wd))
+    ivs = (
+        isl.groupBy("_id", "_island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (k - 1)).alias("e"),
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_ivs"))
+    )
+    joined = base.join(ivs, "_id", "left").withColumn(
+        "_ivs",
+        F.coalesce(
+            "_ivs", F.array().cast("array<struct<s:int,e:int>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (i >= iv["s"]) & (i <= iv["e"]),
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -828,3 +828,104 @@ def rouge2_pairs(
             ),
         ).alias("rouge2_f1"),
     )
+
+
+def lr_train_hashed(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_features: int = 32,
+    iters: int = 10,
+) -> DataFrame:
+    """Distributed quality-classifier TRAINING — fastText-style
+    logistic regression over hashed bag-of-words features, fit by
+    ``iters`` full-batch gradient steps with the k-means collect
+    discipline: each step aggregates ONE integer gradient vector
+    (≤ n_features+1 values) to the driver, updates the weight vector
+    there, and re-broadcasts it as literals into the next step's
+    expression — the data never leaves the executors, the driver
+    state is bounded by the feature count, and the whole trajectory
+    is deterministic and oracle-replayable (the
+    markov_removal_attribution integer-fixed-point discipline).
+
+    Every arithmetic step is INTEGER so no partition-order-dependent
+    float sum exists anywhere:
+
+    * features: distinct ``hash32(token) % n_features`` buckets,
+      binary presence — so the margin z = bias + Σ w_j is an EXACT
+      integer sum of nano-unit weights;
+    * the link is the rational sigmoid σ̃(x) = ½ + x/(2(1+|x|))
+      (fastText itself uses a lookup-table sigmoid — the link's exact
+      shape is not sacred, engine-identical replay is), computed as
+      p_nano = 5·10⁸ + (z·10⁹) div (2(10⁹+|z|)) after clamping z to
+      ±8·10⁹ nano (σ̃ saturates; the clamp keeps z·10⁹ inside int64);
+      ``div``/``//`` truncate toward zero in BOTH engines;
+    * per-row error e = p_nano − y·10⁹ is an integer; gradient sums
+      accumulate in decimal(38,0)/HUGEINT (n·10⁹ passes int64 at
+      n ≈ 9·10⁹ rows — the 100 TB rule); the update
+      w_j ← w_j − trunc_div(G_j, n) is exact integer (lr = 1).
+
+    Output: (feature, w_nano) — one row per hashed feature plus the
+    bias at feature = −1, weights in nano units.
+    """
+    NANO = 1_000_000_000
+    CLAMP = 8 * NANO
+    toks = tokens(F.col(text_col))
+    buckets = F.array_distinct(
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % n_features,
+        )
+    )
+    feats = docs.select(
+        F.col(label_col).cast("long").alias("_y"),
+        buckets.alias("_b"),
+    ).persist()
+    n = feats.count()
+    w = {j: 0 for j in range(-1, n_features)}
+    for _ in range(iters):
+        w_arr = F.array(
+            *[F.lit(w[j]).cast("long") for j in range(n_features)]
+        )
+        z = F.aggregate(
+            F.col("_b"),
+            F.lit(w[-1]).cast("long"),
+            lambda acc, j: acc + F.element_at(w_arr, (j + 1).cast("int")),
+        )
+        zc = F.greatest(
+            F.lit(-CLAMP).cast("long"),
+            F.least(F.lit(CLAMP).cast("long"), z),
+        )
+        scored = feats.select(
+            "_y", "_b", zc.alias("_zc")
+        ).selectExpr(
+            "_b",
+            "(500000000 + (_zc * 1000000000)"
+            " div (2 * (1000000000 + abs(_zc)))"
+            " - _y * 1000000000) as _e",
+        )
+        contrib = scored.select(
+            F.explode(
+                F.concat(F.array(F.lit(-1).cast("bigint")), F.col("_b"))
+            ).alias("j"),
+            "_e",
+        )
+        # bounded driver state: ≤ n_features + 1 gradient sums
+        g = {
+            int(r["j"]): int(r["g"])
+            for r in contrib.groupBy("j")
+            .agg(F.sum(F.col("_e").cast("decimal(38,0)")).alias("g"))
+            .collect()
+        }
+        for j in w:
+            gj = g.get(j, 0)
+            q = abs(gj) // n
+            w[j] -= q if gj >= 0 else -q
+    feats.unpersist()
+    return docs.sparkSession.createDataFrame(
+        sorted((j, w[j]) for j in w),
+        "feature bigint, w_nano bigint",
+    )

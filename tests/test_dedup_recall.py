@@ -391,3 +391,76 @@ def test_capped_containment_star_and_cold_exactness(spark):
     )
     assert cold_capped == sorted(tuple(r) for r in uncapped)
     assert len(cold_capped) == 10  # C(5,2): shared 4-shingle prefix
+
+
+def test_substring_span_dedup_planted_paragraph(spark):
+    """Lee-et-al exact-substring semantics, position by position: a
+    duplicated paragraph embedded mid-document is cut from the LATER
+    document only; the first occurrence, short docs, and novel text
+    survive byte-identically; a full copy empties."""
+    from etl_capnz_spark.operators.dedup import substring_span_dedup
+
+    para = " ".join(f"p{i}" for i in range(12))  # 12-token paragraph
+    rows = [
+        (1, f"intro one two {para} outro alpha beta"),
+        (2, f"other head {para} tail gamma"),      # paragraph is a dup
+        (3, "short doc under k tokens"),
+        (4, f"intro one two {para} outro alpha beta"),  # full copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in substring_span_dedup(df, k=12).collect()
+    }
+    assert out[1]["clean_text"] == rows[0][1] and out[1]["n_removed"] == 0
+    # doc 2: exactly the 12 duplicated paragraph tokens removed
+    assert out[2]["clean_text"] == "other head tail gamma"
+    assert out[2]["n_removed"] == 12
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 18
+
+    # self-repeat within one doc: first occurrence kept, the rest cut
+    rep = spark.createDataFrame(
+        [(7, " ".join(["w%d" % (i % 12) for i in range(36)]))],
+        "doc_id long, text string",
+    )
+    r = substring_span_dedup(rep, k=12).collect()[0]
+    assert r["clean_text"] == " ".join("w%d" % i for i in range(12))
+    assert r["n_removed"] == 24
+
+
+def test_substring_span_dedup_idempotent_and_partition_invariant(spark):
+    """Re-running on the cleaned corpus removes nothing (the planted
+    corpus has no stitch-induced duplicates), and the result is
+    partition-count invariant."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.dedup import substring_span_dedup
+
+    para = " ".join(f"q{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {para} cc dd"),
+            (2, f"ee ff {para} gg hh"),
+            (3, f"{para} ii jj kk ll"),
+        ],
+        "doc_id long, text string",
+    )
+    once = substring_span_dedup(df, k=15)
+    first = {r["doc_id"]: r for r in once.collect()}
+    assert first[1]["n_removed"] == 0
+    assert first[2]["n_removed"] == 15 and first[3]["n_removed"] == 15
+
+    again = substring_span_dedup(
+        once.select("doc_id", F.col("clean_text").alias("text")), k=15
+    ).collect()
+    assert all(r["n_removed"] == 0 for r in again)
+    assert {r["doc_id"]: r["clean_text"] for r in again} == {
+        k: v["clean_text"] for k, v in first.items()
+    }
+
+    shuffled = {
+        r["doc_id"]: r["clean_text"]
+        for r in substring_span_dedup(df.repartition(13), k=15).collect()
+    }
+    assert shuffled == {k: v["clean_text"] for k, v in first.items()}
