@@ -71,6 +71,7 @@ def test_slo_artifact_covers_every_benched_path():
         "interval_join",
         "crawl_ingest",
         "frontier_rounds",
+        "feed_stream",
     }
     for name, p in slo["paths"].items():
         assert p["p95_budget_ms"] >= p["measured_p95_ms"], name

@@ -44,10 +44,29 @@ from etl_capnz_spark.streaming.stream import (  # noqa: E402
     running_user_totals,
     session_counts,
     sliding_counts,
+    stream_features,
     tumbling_counts,
 )
 
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "8"))
+
+# one-line CAP alert template for the feed_stream path (the custom
+# Python streaming source end-to-end); identifier is substituted
+# per event so the watermark dedup never collapses throughput rows
+_CAP_TMPL = (
+    '<alert xmlns="urn:oasis:names:tc:emergency:cap:1.2">'
+    "<identifier>A-1</identifier><sender>met.nz</sender>"
+    "<sent>2026-08-01T00:00:00+00:00</sent><status>Actual</status>"
+    "<msgType>Alert</msgType><scope>Public</scope>"
+    "<info><category>Met</category><event>strongWind</event>"
+    "<urgency>Expected</urgency><severity>Severe</severity>"
+    "<certainty>Likely</certainty><headline>Wind Watch</headline>"
+    "<description>desc</description>"
+    "<area><areaDesc>Z1</areaDesc><polygon>0,10 1,10 1,11</polygon>"
+    "<circle>-41,174 20</circle></area>"
+    "<parameter><valueName>ColourCode</valueName><value>Red</value>"
+    "</parameter></info></alert>"
+)
 
 
 def _land(spark, sf_dir: str, base: str) -> tuple[str, int]:
@@ -107,6 +126,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    import bench as _bench
+
+    load_before = os.getloadavg()[0]
+    calib_before = _bench._calibrate()
     spark = get_session("stream-bench")
     base = tempfile.mkdtemp(prefix="stream_bench_")
     results: dict[str, dict[str, float]] = {}
@@ -270,7 +293,63 @@ def main() -> None:
             "batch_ms_p95": round(_pctl(lat, 0.95), 1),
             "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
         }
+        # feed_stream (round 5 source, benched round 6): the custom
+        # Python streaming DataSource (capnz_feed_stream landed-file
+        # tail) end-to-end into stream_features — XML parse, active
+        # filter, polygon features, watermark dedup. Unique
+        # identifiers per event keep the dedup from collapsing rows.
+        from etl_capnz_spark.sources.http_source import register_stream
+
+        register_stream(spark)
+        pre, post = _CAP_TMPL.split("A-1")
+        feed_dir = os.path.join(base, "landed_feed")
+        events = spark.read.parquet(path)
+        events.select(
+            F.concat(
+                F.lit(pre + "A-"),
+                F.col("event_id").cast("string"),
+                F.lit(post),
+            ).alias("value")
+        ).repartition(N_CHUNKS).write.mode("overwrite").text(feed_dir)
+        cp_fs = os.path.join(base, "cp_feed")
+        out_fs = os.path.join(base, "out_feed")
+        t0 = time.time()
+        q = (
+            stream_features(
+                spark.readStream.format("capnz_feed_stream")
+                .option("path", feed_dir)
+                .load()
+                .select("xml"),
+                now="2026-08-01 00:00:00",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_fs)
+            .option("checkpointLocation", cp_fs)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        secs = time.time() - t0
+        lat = [
+            float(p["durationMs"]["triggerExecution"])
+            for p in (json.loads(pp.json) for pp in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+            and "triggerExecution" in p["durationMs"]
+        ]
+        results["feed_stream"] = {
+            "sec": round(secs, 3),
+            "rows_per_sec": round(n_rows / secs, 1),
+            "n_batches": len(lat),
+            "batch_ms_p50": round(_pctl(lat, 0.50), 1),
+            "batch_ms_p95": round(_pctl(lat, 0.95), 1),
+            "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
+        }
         total = round(sum(v["sec"] for v in results.values()), 3)
+        # host-honesty calibration (the bench.py discipline): the same
+        # pinned kernel in a fresh subprocess JVM, normalized against
+        # the envelope file's recorded idle ref_sec
+        calib = _calibration(calib_before, load_before)
         print(
             json.dumps(
                 {
@@ -280,13 +359,83 @@ def main() -> None:
                     "n_input_rows": n_rows,
                     "n_chunks": N_CHUNKS,
                     "paths": results,
+                    "calibration": calib,
                     "sf": sf,
                 }
             )
         )
+        if os.environ.get("SPARK_GRAFT_RECORD_SLO") == "1":
+            _record_slo(results, n_rows, sf, calib)
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.stop()
+
+
+def _calibration(calib_before: float, load_before: float) -> dict:
+    """Same kernel + subprocess isolation as bench.py, bracketing the
+    run (before + after, min-of-two: a one-sided transient must not
+    flag an idle run); host_factor is measured against
+    BENCH_ENVELOPES.json's recorded idle ref_sec."""
+    import bench
+
+    load_after = os.getloadavg()[0]
+    calib_after = bench._calibrate()
+    env_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_ENVELOPES.json",
+    )
+    ref = None
+    if os.path.exists(env_path):
+        with open(env_path) as f:
+            ref = json.load(f).get("calibration", {}).get("ref_sec")
+    hf = 1.0
+    if ref and calib_before > 0 and calib_after > 0:
+        hf = max(1.0, round(min(calib_before, calib_after) / ref, 3))
+    return {
+        "before_sec": calib_before,
+        "after_sec": calib_after,
+        "ref_sec": ref,
+        "host_factor": hf,
+        "loadavg_before": round(load_before, 2),
+        "loadavg_after": round(load_after, 2),
+        "contended": hf >= 1.3,
+    }
+
+
+def _record_slo(results, n_rows, sf, calib) -> None:
+    """Re-seed STREAM_SLO.json from this run: budgets are 2.5x the
+    HOST-NORMALIZED measured p95 (sec/host_factor — a contended
+    recording must not inflate the contract)."""
+    import datetime
+
+    hf = calib.get("host_factor", 1.0) or 1.0
+    paths = {}
+    for name, r in results.items():
+        p95n = round(r["batch_ms_p95"] / hf, 1)
+        paths[name] = {
+            "measured_p50_ms": round(r["batch_ms_p50"] / hf, 1),
+            "measured_p95_ms": p95n,
+            "measured_rows_per_sec": round(r["rows_per_sec"] * hf, 1),
+            "p95_budget_ms": int(p95n * 2.5),
+        }
+    out = {
+        "recorded": (
+            f"round 6, sf{sf}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], "
+            f"{N_CHUNKS} chunks, {datetime.date.today().isoformat()}, "
+            f"host_factor {hf} (values normalized to idle)"
+        ),
+        "source": "tools/stream_bench.py (SPARK_GRAFT_RECORD_SLO=1)",
+        "n_input_rows": n_rows,
+        "calibration": calib,
+        "paths": paths,
+    }
+    slo_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STREAM_SLO.json",
+    )
+    with open(slo_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"re-seeded {slo_path}")
 
 
 if __name__ == "__main__":
