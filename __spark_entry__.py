@@ -6885,6 +6885,63 @@ def _q_events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", z.alias("zval"))
 
 
+def _q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov (operators/mlmetrics.py
+    ks_test): is the monetary-value DISTRIBUTION of purchases the same
+    as clicks' — the CDF-level drift test psi_drift's fixed buckets
+    can't give. D is a max over the distinct-cents table of the exact
+    integer |ca·n_b − cb·n_a| in decimal(38,0), divided once; the
+    large-sample 5% critical value and the rejection flag ride the
+    same exact totals. The oracle replays the identical cumulative
+    construction in HUGEINT."""
+    from etl_capnz_spark.operators.mlmetrics import ks_test
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    a = ev.filter(F.col("event_type") == "purchase").select(cents)
+    b = ev.filter(F.col("event_type") == "click").select(cents)
+    return ks_test(a, b, "cents")
+
+
+def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-averaged Spearman rank correlation
+    (operators/mlmetrics.py spearman_corr): does a user's activity
+    COUNT track their monetary TOTAL monotonically? Pearson on spend
+    is whale-dominated; Spearman on the doubled-average-rank tables
+    (exact integers, domain-bounded windows, decimal(38,0) moments)
+    is outlier-immune and oracle-exact — the HUGEINT replay builds
+    the same rank maps and the same one-float-tree rho."""
+    from etl_capnz_spark.operators.mlmetrics import spearman_corr
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    return spearman_corr(per_user, "n_events", "cents")
+
+
+def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty (operators/text.py ngram_novelty):
+    the fraction of each doc's distinct word 3-grams first seen in
+    THAT doc (min doc_id over the corpus) — the memorization-risk
+    score a curation pass runs before adding documents; the planted
+    duplicates in the augmented corpus score ~0 by construction.
+    Two compact-tuple exchanges ((md5 gram hash, id) only); text
+    never shuffles. Oracle replays the same distinct-gram + min(id)
+    construction over the identical augmented corpus."""
+    from etl_capnz_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", n=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cap_active_alerts": _q_active_alerts,
@@ -6993,6 +7050,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "dedup_substring_spans": _q_dedup_substring,
         "text_lr_train": _q_text_lr_train,
+        "events_ks_test": _q_events_ks_test,
+        "events_spearman": _q_events_spearman,
+        "text_ngram_novelty": _q_text_ngram_novelty,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11232,6 +11292,125 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT * FROM scored
             WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""",
+        "events_ks_test": """
+            -- exact two-sample KS replay: same cents quantization,
+            -- distinct-value cumulative counts, HUGEINT cross-products
+            WITH src AS (
+              SELECT round(value * 100)::BIGINT AS v,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS sa,
+                     CASE WHEN event_type = 'click'
+                          THEN 1 ELSE 0 END AS sb
+              FROM events
+              WHERE event_type IN ('purchase', 'click')),
+            g AS (
+              SELECT (v IS NOT NULL) AS ok, v,
+                     sum(sa)::BIGINT AS na_i, sum(sb)::BIGINT AS nb_i
+              FROM src GROUP BY 1, 2),
+            drops AS (
+              SELECT coalesce(sum(CASE WHEN NOT ok THEN na_i END),
+                              0)::BIGINT AS n_dropped_a,
+                     coalesce(sum(CASE WHEN NOT ok THEN nb_i END),
+                              0)::BIGINT AS n_dropped_b
+              FROM g),
+            cum AS (
+              SELECT (sum(na_i) OVER w)::HUGEINT AS ca,
+                     (sum(nb_i) OVER w)::HUGEINT AS cb,
+                     (sum(na_i) OVER ())::HUGEINT AS ta,
+                     (sum(nb_i) OVER ())::HUGEINT AS tb
+              FROM g WHERE ok
+              WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)),
+            agg AS (
+              SELECT max(ta)::BIGINT AS n_a, max(tb)::BIGINT AS n_b,
+                     max(abs(ca * tb - cb * ta)) AS dnum
+              FROM cum)
+            SELECT coalesce(n_a, 0)::BIGINT AS n_a,
+                   coalesce(n_b, 0)::BIGINT AS n_b,
+                   n_dropped_a, n_dropped_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     round(dnum::DOUBLE
+                           / (n_a::DOUBLE * n_b::DOUBLE), 6)
+                   END AS d_stat,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     round(1.358 * sqrt((n_a::DOUBLE + n_b::DOUBLE)
+                           / (n_a::DOUBLE * n_b::DOUBLE)), 6)
+                   END AS crit_05,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     dnum::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+                     > 1.358 * sqrt((n_a::DOUBLE + n_b::DOUBLE)
+                                    / (n_a::DOUBLE * n_b::DOUBLE))
+                   END AS reject_05
+            FROM agg, drops""",
+        "events_spearman": """
+            -- Spearman replay: doubled tie-averaged ranks on each
+            -- margin's distinct-value table, HUGEINT moments, one
+            -- float tree
+            WITH per_user AS (
+              SELECT user_id, count(*)::BIGINT AS x,
+                     sum(round(value * 100)::BIGINT)::BIGINT AS y
+              FROM events GROUP BY user_id),
+            ok AS (SELECT x, y FROM per_user
+                   WHERE x IS NOT NULL AND y IS NOT NULL),
+            drops AS (
+              SELECT count(*)::BIGINT AS n_dropped FROM per_user
+              WHERE x IS NULL OR y IS NULL),
+            rx AS (
+              SELECT x,
+                     (2 * coalesce(sum(n) OVER (ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + n + 1)::HUGEINT AS r2x
+              FROM (SELECT x, count(*)::BIGINT AS n
+                    FROM ok GROUP BY x)),
+            ry AS (
+              SELECT y,
+                     (2 * coalesce(sum(n) OVER (ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + n + 1)::HUGEINT AS r2y
+              FROM (SELECT y, count(*)::BIGINT AS n
+                    FROM ok GROUP BY y)),
+            j AS (SELECT r2x, r2y
+                  FROM ok JOIN rx USING (x) JOIN ry USING (y)),
+            m AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(r2x) AS sx, sum(r2y) AS sy,
+                     sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+                     sum(r2x * r2y) AS sxy
+              FROM j)
+            SELECT n, n_dropped,
+                   CASE WHEN (n::DOUBLE * sxx::DOUBLE
+                              - sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (n::DOUBLE * syy::DOUBLE
+                              - sy::DOUBLE * sy::DOUBLE) > 0 THEN
+                     round((n::DOUBLE * sxy::DOUBLE
+                            - sx::DOUBLE * sy::DOUBLE)
+                           / sqrt((n::DOUBLE * sxx::DOUBLE
+                                   - sx::DOUBLE * sx::DOUBLE)
+                                  * (n::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)), 6)
+                   END AS rho
+            FROM m, drops""",
+        "text_ngram_novelty": f"""{_DUCK_AUG},
+            g AS (
+              SELECT doc_id, md5(g) AS gh FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                         {oracles.ngram_sql('text', 3)})) AS g
+                FROM aug)),
+            first_ AS (
+              SELECT gh, min(doc_id) AS first_id FROM g GROUP BY gh),
+            per_doc AS (
+              SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                     sum(CASE WHEN g.doc_id = first_id
+                         THEN 1 ELSE 0 END)::BIGINT AS n_novel
+              FROM g JOIN first_ USING (gh) GROUP BY g.doc_id)
+            SELECT a.doc_id,
+                   coalesce(n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN coalesce(n_grams, 0) > 0 THEN
+                     round(n_novel::DOUBLE / n_grams::DOUBLE, 6)
+                   END AS novelty
+            FROM aug a LEFT JOIN per_doc USING (doc_id)""",
         "text_lr_train": f"""
             WITH lrf AS MATERIALIZED (
               SELECT doc_id, (lang = 'en')::BIGINT AS y,

@@ -262,3 +262,191 @@ def cohen_kappa(
         F.round(pe, 6).alias("pe"),
         kappa.alias("kappa"),
     )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the
+    distribution-level drift test PSI's bucketing can't give you:
+    D = sup_x |F_A(x) − F_B(x)| over the EMPIRICAL CDFs, so a shape
+    change that stays inside every PSI bucket still registers. The
+    complement to psi_drift in the corpus-refresh gate: PSI names the
+    drifted bucket, KS bounds the worst-case CDF gap with a
+    distribution-free critical value.
+
+    Exactness: the sup is attained at sample points, so D is a MAXIMUM
+    over the distinct-value table of |ca·n_b − cb·n_a| / (n_a·n_b)
+    with integer cumulative counts ca, cb — the numerator is compared
+    as an exact decimal(38,0) integer (ca·n_b ≈ N² needs >int64 past
+    N ≈ 3e9 rows, the 100 TB rule) and divided by n_a·n_b exactly
+    once at the end. ``value_col`` must already be integer-valued
+    (cents / micro-units — the mann_whitney quantization contract).
+    NULL values are un-measurable: dropped and surfaced per side
+    (``n_dropped_a``/``n_dropped_b``), the auc_exact discipline.
+
+    Scale shape (the auc_exact discipline): one union + groupBy(value)
+    collapse (domain-bounded: distinct value units, not rows), one
+    ordered window over the distinct-value table for the cumulative
+    counts, one max aggregate. Rows never sort; only the value domain
+    does.
+
+    Output: 1 row (n_a, n_b, n_dropped_a, n_dropped_b, d_stat,
+    crit_05, reject_05) with crit_05 the large-sample 5% critical
+    value c(0.05)·sqrt((n_a+n_b)/(n_a·n_b)), c(0.05) = 1.358; the
+    rejection compares the UNROUNDED exact ratio. Empty sides emit
+    NULL d_stat — a one-sided comparison is undefined, not 0.
+    """
+    from pyspark.sql.window import Window
+
+    def side(df: DataFrame, a: int) -> DataFrame:
+        return df.select(
+            F.col(value_col).cast("bigint").alias("_v"),
+            F.lit(a).alias("_sa"),
+            F.lit(1 - a).alias("_sb"),
+        )
+
+    src = side(df_a, 1).unionByName(side(df_b, 0))
+    grouped = src.groupBy(
+        F.col("_v").isNotNull().alias("_ok"), "_v"
+    ).agg(
+        F.sum("_sa").alias("na_i"),
+        F.sum("_sb").alias("nb_i"),
+    )
+    vals = grouped.filter(F.col("_ok")).drop("_ok")
+    drops = grouped.filter(~F.col("_ok")).agg(
+        F.coalesce(F.sum("na_i"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped_a"),
+        F.coalesce(F.sum("nb_i"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped_b"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    # totals ride the SAME single-partition sort as an unbounded frame
+    # — no second pass over the data, no nested aggregate
+    wall = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    cum = vals.select(
+        F.sum("na_i").over(w).cast(dec).alias("ca"),
+        F.sum("nb_i").over(w).cast(dec).alias("cb"),
+        F.sum("na_i").over(wall).cast(dec).alias("ta"),
+        F.sum("nb_i").over(wall).cast(dec).alias("tb"),
+    )
+    agg = cum.agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.max(
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+        ).alias("_dnum"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d_exact = d("_dnum") / (d("n_a") * d("n_b"))
+    crit = F.lit(1.358) * F.sqrt(
+        (d("n_a") + d("n_b")) / (d("n_a") * d("n_b"))
+    )
+    return agg.crossJoin(F.broadcast(drops)).select(
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        "n_dropped_a",
+        "n_dropped_b",
+        F.when(ok, F.round(d_exact, 6)).alias("d_stat"),
+        F.when(ok, F.round(crit, 6)).alias("crit_05"),
+        F.when(ok, d_exact > crit).alias("reject_05"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact tie-averaged Spearman rank correlation — the monotone-
+    association readout (does activity track spend? does doc length
+    track quality score?) that Pearson's linearity assumption and
+    outlier sensitivity both break: rho = Pearson over the
+    tie-averaged ranks, invariant to any monotone transform of either
+    margin.
+
+    Exactness: each margin's ranks live on its DISTINCT-value table
+    (one groupBy collapse + one ordered window, the auc_exact
+    discipline) carrying the DOUBLED average rank r2 = 2·lt + n + 1 —
+    an exact integer, and the 2× factors cancel in the correlation.
+    Rank maps join back on the value (domain-bounded tables; AQE
+    broadcasts small domains), then the five moment sums Σr2x, Σr2y,
+    Σr2x², Σr2y², Σr2x·r2y accumulate in decimal(38,0) (r2² ≈ 4N²
+    puts Σ near 4N³ — past int64 at N ≈ 170 k rows, past float
+    exactness long before that), so no partition-order-dependent
+    float sum exists; rho is ONE float tree over the exact moments,
+    6dp. Rows with a NULL x or y are dropped and surfaced in
+    ``n_dropped``. Constant margins (zero rank variance) emit NULL
+    rho — association is undefined, not 0.
+
+    ``x_col``/``y_col`` must already be integer-valued (cents /
+    micro-units — the mann_whitney quantization contract).
+    Output: 1 row (n, n_dropped, rho).
+    """
+    from pyspark.sql.window import Window
+
+    src = df.select(
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    )
+    ok = F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    rows = src.filter(ok)
+    drops = src.filter(~ok).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped")
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            rows.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "_lt", F.coalesce(F.sum("_n").over(w), F.lit(0))
+            )
+            .select(
+                col,
+                (2 * F.col("_lt") + F.col("_n") + 1).alias(out),
+            )
+        )
+
+    ranked = rows.join(rank_map("_x", "_r2x"), "_x").join(
+        rank_map("_y", "_r2y"), "_y"
+    )
+    dec = "decimal(38,0)"
+    rx = F.col("_r2x").cast(dec)
+    ry = F.col("_r2y").cast(dec)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+        F.sum(rx * ry).alias("_sxy"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    vx = d("n") * d("_sxx") - d("_sx") * d("_sx")
+    vy = d("n") * d("_syy") - d("_sy") * d("_sy")
+    cov = d("n") * d("_sxy") - d("_sx") * d("_sy")
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), 6),
+    )
+    return agg.crossJoin(F.broadcast(drops)).select(
+        "n", "n_dropped", rho.alias("rho")
+    )

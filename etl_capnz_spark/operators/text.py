@@ -929,3 +929,77 @@ def lr_train_hashed(
         sorted((j, w[j]) for j in w),
         "feature bigint, w_nano bigint",
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk / staleness
+    readout a corpus-curation pass runs before adding a document:
+    what fraction of this doc's distinct word n-grams has the corpus
+    NEVER seen in any earlier document (lower ``id_col``)? A copied
+    press release scores ~0, boilerplate-heavy pages score low, and a
+    genuinely new document scores near 1. Complements decontamination
+    (overlap vs a FIXED benchmark set) and substring_span_dedup
+    (position-exact removal): novelty is the per-doc summary SIGNAL,
+    cheap enough to score the whole corpus every refresh.
+
+    Exactness: a gram is novel for doc d iff min(doc id) over every
+    document containing it equals d — ties (two docs introduce the
+    same gram) credit only the earliest id, matching the
+    first-occurrence discipline of dedup_lines_global. Ratios are
+    exact integer counts divided once, 6dp.
+
+    Scale shape: per-doc DISTINCT grams collapse inside the array
+    (array_distinct, narrow) before anything shuffles, then exactly
+    TWO exchanges of compact (16-byte gram hash, id) tuples: one
+    groupBy(gram) for the global first-seen id, one groupBy(id) to
+    re-aggregate the per-doc counts — document text never enters an
+    Exchange. No window over data-sized tables; the first-seen table
+    is gram-domain-sized.
+
+    Docs with fewer than ``n`` tokens have no grams: they emit
+    (n_grams=0, n_novel=0, novelty=NULL) — undefined, not 1.0.
+    Output: (id_col, n_grams, n_novel, novelty).
+    """
+    from etl_capnz_spark.operators.dedup import word_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))
+        ).alias("_g"),
+    ).select("_id", F.md5(F.col("_g")).alias("_gh"))
+    first = grams.groupBy("_gh").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        grams.join(first, "_gh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("_id") == F.col("_first")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("_id"))
+    counted = base.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+    )
+    return counted.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                6,
+            ),
+        ),
+    )

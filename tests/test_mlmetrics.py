@@ -189,3 +189,139 @@ def test_cohen_kappa_rectangular_domains(spark):
     assert r["po"] == round(po, 6)
     assert r["pe"] == round(pe, 6)
     assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_ks_test_identical_disjoint_and_hand_case(spark):
+    """Identical samples → D=0, no rejection; fully separated samples
+    → D=1, rejection; a hand-computed mixed case with ties."""
+    from etl_capnz_spark.operators.mlmetrics import ks_test
+
+    def run(a, b):
+        da = spark.createDataFrame([(v,) for v in a], "v long")
+        db = spark.createDataFrame([(v,) for v in b], "v long")
+        return ks_test(da, db, "v").collect()[0]
+
+    r = run([1, 2, 3, 4], [1, 2, 3, 4])
+    assert r["d_stat"] == 0.0 and r["reject_05"] is False
+    assert r["n_a"] == 4 and r["n_b"] == 4
+
+    r = run([1, 2, 3] * 20, [10, 11, 12] * 20)
+    assert r["d_stat"] == 1.0 and r["reject_05"] is True
+
+    # a=[1,1,2,5], b=[2,3,3,4]: at v=1 gap |2/4-0|=.5; v=2 |3/4-1/4|=.5;
+    # v=3 |3/4-3/4|=0; v=4 |3/4-1|=.25; v=5 |1-1|=0 → D=0.5
+    r = run([1, 1, 2, 5], [2, 3, 3, 4])
+    assert r["d_stat"] == 0.5
+
+
+def test_ks_test_matches_brute_force(spark):
+    """D equals the brute-force sup over the pooled support on a
+    300-row tied-heavy random case, and is partition-invariant."""
+    import random
+
+    from etl_capnz_spark.operators.mlmetrics import ks_test
+
+    rng = random.Random(11)
+    a = [rng.randint(0, 30) for _ in range(180)]
+    b = [rng.randint(5, 40) for _ in range(120)]
+    support = sorted(set(a) | set(b))
+    brute = max(
+        abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        for x in support
+    )
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    got = ks_test(da, db, "v").collect()[0]
+    assert got["d_stat"] == round(brute, 6)
+    crit = 1.358 * math.sqrt((180 + 120) / (180 * 120))
+    assert got["crit_05"] == round(crit, 6)
+    assert got["reject_05"] is (brute > crit)
+    got2 = ks_test(da.repartition(7), db.repartition(5), "v").collect()[0]
+    assert got2 == got
+
+
+def test_ks_test_nulls_and_empty_side(spark):
+    """NULL values drop per side into n_dropped_*; an empty side emits
+    NULL d_stat (a one-sided comparison is undefined, not 0)."""
+    from etl_capnz_spark.operators.mlmetrics import ks_test
+
+    da = spark.createDataFrame([(1,), (None,), (2,)], "v long")
+    db = spark.createDataFrame([(None,), (None,), (3,)], "v long")
+    r = ks_test(da, db, "v").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 1
+    assert r["n_dropped_a"] == 1 and r["n_dropped_b"] == 2
+
+    empty = spark.createDataFrame([], "v long")
+    r = ks_test(da, empty, "v").collect()[0]
+    assert r["n_b"] == 0
+    assert r["d_stat"] is None and r["reject_05"] is None
+
+
+def test_spearman_hand_cases(spark):
+    """Perfect monotone (nonlinear) → 1; perfect inverse → −1;
+    constant margin → NULL; NULL pairs drop into n_dropped."""
+    from etl_capnz_spark.operators.mlmetrics import spearman_corr
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "x long, y long")
+        return spearman_corr(df, "x", "y").collect()[0]
+
+    r = run([(1, 1), (2, 4), (3, 9), (4, 16)])
+    assert r["rho"] == 1.0
+
+    r = run([(1, 16), (2, 9), (3, 4), (4, 1)])
+    assert r["rho"] == -1.0
+
+    r = run([(1, 5), (2, 5), (3, 5)])
+    assert r["rho"] is None
+
+    r = run([(1, 1), (None, 2), (3, None), (4, 4)])
+    assert r["n"] == 2 and r["n_dropped"] == 2
+
+
+def test_spearman_matches_pure_python_with_ties(spark):
+    """Tie-averaged rho equals a pure-Python rank-then-Pearson replay
+    on a 200-row tied-heavy case, and is partition-invariant."""
+    import random
+
+    from etl_capnz_spark.operators.mlmetrics import spearman_corr
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randint(0, 15), rng.randint(0, 25)) for _ in range(200)
+    ]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while (
+                j + 1 < len(order)
+                and vals[order[j + 1]] == vals[order[i]]
+            ):
+                j += 1
+            r = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    rx = avg_ranks([x for x, _ in rows])
+    ry = avg_ranks([y for _, y in rows])
+    n = len(rows)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    brute = cov / math.sqrt(vx * vy)
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0]
+    assert got["rho"] == pytest.approx(round(brute, 6), abs=2e-6)
+    got2 = spearman_corr(df.repartition(9), "x", "y").collect()[0]
+    assert got2 == got

@@ -26,3 +26,63 @@ def test_rouge2_pairs_identities(spark):
     assert got[5]["overlap"] == 1 and got[5]["rouge2_f1"] == 0.5
     assert got[7]["total_a"] == 0 and got[7]["overlap"] == 0
     assert got[7]["rouge2_f1"] == 2.0 / 2.0 * 0 or got[7]["rouge2_f1"] == 0.0
+
+
+def test_ngram_novelty_planted_copy_and_partial_overlap(spark):
+    """An exact copy scores 0; the original scores 1; a doc sharing
+    one leading trigram with an earlier doc scores 3/4; a 2-token doc
+    emits (0, 0, NULL) — undefined, not 1.0."""
+    from etl_capnz_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "a b c x y z"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_novelty(docs, "text", "doc_id", n=3).collect()
+    }
+    assert len(got) == 4
+    assert got[1]["n_grams"] == 3 and got[1]["novelty"] == 1.0
+    assert got[2]["n_grams"] == 3 and got[2]["novelty"] == 0.0
+    # doc 3 trigrams: "a b c" (seen in doc 1), "b c x", "c x y",
+    # "x y z" → 3 of 4 novel
+    assert got[3]["n_grams"] == 4 and got[3]["novelty"] == 0.75
+    assert got[4]["n_grams"] == 0 and got[4]["n_novel"] == 0
+    assert got[4]["novelty"] is None
+
+
+def test_ngram_novelty_tie_credits_earliest_and_distinct_grams(spark):
+    """Two docs introducing the same gram: only the LOWER id is
+    credited (first-occurrence discipline); repeated grams inside one
+    doc count ONCE (distinct-gram contract); partition-invariant."""
+    from etl_capnz_spark.operators.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (10, "p q r p q r p q r"),
+            (20, "p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    res = ngram_novelty(docs, "text", "doc_id", n=3)
+    got = {r["doc_id"]: r for r in res.collect()}
+    # doc 10 has 7 positional trigrams but only 3 DISTINCT
+    # ("p q r", "q r p", "r p q"), all novel
+    assert got[10]["n_grams"] == 3 and got[10]["novelty"] == 1.0
+    # doc 20: "p q r" (tie → credited to doc 10), "q r s", "r s t",
+    # "s t u" → 3/4
+    assert got[20]["n_grams"] == 4 and got[20]["novelty"] == 0.75
+
+    got2 = {
+        r["doc_id"]: r
+        for r in ngram_novelty(
+            docs.repartition(8), "text", "doc_id", n=3
+        ).collect()
+    }
+    assert got2 == got
