@@ -6926,6 +6926,27 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen-Shannon drift between two corpus slices
+    (operators/mlmetrics.py jsd_drift): the symmetric, bounded
+    ([0, ln 2]) information-theoretic distance between the TOKEN
+    distributions of even vs odd doc_ids — the corpus-vs-corpus
+    number a mixture refresh reports next to drift_psi's bucket
+    tripwire and events_ks_test's CDF sup. One-sided tokens
+    contribute exactly ½·q·ln 2 (the limit taken by a `when`, not an
+    evaluated NaN); no smoothing needed, unlike KL/PSI. Counts are
+    the only exchange; the join runs on vocabulary-domain tables."""
+    from etl_capnz_spark.operators.mlmetrics import jsd_drift
+
+    docs = _docs(spark, sf_dir)
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ).alias("tok")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(tok)
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(tok)
+    return jsd_drift(a, b, "tok")
+
+
 def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document trigram novelty (operators/text.py ngram_novelty):
     the fraction of each doc's distinct word 3-grams first seen in
@@ -7053,6 +7074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": _q_events_ks_test,
         "events_spearman": _q_events_spearman,
         "text_ngram_novelty": _q_text_ngram_novelty,
+        "drift_jsd": _q_drift_jsd,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11390,6 +11412,50 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "drift_jsd": """
+            -- JSD replay: same whitespace tokenization, null-safe
+            -- union domain, exact-count shares, one-sided limit by
+            -- CASE (never an evaluated 0*ln 0)
+            WITH ta_ AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                     '\\s+')) AS bucket
+              FROM documents WHERE doc_id % 2 = 0),
+            tb_ AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                     '\\s+')) AS bucket
+              FROM documents WHERE doc_id % 2 = 1),
+            ca AS (SELECT bucket, count(*)::BIGINT AS n_a
+                   FROM ta_ GROUP BY 1),
+            cb AS (SELECT bucket, count(*)::BIGINT AS n_b
+                   FROM tb_ GROUP BY 1),
+            both_ AS (
+              SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+                     coalesce(n_a, 0)::BIGINT AS n_a,
+                     coalesce(n_b, 0)::BIGINT AS n_b
+              FROM ca FULL OUTER JOIN cb
+                ON ca.bucket IS NOT DISTINCT FROM cb.bucket),
+            tot AS (
+              SELECT bucket, n_a, n_b,
+                     sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb
+              FROM both_),
+            pq AS (
+              SELECT bucket, n_a, n_b,
+                     CASE WHEN ta > 0
+                          THEN n_a::DOUBLE / ta::DOUBLE
+                          ELSE 0.0 END AS p,
+                     CASE WHEN tb > 0
+                          THEN n_b::DOUBLE / tb::DOUBLE
+                          ELSE 0.0 END AS q
+              FROM tot)
+            SELECT bucket, n_a, n_b,
+                   round(p, 6) AS share_a, round(q, 6) AS share_b,
+                   round(0.5 * (CASE WHEN n_a > 0
+                            THEN p * ln(p / ((p + q) / 2.0))
+                            ELSE 0.0 END)
+                       + 0.5 * (CASE WHEN n_b > 0
+                            THEN q * ln(q / ((p + q) / 2.0))
+                            ELSE 0.0 END), 6) AS jsd_contrib
+            FROM pq""",
         "text_ngram_novelty": f"""{_DUCK_AUG},
             g AS (
               SELECT doc_id, md5(g) AS gh FROM (

@@ -450,3 +450,90 @@ def spearman_corr(
     return agg.crossJoin(F.broadcast(drops)).select(
         "n", "n_dropped", rho.alias("rho")
     )
+
+
+def jsd_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus slices, emitted
+    per bucket — the third leg of the drift triad: psi_drift names
+    smoothed bucket-level drift, ks_test bounds the worst CDF gap,
+    JSD is the SYMMETRIC, BOUNDED ([0, ln 2]) information-theoretic
+    distance — the standard corpus-vs-corpus number (√JSD is a metric)
+    for comparing token/source/topic mixes across a refresh.
+
+    Unlike KL (source_kl) and unsmoothed PSI, JSD needs NO smoothing
+    to stay finite: with m = (p+q)/2, a one-sided bucket contributes
+    exactly ½·q·ln 2 — the limit p·ln(p/m) → 0 is taken explicitly
+    (a `when`, not an evaluated 0·ln 0 = NaN). Shares are exact
+    integer-count ratios divided once; each contribution is one
+    identical float tree per engine, 6dp; Σ jsd_contrib = JSD.
+
+    Scale shape: identical to psi_drift — two groupBy(bucket) count
+    collapses (counts are the only exchange), a null-safe full outer
+    join on the bucket-domain-sized tables, totals riding one
+    unpartitioned window over the domain-sized table.
+
+    Output: one row per bucket in either slice —
+    (bucket, n_a, n_b, share_a, share_b, jsd_contrib).
+    """
+    from pyspark.sql.window import Window
+
+    ca = (
+        df_a.select(F.col(bucket_col).cast("string").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    cb = (
+        df_b.select(F.col(bucket_col).cast("string").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    both = (
+        ca.alias("_ca")
+        .join(
+            cb.alias("_cb"),
+            F.col("_ca.bucket").eqNullSafe(F.col("_cb.bucket")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("_ca.bucket"), F.col("_cb.bucket")).alias(
+                "bucket"
+            ),
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    wall = Window.partitionBy()
+    tot = both.select(
+        "*",
+        F.sum("n_a").over(wall).alias("_ta"),
+        F.sum("n_b").over(wall).alias("_tb"),
+    )
+    # an entirely-empty side has _t = 0: its distribution is the zero
+    # measure (share 0 everywhere), not 0/0 = NaN — its whole term
+    # vanishes and JSD against it comes out ½·ln 2 (only the nonempty
+    # side's ½·p·ln 2 contributions survive)
+    p = F.when(
+        F.col("_ta") > 0,
+        F.col("n_a").cast("double") / F.col("_ta").cast("double"),
+    ).otherwise(0.0)
+    q = F.when(
+        F.col("_tb") > 0,
+        F.col("n_b").cast("double") / F.col("_tb").cast("double"),
+    ).otherwise(0.0)
+    m = (p + q) / F.lit(2.0)
+    term_a = F.when(F.col("n_a") > 0, p * F.log(p / m)).otherwise(0.0)
+    term_b = F.when(F.col("n_b") > 0, q * F.log(q / m)).otherwise(0.0)
+    return tot.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("share_a"),
+        F.round(q, 6).alias("share_b"),
+        F.round(
+            F.lit(0.5) * term_a + F.lit(0.5) * term_b, 6
+        ).alias("jsd_contrib"),
+    )

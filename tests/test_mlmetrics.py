@@ -325,3 +325,80 @@ def test_spearman_matches_pure_python_with_ties(spark):
     assert got["rho"] == pytest.approx(round(brute, 6), abs=2e-6)
     got2 = spearman_corr(df.repartition(9), "x", "y").collect()[0]
     assert got2 == got
+
+
+def test_jsd_drift_identical_disjoint_and_one_sided(spark):
+    """Identical slices → every contrib 0; disjoint slices → Σ = ln 2
+    (the JSD upper bound); a one-sided bucket contributes exactly
+    ½·q·ln 2; an entirely empty side → Σ = ½·ln 2 (the zero-measure
+    limit: the empty side's term vanishes wholesale), no NaN."""
+    from etl_capnz_spark.operators.mlmetrics import jsd_drift
+
+    def run(a, b):
+        da = spark.createDataFrame([(v,) for v in a], "b string")
+        db = spark.createDataFrame([(v,) for v in b], "b string")
+        return {
+            r["bucket"]: r for r in jsd_drift(da, db, "b").collect()
+        }
+
+    got = run(["x", "x", "y"], ["x", "x", "y"])
+    assert all(r["jsd_contrib"] == 0.0 for r in got.values())
+
+    got = run(["x", "x"], ["y", "y", "y"])
+    assert len(got) == 2
+    total = sum(r["jsd_contrib"] for r in got.values())
+    assert total == pytest.approx(math.log(2), abs=2e-6)
+    # one-sided bucket y: q = 1, contrib = ½·ln 2
+    assert got["y"]["jsd_contrib"] == round(0.5 * math.log(2), 6)
+    assert got["y"]["share_a"] == 0.0 and got["y"]["share_b"] == 1.0
+
+    empty = spark.createDataFrame([], "b string")
+    da = spark.createDataFrame([("x",), ("y",)], "b string")
+    got = {
+        r["bucket"]: r for r in jsd_drift(da, empty, "b").collect()
+    }
+    total = sum(r["jsd_contrib"] for r in got.values())
+    assert total == pytest.approx(0.5 * math.log(2), abs=2e-6)
+    assert all(not math.isnan(r["share_b"]) for r in got.values())
+
+
+def test_jsd_drift_matches_pure_python_and_null_bucket(spark):
+    """Σ contribs equals a pure-Python JSD on a random mixed case; a
+    NULL bucket on both sides meets itself in ONE row (the psi_drift
+    null-safe-join discipline); symmetric in its arguments."""
+    import random
+    from collections import Counter
+
+    from etl_capnz_spark.operators.mlmetrics import jsd_drift
+
+    rng = random.Random(31)
+    a = [str(rng.randint(0, 8)) for _ in range(200)]
+    b = [str(rng.randint(3, 12)) for _ in range(150)]
+    na, nb = Counter(a), Counter(b)
+
+    def jsd():
+        tot = 0.0
+        for k in set(na) | set(nb):
+            p, q = na[k] / len(a), nb[k] / len(b)
+            m = (p + q) / 2
+            tot += 0.5 * (p * math.log(p / m) if p else 0.0)
+            tot += 0.5 * (q * math.log(q / m) if q else 0.0)
+        return tot
+
+    da = spark.createDataFrame([(v,) for v in a], "b string")
+    db = spark.createDataFrame([(v,) for v in b], "b string")
+    rows = jsd_drift(da, db, "b").collect()
+    assert sum(r["jsd_contrib"] for r in rows) == pytest.approx(
+        jsd(), abs=5e-6
+    )
+    swapped = jsd_drift(db, da, "b").collect()
+    assert sum(r["jsd_contrib"] for r in swapped) == pytest.approx(
+        jsd(), abs=5e-6
+    )
+
+    da = spark.createDataFrame([("x",), (None,)], "b string")
+    db = spark.createDataFrame([(None,), (None,)], "b string")
+    got = jsd_drift(da, db, "b").collect()
+    assert len(got) == 2  # {x, NULL} — NULL met itself once
+    nrow = [r for r in got if r["bucket"] is None][0]
+    assert nrow["n_a"] == 1 and nrow["n_b"] == 2
