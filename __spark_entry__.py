@@ -6926,6 +6926,54 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing correction end-to-end (operators/mlmetrics.py
+    welch_z_tests → bh_fdr): one Welch z-test per event type (does
+    even-vs-odd user arm move the monetary value?) produces a FAMILY
+    of p-values in one two-phase aggregate over decimal(38,0)
+    moments, then Benjamini-Hochberg converts them to q-values —
+    the discipline that stops a 20-test experiment sweep from
+    'discovering' one fake effect per run. p-values use the
+    Abramowitz-Stegun erfc polynomial (elementary ops only, identical
+    tree both engines); BH ranks ride a tests-domain-sized window
+    with a (p, key) total order. The oracle replays moments in
+    HUGEINT and the identical float trees."""
+    from etl_capnz_spark.operators.mlmetrics import bh_fdr, welch_z_tests
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("arm_a"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tests = welch_z_tests(src, "grp", "arm_a", "cents")
+    return bh_fdr(tests, "grp", "p_value", alpha=0.05)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer path end-to-end: train 10 BPE merges on the
+    corpus (operators/bpe.py bpe_train — |vocab|-row table, 1-row
+    argmax collects, the bounded-driver-state sanction), then ENCODE
+    every document with the learned merges (bpe_encode) — the MAP
+    stage that runs over the full 100 TB corpus once training is
+    done. The encoder is ONE narrow HOF-fold column expression (no
+    UDF, no shuffle, composes with scans/pushdown). Training's
+    driver-side iteration precludes a SQL oracle (the bpe_merges
+    precedent) → rows-only; tests/test_bpe.py pins the encode output
+    against a pure-Python reference encoder and the concatenation-
+    roundtrip property (subwords rejoin to the word exactly)."""
+    from etl_capnz_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges, _ = bpe_train(docs, "text", num_merges=10)
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_subwords").cast("bigint").alias("n_subwords"),
+        F.array_join("bpe_tokens", " ").alias("encoded"),
+    )
+
+
 def _q_drift_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-token Jensen-Shannon drift between two corpus slices
     (operators/mlmetrics.py jsd_drift): the symmetric, bounded
@@ -7075,6 +7123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spearman": _q_events_spearman,
         "text_ngram_novelty": _q_text_ngram_novelty,
         "drift_jsd": _q_drift_jsd,
+        "bpe_encode": _q_bpe_encode,
+        "events_bh_fdr": _q_events_bh_fdr,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11412,6 +11462,92 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "events_bh_fdr": """
+            -- Welch-z family + BH replay: HUGEINT moments, the same
+            -- A&S erfc polynomial tree, (p, key)-total-order ranks,
+            -- reverse running min for the step-up q
+            WITH src AS (
+              SELECT event_type AS grp,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+                     round(value * 100)::BIGINT AS v
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            m AS (
+              SELECT grp,
+                     sum(ia)::BIGINT AS n_a,
+                     sum(1 - ia)::BIGINT AS n_b,
+                     sum(CASE WHEN ia = 1 THEN v ELSE 0 END)::HUGEINT
+                       AS sa,
+                     sum(CASE WHEN ia = 0 THEN v ELSE 0 END)::HUGEINT
+                       AS sb,
+                     sum(CASE WHEN ia = 1
+                         THEN v::HUGEINT * v::HUGEINT
+                         ELSE 0 END) AS saa,
+                     sum(CASE WHEN ia = 0
+                         THEN v::HUGEINT * v::HUGEINT
+                         ELSE 0 END) AS sbb
+              FROM src GROUP BY grp),
+            welch AS (
+              SELECT grp, n_a, n_b,
+                     sa::DOUBLE / n_a::DOUBLE AS ma,
+                     sb::DOUBLE / n_b::DOUBLE AS mb,
+                     (saa::DOUBLE
+                      - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+                       / (n_a::DOUBLE - 1) AS va,
+                     (sbb::DOUBLE
+                      - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+                       / (n_b::DOUBLE - 1) AS vb
+              FROM m),
+            zed AS (
+              SELECT grp,
+                     CASE WHEN n_a >= 2 AND n_b >= 2
+                               AND (va / n_a::DOUBLE
+                                    + vb / n_b::DOUBLE) > 0
+                          THEN (ma - mb)
+                               / sqrt(va / n_a::DOUBLE
+                                      + vb / n_b::DOUBLE)
+                     END AS z
+              FROM welch),
+            pv AS (
+              SELECT grp,
+                     round(((((1.061405429
+                       * (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       + -1.453152027)
+                       * (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       + 1.421413741)
+                       * (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       + -0.284496736)
+                       * (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       + 0.254829592)
+                       * (1.0 / (1.0 + 0.3275911
+                                 * (abs(z) / sqrt(2.0))))
+                       * exp(-(abs(z) / sqrt(2.0))
+                             * (abs(z) / sqrt(2.0))), 6) AS p
+              FROM zed),
+            tests AS (SELECT grp, p FROM pv WHERE p IS NOT NULL),
+            ranked AS (
+              SELECT grp, p,
+                     row_number() OVER (ORDER BY p, grp) AS rank,
+                     count(*) OVER () AS n_tests
+              FROM tests),
+            raw_ AS (
+              SELECT *,
+                     p * n_tests::DOUBLE / rank::DOUBLE AS raw
+              FROM ranked),
+            qv AS (
+              SELECT grp, p, rank, n_tests,
+                     least(min(raw) OVER (ORDER BY p DESC, grp DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 1.0) AS q
+              FROM raw_)
+            SELECT grp, p AS p_value, rank::BIGINT AS rank,
+                   n_tests::BIGINT AS n_tests,
+                   round(q, 6) AS q_value, q <= 0.05 AS significant
+            FROM qv""",
         "drift_jsd": """
             -- JSD replay: same whitespace tokenization, null-safe
             -- union domain, exact-count shares, one-sided limit by

@@ -537,3 +537,158 @@ def jsd_drift(
             F.lit(0.5) * term_a + F.lit(0.5) * term_b, 6
         ).alias("jsd_contrib"),
     )
+
+
+def welch_z_tests(
+    df: DataFrame,
+    group_col: str,
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Welch z-test — ONE two-phase aggregate producing a
+    whole FAMILY of A/B comparisons (one per group: per event type,
+    per country, per surface), the input a multiple-testing
+    correction (bh_fdr) exists to consume. Welch's unequal-variance
+    form: z = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b), large-sample
+    normal reference.
+
+    Exactness discipline: per (group, arm) the four moment sums
+    (count, Σv, Σv²) accumulate in decimal(38,0) (Σv² ≈ N·v² is past
+    int64 at ~1e6 rows of 4-digit cents — the 100 TB rule), so no
+    partition-order-dependent float sum exists; means/variances/z/p
+    are ONE identical float tree per engine over the exact moments.
+    The two-sided p-value uses erfc via the Abramowitz-Stegun 7.1.26
+    polynomial (|ε| < 1.5e-7; elementary ops only, so Spark and
+    DuckDB evaluate the IDENTICAL tree — no library Φ with
+    engine-specific rounding): p = poly(t)·exp(−x²), x = |z|/√2,
+    t = 1/(1 + 0.3275911·x).
+
+    ``value_col`` must be integer-valued (cents — the mann_whitney
+    quantization contract); NULL values are dropped (un-measurable);
+    ``arm_col`` is boolean-ish (1/true = arm A). Groups where either
+    arm has < 2 values or both variances are 0 emit NULL z and p —
+    the test is undefined, not infinitely significant.
+
+    Output: one row per group —
+    (group_col, n_a, n_b, mean_a, mean_b, z, p_value), 6dp floats.
+    """
+    dec = "decimal(38,0)"
+    src = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(arm_col).cast("int").alias("_ia"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ia").isNotNull())
+    vd = F.col("_v").cast(dec)
+    ia = F.col("_ia") == 1
+    agg = src.groupBy("grp").agg(
+        F.sum(F.when(ia, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~ia, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(ia, vd).otherwise(F.lit(0).cast(dec))).alias("_sa"),
+        F.sum(F.when(~ia, vd).otherwise(F.lit(0).cast(dec))).alias("_sb"),
+        F.sum(F.when(ia, vd * vd).otherwise(F.lit(0).cast(dec))).alias(
+            "_saa"
+        ),
+        F.sum(F.when(~ia, vd * vd).otherwise(F.lit(0).cast(dec))).alias(
+            "_sbb"
+        ),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    ma = d("_sa") / d("n_a")
+    mb = d("_sb") / d("n_b")
+    va = (d("_saa") - d("_sa") * d("_sa") / d("n_a")) / (d("n_a") - 1)
+    vb = (d("_sbb") - d("_sb") * d("_sb") / d("n_b")) / (d("n_b") - 1)
+    se2 = va / d("n_a") + vb / d("n_b")
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    z = F.when(ok & (se2 > 0), (ma - mb) / F.sqrt(se2))
+    # erfc(x) by A&S 7.1.26: t = 1/(1 + 0.3275911 x),
+    # erfc = (a1 t + a2 t² + a3 t³ + a4 t⁴ + a5 t⁵)·e^(−x²)
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t + F.lit(-1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            + F.lit(-0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    p = poly * F.exp(-x * x)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(ma, 6)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(mb, 6)).alias("mean_b"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction — the multiple-testing
+    discipline the experiment suite (ab_test, cuped, mann_whitney,
+    welch_z_tests) was missing: run K tests and 5% of the true nulls
+    come up 'significant' by construction; BH adjusts each p to the
+    q-value q_(i) = min_{j≥i} p_(j)·K/j so that rejecting q ≤ α
+    bounds the expected FALSE-DISCOVERY fraction at α.
+
+    Exactness: ranks are exact integers from a window ordered by
+    (p, key) — the key tiebreak makes the order total, so both
+    engines rank identically; the step-up min_{j≥i} is a running min
+    over the REVERSED order (same window machinery, no second sort
+    direction needed at the plan level beyond the one domain-bounded
+    sort); q clamps at 1. Floats: p·K/i is one identical tree per
+    engine. Scale shape: K = number of TESTS (a handful to a few
+    thousand) — the windows run on the test-domain-sized table, never
+    on data; rows with NULL p (undefined upstream tests) are dropped,
+    surfaced by the count difference.
+
+    Output: one row per non-NULL-p test —
+    (key_col, p_value, rank, n_tests, q_value, significant), with
+    ``significant`` = (q ≤ alpha).
+    """
+    from pyspark.sql.window import Window
+
+    src = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(p_col).cast("double").alias("_p"),
+    ).filter(F.col("_p").isNotNull())
+    w_rank = Window.orderBy("_p", "_k")
+    w_all = Window.orderBy("_p", "_k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = src.select(
+        "_k",
+        "_p",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_tests"),
+    ).withColumn(
+        "_raw",
+        F.col("_p")
+        * F.col("n_tests").cast("double")
+        / F.col("rank").cast("double"),
+    )
+    w_rev = Window.orderBy(
+        F.col("_p").desc(), F.col("_k").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    q = F.least(F.min("_raw").over(w_rev), F.lit(1.0))
+    return ranked.select(
+        F.col("_k").alias(key_col),
+        F.col("_p").alias("p_value"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "n_tests",
+        F.round(q, 6).alias("q_value"),
+        (q <= F.lit(alpha)).alias("significant"),
+    )

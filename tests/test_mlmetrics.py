@@ -402,3 +402,111 @@ def test_jsd_drift_matches_pure_python_and_null_bucket(spark):
     assert len(got) == 2  # {x, NULL} — NULL met itself once
     nrow = [r for r in got if r["bucket"] is None][0]
     assert nrow["n_a"] == 1 and nrow["n_b"] == 2
+
+
+def test_welch_z_matches_pure_python_and_guards(spark):
+    """z and the A&S-polynomial p match a pure-Python replay on a
+    random two-arm case; z=1.96 gives the textbook p≈0.05; a group
+    with a <2-value arm or zero pooled variance emits NULL."""
+    import random
+
+    from etl_capnz_spark.operators.mlmetrics import welch_z_tests
+
+    rng = random.Random(43)
+    rows = []
+    for _ in range(300):
+        arm = rng.randint(0, 1)
+        v = rng.randint(100, 500) + (25 if arm else 0)
+        rows.append(("g1", arm, v))
+    rows += [("tiny", 1, 5), ("tiny", 0, 7), ("tiny", 0, 9)]
+    rows += [("const", 1, 4), ("const", 1, 4), ("const", 0, 4), ("const", 0, 4)]
+    df = spark.createDataFrame(rows, "grp string, arm int, v long")
+    got = {
+        r["grp"]: r
+        for r in welch_z_tests(df, "grp", "arm", "v").collect()
+    }
+
+    a = [v for g, arm, v in rows if g == "g1" and arm == 1]
+    b = [v for g, arm, v in rows if g == "g1" and arm == 0]
+
+    def mean(xs):
+        return sum(xs) / len(xs)
+
+    def var(xs):
+        m = mean(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    z = (mean(a) - mean(b)) / math.sqrt(
+        var(a) / len(a) + var(b) / len(b)
+    )
+    assert got["g1"]["z"] == pytest.approx(round(z, 6), abs=2e-6)
+    x = abs(z) / math.sqrt(2)
+    t = 1 / (1 + 0.3275911 * x)
+    poly = (
+        (((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+         - 0.284496736) * t + 0.254829592
+    ) * t
+    assert got["g1"]["p_value"] == pytest.approx(
+        round(poly * math.exp(-x * x), 6), abs=2e-6
+    )
+    # A&S 7.1.26 sanity: the polynomial itself reproduces the
+    # textbook two-sided 5% point (within its 1.5e-7 bound)
+    x196 = 1.96 / math.sqrt(2)
+    t196 = 1 / (1 + 0.3275911 * x196)
+    p196 = (
+        (((1.061405429 * t196 - 1.453152027) * t196 + 1.421413741)
+         * t196 - 0.284496736) * t196 + 0.254829592
+    ) * t196 * math.exp(-x196 * x196)
+    assert p196 == pytest.approx(0.04999, abs=5e-4)
+
+    assert got["tiny"]["z"] is None and got["tiny"]["p_value"] is None
+    assert got["const"]["z"] is None  # zero variance both arms
+
+
+def test_bh_fdr_textbook_and_properties(spark):
+    """q-values equal the pure-Python step-up on the classic BH-1995
+    15-test p vector; q is monotone in rank, clamps at 1, NULL p rows
+    drop, and `significant` uses the UNROUNDED q."""
+    from etl_capnz_spark.operators.mlmetrics import bh_fdr
+
+    ps = [
+        0.0001, 0.0004, 0.0019, 0.0095, 0.0201, 0.0278, 0.0298,
+        0.0344, 0.0459, 0.3240, 0.4262, 0.5719, 0.6528, 0.7590, 1.0,
+    ]
+    k = len(ps)
+    raw = [p * k / (i + 1) for i, p in enumerate(ps)]
+    qs = [min(min(raw[i:]), 1.0) for i in range(k)]
+
+    rows = [(f"t{i:02d}", p) for i, p in enumerate(ps)]
+    rows.append(("tnull", None))
+    df = spark.createDataFrame(rows, "key string, p double")
+    got = sorted(bh_fdr(df, "key", "p").collect(), key=lambda r: r["rank"])
+    assert len(got) == k  # NULL p dropped
+    assert [r["n_tests"] for r in got] == [k] * k
+    for r, q in zip(got, qs):
+        assert r["q_value"] == round(q, 6)
+        assert r["significant"] is (q <= 0.05)
+    # the classic result: exactly 4 rejections at alpha 0.05
+    assert sum(1 for r in got if r["significant"]) == 4
+    # q monotone non-decreasing in rank; clamped at 1
+    assert all(
+        got[i]["q_value"] <= got[i + 1]["q_value"]
+        for i in range(k - 1)
+    )
+    assert got[-1]["q_value"] == 1.0
+
+
+def test_bh_fdr_tie_break_is_total_and_partition_invariant(spark):
+    """Equal p-values rank deterministically by key (the order is
+    total, so both engines and any partitioning agree)."""
+    from etl_capnz_spark.operators.mlmetrics import bh_fdr
+
+    rows = [("b", 0.02), ("a", 0.02), ("c", 0.01)]
+    df = spark.createDataFrame(rows, "key string, p double")
+    got = sorted(bh_fdr(df, "key", "p").collect(), key=lambda r: r["rank"])
+    assert [r["key"] for r in got] == ["c", "a", "b"]
+    got2 = sorted(
+        bh_fdr(df.repartition(5), "key", "p").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert got == got2
