@@ -56,6 +56,11 @@ HEADLINE = [
     # -> survivorship) + deterministic random-walk corpus generation
     "entity_golden",
     "graph_walks",
+    # round 6: exact substring-span dedup (Lee-et-al; the corpus-wide
+    # shingle first-occurrence + reassembly shape) + distributed LR
+    # training (10 integer full-batch gradient iterations)
+    "dedup_substring_spans",
+    "text_lr_train",
 ]
 
 

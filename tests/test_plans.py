@@ -435,3 +435,36 @@ def test_bm25_is_inverted_index_probe(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in plan  # token probe is an equi-join
     assert "_avgdl" in plan, "corpus stats must be plan-side aggregates"
+
+
+def test_ngram_novelty_shuffles_only_hash_tuples(spark, sf_dir):
+    """Novelty's two exchanges (groupBy gram-hash, re-aggregate by
+    doc) must carry only (md5 hash, id) tuples — document text never
+    enters an Exchange, and there is no cartesian anywhere."""
+    df = entrymod.queries()["text_ngram_novelty"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    exchanges = [line for line in plan.split("\n") if "Exchange" in line]
+    assert exchanges, "expected the gram-hash + per-doc exchanges"
+    for line in exchanges:
+        assert "text#" not in line, f"document text in shuffle: {line}"
+
+
+def test_drift_metrics_aggregate_before_any_window(spark, sf_dir):
+    """The drift trio's windows must run on DOMAIN-sized tables: every
+    window in ks_test / jsd_drift sits above a HashAggregate collapse
+    (distinct cents / token counts), so no data-sized sort exists."""
+    for name in ("events_ks_test", "drift_jsd"):
+        plan = _plan(entrymod.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "Window" in plan, name
+        # plans print top-down (consumer above producer): every Window
+        # must have a HashAggregate somewhere BELOW it — a Window whose
+        # subtree has no aggregate is sorting raw data
+        lines = plan.split("\n")
+        last_window = max(
+            i for i, line in enumerate(lines) if "Window" in line
+        )
+        assert any(
+            "HashAggregate" in line for line in lines[last_window:]
+        ), f"{name}: deepest Window is not fed by an aggregate collapse"
