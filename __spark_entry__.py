@@ -6926,6 +6926,45 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/funnel.py did_estimator):
+    did the H2 monetary value of even-user-id events move beyond the
+    trend odd users show? One two-phase aggregate builds all twelve
+    cell moments in decimal(38,0); DiD/SE/z/p are one identical float
+    tree (p via the shared A&S erfc polynomial). The oracle replays
+    the cells in HUGEINT and the same tree."""
+    from etl_capnz_spark.operators.funnel import did_estimator
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("treat"),
+        (F.month("ts") > 6).cast("int").alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return did_estimator(src, "treat", "post", "cents")
+
+
+def _q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/funnel.py srm_check):
+    does the per-USER even/odd assignment realize the designed 50/50
+    split? Units are distinct users (one distinct exchange), counts
+    the only aggregate; z/p one identical float tree, alarm at the
+    conventional p < 0.001 on the UNROUNDED p."""
+    from etl_capnz_spark.operators.funnel import srm_check
+
+    users = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    return srm_check(
+        users.select((F.col("user_id") % 2 == 0).cast("int").alias("arm")),
+        "arm",
+        expected_share=0.5,
+    )
+
+
 def _q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple-testing correction end-to-end (operators/mlmetrics.py
     welch_z_tests → bh_fdr): one Welch z-test per event type (does
@@ -7125,6 +7164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_jsd": _q_drift_jsd,
         "bpe_encode": _q_bpe_encode,
         "events_bh_fdr": _q_events_bh_fdr,
+        "events_did": _q_events_did,
+        "events_srm": _q_events_srm,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11462,6 +11503,139 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "events_did": f"""
+            -- DiD replay: twelve HUGEINT cell moments, the same
+            -- left-associated float tree, shared erfc polynomial
+            WITH src AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN month(ts) > 6 THEN 1 ELSE 0 END AS p,
+                     round(value * 100)::BIGINT AS v
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL
+                AND ts IS NOT NULL),
+            m AS (
+              SELECT
+                sum(CASE WHEN t=1 AND p=0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_t_pre,
+                sum(CASE WHEN t=1 AND p=1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_t_post,
+                sum(CASE WHEN t=0 AND p=0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_c_pre,
+                sum(CASE WHEN t=0 AND p=1 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_c_post,
+                sum(CASE WHEN t=1 AND p=0 THEN v ELSE 0 END)::HUGEINT
+                  AS s_t_pre,
+                sum(CASE WHEN t=1 AND p=1 THEN v ELSE 0 END)::HUGEINT
+                  AS s_t_post,
+                sum(CASE WHEN t=0 AND p=0 THEN v ELSE 0 END)::HUGEINT
+                  AS s_c_pre,
+                sum(CASE WHEN t=0 AND p=1 THEN v ELSE 0 END)::HUGEINT
+                  AS s_c_post,
+                sum(CASE WHEN t=1 AND p=0
+                    THEN v::HUGEINT * v::HUGEINT ELSE 0 END)
+                  AS ss_t_pre,
+                sum(CASE WHEN t=1 AND p=1
+                    THEN v::HUGEINT * v::HUGEINT ELSE 0 END)
+                  AS ss_t_post,
+                sum(CASE WHEN t=0 AND p=0
+                    THEN v::HUGEINT * v::HUGEINT ELSE 0 END)
+                  AS ss_c_pre,
+                sum(CASE WHEN t=0 AND p=1
+                    THEN v::HUGEINT * v::HUGEINT ELSE 0 END)
+                  AS ss_c_post
+              FROM src),
+            mv AS (
+              SELECT *,
+                s_t_pre::DOUBLE / n_t_pre::DOUBLE AS m_t_pre,
+                s_t_post::DOUBLE / n_t_post::DOUBLE AS m_t_post,
+                s_c_pre::DOUBLE / n_c_pre::DOUBLE AS m_c_pre,
+                s_c_post::DOUBLE / n_c_post::DOUBLE AS m_c_post,
+                (ss_t_pre::DOUBLE - s_t_pre::DOUBLE * s_t_pre::DOUBLE
+                 / n_t_pre::DOUBLE) / (n_t_pre::DOUBLE - 1)
+                  AS v_t_pre,
+                (ss_t_post::DOUBLE
+                 - s_t_post::DOUBLE * s_t_post::DOUBLE
+                 / n_t_post::DOUBLE) / (n_t_post::DOUBLE - 1)
+                  AS v_t_post,
+                (ss_c_pre::DOUBLE - s_c_pre::DOUBLE * s_c_pre::DOUBLE
+                 / n_c_pre::DOUBLE) / (n_c_pre::DOUBLE - 1)
+                  AS v_c_pre,
+                (ss_c_post::DOUBLE
+                 - s_c_post::DOUBLE * s_c_post::DOUBLE
+                 / n_c_post::DOUBLE) / (n_c_post::DOUBLE - 1)
+                  AS v_c_post
+              FROM m),
+            est AS (
+              SELECT *,
+                CASE WHEN n_t_pre > 0 AND n_t_post > 0
+                      AND n_c_pre > 0 AND n_c_post > 0
+                     THEN (m_t_post - m_t_pre) - (m_c_post - m_c_pre)
+                END AS did_,
+                CASE WHEN n_t_pre >= 2 AND n_t_post >= 2
+                      AND n_c_pre >= 2 AND n_c_post >= 2
+                      AND (v_t_post / n_t_post::DOUBLE
+                           + v_t_pre / n_t_pre::DOUBLE
+                           + v_c_post / n_c_post::DOUBLE
+                           + v_c_pre / n_c_pre::DOUBLE) > 0
+                     THEN sqrt(v_t_post / n_t_post::DOUBLE
+                               + v_t_pre / n_t_pre::DOUBLE
+                               + v_c_post / n_c_post::DOUBLE
+                               + v_c_pre / n_c_pre::DOUBLE)
+                END AS se_
+              FROM mv)
+            SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+                   CASE WHEN n_t_pre > 0
+                        THEN round(m_t_pre, 6) END AS m_t_pre,
+                   CASE WHEN n_t_post > 0
+                        THEN round(m_t_post, 6) END AS m_t_post,
+                   CASE WHEN n_c_pre > 0
+                        THEN round(m_c_pre, 6) END AS m_c_pre,
+                   CASE WHEN n_c_post > 0
+                        THEN round(m_c_post, 6) END AS m_c_post,
+                   round(did_, 6) AS did,
+                   round(se_, 6) AS se,
+                   round(did_ / se_, 6) AS z,
+                   round({oracles.two_sided_p_sql('did_ / se_')}, 6)
+                     AS p_value
+            FROM est""",
+        "events_srm": f"""
+            -- SRM replay: distinct users, exact counts, identical
+            -- binomial-z + erfc tree, alarm on the UNROUNDED p
+            WITH users AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL),
+            src AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+              FROM users),
+            agg AS (
+              SELECT
+                sum(CASE WHEN ia = 1 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN ia IS NOT NULL AND ia != 1
+                    THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                sum(CASE WHEN ia IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_dropped
+              FROM src),
+            z_ AS (
+              SELECT n_a, n_b, n_dropped,
+                     CASE WHEN (n_a::DOUBLE + n_b::DOUBLE) > 0 THEN
+                       (n_a::DOUBLE
+                        - (n_a::DOUBLE + n_b::DOUBLE) * 0.5)
+                       / sqrt((n_a::DOUBLE + n_b::DOUBLE) * 0.5
+                              * (1.0 - 0.5))
+                     END AS z
+              FROM agg)
+            SELECT n_a, n_b, n_dropped,
+                   CASE WHEN (n_a::DOUBLE + n_b::DOUBLE) > 0 THEN
+                     round(n_a::DOUBLE
+                           / (n_a::DOUBLE + n_b::DOUBLE), 6)
+                   END AS share_observed,
+                   round(z, 6) AS z,
+                   round({oracles.two_sided_p_sql('z')}, 6)
+                     AS p_value,
+                   CASE WHEN (n_a::DOUBLE + n_b::DOUBLE) > 0 THEN
+                     {oracles.two_sided_p_sql('z')} < 0.001
+                   END AS srm
+            FROM z_""",
         "events_bh_fdr": """
             -- Welch-z family + BH replay: HUGEINT moments, the same
             -- A&S erfc polynomial tree, (p, key)-total-order ranks,

@@ -285,3 +285,20 @@ def ngram_sql(col: str, n: int) -> str:
         f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
         f"i -> {parts})"
     )
+
+
+def erfc_sql(x: str) -> str:
+    """erfc(x) by the A&S 7.1.26 polynomial — mirrors
+    mlmetrics.erfc_as's exact nesting order so both engines evaluate
+    the identical float tree."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    return (
+        f"(((((1.061405429 * {t} + -1.453152027) * {t} "
+        f"+ 1.421413741) * {t} + -0.284496736) * {t} "
+        f"+ 0.254829592) * {t} * exp(-({x}) * ({x})))"
+    )
+
+
+def two_sided_p_sql(z: str) -> str:
+    """Two-sided normal p — mirrors mlmetrics.two_sided_p."""
+    return erfc_sql(f"abs({z}) / sqrt(2.0)")

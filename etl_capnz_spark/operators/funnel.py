@@ -771,3 +771,176 @@ def position_attribution(
         dn("_ft").alias("first_touch"),
         dn("_lt").alias("last_touch"),
     )
+
+
+def did_estimator(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-group × two-period difference-in-differences — the
+    quasi-experimental workhorse for launches WITHOUT randomization
+    (feature rolled out to one segment; did the metric move beyond
+    the trend the control segment shows?):
+    DiD = (m̄_T,post − m̄_T,pre) − (m̄_C,post − m̄_C,pre), with the
+    large-sample SE from the four cell variances
+    SE = sqrt(Σ_cells v_ij/n_ij) and z/p against the normal.
+
+    Exactness discipline (welch_z_tests): ONE two-phase aggregate
+    builds all twelve cell moments (count, Σv, Σv² per cell) in
+    decimal(38,0); estimate/SE/z/p are one identical float tree per
+    engine over the exact moments, p via the shared A&S erfc
+    polynomial (mlmetrics.erfc_as). ``value_col`` must be
+    integer-valued (cents); NULL value/treat/post rows are dropped.
+    An empty cell → NULL did (the contrast is undefined); any cell
+    with < 2 values → NULL se/z/p.
+
+    Output: 1 row — (n_t_pre, n_t_post, n_c_pre, n_c_post, m_t_pre,
+    m_t_post, m_c_pre, m_c_post, did, se, z, p_value), 6dp floats.
+    """
+    from etl_capnz_spark.operators.mlmetrics import two_sided_p
+
+    dec = "decimal(38,0)"
+    src = df.select(
+        F.col(treat_col).cast("int").alias("_t"),
+        F.col(post_col).cast("int").alias("_p"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & F.col("_t").isNotNull()
+        & F.col("_p").isNotNull()
+    )
+    vd = F.col("_v").cast(dec)
+    cells = {
+        "t_pre": (F.col("_t") == 1) & (F.col("_p") == 0),
+        "t_post": (F.col("_t") == 1) & (F.col("_p") == 1),
+        "c_pre": (F.col("_t") == 0) & (F.col("_p") == 0),
+        "c_post": (F.col("_t") == 0) & (F.col("_p") == 1),
+    }
+    aggs = []
+    for k, cond in cells.items():
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, vd).otherwise(F.lit(0).cast(dec))).alias(
+                f"_s_{k}"
+            )
+        )
+        aggs.append(
+            F.sum(
+                F.when(cond, vd * vd).otherwise(F.lit(0).cast(dec))
+            ).alias(f"_ss_{k}")
+        )
+    agg = src.agg(*aggs)
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    def mean(k: str) -> Column:
+        return d(f"_s_{k}") / d(f"n_{k}")
+
+    def var(k: str) -> Column:
+        return (
+            d(f"_ss_{k}")
+            - d(f"_s_{k}") * d(f"_s_{k}") / d(f"n_{k}")
+        ) / (d(f"n_{k}") - 1)
+
+    nonempty = None
+    enough = None
+    for k in cells:
+        ne = F.col(f"n_{k}") > 0
+        en = F.col(f"n_{k}") >= 2
+        nonempty = ne if nonempty is None else (nonempty & ne)
+        enough = en if enough is None else (enough & en)
+    did = F.when(
+        nonempty,
+        (mean("t_post") - mean("t_pre"))
+        - (mean("c_post") - mean("c_pre")),
+    )
+    se2 = (
+        var("t_post") / d("n_t_post")
+        + var("t_pre") / d("n_t_pre")
+        + var("c_post") / d("n_c_post")
+        + var("c_pre") / d("n_c_pre")
+    )
+    se = F.when(enough & (se2 > 0), F.sqrt(se2))
+    z = did / se
+    cols = [F.col(f"n_{k}") for k in cells]
+    cols += [
+        F.when(F.col(f"n_{k}") > 0, F.round(mean(k), 6)).alias(f"m_{k}")
+        for k in cells
+    ]
+    cols += [
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p(z), 6).alias("p_value"),
+    ]
+    return agg.select(*cols)
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_share: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio mismatch — the sanity gate EVERY experiment must
+    pass before anyone reads its metrics: if the realized assignment
+    split differs from the design share beyond chance, the
+    randomization (or logging) is broken and all downstream results
+    are untrustworthy. Binomial normal approximation:
+    z = (n_a − n·s) / sqrt(n·s·(1−s)), two-sided p via the shared
+    A&S erfc polynomial; the conventional alarm fires at p < 0.001
+    (SRM is a data-quality defect, not a hypothesis — the threshold
+    is deliberately conservative).
+
+    Exactness: counts are the only aggregate (one two-phase count —
+    nothing else shuffles); z and p are one identical float tree per
+    engine. ``arm_col`` is boolean-ish (1/true = arm A); NULL arm
+    rows are dropped into ``n_dropped``. Empty input → NULL z/p, no
+    alarm on nothing.
+
+    Output: 1 row — (n_a, n_b, n_dropped, share_observed, z,
+    p_value, srm), with ``srm`` computed on the UNROUNDED p.
+    """
+    from etl_capnz_spark.operators.mlmetrics import two_sided_p
+
+    src = df.select(F.col(arm_col).cast("int").alias("_ia"))
+    agg = src.agg(
+        F.sum(F.when(F.col("_ia") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(
+            F.when(F.col("_ia").isNotNull() & (F.col("_ia") != 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_ia").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    n = d("n_a") + d("n_b")
+    s = F.lit(float(expected_share))
+    z = F.when(
+        n > 0,
+        (d("n_a") - n * s) / F.sqrt(n * s * (F.lit(1.0) - s)),
+    )
+    p = two_sided_p(z)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_dropped",
+        F.when(n > 0, F.round(d("n_a") / n, 6)).alias("share_observed"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.when(n > 0, p < F.lit(0.001)).alias("srm"),
+    )

@@ -539,6 +539,36 @@ def jsd_drift(
     )
 
 
+def erfc_as(x: Column) -> Column:
+    """erfc(x) for x ≥ 0 by the Abramowitz-Stegun 7.1.26 polynomial
+    (|ε| < 1.5e-7): t = 1/(1 + 0.3275911 x),
+    erfc = (a1 t + a2 t² + a3 t³ + a4 t⁴ + a5 t⁵)·e^(−x²). Elementary
+    ops only, so Spark and DuckDB evaluate the IDENTICAL tree — no
+    library Φ with engine-specific rounding. Shared by every operator
+    that converts a z-statistic to a p-value (welch_z_tests,
+    did_estimator, srm_check); the oracle SQL mirrors this exact
+    nesting order."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        (
+            (
+                (F.lit(1.061405429) * t + F.lit(-1.453152027)) * t
+                + F.lit(1.421413741)
+            )
+            * t
+            + F.lit(-0.284496736)
+        )
+        * t
+        + F.lit(0.254829592)
+    ) * t
+    return poly * F.exp(-x * x)
+
+
+def two_sided_p(z: Column) -> Column:
+    """Two-sided normal p-value 2·(1 − Φ(|z|)) = erfc(|z|/√2)."""
+    return erfc_as(F.abs(z) / F.sqrt(F.lit(2.0)))
+
+
 def welch_z_tests(
     df: DataFrame,
     group_col: str,
@@ -603,23 +633,7 @@ def welch_z_tests(
     se2 = va / d("n_a") + vb / d("n_b")
     ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
     z = F.when(ok & (se2 > 0), (ma - mb) / F.sqrt(se2))
-    # erfc(x) by A&S 7.1.26: t = 1/(1 + 0.3275911 x),
-    # erfc = (a1 t + a2 t² + a3 t³ + a4 t⁴ + a5 t⁵)·e^(−x²)
-    x = F.abs(z) / F.sqrt(F.lit(2.0))
-    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
-    poly = (
-        (
-            (
-                (F.lit(1.061405429) * t + F.lit(-1.453152027)) * t
-                + F.lit(1.421413741)
-            )
-            * t
-            + F.lit(-0.284496736)
-        )
-        * t
-        + F.lit(0.254829592)
-    ) * t
-    p = poly * F.exp(-x * x)
+    p = two_sided_p(z)
     return agg.select(
         F.col("grp").alias(group_col),
         "n_a",

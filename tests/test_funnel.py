@@ -853,3 +853,98 @@ def test_position_attribution_k1_k2_and_invariance(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_did_estimator_planted_effect_and_guards(spark):
+    """A planted +7 treatment effect on top of a +3 common trend
+    recovers exactly 7; z/se match a pure-Python replay; an empty
+    cell → NULL did; <2-value cells → NULL se/z/p."""
+    import math
+
+    from etl_capnz_spark.operators.funnel import did_estimator
+
+    rows = []
+    # control: pre base 10/12, post +3 trend
+    rows += [(0, 0, v) for v in (10, 12, 14, 8)]
+    rows += [(0, 1, v) for v in (13, 15, 17, 11)]
+    # treatment: pre base 20/22, post +3 trend +7 effect
+    rows += [(1, 0, v) for v in (20, 22, 24, 18)]
+    rows += [(1, 1, v) for v in (30, 32, 34, 28)]
+    df = spark.createDataFrame(rows, "t int, p int, v long")
+    r = did_estimator(df, "t", "p", "v").collect()[0]
+    assert r["did"] == 7.0
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (
+        4, 4, 4, 4,
+    )
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    cells = {
+        (t, p): [v for tt, pp, v in rows if tt == t and pp == p]
+        for t in (0, 1)
+        for p in (0, 1)
+    }
+    se = math.sqrt(sum(var(c) / len(c) for c in cells.values()))
+    assert r["se"] == round(se, 6)
+    assert r["z"] == round(7.0 / se, 6)
+    assert r["p_value"] is not None
+
+    # no-effect case: same trend both groups → did exactly 0
+    null_rows = [(t, p, 10 + 3 * p + 5 * t + d) for t in (0, 1)
+                 for p in (0, 1) for d in (-1, 0, 1)]
+    r0 = did_estimator(
+        spark.createDataFrame(null_rows, "t int, p int, v long"),
+        "t", "p", "v",
+    ).collect()[0]
+    assert r0["did"] == 0.0
+
+    # missing treated-post cell → the contrast is undefined
+    partial = [(0, 0, 1), (0, 1, 2), (1, 0, 3)]
+    rp = did_estimator(
+        spark.createDataFrame(partial, "t int, p int, v long"),
+        "t", "p", "v",
+    ).collect()[0]
+    assert rp["did"] is None and rp["se"] is None
+    assert rp["n_t_post"] == 0
+
+    # 1-value cells: estimate exists, inference doesn't
+    single = [(0, 0, 1), (0, 1, 2), (1, 0, 3), (1, 1, 11)]
+    rs = did_estimator(
+        spark.createDataFrame(single, "t int, p int, v long"),
+        "t", "p", "v",
+    ).collect()[0]
+    assert rs["did"] == 7.0
+    assert rs["se"] is None and rs["z"] is None and rs["p_value"] is None
+
+
+def test_srm_check_balanced_planted_and_share(spark):
+    """A 500/500 split is quiet (z=0, p≈1); a 600/400 split screams
+    (z=6.32, p<0.001 → srm); NULL arms drop; a non-half design share
+    evaluates against ITS expectation."""
+    import math
+
+    from etl_capnz_spark.operators.funnel import srm_check
+
+    def run(n_a, n_b, nulls=0, share=0.5):
+        rows = [(1,)] * n_a + [(0,)] * n_b + [(None,)] * nulls
+        df = spark.createDataFrame(rows, "arm int")
+        return srm_check(df, "arm", expected_share=share).collect()[0]
+
+    r = run(500, 500)
+    assert r["z"] == 0.0 and r["srm"] is False
+    assert r["share_observed"] == 0.5
+
+    r = run(600, 400, nulls=3)
+    z = (600 - 1000 * 0.5) / math.sqrt(1000 * 0.25)
+    assert r["z"] == round(z, 6)
+    assert r["srm"] is True and r["n_dropped"] == 3
+
+    # design share 0.9 realized exactly → quiet even though unequal
+    r = run(900, 100, share=0.9)
+    assert r["z"] == 0.0 and r["srm"] is False
+
+    empty = spark.createDataFrame([], "arm int")
+    r = srm_check(empty, "arm").collect()[0]
+    assert r["z"] is None and r["srm"] is None
