@@ -6926,6 +6926,52 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_csv_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec round-trip WITH per-record error isolation — the
+    reference's T8 discipline (task.ts: one bad record must never
+    poison the batch) applied at the FORMAT layer: typed events rows
+    serialize through to_csv, three planted malformed lines union in,
+    and from_csv (PERMISSIVE + columnNameOfCorruptRecord) parses the
+    stream back — good rows round-trip value-exact, bad rows surface
+    as (partial fields, is_bad, raw line) instead of failing the job.
+    Pure in-plan codec work (the tarshard trick): no filesystem, so
+    the entry stays a pure DataFrame function and the oracle never
+    sees a CSV — it reads the events table and appends the three
+    planted rows' KNOWN parse results analytically. Narrow map-only
+    plan; nothing shuffles."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("event_type").alias("event_type"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    lines = ev.select(
+        F.to_csv(F.struct("event_id", "event_type", "cents")).alias(
+            "raw"
+        )
+    )
+    planted = spark.createDataFrame(
+        [("oops,bad,row",), ("12x,purchase,34y",), (",,",)],
+        "raw string",
+    )
+    schema = (
+        "event_id bigint, event_type string, cents bigint, _bad string"
+    )
+    parsed = lines.unionByName(planted).select(
+        F.from_csv(
+            "raw",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.cents").alias("cents"),
+        F.col("r._bad").isNotNull().alias("is_bad"),
+        F.col("r._bad").alias("bad_raw"),
+    )
+
+
 def _q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences (operators/funnel.py did_estimator):
     did the H2 monetary value of even-user-id events move beyond the
@@ -7166,6 +7212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bh_fdr": _q_events_bh_fdr,
         "events_did": _q_events_did,
         "events_srm": _q_events_srm,
+        "csv_error_isolation": _q_csv_error_isolation,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11503,6 +11550,22 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "csv_error_isolation": """
+            -- codec replay: real rows round-trip value-exact (the
+            -- oracle never sees a CSV), the three planted lines'
+            -- parse results are written analytically: partial-cast
+            -- failures corrupt the row but KEEP the parseable fields;
+            -- an all-empty line is legal NULLs, NOT corruption
+            SELECT event_id::BIGINT AS event_id, event_type,
+                   round(value * 100)::BIGINT AS cents,
+                   false AS is_bad, NULL::VARCHAR AS bad_raw
+            FROM events
+            UNION ALL
+            SELECT NULL, 'bad', NULL, true, 'oops,bad,row'
+            UNION ALL
+            SELECT NULL, 'purchase', NULL, true, '12x,purchase,34y'
+            UNION ALL
+            SELECT NULL, NULL, NULL, false, NULL""",
         "events_did": f"""
             -- DiD replay: twelve HUGEINT cell moments, the same
             -- left-associated float tree, shared erfc polynomial

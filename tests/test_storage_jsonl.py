@@ -194,3 +194,80 @@ def test_csv_permissive_quarantines_corrupt_rows(spark, tmp_path):
         ]
     finally:
         df.unpersist()
+
+
+def test_orc_roundtrip_is_value_exact_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC as an interchange format: a typed events projection writes
+    to ORC and reads back value-exact (every row, every column), and
+    a filtered read pushes the predicate into the ORC scan — the same
+    format-layer guarantees the parquet paths get."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts",
+        )
+    )
+    out = str(tmp_path / "events_orc")
+    src.write.format("orc").mode("overwrite").save(out)
+    back = spark.read.format("orc").load(out)
+
+    cols = sorted(back.columns)
+    assert cols == sorted(src.columns)
+    a = sorted(map(tuple, src.select(*cols).collect()))
+    b = sorted(map(tuple, back.select(*cols).collect()))
+    assert a == b
+
+    filtered = back.filter(F.col("event_type") == "purchase")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "event_type" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], "predicate must reach the ORC scan"
+    n_orc = filtered.count()
+    n_parq = src.filter(F.col("event_type") == "purchase").count()
+    assert n_orc == n_parq
+
+
+def test_csv_permissive_isolation_semantics(spark):
+    """The format-layer T8 discipline (csv_error_isolation entry): a
+    cast-failing field corrupts the row but KEEPS parseable sibling
+    fields; an all-empty line is legal NULLs, NOT corruption; a clean
+    line round-trips exactly."""
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame(
+        [("oops,bad,row",), (",,",), ("7,click,88",)], "raw string"
+    )
+    schema = (
+        "event_id bigint, event_type string, cents bigint, _bad string"
+    )
+    rows = {
+        r["raw"]: r
+        for r in lines.select(
+            "raw",
+            F.from_csv(
+                "raw",
+                schema,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_bad",
+                },
+            ).alias("r"),
+        )
+        .select("raw", "r.*")
+        .collect()
+    }
+    bad = rows["oops,bad,row"]
+    assert bad["_bad"] == "oops,bad,row"
+    assert bad["event_id"] is None and bad["event_type"] == "bad"
+    empty = rows[",,"]
+    assert empty["_bad"] is None  # NULLs, not corruption
+    assert empty["event_id"] is None and empty["event_type"] is None
+    good = rows["7,click,88"]
+    assert good["_bad"] is None and good["event_id"] == 7
+    assert good["event_type"] == "click" and good["cents"] == 88
