@@ -770,6 +770,54 @@ NOTES = {
         "-> per-segment exact sums ratio with a 128-bit squared "
         "accumulator. Groups are segment-sized; no window at all."
     ),
+    "dedup_substring_spans": (
+        "Lee-et-al exact span removal (r6): shingling is a narrow "
+        "O(n*k) expression (whole-stage codegen); exactly TWO "
+        "exchanges of compact tuples - (16-byte hash, id, pos) for "
+        "the global first-occurrence window, then (id, pos) for the "
+        "island merge + reassembly join. Document text never enters "
+        "an Exchange; islands collapse before the coverage test."
+    ),
+    "text_lr_train": (
+        "Distributed LR training (r6): per-iteration one two-phase "
+        "aggregate over (feature, residual) pairs - gradients partial-"
+        "combine before the exchange, the 33-element weight vector is "
+        "the only driver state (k-means collect discipline), features "
+        "re-derive from the cached hashed corpus each step."
+    ),
+    "text_ngram_novelty": (
+        "Per-doc novelty (r6): array_distinct collapses grams inside "
+        "the array BEFORE anything shuffles; two exchanges of "
+        "(md5 hash, id) tuples only - one groupBy(gram) for the "
+        "global first-seen id, one groupBy(id) to re-aggregate. Text "
+        "never shuffles (plan-pinned in tests/test_plans.py)."
+    ),
+    "events_ks_test": (
+        "Exact two-sample KS (r6): one union + groupBy(cents) "
+        "collapse (domain-bounded: distinct value units, not rows), "
+        "ONE ordered window over the distinct-value table for the "
+        "cumulative counts + totals (single-partition but domain-"
+        "sized - the auc_exact discipline), one max aggregate. Rows "
+        "never sort; only the value domain does."
+    ),
+    "events_bh_fdr": (
+        "Welch family + BH (r6): the p-family is one two-phase "
+        "decimal-moment aggregate (groups are the only shuffle); the "
+        "BH ranks/reverse-running-min windows run on the TESTS-"
+        "domain-sized table (a handful of rows), never on data."
+    ),
+    "events_did": (
+        "Difference-in-differences (r6): ONE two-phase global "
+        "aggregate builds all twelve 2x2 cell moments - a single "
+        "1-row exchange; estimate/SE/z/p are plan-side float trees "
+        "over the exact moments. The cheapest possible causal shape."
+    ),
+    "csv_error_isolation": (
+        "Format-layer T8 (r6): to_csv -> union planted bad lines -> "
+        "from_csv PERMISSIVE, all inside one narrow Project - a "
+        "map-only plan with zero exchanges; per-record corruption "
+        "isolates into a column instead of failing the job."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
