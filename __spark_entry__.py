@@ -6926,6 +6926,35 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type over the semi-structured props column —
+    the OPEN-schema twin of events_props_json: try_parse_json encodes
+    the JSON once into the binary variant form (no per-extraction
+    re-parse, shredding-/pushdown-friendly — the 100 TB answer when
+    the schema is NOT known up front, where from_json's declared
+    schema is the answer when it is), then try_variant_get extracts a
+    typed path; unparseable or missing paths are NULL, never errors
+    (the T8 isolation discipline at the type layer). Aggregates stay
+    exact BIGINTs. The oracle replays through DuckDB's JSON path
+    extraction — two engines, two semi-structured engines, one
+    answer."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(
+        F.try_parse_json(F.col("props")), "$.k", "bigint"
+    )
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_csv_error_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV codec round-trip WITH per-record error isolation — the
     reference's T8 discipline (task.ts: one bad record must never
@@ -7213,6 +7242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did": _q_events_did,
         "events_srm": _q_events_srm,
         "csv_error_isolation": _q_csv_error_isolation,
+        "events_props_variant": _q_events_props_variant,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11550,6 +11580,19 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "events_props_variant": """
+            -- VARIANT replay via DuckDB's JSON path engine: same
+            -- $.k extraction, same NULL-on-missing semantics
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(k)::BIGINT AS sum_k,
+                   min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+            FROM (
+              SELECT event_type,
+                     try_cast(json_extract(props, '$.k') AS BIGINT)
+                       AS k
+              FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY event_type""",
         "csv_error_isolation": """
             -- codec replay: real rows round-trip value-exact (the
             -- oracle never sees a CSV), the three planted lines'

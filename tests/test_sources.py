@@ -162,3 +162,36 @@ def test_parse_cap_xml_unknown_field_rejected(spark):
     df = spark.createDataFrame([(CAP_XML,)], "xml string")
     with pytest.raises(ValueError):
         parse_cap_xml(df, "xml", fields=["identifier", "nope"])
+
+
+def test_variant_open_schema_extraction_semantics(spark):
+    """Spark 4 VARIANT (events_props_variant entry): one parse_json
+    encode, typed path extraction with NULL-on-missing/unparseable
+    (never an error), nested paths and array indexing — the
+    open-schema twin of the declared-schema from_json path."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ('{"k": 7, "b": {"c": "x"}, "arr": [10, 20]}',),
+            ('{"k": 2.5}',),
+            ("not json",),
+            (None,),
+        ],
+        "props string",
+    )
+    out = df.select(
+        F.try_parse_json("props").alias("v")
+    ).select(
+        F.try_variant_get("v", "$.k", "double").alias("k"),
+        F.try_variant_get("v", "$.b.c", "string").alias("c"),
+        F.try_variant_get("v", "$.arr[1]", "int").alias("arr1"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+        F.col("v").isNull().alias("bad"),
+    ).collect()
+    assert (out[0]["k"], out[0]["c"], out[0]["arr1"]) == (7.0, "x", 20)
+    assert out[0]["missing"] is None and out[0]["bad"] is False
+    assert out[1]["k"] == 2.5 and out[1]["c"] is None
+    # unparseable and NULL inputs isolate to NULL variants, no error
+    assert out[2]["bad"] is True and out[3]["bad"] is True
+    assert all(r["k"] is None for r in out[2:])
