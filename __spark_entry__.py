@@ -6926,6 +6926,74 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_ml_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (operators/mlmetrics.py
+    conformal_interval): a deliberately dumb per-type midrange
+    predictor (conformal's point — the coverage guarantee holds for
+    ANY model) trains on user%4==0, calibrates q̂ on user%4==1 at
+    α=0.1, and the realized test coverage (user%4==2) is emitted so
+    the ≥90% guarantee is CHECKED. q̂ comes off the distinct-residual
+    table by the auc discipline; the rank m = ⌈(n+1)(1−α)⌉ is exact
+    integer arithmetic both engines. Cents stay small enough that
+    the midrange's double floor is exact (documented); every other
+    number is integer or a single ratio."""
+    from etl_capnz_spark.operators.mlmetrics import conformal_interval
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).filter(F.col("cents").isNotNull() & F.col("user_id").isNotNull())
+    pred = (
+        src.filter(F.col("user_id") % 4 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.floor(
+                (F.min("cents") + F.max("cents")) / F.lit(2)
+            )
+            .cast("bigint")
+            .alias("pred")
+        )
+    )
+    labeled = src.filter(F.col("user_id") % 4 != 0).join(
+        F.broadcast(pred), "event_type"
+    )
+    split = (
+        F.when(F.col("user_id") % 4 == 1, "cal")
+        .when(F.col("user_id") % 4 == 2, "test")
+        .otherwise("ignore")
+    )
+    return conformal_interval(
+        labeled.select(
+            split.alias("split"), "pred", F.col("cents").alias("label")
+        ),
+        "split",
+        "pred",
+        "label",
+        alpha=0.1,
+    )
+
+
+def _q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operators/audit.py
+    k_anonymity): quasi-identifiers (market segment, nation) against
+    the sensitive account balance — one two-phase aggregate whose
+    groups ARE the equivalence classes, one row per class with both
+    violation flags so the release decision knows WHICH slices to
+    generalize. k=10, l=5."""
+    from etl_capnz_spark.operators.audit import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+    )
+    return k_anonymity(
+        cust, ["c_mktsegment", "c_nationkey"], "bal", k=10, l_div=5
+    )
+
+
 def _q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's VARIANT type over the semi-structured props column —
     the OPEN-schema twin of events_props_json: try_parse_json encodes
@@ -7243,6 +7311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_srm": _q_events_srm,
         "csv_error_isolation": _q_csv_error_isolation,
         "events_props_variant": _q_events_props_variant,
+        "ml_conformal": _q_ml_conformal,
+        "privacy_k_anon": _q_privacy_k_anon,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11580,6 +11650,67 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "ml_conformal": """
+            -- conformal replay: same midrange predictor, exact
+            -- integer rank m = ceil((n+1)*9/10), distinct-residual
+            -- cumulative q-hat, exact coverage ratio
+            WITH src AS (
+              SELECT event_type, user_id,
+                     round(value * 100)::BIGINT AS cents
+              FROM events
+              WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            pred AS (
+              SELECT event_type,
+                     CAST(floor((min(cents) + max(cents))::DOUBLE
+                                / 2) AS BIGINT) AS pred
+              FROM src WHERE user_id % 4 = 0 GROUP BY event_type),
+            cal AS (
+              SELECT abs(cents - pred)::BIGINT AS r
+              FROM src JOIN pred USING (event_type)
+              WHERE user_id % 4 = 1),
+            tst AS (
+              SELECT abs(cents - pred)::BIGINT AS r
+              FROM src JOIN pred USING (event_type)
+              WHERE user_id % 4 = 2),
+            counts AS (
+              SELECT count(*)::BIGINT AS n_cal,
+                     (((count(*)::HUGEINT + 1) * 9 + 9) // 10)::BIGINT
+                       AS m_rank
+              FROM cal),
+            dist AS (
+              SELECT r, sum(cnt) OVER (ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum
+              FROM (SELECT r, count(*)::BIGINT AS cnt
+                    FROM cal GROUP BY r)),
+            qh AS (
+              SELECT min(r)::BIGINT AS qhat
+              FROM dist, counts WHERE cum >= m_rank),
+            scored AS (
+              SELECT count(*)::BIGINT AS n_test,
+                     sum(CASE WHEN r <= qhat
+                         THEN 1 ELSE 0 END)::BIGINT AS covered,
+                     max(qhat)::BIGINT AS qhat
+              FROM tst, qh)
+            SELECT n_cal, n_test, m_rank,
+                   CASE WHEN n_cal > 0 AND m_rank <= n_cal
+                        THEN qhat END AS qhat,
+                   CASE WHEN n_cal > 0 AND m_rank <= n_cal
+                             AND n_test > 0
+                        THEN round(covered::DOUBLE
+                                   / n_test::DOUBLE, 6)
+                   END AS coverage
+            FROM scored, counts""",
+        "privacy_k_anon": """
+            SELECT c_mktsegment, c_nationkey,
+                   count(*)::BIGINT AS n,
+                   count(DISTINCT round(c_acctbal * 100)::BIGINT)
+                     ::BIGINT AS n_sensitive,
+                   count(*) < 10 AS k_violation,
+                   count(DISTINCT round(c_acctbal * 100)::BIGINT) < 5
+                     AS l_violation
+            FROM customer
+            GROUP BY c_mktsegment, c_nationkey""",
         "events_props_variant": """
             -- VARIANT replay via DuckDB's JSON path engine: same
             -- $.k extraction, same NULL-on-missing semantics

@@ -919,3 +919,48 @@ def chi2_independence(
             (F.col("n_obs") - e) * (F.col("n_obs") - e) / e, 6
         ).alias("chi2_contrib"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit — the re-identification gate a
+    dataset passes BEFORE it is released or folded into training data:
+    every combination of quasi-identifiers (the columns an adversary
+    can link from outside — segment, region, zip, age band) must be
+    shared by ≥ k records (k-anonymity), and within each such
+    equivalence class the SENSITIVE attribute must take ≥ l distinct
+    values (l-diversity — a class of 50 people who all share one
+    diagnosis is k-anonymous and still leaks everything).
+
+    One groupBy over the quasi-identifier columns — the equivalence
+    classes ARE the groups, so the audit is a single two-phase
+    aggregate (count + count-distinct per class; the distinct rides
+    the same exchange). Output is one row PER CLASS with both
+    violation flags, not a pass/fail scalar: the release decision
+    needs to know WHICH slices to generalize or suppress. NULL QI
+    values form their own class (NULL is linkable too — a missing
+    zip code is an identifier when only one record lacks it).
+
+    Output: (qi_cols..., n, n_sensitive, k_violation, l_violation).
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in qi_cols])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("n_sensitive"),
+        )
+        .select(
+            *qi_cols,
+            "n",
+            "n_sensitive",
+            (F.col("n") < k).alias("k_violation"),
+            (F.col("n_sensitive") < l_div).alias("l_violation"),
+        )
+    )

@@ -706,3 +706,108 @@ def bh_fdr(
         F.round(q, 6).alias("q_value"),
         (q <= F.lit(alpha)).alias("significant"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    split_col: str,
+    pred_col: str,
+    label_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval — the distribution-free
+    calibration step that turns ANY point predictor into an interval
+    with guaranteed marginal coverage: on a held-out calibration
+    split, q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual;
+    then [ŷ − q̂, ŷ + q̂] covers a fresh label with probability
+    ≥ 1−α (finite-sample, no distributional assumptions — Vovk's
+    split-conformal construction). Emitted alongside the REALIZED
+    coverage on the test split, so the guarantee is checked, not
+    assumed.
+
+    Exactness: ``pred_col``/``label_col`` must be integer-valued
+    (cents — the mann_whitney quantization contract), so residuals
+    are exact integers and q̂ comes off the DISTINCT-residual table
+    by the auc_exact discipline: one groupBy(residual) collapse, one
+    ordered window for the cumulative count, q̂ = the first residual
+    whose cumulative count reaches m = ⌈(n_cal+1)(1−α)⌉ (exact
+    integer arithmetic: m = floor((n+1)·(1−α)) + (1 if fractional)
+    — both engines replay it from the same integers). Coverage is an
+    exact count ratio, 6dp. ``split_col``: 'cal' rows calibrate,
+    'test' rows score; everything else is ignored. n_cal = 0 or
+    m > n_cal (α too small for the split) emit NULL q̂/coverage —
+    the guarantee is vacuous, not fabricated.
+
+    Output: 1 row — (n_cal, n_test, m_rank, qhat, coverage).
+    """
+    from pyspark.sql.window import Window
+
+    res = F.abs(
+        F.col(label_col).cast("bigint") - F.col(pred_col).cast("bigint")
+    )
+    src = df.select(
+        F.col(split_col).alias("_s"), res.alias("_r")
+    ).filter(F.col("_r").isNotNull() & F.col("_s").isin("cal", "test"))
+    cal = src.filter(F.col("_s") == "cal")
+    test = src.filter(F.col("_s") == "test")
+
+    counts = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    # m = ceil((n+1)(1-alpha)) in exact integer arithmetic over the
+    # rational alpha: with alpha = a_num/a_den,
+    # m = ceil((n+1)(a_den-a_num)/a_den) = -floor(-x) = (num + den - 1) div den
+    from fractions import Fraction
+
+    fr = Fraction(alpha).limit_denominator(10**6)
+    a_num, a_den = fr.numerator, fr.denominator
+    # exact ceil-division in decimal: scale-6 decimal division is
+    # exact-floorable for denominators ≤ 1e6 (the fractional part of
+    # num/den is ≤ 1 − 1e-6, which scale-6 HALF_UP rounding can never
+    # carry to the next integer) — a bigint `/` would go through
+    # double and lose exactness past 2^53
+    num = (
+        (F.col("n_cal") + 1) * F.lit(a_den - a_num) + F.lit(a_den - 1)
+    ).cast("decimal(38,0)")
+    counts = counts.select(
+        "n_cal",
+        F.floor(num / F.lit(a_den)).cast("bigint").alias("m_rank"),
+    )
+    w = Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+    dist = (
+        cal.groupBy("_r")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("_r", F.sum("_n").over(w).alias("_cum"))
+    )
+    # q̂ = smallest residual whose cumulative count reaches m_rank
+    qhat = (
+        dist.crossJoin(F.broadcast(counts))
+        .filter(F.col("_cum") >= F.col("m_rank"))
+        .agg(F.min("_r").alias("qhat"))
+    )
+    scored = (
+        test.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                (F.col("_r") <= F.col("qhat")).cast("int")
+            ).alias("_covered"),
+            F.max("qhat").alias("qhat"),
+        )
+    )
+    out = scored.crossJoin(F.broadcast(counts))
+    ok = (F.col("n_cal") > 0) & (F.col("m_rank") <= F.col("n_cal"))
+    return out.select(
+        "n_cal",
+        "n_test",
+        "m_rank",
+        F.when(ok, F.col("qhat")).alias("qhat"),
+        F.when(
+            ok & (F.col("n_test") > 0),
+            F.round(
+                F.col("_covered").cast("double")
+                / F.col("n_test").cast("double"),
+                6,
+            ),
+        ).alias("coverage"),
+    )

@@ -556,3 +556,33 @@ def test_chi2_independence_hand_table(spark):
     chi2 = sum(o["chi2_contrib"] for o in got.values())
     want = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
     assert abs(chi2 - want) < 1e-5
+
+
+def test_k_anonymity_flags_small_and_uniform_classes(spark):
+    """A 2-record class violates k=3; a 4-record class whose sensitive
+    value is constant violates l=2 but not k; NULL quasi-identifiers
+    form their OWN class (a missing zip is linkable too)."""
+    from etl_capnz_spark.operators.audit import k_anonymity
+
+    rows = (
+        [("a", 1, 100), ("a", 1, 200), ("a", 1, 300)]      # ok class
+        + [("b", 2, 100), ("b", 2, 100)]                    # k-violation
+        + [("c", 3, 50)] * 4                                # l-violation
+        + [(None, 9, 10), (None, 9, 20), (None, 9, 30)]     # NULL QI class
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, bal long")
+    got = {
+        (r["seg"], r["nat"]): r
+        for r in k_anonymity(
+            df, ["seg", "nat"], "bal", k=3, l_div=2
+        ).collect()
+    }
+    assert len(got) == 4
+    ok = got[("a", 1)]
+    assert ok["n"] == 3 and not ok["k_violation"] and not ok["l_violation"]
+    kv = got[("b", 2)]
+    assert kv["k_violation"] and kv["l_violation"]  # 2 rows, 1 value
+    lv = got[("c", 3)]
+    assert lv["n"] == 4 and not lv["k_violation"] and lv["l_violation"]
+    nu = got[(None, 9)]
+    assert nu["n"] == 3 and not nu["k_violation"] and not nu["l_violation"]

@@ -510,3 +510,69 @@ def test_bh_fdr_tie_break_is_total_and_partition_invariant(spark):
         key=lambda r: r["rank"],
     )
     assert got == got2
+
+
+def test_conformal_matches_pure_python_and_guarantee(spark):
+    """q̂ equals sorted(residuals)[⌈(n+1)(1−α)⌉ − 1] exactly on a
+    tied-heavy random case; realized coverage matches the exact
+    pure-Python ratio AND the ≥1−α guarantee holds in expectation;
+    too-small calibration (m > n) → NULL, empty splits → NULL."""
+    import math
+    import random
+
+    from etl_capnz_spark.operators.mlmetrics import conformal_interval
+
+    rng = random.Random(59)
+    rows = []
+    for i in range(600):
+        split = "cal" if i % 2 == 0 else "test"
+        pred = rng.randint(90, 110)
+        label = pred + rng.randint(-30, 30)
+        rows.append((split, pred, label))
+    df = spark.createDataFrame(rows, "split string, pred long, label long")
+    got = conformal_interval(df, "split", "pred", "label", alpha=0.1)
+    r = got.collect()[0]
+
+    cal = sorted(
+        abs(lb - p) for s, p, lb in rows if s == "cal"
+    )
+    n_cal = len(cal)
+    m = math.ceil((n_cal + 1) * 0.9)
+    qhat = cal[m - 1]
+    tst = [abs(lb - p) for s, p, lb in rows if s == "test"]
+    cov = sum(1 for x in tst if x <= qhat) / len(tst)
+    assert (r["n_cal"], r["n_test"], r["m_rank"]) == (n_cal, len(tst), m)
+    assert r["qhat"] == qhat
+    assert r["coverage"] == round(cov, 6)
+    assert r["coverage"] >= 0.85  # guarantee is ≥0.9 in expectation
+
+    tiny = spark.createDataFrame(
+        [("cal", 5, 7), ("test", 5, 6)], "split string, pred long, label long"
+    )
+    r2 = conformal_interval(
+        tiny, "split", "pred", "label", alpha=0.1
+    ).collect()[0]
+    # n_cal=1 → m = ceil(2·0.9) = 2 > 1 → vacuous
+    assert r2["m_rank"] == 2 and r2["qhat"] is None
+    assert r2["coverage"] is None
+
+    nocal = spark.createDataFrame(
+        [("test", 5, 6)], "split string, pred long, label long"
+    )
+    r3 = conformal_interval(
+        nocal, "split", "pred", "label", alpha=0.1
+    ).collect()[0]
+    assert r3["n_cal"] == 0 and r3["qhat"] is None
+
+
+def test_conformal_hand_case_alpha_half(spark):
+    """α=0.5, cal residuals {0,1,2,3}: m = ceil(5·0.5) = 3 →
+    q̂ = 2; test residuals {0,3} → coverage 0.5."""
+    from etl_capnz_spark.operators.mlmetrics import conformal_interval
+
+    rows = [("cal", 10, 10), ("cal", 10, 11), ("cal", 10, 12),
+            ("cal", 10, 13), ("test", 10, 10), ("test", 10, 13)]
+    df = spark.createDataFrame(rows, "split string, pred long, label long")
+    r = conformal_interval(df, "split", "pred", "label", alpha=0.5).collect()[0]
+    assert r["m_rank"] == 3 and r["qhat"] == 2
+    assert r["coverage"] == 0.5
