@@ -6926,6 +6926,23 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table (operators/mlmetrics.py lift_gains)
+    for the same scorer auc_exact grades: cents vs purchase. Distinct-
+    score collapse + ordered domain-sized windows assign whole tied
+    score groups to one bucket (deterministic both engines), then a
+    bucket-sized re-aggregate; lift/gains are exact-integer ratios.
+    The deployment-cutoff readout completing the scorer-eval family."""
+    from etl_capnz_spark.operators.mlmetrics import lift_gains
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return lift_gains(scored, "cents", "label", buckets=10)
+
+
 def _q_ml_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval (operators/mlmetrics.py
     conformal_interval): a deliberately dumb per-type midrange
@@ -7313,6 +7330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": _q_events_props_variant,
         "ml_conformal": _q_ml_conformal,
         "privacy_k_anon": _q_privacy_k_anon,
+        "ml_lift_gains": _q_ml_lift_gains,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11650,6 +11668,46 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "ml_lift_gains": """
+            -- lift/gains replay: distinct-score cumulative-above
+            -- counts, whole tied groups to one bucket, exact ratios
+            WITH src AS (
+              SELECT round(value * 100)::BIGINT AS v,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS y
+              FROM events WHERE value IS NOT NULL),
+            vals AS (
+              SELECT v, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
+              FROM src GROUP BY v),
+            ranked AS (
+              SELECT v, n, npos,
+                     coalesce(sum(n) OVER (ORDER BY v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS above,
+                     sum(n) OVER () AS nt, sum(npos) OVER () AS pt
+              FROM vals),
+            bk AS (
+              SELECT least(9, floor((10 * above) / nt)::INT)
+                       AS bucket,
+                     n, npos, nt, pt
+              FROM ranked),
+            agg AS (
+              SELECT bucket, sum(n)::BIGINT AS n,
+                     sum(npos)::BIGINT AS n_pos,
+                     max(nt) AS nt, max(pt) AS pt
+              FROM bk GROUP BY bucket)
+            SELECT bucket, n, n_pos,
+                   round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+                   CASE WHEN pt > 0 THEN
+                     round((n_pos::DOUBLE / n::DOUBLE)
+                           / (pt::DOUBLE / nt::DOUBLE), 6)
+                   END AS lift,
+                   CASE WHEN pt > 0 THEN
+                     round((sum(n_pos) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))::DOUBLE / pt::DOUBLE, 6)
+                   END AS cum_pos_share
+            FROM agg""",
         "ml_conformal": """
             -- conformal replay: same midrange predictor, exact
             -- integer rank m = ceil((n+1)*9/10), distinct-residual

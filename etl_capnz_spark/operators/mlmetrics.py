@@ -811,3 +811,90 @@ def conformal_interval(
             ),
         ).alias("coverage"),
     )
+
+
+def lift_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Decile lift & gains table — the targeting readout that turns a
+    scorer into a business decision (mail the top 2 deciles?): rank
+    the population by score DESCENDING, cut into ``buckets`` equal
+    slices, and report each slice's positive rate against the base
+    rate (lift) plus the cumulative share of all positives captured
+    (gains). Completes the scorer-eval family: auc (ranking), ece /
+    calibration (probability quality), conformal (intervals), lift
+    (deployment cutoff).
+
+    Exactness + scale shape (the auc discipline): everything derives
+    from the DISTINCT-score table — one groupBy(score) collapse, one
+    ordered window for the exact count of rows ABOVE each score, so
+    no data-sized sort exists. A distinct score belongs to the bucket
+    of its FIRST row in descending order: bucket = floor(B·above/n)
+    clamped to B−1 — tied scores land in ONE bucket wholesale (the
+    deterministic tie rule both engines replay; slice sizes therefore
+    wobble by tie-group size rather than splitting a score across
+    cutoffs, which would be arbitrary). NULL score/label rows are
+    dropped. Ratios are exact-integer divisions, 6dp.
+
+    Output: one row per non-empty bucket, descending score order —
+    (bucket, n, n_pos, pos_rate, lift, cum_pos_share).
+    """
+    from pyspark.sql.window import Window
+
+    src = df.select(
+        F.col(score_col).cast("bigint").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    vals = src.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("npos"),
+    )
+    w = Window.orderBy(F.col("_v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wall = Window.orderBy(F.col("_v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vals.select(
+        "_v",
+        "n",
+        "npos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("_above"),
+        F.sum("n").over(wall).alias("_nt"),
+        F.sum("npos").over(wall).alias("_pt"),
+    )
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor(
+            F.lit(buckets) * F.col("_above") / F.col("_nt")
+        ).cast("int"),
+    )
+    by_bucket = ranked.groupBy(bucket.alias("bucket")).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("npos").cast("bigint").alias("n_pos"),
+        F.max("_nt").alias("_nt"),
+        F.max("_pt").alias("_pt"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_pos = F.sum("n_pos").over(wc).cast("double")
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    rate = d("n_pos") / d("n")
+    base = d("_pt") / d("_nt")
+    return by_bucket.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(rate, 6).alias("pos_rate"),
+        F.when(F.col("_pt") > 0, F.round(rate / base, 6)).alias("lift"),
+        F.when(
+            F.col("_pt") > 0, F.round(cum_pos / d("_pt"), 6)
+        ).alias("cum_pos_share"),
+    )

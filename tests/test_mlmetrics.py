@@ -576,3 +576,70 @@ def test_conformal_hand_case_alpha_half(spark):
     r = conformal_interval(df, "split", "pred", "label", alpha=0.5).collect()[0]
     assert r["m_rank"] == 3 and r["qhat"] == 2
     assert r["coverage"] == 0.5
+
+
+def test_lift_gains_matches_pure_python_and_properties(spark):
+    """Bucket assignment, per-bucket rates, lift and cumulative gains
+    equal a pure-Python replay on a tied-heavy random case; a perfect
+    scorer's top bucket has lift = 1/base_rate; gains reach exactly
+    1.0 in the last non-empty bucket; partition-invariant."""
+    import random
+    from collections import defaultdict
+
+    from etl_capnz_spark.operators.mlmetrics import lift_gains
+
+    rng = random.Random(67)
+    rows = [
+        (rng.randint(0, 25), 1 if rng.random() < 0.3 else 0)
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = sorted(
+        lift_gains(df, "s", "y", buckets=10).collect(),
+        key=lambda r: r["bucket"],
+    )
+
+    # pure-Python replay of the tie rule: distinct scores descending,
+    # whole score group -> bucket floor(10*above/n), clamp 9
+    n_total = len(rows)
+    p_total = sum(y for _, y in rows)
+    per_v = defaultdict(lambda: [0, 0])
+    for s, y in rows:
+        per_v[s][0] += 1
+        per_v[s][1] += y
+    above = 0
+    buckets = defaultdict(lambda: [0, 0])
+    for v in sorted(per_v, reverse=True):
+        n, npos = per_v[v]
+        b = min(9, (10 * above) // n_total)
+        buckets[b][0] += n
+        buckets[b][1] += npos
+        above += n
+    assert [r["bucket"] for r in got] == sorted(buckets)
+    cum = 0
+    for r in got:
+        n, npos = buckets[r["bucket"]]
+        cum += npos
+        assert (r["n"], r["n_pos"]) == (n, npos)
+        assert r["pos_rate"] == round(npos / n, 6)
+        assert r["lift"] == round(
+            (npos / n) / (p_total / n_total), 6
+        )
+        assert r["cum_pos_share"] == round(cum / p_total, 6)
+    assert got[-1]["cum_pos_share"] == 1.0
+
+    got2 = sorted(
+        lift_gains(df.repartition(11), "s", "y", buckets=10).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert got2 == got
+
+    # perfect scorer: positives all score 100, negatives 0
+    perfect = [(100, 1)] * 40 + [(0, 0)] * 360
+    pf = lift_gains(
+        spark.createDataFrame(perfect, "s long, y int"), "s", "y"
+    ).collect()
+    top = [r for r in pf if r["bucket"] == 0][0]
+    assert top["pos_rate"] == 1.0
+    assert top["lift"] == round(1 / 0.1, 6)
+    assert top["cum_pos_share"] == 1.0
