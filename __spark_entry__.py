@@ -6926,6 +6926,24 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type power analysis (operators/funnel.py
+    power_analysis): the per-arm sample size needed to detect a 5%
+    lift in monetary value at α=5% / power 80%, from the metric's
+    MEASURED variance (one decimal-moment aggregate) — experiment
+    DESIGN, the step before events_ab_test/events_srm run. z table
+    values are pinned literals; the oracle replays the identical
+    tree in HUGEINT moments."""
+    from etl_capnz_spark.operators.funnel import power_analysis
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return power_analysis(src, "grp", "cents", mde_share=0.05)
+
+
 def _q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift & gains table (operators/mlmetrics.py lift_gains)
     for the same scorer auc_exact grades: cents vs purchase. Distinct-
@@ -7331,6 +7349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_conformal": _q_ml_conformal,
         "privacy_k_anon": _q_privacy_k_anon,
         "ml_lift_gains": _q_ml_lift_gains,
+        "events_power": _q_events_power,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11668,6 +11687,34 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "events_power": """
+            -- power replay: HUGEINT moments, pinned z literals,
+            -- identical float tree, ceil per-arm n
+            WITH src AS (
+              SELECT event_type AS grp,
+                     round(value * 100)::BIGINT AS v
+              FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT grp, count(*)::BIGINT AS n,
+                     sum(v)::HUGEINT AS s,
+                     sum(v::HUGEINT * v::HUGEINT) AS ss
+              FROM src GROUP BY grp),
+            mv AS (
+              SELECT grp, n,
+                     s::DOUBLE / n::DOUBLE AS mean_,
+                     (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                       / (n::DOUBLE - 1) AS var_
+              FROM m)
+            SELECT grp, n, round(mean_, 6) AS mean,
+                   CASE WHEN n >= 2
+                        THEN round(var_, 6) END AS variance,
+                   CASE WHEN n >= 2 AND mean_ != 0 THEN
+                     CAST(ceil(2.0 * (1.959964 + 0.841621)
+                               * (1.959964 + 0.841621) * var_
+                               / ((0.05 * mean_) * (0.05 * mean_)))
+                          AS BIGINT)
+                   END AS n_required_per_arm
+            FROM mv""",
         "ml_lift_gains": """
             -- lift/gains replay: distinct-score cumulative-above
             -- counts, whole tied groups to one bucket, exact ratios

@@ -944,3 +944,62 @@ def srm_check(
         F.round(p, 6).alias("p_value"),
         F.when(n > 0, p < F.lit(0.001)).alias("srm"),
     )
+
+
+def power_analysis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    mde_share: float = 0.05,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Experiment DESIGN, not analysis: per group (metric family),
+    the required per-arm sample size to detect a ``mde_share``
+    relative lift at two-sided α=5% / power 80% — the number a team
+    needs BEFORE launching, derived from the metric's MEASURED
+    variance instead of a guess:
+    n = ⌈2·(z_{α/2} + z_β)²·σ² / δ²⌉ with δ = mde_share·mean.
+
+    The z constants are compile-time literals (1.959964 / 0.841621 —
+    inverse-normal has no elementary closed form, so the conventional
+    table values are pinned rather than approximated); σ² and the
+    mean come from ONE two-phase aggregate over decimal(38,0)
+    moments (the welch_z_tests discipline), and n_required is one
+    identical float tree per engine, ceil'd. Groups with < 2 values
+    or a zero mean emit NULL — a power calc against no signal is
+    undefined, not zero.
+
+    ``value_col`` must be integer-valued (cents). Output: one row per
+    group — (group_col, n, mean, variance, n_required_per_arm).
+    """
+    dec = "decimal(38,0)"
+    src = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    vd = F.col("_v").cast(dec)
+    agg = src.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vd).alias("_s"),
+        F.sum(vd * vd).alias("_ss"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    mean = d("_s") / d("n")
+    var = (d("_ss") - d("_s") * d("_s") / d("n")) / (d("n") - 1)
+    delta = F.lit(float(mde_share)) * mean
+    zsum = F.lit(float(z_alpha)) + F.lit(float(z_beta))
+    n_req = F.ceil(
+        F.lit(2.0) * zsum * zsum * var / (delta * delta)
+    ).cast("bigint")
+    ok = (F.col("n") >= 2) & (mean != 0)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.when(F.col("n") >= 2, F.round(var, 6)).alias("variance"),
+        F.when(ok, n_req).alias("n_required_per_arm"),
+    )

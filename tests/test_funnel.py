@@ -948,3 +948,39 @@ def test_srm_check_balanced_planted_and_share(spark):
     empty = spark.createDataFrame([], "arm int")
     r = srm_check(empty, "arm").collect()[0]
     assert r["z"] is None and r["srm"] is None
+
+
+def test_power_analysis_textbook_and_guards(spark):
+    """n_required equals the textbook 2(z_a+z_b)^2 sigma^2/delta^2 on
+    a hand case; halving the MDE quadruples n (the inverse-square
+    law); 1-value and zero-mean groups emit NULL."""
+    import math
+
+    from etl_capnz_spark.operators.funnel import power_analysis
+
+    vals = [90, 100, 100, 110, 95, 105]
+    rows = [("g", v) for v in vals] + [("one", 5)] + [
+        ("zero", -4), ("zero", 4),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r["grp"]: r
+        for r in power_analysis(df, "grp", "v", mde_share=0.05).collect()
+    }
+    m = sum(vals) / len(vals)
+    var = sum((x - m) ** 2 for x in vals) / (len(vals) - 1)
+    zsum = 1.959964 + 0.841621
+    want = math.ceil(2 * zsum * zsum * var / ((0.05 * m) ** 2))
+    g = got["g"]
+    assert g["mean"] == round(m, 6) and g["variance"] == round(var, 6)
+    assert g["n_required_per_arm"] == want
+
+    assert got["one"]["variance"] is None
+    assert got["one"]["n_required_per_arm"] is None
+    assert got["zero"]["mean"] == 0.0
+    assert got["zero"]["n_required_per_arm"] is None
+
+    half = power_analysis(df, "grp", "v", mde_share=0.025).collect()
+    g2 = {r["grp"]: r for r in half}["g"]
+    # inverse-square law, up to the two ceils
+    assert abs(g2["n_required_per_arm"] - 4 * want) <= 4
