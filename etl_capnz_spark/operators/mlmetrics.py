@@ -471,16 +471,18 @@ def jsd_drift(
     integer-count ratios divided once; each contribution is one
     identical float tree per engine, 6dp; Σ jsd_contrib = JSD.
 
-    Scale shape: identical to psi_drift — two groupBy(bucket) count
-    collapses (counts are the only exchange), a null-safe full outer
-    join on the bucket-domain-sized tables, totals riding one
-    unpartitioned window over the domain-sized table.
+    Scale shape: like psi_drift — two groupBy(bucket) count collapses
+    (counts are the only exchange), a null-safe full outer join on
+    the bucket-domain-sized tables — EXCEPT totals: psi_drift's
+    unpartitioned window is fine over its handful of buckets, but
+    JSD's natural domain is a token VOCABULARY (10⁷-10⁸ buckets at
+    100 TB), where a single-partition window is a bottleneck — so
+    totals come from two 1-row aggregates broadcast back instead;
+    nothing ever funnels through one partition.
 
     Output: one row per bucket in either slice —
     (bucket, n_a, n_b, share_a, share_b, jsd_contrib).
     """
-    from pyspark.sql.window import Window
-
     ca = (
         df_a.select(F.col(bucket_col).cast("string").alias("bucket"))
         .groupBy("bucket")
@@ -506,12 +508,20 @@ def jsd_drift(
             F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
         )
     )
-    wall = Window.partitionBy()
-    tot = both.select(
-        "*",
-        F.sum("n_a").over(wall).alias("_ta"),
-        F.sum("n_b").over(wall).alias("_tb"),
+    totals = (
+        ca.agg(
+            F.coalesce(F.sum("n_a"), F.lit(0))
+            .cast("bigint")
+            .alias("_ta")
+        )
+    ).crossJoin(
+        cb.agg(
+            F.coalesce(F.sum("n_b"), F.lit(0))
+            .cast("bigint")
+            .alias("_tb")
+        )
     )
+    tot = both.crossJoin(F.broadcast(totals))
     # an entirely-empty side has _t = 0: its distribution is the zero
     # measure (share 0 everywhere), not 0/0 = NaN — its whole term
     # vanishes and JSD against it comes out ½·ln 2 (only the nonempty

@@ -451,20 +451,29 @@ def test_ngram_novelty_shuffles_only_hash_tuples(spark, sf_dir):
 
 
 def test_drift_metrics_aggregate_before_any_window(spark, sf_dir):
-    """The drift trio's windows must run on DOMAIN-sized tables: every
-    window in ks_test / jsd_drift sits above a HashAggregate collapse
-    (distinct cents / token counts), so no data-sized sort exists."""
-    for name in ("events_ks_test", "drift_jsd"):
-        plan = _plan(entrymod.queries()[name](spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
-        assert "Window" in plan, name
-        # plans print top-down (consumer above producer): every Window
-        # must have a HashAggregate somewhere BELOW it — a Window whose
-        # subtree has no aggregate is sorting raw data
-        lines = plan.split("\n")
-        last_window = max(
-            i for i, line in enumerate(lines) if "Window" in line
-        )
-        assert any(
-            "HashAggregate" in line for line in lines[last_window:]
-        ), f"{name}: deepest Window is not fed by an aggregate collapse"
+    """Drift-trio scale shapes: ks_test's window runs on the DOMAIN-
+    sized distinct-cents table (above a HashAggregate collapse, never
+    raw data); jsd_drift has NO window at all — its domain is a token
+    VOCABULARY, so totals are 1-row aggregates broadcast back instead
+    of a single-partition window."""
+    plan = _plan(entrymod.queries()["events_ks_test"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # plans print top-down (consumer above producer): every Window
+    # must have a HashAggregate somewhere BELOW it — a Window whose
+    # subtree has no aggregate is sorting raw data
+    lines = plan.split("\n")
+    last_window = max(
+        i for i, line in enumerate(lines) if "Window" in line
+    )
+    assert any(
+        "HashAggregate" in line for line in lines[last_window:]
+    ), "ks_test: deepest Window is not fed by an aggregate collapse"
+
+    jplan = _plan(entrymod.queries()["drift_jsd"](spark, sf_dir))
+    assert "CartesianProduct" not in jplan
+    assert "Window" not in jplan, (
+        "jsd totals must be broadcast 1-row aggregates, not a "
+        "vocabulary-sized single-partition window"
+    )
+    assert "HashAggregate" in jplan
