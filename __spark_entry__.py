@@ -6926,6 +6926,33 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite Adamic-Adar over the part↔supplier graph
+    (operators/graph.py adamic_adar_bipartite): the top-20 SUPPLIER
+    pairs ranked by shared-part evidence, rare parts weighted
+    1/ln(deg) — the link-prediction/similarity readout on the same
+    graph pagerank/BFS/triangles already exercise. The orientation
+    is the scale decision: part degrees (suppliers per part) are
+    BOUNDED ~4-7 at every sf, so the wedge fan-out C(deg,2) per part
+    is structurally constant — the supplier-side orientation would
+    fan out C(~500·sf,2) per supplier. Contributions quantize once
+    to integer nano-units so the pair score is an exact integer sum;
+    max_degree=50 documents the hot-hub cap (inactive here by
+    construction, so the entry is exact uncapped AA too). Oracle
+    replays the identical wedge build, quantization, cap and
+    (score desc, u, v) total order."""
+    from etl_capnz_spark.operators.graph import adamic_adar_bipartite
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return adamic_adar_bipartite(
+        li, "l_suppkey", "l_partkey", k=20, max_degree=50
+    )
+
+
 def _q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type power analysis (operators/funnel.py
     power_analysis): the per-arm sample size needed to detect a 5%
@@ -7350,6 +7377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anon": _q_privacy_k_anon,
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
+        "graph_adamic_adar": _q_graph_adamic_adar,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11687,6 +11715,32 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "graph_adamic_adar": """
+            -- AA replay: same degree cap, same nano quantization,
+            -- same wedge equi-join and (score desc, u, v) order
+            WITH e AS (
+              SELECT DISTINCT l_suppkey AS u, l_partkey AS w
+              FROM lineitem),
+            deg AS (
+              SELECT w, count(*)::BIGINT AS deg FROM e GROUP BY w),
+            contrib AS (
+              SELECT w, round(1e9 / ln(deg))::BIGINT AS c
+              FROM deg WHERE deg <= 50 AND deg > 1),
+            wedges AS (
+              SELECT l.u AS u, r.u AS v, c.c
+              FROM e l
+              JOIN contrib c ON l.w = c.w
+              JOIN e r ON r.w = l.w
+              WHERE l.u < r.u),
+            scores AS (
+              SELECT u, v, sum(c)::BIGINT AS score_nano,
+                     count(*)::BIGINT AS n_common
+              FROM wedges GROUP BY u, v)
+            SELECT u, v, n_common, score_nano,
+                   round(score_nano::DOUBLE / 1e9, 6) AS score
+            FROM scores
+            ORDER BY score_nano DESC, u, v
+            LIMIT 20""",
         "events_power": """
             -- power replay: HUGEINT moments, pinned z literals,
             -- identical float tree, ceil per-arm n

@@ -255,3 +255,57 @@ def test_random_walks_valid_edges_and_pure_python_parity(spark):
         df.repartition(7), walk_len=L, seed="w"
     ).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_adamic_adar_bipartite_hand_case_and_cap(spark):
+    """AA on a planted bipartite graph matches the closed form (pair
+    sharing two rare neighbors beats a pair sharing one common one);
+    degree-1 neighbors contribute nothing; the max_degree cap
+    excludes hub neighbors; ties rank by (u, v); partition-invariant."""
+    import math
+
+    from etl_capnz_spark.operators.graph import adamic_adar_bipartite
+
+    # u1,u2 share w1(deg2) and w2(deg2); u3,u4 share hub wh(deg4:
+    # u1..u4); u5 has private w5(deg1)
+    edges = [
+        (1, "w1"), (2, "w1"),
+        (1, "w2"), (2, "w2"),
+        (1, "wh"), (2, "wh"), (3, "wh"), (4, "wh"),
+        (5, "w5"),
+    ]
+    df = spark.createDataFrame(edges, "s long, p string")
+
+    def nano(deg):
+        return round(1e9 / math.log(deg))
+
+    got = {
+        (r["u"], r["v"]): r
+        for r in adamic_adar_bipartite(df, "s", "p", k=10).collect()
+    }
+    # (1,2): two deg-2 neighbors + the deg-4 hub
+    assert got[(1, 2)]["score_nano"] == 2 * nano(2) + nano(4)
+    assert got[(1, 2)]["n_common"] == 3
+    # (3,4): hub only
+    assert got[(3, 4)]["score_nano"] == nano(4)
+    # u5's degree-1 neighbor creates no pair
+    assert not any(5 in pair for pair in got)
+
+    # cap 3 removes the hub wholesale: (3,4) disappears, (1,2) drops
+    # the hub term
+    capped = {
+        (r["u"], r["v"]): r
+        for r in adamic_adar_bipartite(
+            df, "s", "p", k=10, max_degree=3
+        ).collect()
+    }
+    assert capped[(1, 2)]["score_nano"] == 2 * nano(2)
+    assert (3, 4) not in capped
+
+    rep = {
+        (r["u"], r["v"]): r
+        for r in adamic_adar_bipartite(
+            df.repartition(7), "s", "p", k=10
+        ).collect()
+    }
+    assert rep == got
