@@ -6926,6 +6926,54 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_pipeline_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation GATE end-to-end — every cheap signal
+    a corpus pipeline computes before admitting a document, composed
+    from the production operators in ONE narrow pass (no join, no
+    shuffle: all signals are per-row expressions): quality_metrics
+    (length/punct/digit/token stats), detect_language (stopword
+    n-gram argmax), pii_counts (email + long-number audit) → a
+    deterministic first-failing-check drop_reason CASE chain and the
+    keep verdict. One row per document WITH its reason — curation
+    you can audit, not a silent filter. The oracle re-composes the
+    same generated fragments (langid_sql, the quality SQL shapes,
+    the PII regexes) end-to-end."""
+    from etl_capnz_spark.operators.text import (
+        detect_language,
+        pii_counts,
+        quality_metrics,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    q = quality_metrics(docs, "text")
+    n_email, n_number = pii_counts(F.col("text"))
+    scored = q.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang_guess"),
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "mean_token_len",
+        n_email.alias("n_emails"),
+        n_number.alias("n_numbers"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("punct_ratio") >= 0.3, "punct")
+        .when(F.col("digit_ratio") >= 0.3, "digits")
+        .when(
+            (F.col("mean_token_len") < 2)
+            | (F.col("mean_token_len") > 12),
+            "token_len",
+        )
+        .when(~F.col("lang_guess").eqNullSafe(F.lit("en")), "lang")
+        .when(F.col("n_emails") + F.col("n_numbers") > 0, "pii")
+    )
+    return scored.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
 def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite Adamic-Adar over the part↔supplier graph
     (operators/graph.py adamic_adar_bipartite): the top-20 SUPPLIER
@@ -7378,6 +7426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
+        "pipeline_curation_gate": _q_pipeline_curation_gate,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11715,6 +11764,55 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "pipeline_curation_gate": f"""
+            -- the curation gate recomposed from the same generated
+            -- fragments: quality shapes, langid argmax, PII regexes,
+            -- first-failing-check CASE chain
+            WITH q AS (
+              SELECT doc_id,
+                     {oracles.langid_sql('text')} AS lang_guess,
+                     len(list_filter(string_split_regex(
+                       lower(trim(text)), '\\s+'),
+                       t -> t <> ''))::INT AS n_tokens,
+                     round((length(text) - length(regexp_replace(text,
+                       '[^\\w\\s]', '', 'g')))::DOUBLE
+                       / greatest(length(text), 1), 6) AS punct_ratio,
+                     round((length(text) - length(regexp_replace(text,
+                       '[0-9]', '', 'g')))::DOUBLE
+                       / greatest(length(text), 1), 6) AS digit_ratio,
+                     round(list_reduce(list_prepend(0::BIGINT,
+                         list_transform(list_filter(
+                           string_split_regex(lower(trim(text)),
+                           '\\s+'), t -> t <> ''),
+                           t -> length(t)::BIGINT)),
+                         (a, b) -> a + b)::DOUBLE
+                       / greatest(len(list_filter(
+                           string_split_regex(lower(trim(text)),
+                           '\\s+'), t -> t <> '')), 1), 6)
+                       AS mean_token_len,
+                     len(regexp_extract_all(text,
+                       '{PII_EMAIL_RE}'))::INT AS n_emails,
+                     len(regexp_extract_all(regexp_replace(text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_NUMBER_RE}'))::INT AS n_numbers
+              FROM documents),
+            r AS (
+              SELECT *,
+                     CASE WHEN n_tokens < 5 THEN 'too_short'
+                          WHEN punct_ratio >= 0.3 THEN 'punct'
+                          WHEN digit_ratio >= 0.3 THEN 'digits'
+                          WHEN mean_token_len < 2
+                               OR mean_token_len > 12
+                            THEN 'token_len'
+                          WHEN lang_guess IS DISTINCT FROM 'en'
+                            THEN 'lang'
+                          WHEN n_emails + n_numbers > 0 THEN 'pii'
+                     END AS drop_reason
+              FROM q)
+            SELECT doc_id, lang_guess, n_tokens, punct_ratio,
+                   digit_ratio, mean_token_len, n_emails, n_numbers,
+                   drop_reason, drop_reason IS NULL AS keep
+            FROM r""",
         "graph_adamic_adar": """
             -- AA replay: same degree cap, same nano quantization,
             -- same wedge equi-join and (score desc, u, v) order

@@ -86,3 +86,60 @@ def test_ngram_novelty_tie_credits_earliest_and_distinct_grams(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_curation_gate_reasons_and_precedence(spark):
+    """Each drop_reason branch fires on a planted doc; the CASE chain
+    is first-failing (a doc failing several checks reports the
+    earliest); a clean English doc keeps."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.text import (
+        detect_language,
+        pii_counts,
+        quality_metrics,
+    )
+
+    rows = [
+        (1, "the of and is a quick brown fox jumps here"),  # keep (en)
+        (2, "one two"),                                      # too_short
+        (3, "the of and is !!! ??? ... ;;; ::: ++ ** (())"),  # punct
+        (4, "the of and is 11111 22222 3333 4444 5555"),      # digits
+        (5, "le la et les des un une dans pour est sur"),     # lang (fr)
+        (6, "the of and is contact someone me@example.com now ok"),  # pii
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = quality_metrics(docs, "text")
+    n_email, n_number = pii_counts(F.col("text"))
+    scored = q.select(
+        "doc_id",
+        detect_language(F.col("text")).alias("lang_guess"),
+        "n_tokens", "punct_ratio", "digit_ratio", "mean_token_len",
+        n_email.alias("n_emails"), n_number.alias("n_numbers"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("punct_ratio") >= 0.3, "punct")
+        .when(F.col("digit_ratio") >= 0.3, "digits")
+        .when(
+            (F.col("mean_token_len") < 2)
+            | (F.col("mean_token_len") > 12),
+            "token_len",
+        )
+        .when(~F.col("lang_guess").eqNullSafe(F.lit("en")), "lang")
+        .when(F.col("n_emails") + F.col("n_numbers") > 0, "pii")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in scored.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .collect()
+    }
+    assert got[1]["keep"] is True and got[1]["drop_reason"] is None
+    assert got[2]["drop_reason"] == "too_short"
+    assert got[3]["drop_reason"] == "punct"
+    assert got[4]["drop_reason"] == "digits"
+    assert got[5]["drop_reason"] == "lang"
+    assert got[6]["drop_reason"] == "pii" and got[6]["n_emails"] == 1
+    # precedence: doc 2 is ALSO not-English-scoring, but too_short
+    # fires first (first-failing-check contract)
