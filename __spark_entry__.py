@@ -6926,6 +6926,71 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY as a first-class readout: precision / recall /
+    F1 of the MinHash-LSH candidate pairs against the corpus's
+    PLANTED ground truth (every %10==0 doc has a near-dup twin at
+    +100000, every %20==5 an exact copy at +200000) — the number
+    that decides whether 8 hashes × 4 bands is the right operating
+    point before anyone trusts the dedup pass at 100 TB. Three
+    1-row count aggregates (candidates, truth, their inner-join
+    intersection) broadcast together; ratios are exact-integer
+    divisions, 6dp. The oracle rebuilds the same bands from the same
+    generated minhash SQL and the same analytic truth set."""
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    cand = lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4).select(
+        "id_a", "id_b"
+    )
+    base = _t(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 100000).alias("id_b"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 5).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 200000).alias("id_b"),
+            )
+        )
+    )
+    tp = cand.join(truth, ["id_a", "id_b"])
+    stats = (
+        cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        .crossJoin(
+            F.broadcast(
+                truth.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_true")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tp.agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+            )
+        )
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    p = F.when(F.col("n_cand") > 0, d("tp") / d("n_cand"))
+    r = F.when(F.col("n_true") > 0, d("tp") / d("n_true"))
+    f1 = F.when(
+        (p + r) > 0, F.lit(2.0) * p * r / (p + r)
+    )
+    return stats.select(
+        "n_true",
+        "n_cand",
+        "tp",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def _q_pipeline_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document curation GATE end-to-end — every cheap signal
     a corpus pipeline computes before admitting a document, composed
@@ -7427,6 +7492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
         "pipeline_curation_gate": _q_pipeline_curation_gate,
+        "dedup_eval_prf": _q_dedup_eval_prf,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11764,6 +11830,39 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "dedup_eval_prf": f"""{_DUCK_AUG.replace('WITH', 'WITH', 1)},
+            {oracles.minhash_bands_sql('aug', 'doc_id')},
+            cand AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b USING (band_key)
+              WHERE a.id < b.id),
+            truth AS (
+              SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, doc_id + 200000
+              FROM documents WHERE doc_id % 20 = 5),
+            s AS (
+              SELECT (SELECT count(*)::BIGINT FROM truth) AS n_true,
+                     (SELECT count(*)::BIGINT FROM cand) AS n_cand,
+                     (SELECT count(*)::BIGINT
+                      FROM cand JOIN truth USING (id_a, id_b)) AS tp)
+            SELECT n_true, n_cand, tp,
+                   CASE WHEN n_cand > 0 THEN
+                     round(tp::DOUBLE / n_cand::DOUBLE, 6)
+                   END AS precision,
+                   CASE WHEN n_true > 0 THEN
+                     round(tp::DOUBLE / n_true::DOUBLE, 6)
+                   END AS recall,
+                   CASE WHEN n_cand > 0 AND n_true > 0
+                        AND (tp::DOUBLE / n_cand::DOUBLE
+                             + tp::DOUBLE / n_true::DOUBLE) > 0 THEN
+                     round(2.0 * (tp::DOUBLE / n_cand::DOUBLE)
+                           * (tp::DOUBLE / n_true::DOUBLE)
+                           / (tp::DOUBLE / n_cand::DOUBLE
+                              + tp::DOUBLE / n_true::DOUBLE), 6)
+                   END AS f1
+            FROM s""",
         "pipeline_curation_gate": f"""
             -- the curation gate recomposed from the same generated
             -- fragments: quality shapes, langid argmax, PII regexes,

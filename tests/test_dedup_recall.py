@@ -464,3 +464,23 @@ def test_substring_span_dedup_idempotent_and_partition_invariant(spark):
         for r in substring_span_dedup(df.repartition(13), k=15).collect()
     }
     assert shuffled == {k: v["clean_text"] for k, v in first.items()}
+
+
+def test_dedup_eval_prf_planted_values(spark, sf_dir):
+    """The panel's P/R/F1 entry recovers the planted structure: exact
+    copies are always caught (they share every band), so recall is
+    bounded below by the exact-copy share; precision/recall/f1 are
+    consistent with the returned counts."""
+    import __spark_entry__ as entrymod
+
+    r = entrymod.queries()["dedup_eval_prf"](spark, sf_dir).collect()[0]
+    assert r["n_true"] > 0 and r["n_cand"] > 0
+    assert 0 < r["tp"] <= min(r["n_true"], r["n_cand"])
+    assert r["precision"] == round(r["tp"] / r["n_cand"], 6)
+    assert r["recall"] == round(r["tp"] / r["n_true"], 6)
+    p, q = r["tp"] / r["n_cand"], r["tp"] / r["n_true"]
+    assert r["f1"] == round(2 * p * q / (p + q), 6)
+    # exact copies (half of %10 docs... the %20==5 family) band-match
+    # with probability 1 — recall can't fall below their share
+    # n_true = |%10==0| + |%20==5| and every %20==5 pair is caught
+    assert r["recall"] >= 0.3
