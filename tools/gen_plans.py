@@ -818,6 +818,29 @@ NOTES = {
         "map-only plan with zero exchanges; per-record corruption "
         "isolates into a column instead of failing the job."
     ),
+    "graph_adamic_adar": (
+        "Bipartite AA (r6): one degree aggregate, one wedge equi-join "
+        "of the edge list with itself on the right node - fan-out "
+        "C(deg,2) per right node, which is why the ENTRY orients "
+        "supplier-pairs-via-parts (part degree bounded ~4-7 at every "
+        "sf) and carries a max_degree hub cap; contributions are "
+        "pre-quantized integers, so the pair aggregate partial-"
+        "combines before its exchange; top-k is a TakeOrdered."
+    ),
+    "pipeline_curation_gate": (
+        "Curation gate (r6): quality stats, langid argmax, PII "
+        "counts and the drop_reason CASE chain are ALL per-row "
+        "expressions in one narrow Project over the scan - zero "
+        "exchanges, zero joins; the cheapest possible shape for a "
+        "full-corpus pass."
+    ),
+    "dedup_eval_prf": (
+        "Dedup P/R/F1 (r6): the band self-join (keys only) feeds "
+        "three 1-row count aggregates joined by broadcast - the "
+        "truth set derives from the id arithmetic, so no text and "
+        "no data-sized table enters any exchange beyond the LSH "
+        "band join itself."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
