@@ -6926,6 +6926,28 @@ def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(per_user, "n_events", "cents")
 
 
+def _q_events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin baseline backtest (operators/timeseries.py
+    forecast_backtest): per event type, MAE of the naive (yesterday)
+    and seasonal-naive (same weekday last week) forecasters over the
+    daily count series, on the SAME evaluation origins (days whose
+    d−1 and d−7 both exist — calendar joins, never row lags), plus
+    the seasonal/naive ratio that says whether weekly seasonality is
+    real. Exact integer errors, one division per MAE. The oracle
+    replays the identical calendar joins."""
+    from etl_capnz_spark.operators.timeseries import forecast_backtest
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return forecast_backtest(daily, "g", "d", "n")
+
+
 def _q_dedup_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup QUALITY as a first-class readout: precision / recall /
     F1 of the MinHash-LSH candidate pairs against the corpus's
@@ -7493,6 +7515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": _q_graph_adamic_adar,
         "pipeline_curation_gate": _q_pipeline_curation_gate,
         "dedup_eval_prf": _q_dedup_eval_prf,
+        "events_forecast_backtest": _q_events_forecast_backtest,
         "scd2_bitemporal": _q_scd2_bitemporal,
         "emb_matryoshka": _q_emb_matryoshka,
         "text_rouge_pairs": _q_text_rouge_pairs,
@@ -11830,6 +11853,34 @@ def oracle_sql() -> dict[str, str]:
                                      - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS rho
             FROM m, drops""",
+        "events_forecast_backtest": """
+            -- backtest replay: same daily counts, same CALENDAR
+            -- predecessor joins, exact integer errors
+            WITH daily AS (
+              SELECT event_type AS g, ts::DATE AS d,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2),
+            j AS (
+              SELECT c.g, abs(c.v - p1.v)::BIGINT AS e1,
+                     abs(c.v - p7.v)::BIGINT AS e7
+              FROM daily c
+              JOIN daily p1 ON p1.g = c.g
+                AND p1.d + INTERVAL 1 DAY = c.d
+              JOIN daily p7 ON p7.g = c.g
+                AND p7.d + INTERVAL 7 DAY = c.d),
+            agg AS (
+              SELECT g, count(*)::BIGINT AS n_evals,
+                     sum(e1)::BIGINT AS s1, sum(e7)::BIGINT AS s7
+              FROM j GROUP BY g)
+            SELECT g, n_evals,
+                   round(s1::DOUBLE / n_evals::DOUBLE, 6) AS mae_naive,
+                   round(s7::DOUBLE / n_evals::DOUBLE, 6)
+                     AS mae_seasonal,
+                   CASE WHEN s1 > 0 THEN
+                     round((s7::DOUBLE / n_evals::DOUBLE)
+                           / (s1::DOUBLE / n_evals::DOUBLE), 6)
+                   END AS mase_like_ratio
+            FROM agg""",
         "dedup_eval_prf": f"""{_DUCK_AUG.replace('WITH', 'WITH', 1)},
             {oracles.minhash_bands_sql('aug', 'doc_id')},
             cand AS (

@@ -956,3 +956,75 @@ def cross_correlation(
     return agg.select(
         "lag", "n_pairs", F.round(num / den, 6).alias("xcf")
     ).orderBy("lag")
+
+
+def forecast_backtest(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Rolling-origin backtest of the two baseline forecasters every
+    real model must beat — naive (yesterday's value) and
+    seasonal-naive (same weekday last week) — over a daily series:
+    the time-series analogue of dedup_eval_prf's 'measure the
+    operating point before trusting it'. For each group, every day
+    whose d−1 AND d−7 both exist is an evaluation origin (both
+    forecasters must be comparable on the SAME origins, else the MAE
+    ratio is meaningless); per group the report is n_evals, each
+    MAE, and the seasonal/naive ratio — ratio < 1 means weekly
+    seasonality is real and a seasonal model is worth building.
+
+    CALENDAR lags, not row lags: predecessors come from two self
+    equi-joins on (group, date−1)/(group, date−7), so a missing day
+    is a missing forecast, never a silently mis-aligned window.
+    Errors are exact |integer − integer|; MAEs are one division each
+    at the end, 6dp; the ratio emits NULL when mae_naive = 0 (a
+    constant series makes the comparison undefined, not infinite).
+
+    Scale shape: the daily table is (groups × days)-sized; both
+    predecessor joins re-use the same (group, date) hash
+    partitioning, and the final per-group aggregate is
+    group-domain-sized.
+
+    Output: one row per group —
+    (group_col, n_evals, mae_naive, mae_seasonal, mase_like_ratio).
+    """
+    day = df.select(
+        F.col(group_col).alias("g"),
+        F.col(date_col).alias("d"),
+        F.col(value_col).cast("bigint").alias("v"),
+    )
+    cur = day.alias("cur")
+    prev1 = day.select(
+        "g", F.date_add(F.col("d"), 1).alias("d"), F.col("v").alias("p1")
+    ).alias("p1")
+    prev7 = day.select(
+        "g", F.date_add(F.col("d"), 7).alias("d"), F.col("v").alias("p7")
+    ).alias("p7")
+    joined = cur.join(prev1, ["g", "d"]).join(prev7, ["g", "d"])
+    scored = joined.select(
+        "g",
+        F.abs(F.col("v") - F.col("p1")).alias("e1"),
+        F.abs(F.col("v") - F.col("p7")).alias("e7"),
+    )
+    agg = scored.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.sum("e1").cast("bigint").alias("_s1"),
+        F.sum("e7").cast("bigint").alias("_s7"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    mae1 = d("_s1") / d("n_evals")
+    mae7 = d("_s7") / d("n_evals")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_evals",
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(mae7, 6).alias("mae_seasonal"),
+        F.when(F.col("_s1") > 0, F.round(mae7 / mae1, 6)).alias(
+            "mase_like_ratio"
+        ),
+    )

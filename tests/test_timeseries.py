@@ -600,3 +600,41 @@ def test_cross_correlation_finds_planted_lead(spark):
     best_rev = max(rev, key=lambda L: rev[L])
     assert rev[best_rev] > 0.99
     assert best == -best_rev and abs(best) == 6
+
+
+def test_forecast_backtest_calendar_lags_and_ratio(spark):
+    """Calendar predecessors, not row lags: a missing day removes the
+    origins that depend on it instead of mis-aligning the window; a
+    perfectly weekly series gives mae_seasonal 0 (ratio 0); a
+    constant series gives mae_naive 0 → NULL ratio."""
+    import datetime as dt
+
+    from etl_capnz_spark.operators.timeseries import forecast_backtest
+
+    base = dt.date(2026, 1, 5)  # a Monday
+
+    def day(i):
+        return base + dt.timedelta(days=i)
+
+    # group A: value = weekday index (period-7 exact), 21 days with
+    # day 10 MISSING — days 11 (needs d-1) and 17 (needs d-7) drop
+    rows = [
+        ("A", day(i), (i % 7) + 10) for i in range(21) if i != 10
+    ]
+    # group B: constant series → naive is perfect
+    rows += [("B", day(i), 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, d date, v long")
+    got = {
+        r["g"]: r for r in forecast_backtest(df, "g", "d", "v").collect()
+    }
+    a = got["A"]
+    # origins: days 7..20 minus {10 (absent), 11 (no d-1), 17 (no d-7)}
+    assert a["n_evals"] == 14 - 3
+    assert a["mae_seasonal"] == 0.0  # exact weekly period
+    assert a["mae_naive"] > 0
+    assert a["mase_like_ratio"] == 0.0
+
+    b = got["B"]
+    assert b["n_evals"] == 3  # days 7,8,9
+    assert b["mae_naive"] == 0.0 and b["mae_seasonal"] == 0.0
+    assert b["mase_like_ratio"] is None
