@@ -982,6 +982,12 @@ def forecast_backtest(
     at the end, 6dp; the ratio emits NULL when mae_naive = 0 (a
     constant series makes the comparison undefined, not infinite).
 
+    Input contract: one row per (group, date) — the operator consumes
+    an already-aggregated daily series (the rouge2_pairs discipline:
+    duplicate keys would fan out the calendar joins and double-count
+    their origins; callers aggregate first, as the
+    events_forecast_backtest entry does with its groupBy).
+
     Scale shape: the daily table is (groups × days)-sized; both
     predecessor joins re-use the same (group, date) hash
     partitioning, and the final per-group aggregate is
