@@ -6045,6 +6045,63 @@ def _q_text_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lr_train_hashed(docs, "text", "y", n_features=32, iters=10)
 
 
+def _q_quality_lr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→serve quality gate, the fastText-filter shape every LLM
+    data pipeline runs (CCNet/ RefinedWeb style): TRAIN
+    lr_train_hashed (operators/text.py) on the PLANTED labeled slice
+    (every 5th doc, label = declared lang == 'en'), then SCORE the
+    whole corpus with the trained integer weights — the identical
+    rational-sigmoid arithmetic, embedded as literals (the k-means /
+    lr_train bounded-driver-state discipline: 33 weights, not data) —
+    and GATE at p ≥ 0.5. Exact integer end-to-end, so the oracle
+    replays the same 10 training iterations (the generated-CTE
+    machinery text_lr_train uses, pointed at the labeled slice) and
+    re-scores every document to the same p_nano. Output one row per
+    document: (doc_id, p_nano, keep)."""
+    from etl_capnz_spark.operators.text import lr_train_hashed, tokens
+
+    NANO = 1_000_000_000
+    CLAMP = 8 * NANO
+    docs = _docs(spark, sf_dir)
+    labeled = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("y")
+    )
+    w = {
+        int(r["feature"]): int(r["w_nano"])
+        for r in lr_train_hashed(
+            labeled, "text", "y", n_features=32, iters=10
+        ).collect()
+    }
+    w_arr = F.array(*[F.lit(w[j]).cast("long") for j in range(32)])
+    buckets = F.array_distinct(
+        F.transform(
+            tokens(F.col("text")),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 32,
+        )
+    )
+    z = F.aggregate(
+        buckets,
+        F.lit(w[-1]).cast("long"),
+        lambda acc, j: acc + F.element_at(w_arr, (j + 1).cast("int")),
+    )
+    zc = F.greatest(
+        F.lit(-CLAMP).cast("long"), F.least(F.lit(CLAMP).cast("long"), z)
+    )
+    scored = docs.select("doc_id", zc.alias("_zc")).selectExpr(
+        "doc_id",
+        "(500000000 + (_zc * 1000000000)"
+        " div (2 * (1000000000 + abs(_zc)))) as p_nano",
+    )
+    return scored.select(
+        "doc_id",
+        "p_nano",
+        (F.col("p_nano") >= 500_000_000).alias("keep"),
+    )
+
+
 def _q_scd2_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal retroactive correction (sinks/warehouse.py
     bitemporal_apply): the warehouse learns on tx 2021-01-01 that every
@@ -7498,6 +7555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "dedup_substring_spans": _q_dedup_substring,
         "text_lr_train": _q_text_lr_train,
+        "quality_lr_pipeline": _q_quality_lr_pipeline,
         "events_ks_test": _q_events_ks_test,
         "events_spearman": _q_events_spearman,
         "text_ngram_novelty": _q_text_ngram_novelty,
@@ -12021,13 +12079,18 @@ def oracle_sql() -> dict[str, str]:
             -- lift/gains replay: distinct-score cumulative-above
             -- counts, whole tied groups to one bucket, exact ratios
             WITH src AS (
+              -- NULL event_type propagates to a NULL label (matching
+              -- Spark's (event_type=='purchase').cast('int')), which
+              -- lift_gains then DROPS — an ELSE 0 here would silently
+              -- diverge if the generator ever emitted NULL types
               SELECT round(value * 100)::BIGINT AS v,
-                     CASE WHEN event_type = 'purchase'
+                     CASE WHEN event_type IS NULL THEN NULL
+                          WHEN event_type = 'purchase'
                           THEN 1 ELSE 0 END AS y
               FROM events WHERE value IS NOT NULL),
             vals AS (
               SELECT v, count(*)::BIGINT AS n, sum(y)::BIGINT AS npos
-              FROM src GROUP BY v),
+              FROM src WHERE y IS NOT NULL GROUP BY v),
             ranked AS (
               SELECT v, n, npos,
                      coalesce(sum(n) OVER (ORDER BY v DESC
@@ -12433,11 +12496,14 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a LEFT JOIN per_doc USING (doc_id)""",
         "text_lr_train": f"""
             WITH lrf AS MATERIALIZED (
+              -- NULL-label rows are unlabeled: excluded from training
+              -- AND from the divisor n (mirrors lr_train_hashed's
+              -- filter; lang is the label source here)
               SELECT doc_id, (lang = 'en')::BIGINT AS y,
                      list_distinct(list_transform({_lr_toks},
                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
                             % {_lr_d})) AS b
-              FROM documents),
+              FROM documents WHERE lang IS NOT NULL),
             lrfx AS MATERIALIZED (
               SELECT doc_id, unnest(b) AS j FROM lrf),
             lrn AS (SELECT count(*)::BIGINT AS n FROM lrf),
@@ -12447,6 +12513,54 @@ def oracle_sql() -> dict[str, str]:
                      0::BIGINT AS w),
             {_lr_iter_sql}
             SELECT j AS feature, w AS w_nano FROM lw{_lr_iters}""",
+        "quality_lr_pipeline": f"""
+            -- train on the planted labeled slice (every 5th doc),
+            -- replaying the identical 10 integer iterations via the
+            -- same generated CTEs (lrf redefined over the slice),
+            -- then score EVERY document with the trained weights
+            WITH lrf AS MATERIALIZED (
+              SELECT doc_id, (lang = 'en')::BIGINT AS y,
+                     list_distinct(list_transform({_lr_toks},
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                            % {_lr_d})) AS b
+              FROM documents
+              WHERE doc_id % 5 = 0 AND lang IS NOT NULL),
+            lrfx AS MATERIALIZED (
+              SELECT doc_id, unnest(b) AS j FROM lrf),
+            lrn AS (SELECT count(*)::BIGINT AS n FROM lrf),
+            lw0 AS (
+              SELECT unnest(generate_series(-1, {_lr_d - 1}))::BIGINT
+                       AS j,
+                     0::BIGINT AS w),
+            {_lr_iter_sql},
+            allf AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(list_transform({_lr_toks},
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT
+                            % {_lr_d})) AS b
+              FROM documents),
+            allx AS (SELECT doc_id, unnest(b) AS j FROM allf),
+            az AS (
+              SELECT f.doc_id,
+                     (SELECT w FROM lw{_lr_iters} WHERE j = -1)
+                     + coalesce(s.sw, 0) AS z
+              FROM allf f LEFT JOIN (
+                SELECT ax.doc_id, sum(w.w)::BIGINT AS sw
+                FROM allx ax JOIN lw{_lr_iters} w USING (j)
+                GROUP BY ax.doc_id) s USING (doc_id)),
+            ap AS (
+              SELECT doc_id,
+                     (500000000
+                      + (greatest(-8000000000,
+                                  least(8000000000, z)) * 1000000000)
+                        // (2 * (1000000000
+                                 + abs(greatest(-8000000000,
+                                                least(8000000000, z)))))
+                     )::BIGINT AS p_nano
+              FROM az)
+            SELECT doc_id, p_nano,
+                   p_nano >= 500000000 AS keep
+            FROM ap""",
         "dedup_substring_spans": _DUCK_AUG
         + """
             , t AS (
@@ -13612,11 +13726,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_srp": f"""
             WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
                         FROM embeddings),
-            sigs AS (
+            -- MATERIALIZED (the markov/LR precedent): the 32-bit SRP
+            -- signature is a ~2k-term expression; un-materialized,
+            -- DuckDB inlines it into EVERY one of the 8 band branches
+            -- and again into q — the 27.7s verify-gate row of r6
+            sigs AS MATERIALIZED (
               SELECT vec_id, v, {oracles.norm_sql('v')} AS nrm,
                      {oracles.srp_sig_sql('v', 32, 64)} AS sig
               FROM c0),
-            banded AS (
+            banded AS MATERIALIZED (
               {" UNION ALL ".join(
                 f"SELECT vec_id, v, nrm, {bk} AS bk FROM sigs"
                 for bk in oracles.srp_band_keys_sql('sig', 32, 8))}),

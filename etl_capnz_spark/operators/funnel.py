@@ -291,8 +291,10 @@ def mann_whitney(
 
     Exact-arithmetic construction: values are expected integer
     (cents), ranks live at the VALUE level — one groupBy(value) then
-    an ordered window over the distinct-value table (domain-bounded:
-    distinct cent amounts, not units). Tied values take the average
+    the two-phase sharded prefix sum (operators/rank.py
+    cumsum_sharded) over the distinct-value table (domain-bounded:
+    distinct cent amounts, not units — and no partition ever sorts
+    more than ~domain/32 of it). Tied values take the average
     rank, carried DOUBLED (min+max rank = 2·lt + n + 1 stays integer)
     so every rank sum is an exact integer halved once at the end.
     The tie-corrected z uses the standard normal approximation
@@ -322,12 +324,14 @@ def mann_whitney(
             ).alias("na"),
         )
     )
-    w = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, -1
+    from .rank import cumsum_sharded
+
+    cum, _ = cumsum_sharded(
+        vals, [F.col("_v").asc()], ["n"], inclusive=False
     )
-    ranked = vals.withColumn(
-        "lt", F.coalesce(F.sum("n").over(w), F.lit(0))
-    ).withColumn("r2", 2 * F.col("lt") + F.col("n") + 1)
+    ranked = cum.withColumnRenamed("cum_n", "lt").withColumn(
+        "r2", 2 * F.col("lt") + F.col("n") + 1
+    )
     # Σ(na·r2) and Σ(n³−n) accumulate in DECIMAL(38,0): r2 ~ 2N so
     # na·r2 sums toward N² (int64 exit near N≈2e9), and a single value
     # with ≳2.1M occurrences overflows n³ outright (zero-inflated

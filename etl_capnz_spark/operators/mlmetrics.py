@@ -33,9 +33,12 @@ def auc_exact(
 
     Scale shape (the mann_whitney discipline, funnel.py:281): ranks
     live on the DISTINCT-value table — one groupBy(score) collapse
-    (domain-bounded: distinct score units, not rows), one ordered
-    window over it for the cumulative below-count, so the window never
-    sees a data-sized table. Tied scores carry the DOUBLED average
+    (domain-bounded: distinct score units, not rows), then the
+    below-count comes from the TWO-PHASE SHARDED prefix sum
+    (operators/rank.py cumsum_sharded — range shards + per-shard
+    windows + broadcast offsets), so no partition ever sorts more
+    than ~domain/32 rows even when the domain is unquantized and
+    approaches the row count. Tied scores carry the DOUBLED average
     rank 2·lt + n + 1 (an exact integer), and Σ pos·r2 accumulates in
     decimal(38,0) because r2 ~ 2N puts the sum near N² — past int64
     at N ≈ 2e9 rows (the 100 TB rule). AUC and Gini are each ONE
@@ -53,7 +56,7 @@ def auc_exact(
     gini = 2·auc − 1. Degenerate inputs (all-positive / all-negative)
     emit NULL auc — discrimination is undefined, not 0 or 1.
     """
-    from pyspark.sql.window import Window
+    from .rank import cumsum_sharded
 
     src = df.select(
         F.col(score_col).cast("bigint").alias("_v"),
@@ -68,10 +71,12 @@ def auc_exact(
     drops = grouped.filter(~F.col("_ok")).agg(
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_dropped")
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.withColumn(
-        "lt", F.coalesce(F.sum("n").over(w), F.lit(0))
-    ).withColumn("r2", 2 * F.col("lt") + F.col("n") + 1)
+    cum, _ = cumsum_sharded(
+        vals, [F.col("_v").asc()], ["n"], inclusive=False
+    )
+    ranked = cum.withColumnRenamed("cum_n", "lt").withColumn(
+        "r2", 2 * F.col("lt") + F.col("n") + 1
+    )
     pd_ = F.col("npos").cast("decimal(19,0)")
     agg = ranked.agg(
         F.sum("npos").alias("n_pos"),
@@ -288,10 +293,12 @@ def ks_test(
     (``n_dropped_a``/``n_dropped_b``), the auc_exact discipline.
 
     Scale shape (the auc_exact discipline): one union + groupBy(value)
-    collapse (domain-bounded: distinct value units, not rows), one
-    ordered window over the distinct-value table for the cumulative
-    counts, one max aggregate. Rows never sort; only the value domain
-    does.
+    collapse (domain-bounded: distinct value units, not rows), then
+    the cumulative counts come from the two-phase sharded prefix sum
+    (operators/rank.py cumsum_sharded) and the side totals from its
+    1-row broadcast totals frame — no partition ever sorts more than
+    ~domain/32 rows, and rows never sort at all; only the value
+    domain does, in slices.
 
     Output: 1 row (n_a, n_b, n_dropped_a, n_dropped_b, d_stat,
     crit_05, reject_05) with crit_05 the large-sample 5% critical
@@ -299,7 +306,7 @@ def ks_test(
     rejection compares the UNROUNDED exact ratio. Empty sides emit
     NULL d_stat — a one-sided comparison is undefined, not 0.
     """
-    from pyspark.sql.window import Window
+    from .rank import cumsum_sharded
 
     def side(df: DataFrame, a: int) -> DataFrame:
         return df.select(
@@ -324,18 +331,17 @@ def ks_test(
         .cast("bigint")
         .alias("n_dropped_b"),
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    # totals ride the SAME single-partition sort as an unbounded frame
-    # — no second pass over the data, no nested aggregate
-    wall = Window.orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     dec = "decimal(38,0)"
-    cum = vals.select(
-        F.sum("na_i").over(w).cast(dec).alias("ca"),
-        F.sum("nb_i").over(w).cast(dec).alias("cb"),
-        F.sum("na_i").over(wall).cast(dec).alias("ta"),
-        F.sum("nb_i").over(wall).cast(dec).alias("tb"),
+    cummed, totals = cumsum_sharded(
+        vals, [F.col("_v").asc()], ["na_i", "nb_i"], inclusive=True
+    )
+    # side totals are the sharded scan's 1-row broadcast frame — the
+    # jsd_drift shape — instead of a second data-sized unbounded frame
+    cum = cummed.crossJoin(F.broadcast(totals)).select(
+        F.col("cum_na_i").cast(dec).alias("ca"),
+        F.col("cum_nb_i").cast(dec).alias("cb"),
+        F.col("tot_na_i").cast(dec).alias("ta"),
+        F.col("tot_nb_i").cast(dec).alias("tb"),
     )
     agg = cum.agg(
         F.max("ta").cast("bigint").alias("n_a"),
@@ -377,8 +383,10 @@ def spearman_corr(
     margin.
 
     Exactness: each margin's ranks live on its DISTINCT-value table
-    (one groupBy collapse + one ordered window, the auc_exact
-    discipline) carrying the DOUBLED average rank r2 = 2·lt + n + 1 —
+    (one groupBy collapse + the two-phase sharded prefix sum of
+    operators/rank.py, the auc_exact discipline — no partition ever
+    sorts more than ~domain/32 rows even at unquantized domains)
+    carrying the DOUBLED average rank r2 = 2·lt + n + 1 —
     an exact integer, and the 2× factors cancel in the correlation.
     Rank maps join back on the value (domain-bounded tables; AQE
     broadcasts small domains), then the five moment sums Σr2x, Σr2y,
@@ -394,7 +402,7 @@ def spearman_corr(
     micro-units — the mann_whitney quantization contract).
     Output: 1 row (n, n_dropped, rho).
     """
-    from pyspark.sql.window import Window
+    from .rank import cumsum_sharded
 
     src = df.select(
         F.col(x_col).cast("bigint").alias("_x"),
@@ -407,19 +415,13 @@ def spearman_corr(
     )
 
     def rank_map(col: str, out: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, -1
+        dist = rows.groupBy(col).agg(F.count(F.lit(1)).alias("_n"))
+        cum, _ = cumsum_sharded(
+            dist, [F.col(col).asc()], ["_n"], inclusive=False
         )
-        return (
-            rows.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .withColumn(
-                "_lt", F.coalesce(F.sum("_n").over(w), F.lit(0))
-            )
-            .select(
-                col,
-                (2 * F.col("_lt") + F.col("_n") + 1).alias(out),
-            )
+        return cum.select(
+            col,
+            (2 * F.col("cum__n") + F.col("_n") + 1).alias(out),
         )
 
     ranked = rows.join(rank_map("_x", "_r2x"), "_x").join(
@@ -668,16 +670,17 @@ def bh_fdr(
     q-value q_(i) = min_{j≥i} p_(j)·K/j so that rejecting q ≤ α
     bounds the expected FALSE-DISCOVERY fraction at α.
 
-    Exactness: ranks are exact integers from a window ordered by
-    (p, key) — the key tiebreak makes the order total, so both
-    engines rank identically; the step-up min_{j≥i} is a running min
-    over the REVERSED order (same window machinery, no second sort
-    direction needed at the plan level beyond the one domain-bounded
-    sort); q clamps at 1. Floats: p·K/i is one identical tree per
-    engine. Scale shape: K = number of TESTS (a handful to a few
-    thousand) — the windows run on the test-domain-sized table, never
-    on data; rows with NULL p (undefined upstream tests) are dropped,
-    surfaced by the count difference.
+    Exactness: ranks are exact integers over the total order (p, key)
+    — the key tiebreak makes the order total, so both engines rank
+    identically; the step-up min_{j≥i} is a running min over the
+    REVERSED order; q clamps at 1. Floats: p·K/i is one identical
+    tree per engine. Scale shape: K = number of TESTS (a handful to a
+    few thousand), but both scans still run SHARDED (operators/rank.py
+    discipline: range shards + per-shard windows + broadcast
+    offsets/suffix-minima) so a degenerate caller feeding a
+    data-sized "test" table never funnels it through one partition;
+    rows with NULL p (undefined upstream tests) are dropped, surfaced
+    by the count difference.
 
     Output: one row per non-NULL-p test —
     (key_col, p_value, rank, n_tests, q_value, significant), with
@@ -685,30 +688,64 @@ def bh_fdr(
     """
     from pyspark.sql.window import Window
 
+    from .rank import staged_range
+
     src = df.select(
         F.col(key_col).cast("string").alias("_k"),
         F.col(p_col).cast("double").alias("_p"),
     ).filter(F.col("_p").isNotNull())
-    w_rank = Window.orderBy("_p", "_k")
-    w_all = Window.orderBy("_p", "_k").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    order = [F.col("_p").asc(), F.col("_k").asc()]
+    staged = staged_range(src, order)
+    per_shard = staged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_n")
     )
-    ranked = src.select(
-        "_k",
-        "_p",
-        F.row_number().over(w_rank).alias("rank"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_tests"),
-    ).withColumn(
-        "_raw",
-        F.col("_p")
-        * F.col("n_tests").cast("double")
-        / F.col("rank").cast("double"),
+    # n_shards-row tables: the only unpartitioned windows, bounded by
+    # construction (32 rows) — rank offsets forward, min suffix back
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w_rev = Window.orderBy(
+    offsets = per_shard.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    totals = per_shard.agg(F.sum("_n").cast("bigint").alias("n_tests"))
+    w_rank = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        staged.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_pid",
+            "_k",
+            "_p",
+            (F.row_number().over(w_rank) + F.col("_off")).alias("rank"),
+            "n_tests",
+        )
+        .withColumn(
+            "_raw",
+            F.col("_p")
+            * F.col("n_tests").cast("double")
+            / F.col("rank").cast("double"),
+        )
+    )
+    # step-up running min, sharded: within-shard reverse min + the
+    # min over all LATER shards (suffix minima of the shard-min
+    # table, NULL for the last shard — F.least skips NULLs, so the
+    # clamp-at-1 literal also closes the empty-suffix case exactly
+    # as the single-window form did)
+    shard_min = ranked.groupBy("_pid").agg(F.min("_raw").alias("_m"))
+    w_suf = Window.orderBy(F.col("_pid").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    suffix = shard_min.select(
+        "_pid", F.min("_m").over(w_suf).alias("_sufmin")
+    )
+    w_rev = Window.partitionBy("_pid").orderBy(
         F.col("_p").desc(), F.col("_k").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    q = F.least(F.min("_raw").over(w_rev), F.lit(1.0))
-    return ranked.select(
+    q = F.least(
+        F.min("_raw").over(w_rev), F.col("_sufmin"), F.lit(1.0)
+    )
+    return ranked.join(F.broadcast(suffix), "_pid").select(
         F.col("_k").alias(key_col),
         F.col("_p").alias("p_value"),
         F.col("rank").cast("bigint").alias("rank"),
@@ -738,19 +775,22 @@ def conformal_interval(
     Exactness: ``pred_col``/``label_col`` must be integer-valued
     (cents — the mann_whitney quantization contract), so residuals
     are exact integers and q̂ comes off the DISTINCT-residual table
-    by the auc_exact discipline: one groupBy(residual) collapse, one
-    ordered window for the cumulative count, q̂ = the first residual
+    by the auc_exact discipline: one groupBy(residual) collapse, the
+    two-phase sharded prefix sum (operators/rank.py) for the
+    cumulative count, q̂ = the first residual
     whose cumulative count reaches m = ⌈(n_cal+1)(1−α)⌉ (exact
     integer arithmetic: m = floor((n+1)·(1−α)) + (1 if fractional)
     — both engines replay it from the same integers). Coverage is an
     exact count ratio, 6dp. ``split_col``: 'cal' rows calibrate,
     'test' rows score; everything else is ignored. n_cal = 0 or
     m > n_cal (α too small for the split) emit NULL q̂/coverage —
-    the guarantee is vacuous, not fabricated.
+    the guarantee is vacuous, not fabricated. q̂ is a property of the
+    CALIBRATION split alone, so an empty test split still reports it
+    (coverage alone goes NULL — there is nothing to cover).
 
     Output: 1 row — (n_cal, n_test, m_rank, qhat, coverage).
     """
-    from pyspark.sql.window import Window
+    from .rank import cumsum_sharded
 
     res = F.abs(
         F.col(label_col).cast("bigint") - F.col(pred_col).cast("bigint")
@@ -783,12 +823,13 @@ def conformal_interval(
         "n_cal",
         F.floor(num / F.lit(a_den)).cast("bigint").alias("m_rank"),
     )
-    w = Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
-    dist = (
-        cal.groupBy("_r")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("_r", F.sum("_n").over(w).alias("_cum"))
+    cummed, _ = cumsum_sharded(
+        cal.groupBy("_r").agg(F.count(F.lit(1)).alias("_n")),
+        [F.col("_r").asc()],
+        ["_n"],
+        inclusive=True,
     )
+    dist = cummed.select("_r", F.col("cum__n").alias("_cum"))
     # q̂ = smallest residual whose cumulative count reaches m_rank
     qhat = (
         dist.crossJoin(F.broadcast(counts))
@@ -802,10 +843,16 @@ def conformal_interval(
             F.sum(
                 (F.col("_r") <= F.col("qhat")).cast("int")
             ).alias("_covered"),
-            F.max("qhat").alias("qhat"),
         )
     )
-    out = scored.crossJoin(F.broadcast(counts))
+    # q̂ rides in from the CALIBRATION-side frame: re-deriving it
+    # through the test aggregate (the pre-fix F.max('qhat') shape)
+    # returned NULL on an empty test split even though calibration
+    # fully defines it
+    out = (
+        scored.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(qhat))
+    )
     ok = (F.col("n_cal") > 0) & (F.col("m_rank") <= F.col("n_cal"))
     return out.select(
         "n_cal",
@@ -839,9 +886,13 @@ def lift_gains(
     (deployment cutoff).
 
     Exactness + scale shape (the auc discipline): everything derives
-    from the DISTINCT-score table — one groupBy(score) collapse, one
-    ordered window for the exact count of rows ABOVE each score, so
-    no data-sized sort exists. A distinct score belongs to the bucket
+    from the DISTINCT-score table — one groupBy(score) collapse, then
+    the exact count of rows ABOVE each score from the two-phase
+    sharded prefix sum (operators/rank.py, descending order) and the
+    population totals from its 1-row broadcast frame, so no
+    data-sized or domain-sized single-partition sort exists; the only
+    remaining unsharded window runs on the BUCKET table (≤ ``buckets``
+    rows, bounded by the argument). A distinct score belongs to the bucket
     of its FIRST row in descending order: bucket = floor(B·above/n)
     clamped to B−1 — tied scores land in ONE bucket wholesale (the
     deterministic tie rule both engines replay; slice sizes therefore
@@ -854,6 +905,8 @@ def lift_gains(
     """
     from pyspark.sql.window import Window
 
+    from .rank import cumsum_sharded
+
     src = df.select(
         F.col(score_col).cast("bigint").alias("_v"),
         F.col(label_col).cast("int").alias("_y"),
@@ -862,19 +915,16 @@ def lift_gains(
         F.count(F.lit(1)).alias("n"),
         F.sum("_y").alias("npos"),
     )
-    w = Window.orderBy(F.col("_v").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    cummed, totals = cumsum_sharded(
+        vals, [F.col("_v").desc()], ["n", "npos"], inclusive=False
     )
-    wall = Window.orderBy(F.col("_v").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = vals.select(
+    ranked = cummed.crossJoin(F.broadcast(totals)).select(
         "_v",
         "n",
         "npos",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("_above"),
-        F.sum("n").over(wall).alias("_nt"),
-        F.sum("npos").over(wall).alias("_pt"),
+        F.col("cum_n").alias("_above"),
+        F.col("tot_n").alias("_nt"),
+        F.col("tot_npos").alias("_pt"),
     )
     bucket = F.least(
         F.lit(buckets - 1),

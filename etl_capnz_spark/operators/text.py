@@ -865,6 +865,11 @@ def lr_train_hashed(
       n ≈ 9·10⁹ rows — the 100 TB rule); the update
       w_j ← w_j − trunc_div(G_j, n) is exact integer (lr = 1).
 
+    Rows with a NULL label are UNLABELED — they carry no gradient, so
+    they are filtered out before training and excluded from the
+    divisor n (the pre-fix shape let them vanish from the gradient
+    sums while still inflating n, silently diluting every update).
+
     Output: (feature, w_nano) — one row per hashed feature plus the
     bias at feature = −1, weights in nano units.
     """
@@ -880,13 +885,17 @@ def lr_train_hashed(
             % n_features,
         )
     )
-    feats = docs.select(
-        F.col(label_col).cast("long").alias("_y"),
-        buckets.alias("_b"),
-    ).persist()
+    feats = (
+        docs.select(
+            F.col(label_col).cast("long").alias("_y"),
+            buckets.alias("_b"),
+        )
+        .filter(F.col("_y").isNotNull())
+        .persist()
+    )
     n = feats.count()
     w = {j: 0 for j in range(-1, n_features)}
-    for _ in range(iters):
+    for _ in range(iters if n > 0 else 0):
         w_arr = F.array(
             *[F.lit(w[j]).cast("long") for j in range(n_features)]
         )

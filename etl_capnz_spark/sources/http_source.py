@@ -94,9 +94,10 @@ def register(spark) -> None:
 # matter what landed since. The monotone-naming contract (producers land
 # timestamp-prefixed names via write-temp-then-rename) is ENFORCED, not
 # assumed: read() recounts the files at-or-below the watermark and raises
-# if a file ever lands out of order or disappears, instead of silently
-# skipping it and re-reading consumed files (the pre-fix count-based
-# offset's failure mode). This is the bridge that makes the
+# if a file ever LANDS out of order (the silent-data-loss case); consumed
+# files DELETED by producer retention are tolerated — they sort at-or-below
+# the watermark and are never re-selected (the pre-fix count-based offset
+# would have re-read live files after any deletion). This is the bridge that makes the
 # NON-replayable HTTP feed replayable: the batch fetcher
 # (fetch_urls / capnz_http) lands snapshots; the stream source only ever
 # reads the landed log. Rows: (seq, path, xml), seq globally continuous.
@@ -165,14 +166,24 @@ class CapFeedStreamReader(SimpleDataSourceStreamReader):
                 if last
                 else []
             )
-            if len(consumed) != start["files"]:
+            # count <= recorded: consumed files may be RETENTION-
+            # DELETED (commit() says retention is the producer's
+            # concern — deletion at-or-below the watermark is allowed
+            # and never re-read, since selection is name > last).
+            # count > recorded is the fatal case: a file LANDED below
+            # the consumed watermark, i.e. out of lexicographic order
+            # — silently skipping it would lose data forever. (A
+            # deletion can mask a simultaneous out-of-order landing in
+            # this count check; the watermark still guarantees the
+            # late file is never half-read, only detectably absent.)
+            if len(consumed) > start["files"]:
                 raise RuntimeError(
                     "capnz_feed_stream: landed-file log mutated under "
                     f"the checkpoint — {len(consumed)} files sort <= the "
                     f"consumed watermark {last!r} but the offset recorded "
-                    f"{start['files']} consumed. A producer landed a file "
-                    "out of lexicographic order (or deleted a consumed "
-                    "one); the replayability contract requires immutable, "
+                    f"only {start['files']} consumed. A producer landed "
+                    "a file out of lexicographic order below the "
+                    "watermark; the replayability contract requires "
                     "monotone-named landings (timestamp-prefixed, "
                     "write-temp-then-rename)."
                 )

@@ -499,6 +499,86 @@ def _write_index_manifest(index_path: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(index_path, "_manifest.json"))
 
 
+def acquire_manifest_lease(
+    index_path: str,
+    owner: str,
+    ttl_sec: float = 120.0,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Single-writer lease over a manifest-logged table (VERDICT r6
+    item 7 — the multi-writer gap vs a real table format): the whole
+    read-index → anti-join → write-epoch → commit-manifest sequence
+    must be serial per index, or two writers interleave read-modify-
+    write on ``_manifest.json`` and the loser's epoch silently
+    vanishes from the committed file list (re-admitting its
+    duplicates forever after).
+
+    Mechanics — a lease FILE, not a lock: ``_lease.json`` is created
+    with ``O_CREAT|O_EXCL`` (atomic on POSIX and on object stores
+    with if-none-match semantics) carrying (owner, expiry). A
+    contender polls; a lease past its expiry is BROKEN by atomically
+    renaming it aside (``os.replace`` — exactly one of N concurrent
+    breakers wins the rename, the rest see FileNotFoundError and
+    re-contend), so a crashed holder stalls the table for at most
+    ``ttl_sec``. The standard lease caveat applies and is backstopped:
+    if a merge outlives its ttl and loses the lease mid-flight, the
+    commit-time CAS recheck in ``incremental_dedup_sink`` raises
+    instead of silently clobbering (split-brain becomes a loud error,
+    never a lost epoch).
+    """
+    import json
+    import os
+    import time
+
+    os.makedirs(index_path, exist_ok=True)
+    lock = os.path.join(index_path, "_lease.json")
+    deadline = time.time() + timeout_sec
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"owner": owner, "expires": time.time() + ttl_sec}, f
+                )
+            return
+        except FileExistsError:
+            try:
+                with open(lock) as f:
+                    cur = json.load(f)
+            except (FileNotFoundError, ValueError):
+                continue  # holder released/mid-write: re-contend
+            if cur.get("expires", 0) < time.time():
+                # stale: exactly one breaker wins the atomic rename
+                try:
+                    os.replace(lock, lock + ".broken")
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"manifest lease at {lock} held by "
+                    f"{cur.get('owner')!r} past {timeout_sec}s"
+                )
+            time.sleep(0.05)
+
+
+def release_manifest_lease(index_path: str, owner: str) -> None:
+    """Release only a lease this owner still holds (an expired-and-
+    broken lease now belongs to someone else — removing it would
+    unlock THEIR critical section)."""
+    import json
+    import os
+
+    lock = os.path.join(index_path, "_lease.json")
+    try:
+        with open(lock) as f:
+            cur = json.load(f)
+        if cur.get("owner") == owner:
+            os.remove(lock)
+    except (FileNotFoundError, ValueError):
+        pass
+
+
 def incremental_dedup_sink(
     doc_stream: DataFrame,
     out_path: str,
@@ -576,7 +656,26 @@ def incremental_dedup_sink(
     ).hexdigest()[:8]
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        # serialize the whole read→dedup→commit against OTHER WRITERS
+        # (lease + commit-time CAS; see acquire_manifest_lease): two
+        # concurrent sinks into one index would otherwise interleave
+        # read-modify-write on the manifest and silently drop the
+        # loser's epoch from the committed file list
+        acquire_manifest_lease(index_path, owner=f"{run_tag}:{epoch_id}")
+        try:
+            _merge_locked(batch, epoch_id)
+        finally:
+            release_manifest_lease(
+                index_path, owner=f"{run_tag}:{epoch_id}"
+            )
+
+    def _merge_locked(batch: DataFrame, epoch_id: int) -> None:
         manifest = _read_index_manifest(index_path)
+        snapshot = (
+            manifest["generation"],
+            list(manifest["files"]),
+            list(manifest["epochs"]),
+        )
         epoch_key = f"{run_tag}:{epoch_id}"
         if epoch_key in manifest["epochs"] or epoch_id in manifest["epochs"]:
             return  # replay of a committed epoch: physical no-op
@@ -702,6 +801,23 @@ def incremental_dedup_sink(
         epochs = sorted(
             manifest["epochs"] + [epoch_key], key=_epoch_recency
         )[-100:]
+        # commit-time CAS backstop: if the manifest moved under us, the
+        # lease was lost mid-merge (merge outlived its ttl and another
+        # writer broke it) — raise rather than clobber the interloper's
+        # committed epoch. Split-brain is a loud error, never silent
+        # epoch loss.
+        current = _read_index_manifest(index_path)
+        if (
+            current["generation"],
+            list(current["files"]),
+            list(current["epochs"]),
+        ) != snapshot:
+            raise RuntimeError(
+                f"incremental_dedup_sink: manifest at {index_path} "
+                f"changed during epoch {epoch_key} — lease lost "
+                "mid-merge (raise ttl_sec above the merge duration); "
+                "refusing to overwrite another writer's commit"
+            )
         _write_index_manifest(
             index_path,
             {

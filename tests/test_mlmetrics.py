@@ -564,6 +564,20 @@ def test_conformal_matches_pure_python_and_guarantee(spark):
     ).collect()[0]
     assert r3["n_cal"] == 0 and r3["qhat"] is None
 
+    # empty TEST split: q̂ is a calibration-side property, so it must
+    # still be reported (the pre-fix F.max-through-test-agg shape
+    # returned NULL); only coverage goes NULL — nothing to cover
+    notest = spark.createDataFrame(
+        [("cal", 10, 10), ("cal", 10, 11), ("cal", 10, 12),
+         ("cal", 10, 13)],
+        "split string, pred long, label long",
+    )
+    r4 = conformal_interval(
+        notest, "split", "pred", "label", alpha=0.5
+    ).collect()[0]
+    assert r4["n_test"] == 0 and r4["qhat"] == 2
+    assert r4["coverage"] is None
+
 
 def test_conformal_hand_case_alpha_half(spark):
     """α=0.5, cal residuals {0,1,2,3}: m = ceil(5·0.5) = 3 →

@@ -450,25 +450,35 @@ def test_ngram_novelty_shuffles_only_hash_tuples(spark, sf_dir):
         assert "text#" not in line, f"document text in shuffle: {line}"
 
 
-def test_drift_metrics_aggregate_before_any_window(spark, sf_dir):
-    """Drift-trio scale shapes: ks_test's window runs on the DOMAIN-
-    sized distinct-cents table (above a HashAggregate collapse, never
-    raw data); jsd_drift has NO window at all — its domain is a token
-    VOCABULARY, so totals are 1-row aggregates broadcast back instead
-    of a single-partition window."""
-    plan = _plan(entrymod.queries()["events_ks_test"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "Window" in plan
-    # plans print top-down (consumer above producer): every Window
-    # must have a HashAggregate somewhere BELOW it — a Window whose
-    # subtree has no aggregate is sorting raw data
-    lines = plan.split("\n")
-    last_window = max(
-        i for i, line in enumerate(lines) if "Window" in line
-    )
-    assert any(
-        "HashAggregate" in line for line in lines[last_window:]
-    ), "ks_test: deepest Window is not fed by an aggregate collapse"
+def test_drift_metrics_windows_are_sharded(spark, sf_dir):
+    """Scorer/drift-family scale shape (operators/rank.py): the
+    domain-sized cumulative scans must run under Window.partitionBy
+    (_pid) over range shards — no Window in the plan may sort an
+    unsharded domain through one partition. Every Window operator in
+    these plans therefore references _pid: either as its PARTITION
+    spec (the per-shard scan) or as its ORDER key (the n_shards-row
+    offset table, bounded by construction). jsd_drift has NO window
+    at all — its domain is a token VOCABULARY, so totals are 1-row
+    aggregates broadcast back instead of a single-partition window."""
+    for entry in (
+        "events_ks_test",
+        "ml_auc_exact",
+        "ml_lift_gains",
+        "events_mann_whitney",
+    ):
+        plan = _plan(entrymod.queries()[entry](spark, sf_dir))
+        assert "CartesianProduct" not in plan, entry
+        wlines = [ln for ln in plan.split("\n") if "Window [" in ln]
+        assert wlines, f"{entry}: expected sharded-scan windows"
+        for ln in wlines:
+            # lift_gains' final cumulative-gains window runs on the
+            # BUCKET table (<= `buckets` rows, bounded by argument)
+            if entry == "ml_lift_gains" and "bucket#" in ln:
+                continue
+            assert "_pid" in ln, (
+                f"{entry}: Window without the _pid shard discipline "
+                f"(single-partition domain sort reintroduced?): {ln}"
+            )
 
     jplan = _plan(entrymod.queries()["drift_jsd"](spark, sf_dir))
     assert "CartesianProduct" not in jplan

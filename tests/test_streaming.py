@@ -1417,6 +1417,16 @@ def test_custom_stream_source_enforces_monotone_landings(
     assert [(s, x) for s, _, x in it3] == [(2, "r3")]
     assert end3["last"] == "e.txt" and end3["batch"] == ["e.txt"]
 
+    # producer RETENTION deletes a consumed file (commit() note:
+    # retention is the producer's concern): files at-or-below the
+    # watermark disappearing must NOT wedge the stream — selection is
+    # name > last, so nothing is re-read and the tail keeps flowing
+    (land / "b.txt").unlink()
+    (land / "f.txt").write_text("r4\n")
+    it4, end4 = rdr.read(end3)
+    assert [(s, x) for s, _, x in it4] == [(3, "r4")]
+    assert end4["last"] == "f.txt" and end4["batch"] == ["f.txt"]
+
 
 def test_custom_stream_source_composes_with_stream_features(
     spark, tmp_path
@@ -1449,3 +1459,151 @@ def test_custom_stream_source_composes_with_stream_features(
         ).collect()
     )
     assert ids == ["A-1", "A-1-center"]
+
+
+def test_manifest_lease_serializes_and_breaks_stale(tmp_path):
+    """The single-writer lease (streaming/stream.py VERDICT r6 item 7):
+    (a) under 8 threads x 25 read-modify-write cycles on one shared
+    counter file, zero lost updates — the interleaving the bare
+    manifest write allowed; (b) an expired lease is broken by exactly
+    one contender and a live one is not; (c) release is owner-checked
+    so a late holder cannot unlock someone else's critical section."""
+    import json
+    import os
+    import threading
+    import time
+
+    from etl_capnz_spark.streaming.stream import (
+        acquire_manifest_lease,
+        release_manifest_lease,
+    )
+
+    idx = str(tmp_path / "idx")
+    counter = os.path.join(idx, "counter.json")
+    os.makedirs(idx)
+    with open(counter, "w") as f:
+        json.dump({"n": 0}, f)
+
+    def worker(tid):
+        for i in range(25):
+            owner = f"t{tid}:{i}"
+            acquire_manifest_lease(idx, owner, ttl_sec=30)
+            try:
+                with open(counter) as f:
+                    n = json.load(f)["n"]
+                # widen the race window beyond the file ops themselves
+                time.sleep(0.001)
+                with open(counter, "w") as f:
+                    json.dump({"n": n + 1}, f)
+            finally:
+                release_manifest_lease(idx, owner)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with open(counter) as f:
+        assert json.load(f)["n"] == 200  # no lost updates
+
+    # (b) stale lease: acquirable after expiry, exactly once
+    acquire_manifest_lease(idx, "crashed", ttl_sec=0.01)
+    time.sleep(0.05)
+    acquire_manifest_lease(idx, "rescuer", ttl_sec=30, timeout_sec=5)
+    # (c) a non-owner release is a no-op; the owner's isn't
+    release_manifest_lease(idx, "crashed")
+    lock = os.path.join(idx, "_lease.json")
+    assert os.path.exists(lock)
+    release_manifest_lease(idx, "rescuer")
+    assert not os.path.exists(lock)
+
+    # live lease is NOT breakable: a second acquire times out
+    acquire_manifest_lease(idx, "holder", ttl_sec=60)
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        acquire_manifest_lease(idx, "intruder", ttl_sec=60,
+                               timeout_sec=0.3)
+    release_manifest_lease(idx, "holder")
+
+
+def test_incremental_dedup_two_concurrent_writers(spark, tmp_path):
+    """Two foreachBatch writers (distinct checkpoints = distinct run
+    tags) stream into ONE output + ONE hash index AT THE SAME TIME.
+    The lease serializes their merges, so: no epoch is lost from the
+    manifest (both run tags committed), no content hash is admitted
+    twice (cross-writer dedup holds), and every unique text lands
+    exactly once."""
+    import json as js
+
+    from etl_capnz_spark.streaming.stream import (
+        incremental_dedup_sink,
+        read_incremental_output,
+        _read_index_manifest,
+    )
+
+    land_a = tmp_path / "land_a"
+    land_b = tmp_path / "land_b"
+    land_a.mkdir()
+    land_b.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    schema = "doc_id BIGINT, text STRING"
+
+    # overlapping corpora: 'shared-*' texts appear in BOTH writers
+    (land_a / "a.jsonl").write_text(
+        "\n".join(
+            js.dumps({"doc_id": i, "text": f"shared-{i % 10}"})
+            for i in range(20)
+        )
+    )
+    (land_b / "b.jsonl").write_text(
+        "\n".join(
+            js.dumps({"doc_id": 100 + i, "text": f"shared-{i % 10}"})
+            for i in range(10)
+        )
+        + "\n"
+        + "\n".join(
+            js.dumps({"doc_id": 200 + i, "text": f"only-b-{i}"})
+            for i in range(5)
+        )
+    )
+    qa = (
+        incremental_dedup_sink(
+            spark.readStream.schema(schema).json(str(land_a)),
+            out,
+            idx,
+            str(tmp_path / "cp_a"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qb = (
+        incremental_dedup_sink(
+            spark.readStream.schema(schema).json(str(land_b)),
+            out,
+            idx,
+            str(tmp_path / "cp_b"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    qa.awaitTermination(180)
+    qb.awaitTermination(180)
+
+    rows = read_incremental_output(spark, out).collect()
+    texts = [r["text"] for r in rows]
+    # every unique text exactly once — across BOTH writers
+    assert len(texts) == len(set(texts))
+    assert set(t for t in texts if t.startswith("shared-")) == {
+        f"shared-{i}" for i in range(10)
+    }
+    assert set(t for t in texts if t.startswith("only-b-")) == {
+        f"only-b-{i}" for i in range(5)
+    }
+    # both writers' epochs committed — nothing lost to an interleave
+    man = _read_index_manifest(idx)
+    tags = {str(e).split(":")[0] for e in man["epochs"]}
+    assert len(tags) == 2, man["epochs"]

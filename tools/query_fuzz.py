@@ -1,0 +1,592 @@
+"""Differential query fuzzer (SQLancer-lite): random ANSI-SQL queries
+run through BOTH Spark SQL and DuckDB over the same parquet tables,
+results compared as canonicalized multisets.
+
+Why: the hand-written contract (312 entries, zero misses over six
+rounds) covers the operators the builder THOUGHT to test; the fuzzer
+hunts the wrong-answer classes hand-written entries can't reach —
+optimizer edge cases, null/ties/overflow interactions, join-reorder
+bugs, expression-rewrite divergence. Every query is generated from a
+SEEDED RNG so a failure replays exactly (print the seed + index).
+
+Dialect discipline (the generator emits ONE SQL string both engines
+parse — the whole point is that any result divergence is a real
+semantic difference, not dialect noise):
+
+* integer arithmetic only on the sum path (sum of DOUBLE is partition-
+  order-dependent in Spark and row-order-dependent in DuckDB — the
+  engine's own oracle discipline); doubles enter only via
+  CAST(ROUND(col*100) AS BIGINT) quantization, MIN/MAX (exact), and
+  ROUND(AVG(int), 6) (one exact-int division, rounded identically);
+* windows are made deterministic by construction: every ORDER BY in an
+  OVER() ends with the table's primary key, so frames are total-order
+  unique; rank()/dense_rank() additionally tolerate ties by equality;
+* no LIMIT, no SELECT-level ORDER BY (results compare as sorted
+  multisets); no division except AVG (divide-by-zero-free), no int
+  division (`//` vs `DIV` dialect split);
+* constants are drawn from each column's real domain so predicates
+  actually select rows instead of fuzzing empty sets.
+
+Usage: python tools/query_fuzz.py [--n 200] [--seed 7] [--sf DIR]
+Exit code = number of mismatches; failures print their SQL.
+"""
+from __future__ import annotations
+
+import datetime
+import random
+
+# ---------------------------------------------------------------- catalog
+
+# (name, pk, {col: kind}) — kind in int/str/float/ts
+TABLES = {
+    "region": ("r_regionkey", {"r_regionkey": "int", "r_name": "str"}),
+    "nation": (
+        "n_nationkey",
+        {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    ),
+    "customer": (
+        "c_custkey",
+        {
+            "c_custkey": "int",
+            "c_name": "str",
+            "c_nationkey": "int",
+            "c_acctbal": "float",
+            "c_mktsegment": "str",
+        },
+    ),
+    "supplier": (
+        "s_suppkey",
+        {
+            "s_suppkey": "int",
+            "s_name": "str",
+            "s_nationkey": "int",
+            "s_acctbal": "float",
+        },
+    ),
+    "part": (
+        "p_partkey",
+        {
+            "p_partkey": "int",
+            "p_name": "str",
+            "p_brand": "str",
+            "p_type": "str",
+            "p_size": "int",
+            "p_retailprice": "float",
+        },
+    ),
+    "orders": (
+        "o_orderkey",
+        {
+            "o_orderkey": "int",
+            "o_custkey": "int",
+            "o_orderstatus": "str",
+            "o_totalprice": "float",
+            "o_orderdate": "ts",
+            "o_orderpriority": "str",
+        },
+    ),
+    "lineitem": (
+        "l_orderkey",  # not unique alone; see PK_EXPR
+        {
+            "l_orderkey": "int",
+            "l_partkey": "int",
+            "l_suppkey": "int",
+            "l_linenumber": "int",
+            "l_quantity": "float",
+            "l_extendedprice": "float",
+            "l_discount": "float",
+            "l_tax": "float",
+            "l_returnflag": "str",
+            "l_linestatus": "str",
+            "l_shipdate": "ts",
+        },
+    ),
+    "events": (
+        "event_id",
+        {
+            "event_id": "int",
+            "ts": "ts",
+            "user_id": "int",
+            "event_type": "str",
+            "value": "float",
+        },
+    ),
+    "documents": (
+        "doc_id",
+        {
+            "doc_id": "int",
+            "lang": "str",
+            "source": "str",
+            "n_chars": "int",
+        },
+    ),
+}
+
+# lineitem's pk is composite; a unique order key expression per table
+PK_EXPR = {
+    "lineitem": "(l_orderkey * 10 + l_linenumber)",
+}
+
+STR_DOMAIN = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+    "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY"],
+    "event_type": ["click", "error", "purchase", "signup", "view"],
+    "lang": ["de", "en", "es", "fr", "zh"],
+    "source": ["src0", "src1", "src7", "src12"],
+    "p_brand": ["Brand#1", "Brand#12", "Brand#23"],
+    "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+}
+
+TS_DOMAIN = ["1993-03-15", "1995-06-17", "1997-01-01", "1998-09-02"]
+
+FK = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+AGG_TABLES = [
+    "lineitem",
+    "orders",
+    "customer",
+    "events",
+    "documents",
+    "part",
+    "supplier",
+]
+SMALL_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "documents"]
+
+
+def _cols(table, kind):
+    return [c for c, k in TABLES[table][1].items() if k == kind]
+
+
+def _pk(table):
+    return PK_EXPR.get(table, TABLES[table][0])
+
+
+# ------------------------------------------------------------- generators
+
+
+def int_expr(rng, table, alias="", depth=0):
+    """Random integer-valued scalar expression over one table's row."""
+    p = f"{alias}." if alias else ""
+    choices = ["col", "mod", "plus", "quant", "len", "year", "case",
+               "coalesce"]
+    kind = rng.choice(choices if depth < 2 else ["col", "mod", "quant"])
+    ints = _cols(table, "int")
+    if kind == "col" and ints:
+        return p + rng.choice(ints)
+    if kind == "mod" and ints:
+        return f"({p}{rng.choice(ints)} % {rng.randint(2, 97)})"
+    if kind == "plus" and ints:
+        return (
+            f"({p}{rng.choice(ints)} + {rng.randint(-5, 50)})"
+        )
+    if kind == "quant":
+        floats = _cols(table, "float")
+        if floats:
+            return (
+                f"CAST(ROUND({p}{rng.choice(floats)} * 100) AS BIGINT)"
+            )
+    if kind == "len":
+        strs = _cols(table, "str")
+        if strs:
+            return f"LENGTH({p}{rng.choice(strs)})"
+    if kind == "year":
+        tss = _cols(table, "ts")
+        if tss:
+            return rng.choice(["YEAR", "MONTH", "DAY"]) + (
+                f"({p}{rng.choice(tss)})"
+            )
+    if kind == "case":
+        return (
+            f"(CASE WHEN {predicate(rng, table, alias, depth + 1)} "
+            f"THEN {int_expr(rng, table, alias, depth + 1)} "
+            f"ELSE {int_expr(rng, table, alias, depth + 1)} END)"
+        )
+    if kind == "coalesce" and ints:
+        c = rng.choice(ints)
+        return (
+            f"COALESCE(NULLIF({p}{c}, {rng.randint(0, 20)}), "
+            f"{rng.randint(-3, 3)})"
+        )
+    return p + (ints[0] if ints else _pk(table))
+
+
+def str_expr(rng, table, alias=""):
+    p = f"{alias}." if alias else ""
+    strs = _cols(table, "str")
+    if not strs:
+        return f"CAST({p}{_pk(table)} AS STRING)"
+    c = p + rng.choice(strs)
+    return rng.choice(
+        [
+            c,
+            f"UPPER({c})",
+            f"LOWER({c})",
+            f"SUBSTR({c}, 1, {rng.randint(1, 6)})",
+            f"({c} || '_x')",
+        ]
+    )
+
+
+def predicate(rng, table, alias="", depth=0):
+    p = f"{alias}." if alias else ""
+    kind = rng.choice(
+        ["icmp", "seq", "sin", "between", "tcmp", "and", "or", "not"]
+        if depth < 2
+        else ["icmp", "seq", "between"]
+    )
+    ints = _cols(table, "int")
+    strs = [c for c in _cols(table, "str") if c in STR_DOMAIN]
+    tss = _cols(table, "ts")
+    if kind == "icmp" and ints:
+        c = rng.choice(ints)
+        op = rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"({p}{c} % {rng.randint(2, 50)} {op} {rng.randint(0, 25)})"
+    if kind == "seq" and strs:
+        c = rng.choice(strs)
+        return f"({p}{c} = '{rng.choice(STR_DOMAIN[c])}')"
+    if kind == "sin" and strs:
+        c = rng.choice(strs)
+        vals = ", ".join(
+            f"'{v}'"
+            for v in rng.sample(
+                STR_DOMAIN[c], min(2, len(STR_DOMAIN[c]))
+            )
+        )
+        return f"({p}{c} IN ({vals}))"
+    if kind == "between" and ints:
+        c = rng.choice(ints)
+        lo = rng.randint(0, 40)
+        return f"({p}{c} % 100 BETWEEN {lo} AND {lo + rng.randint(1, 40)})"
+    if kind == "tcmp" and tss:
+        c = rng.choice(tss)
+        op = rng.choice(["<", ">="])
+        return (
+            f"({p}{c} {op} TIMESTAMP '{rng.choice(TS_DOMAIN)} 00:00:00')"
+        )
+    if kind == "and":
+        return (
+            f"({predicate(rng, table, alias, depth + 1)} AND "
+            f"{predicate(rng, table, alias, depth + 1)})"
+        )
+    if kind == "or":
+        return (
+            f"({predicate(rng, table, alias, depth + 1)} OR "
+            f"{predicate(rng, table, alias, depth + 1)})"
+        )
+    if kind == "not":
+        return f"(NOT {predicate(rng, table, alias, depth + 1)})"
+    return f"({p}{_pk(table)} % 2 = 0)"
+
+
+def agg_exprs(rng, table, alias=""):
+    out = []
+    for i in range(rng.randint(1, 3)):
+        k = rng.choice(["cnt", "cntd", "sum", "min", "max", "avg"])
+        e = int_expr(rng, table, alias)
+        if k == "cnt":
+            out.append(f"COUNT(*) AS a{i}")
+        elif k == "cntd":
+            out.append(f"COUNT(DISTINCT {e}) AS a{i}")
+        elif k == "sum":
+            out.append(f"SUM({e}) AS a{i}")
+        elif k == "min":
+            out.append(f"MIN({e}) AS a{i}")
+        elif k == "max":
+            out.append(f"MAX({e}) AS a{i}")
+        else:
+            out.append(f"ROUND(AVG({e}), 6) AS a{i}")
+    return out
+
+
+def group_keys(rng, table, alias=""):
+    p = f"{alias}." if alias else ""
+    opts = []
+    strs = [c for c in _cols(table, "str") if c in STR_DOMAIN]
+    if strs:
+        opts.append(p + rng.choice(strs))
+    ints = _cols(table, "int")
+    if ints:
+        opts.append(f"({p}{rng.choice(ints)} % {rng.randint(2, 12)})")
+    tss = _cols(table, "ts")
+    if tss:
+        opts.append(f"YEAR({p}{rng.choice(tss)})")
+    rng.shuffle(opts)
+    return opts[: rng.randint(1, max(1, len(opts)))]
+
+
+# ----------------------------------------------------------- query shapes
+
+
+def q_scalar(rng):
+    """Filtered scalar projection on a small table (expression
+    semantics: CASE/COALESCE/NULLIF/string ops/date parts)."""
+    t = rng.choice(SMALL_TABLES)
+    sel = [f"{int_expr(rng, t)} AS c0", f"{str_expr(rng, t)} AS c1"]
+    if rng.random() < 0.5:
+        sel.append(f"{int_expr(rng, t)} AS c2")
+    return (
+        f"SELECT {', '.join(sel)} FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+
+
+def q_group(rng):
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    aliased = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+    aggs = agg_exprs(rng, t)
+    having = (
+        f" HAVING COUNT(*) > {rng.randint(1, 20)}"
+        if rng.random() < 0.4
+        else ""
+    )
+    where = (
+        f" WHERE {predicate(rng, t)}" if rng.random() < 0.7 else ""
+    )
+    return (
+        f"SELECT {', '.join(aliased + aggs)} FROM {t}{where} "
+        f"GROUP BY {', '.join(keys)}{having}"
+    )
+
+
+def q_join(rng):
+    chains = [
+        [("lineitem", "l_orderkey", "orders", "o_orderkey")],
+        [("orders", "o_custkey", "customer", "c_custkey")],
+        [("customer", "c_nationkey", "nation", "n_nationkey")],
+        [("lineitem", "l_partkey", "part", "p_partkey")],
+        [("lineitem", "l_suppkey", "supplier", "s_suppkey")],
+        [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ],
+        [
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+        ],
+    ]
+    chain = rng.choice(chains)
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    t0 = chain[0][0]
+    sql_from = f"{t0} t0"
+    names = {t0: "t0"}
+    for i, (lt, lc, rt, rc) in enumerate(chain, 1):
+        names[rt] = f"t{i}"
+        sql_from += (
+            f" {jt} {rt} t{i} ON {names[lt]}.{lc} = t{i}.{rc}"
+        )
+    gt, ga = rng.choice(list(names.items()))
+    keys = group_keys(rng, gt, ga)
+    # LEFT JOIN group keys from the right side can be NULL — fine,
+    # both engines group NULLs together
+    aliased = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+    at, aa = rng.choice(list(names.items()))
+    aggs = agg_exprs(rng, at, aa)
+    wt, wa = rng.choice(list(names.items()))
+    where = (
+        f" WHERE {predicate(rng, wt, wa)}"
+        if rng.random() < 0.6 and not (jt == "LEFT JOIN" and wa != "t0")
+        else ""
+    )
+    return (
+        f"SELECT {', '.join(aliased + aggs)} FROM {sql_from}{where} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+
+
+def q_setop(rng):
+    t = rng.choice(AGG_TABLES)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    e0, e1 = int_expr(rng, t), str_expr(rng, t)
+    lhs = (
+        f"SELECT {e0} AS c0, {e1} AS c1 FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    rhs = (
+        f"SELECT {e0} AS c0, {e1} AS c1 FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    return f"({lhs}) {op} ({rhs})"
+
+
+def q_window(rng):
+    t = rng.choice(AGG_TABLES)
+    pk = _pk(t)
+    keys = group_keys(rng, t)
+    part = keys[0]
+    e = int_expr(rng, t)
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {e}, {pk})",
+            f"RANK() OVER (PARTITION BY {part} ORDER BY {e})",
+            f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {e})",
+            (
+                f"SUM({e}) OVER (PARTITION BY {part} ORDER BY {pk} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+            f"LAG({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk})",
+            f"LEAD({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk})",
+        ]
+    )
+    inner = (
+        f"SELECT {part} AS g0, {pk} AS id, {fn} AS w FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    if rng.random() < 0.5:
+        return (
+            f"SELECT g0, COUNT(*) AS a0, SUM(w) AS a1, "
+            f"MIN(w) AS a2 FROM ({inner}) sub GROUP BY g0"
+        )
+    return inner
+
+
+def q_subquery(rng):
+    outer, okey, inner, ikey = rng.choice(
+        [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_custkey", "orders", "o_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ]
+    )
+    neg = rng.choice(["", "NOT "])
+    sub = (
+        f"SELECT {ikey} FROM {inner} WHERE {predicate(rng, inner)}"
+    )
+    where = f"{okey} {neg}IN ({sub})"
+    if rng.random() < 0.4:
+        where = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} i WHERE "
+            f"i.{ikey} = {outer}.{okey} AND {predicate(rng, inner, 'i')})"
+        )
+    aggs = agg_exprs(rng, outer)
+    return f"SELECT {', '.join(aggs)} FROM {outer} WHERE {where}"
+
+
+SHAPES = [
+    (q_scalar, 4),
+    (q_group, 6),
+    (q_join, 6),
+    (q_setop, 3),
+    (q_window, 4),
+    (q_subquery, 3),
+]
+
+
+def gen_query(rng):
+    total = sum(w for _, w in SHAPES)
+    pick = rng.randrange(total)
+    acc = 0
+    for fn, w in SHAPES:
+        acc += w
+        if pick < acc:
+            return fn(rng)
+    return q_group(rng)
+
+
+# ------------------------------------------------------------- comparison
+
+
+def _norm(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat().replace("+00:00", "")
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def rows_key(rows):
+    return sorted(
+        [tuple(_norm(v) for v in r) for r in rows], key=repr
+    )
+
+
+def run_fuzz(spark, con, n=200, seed=7, verbose=False):
+    """Run n seeded queries through both engines; returns list of
+    (idx, sql, detail) mismatches. spark: SparkSession with the
+    tables registered as temp views; con: duckdb connection with the
+    same views."""
+    mismatches = []
+    for i in range(n):
+        rng = random.Random(f"{seed}:{i}")
+        sql = gen_query(rng)
+        try:
+            got = rows_key(
+                [tuple(r) for r in spark.sql(sql).collect()]
+            )
+        except Exception as e:  # noqa: BLE001 — record, don't die
+            mismatches.append((i, sql, f"spark error: {e}"))
+            continue
+        try:
+            want = rows_key(con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001
+            mismatches.append((i, sql, f"duckdb error: {e}"))
+            continue
+        if got != want:
+            detail = (
+                f"rows spark={len(got)} duck={len(want)}"
+            )
+            for a, b in zip(got, want):
+                if a != b:
+                    detail += f"; first diff: spark={a!r} duck={b!r}"
+                    break
+            mismatches.append((i, sql, detail))
+        elif verbose:
+            print(f"  [{i}] ok ({len(got)} rows)")
+    return mismatches
+
+
+def main():
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    import duckdb
+
+    from etl_capnz_spark.session import get_session, read_table
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_session("query-fuzz", master="local[8]",
+                        shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        read_table(spark, args.sf, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    bad = run_fuzz(spark, con, args.n, args.seed, args.verbose)
+    for i, sql, detail in bad:
+        print(f"MISMATCH [{args.seed}:{i}] {detail}\n  {sql}")
+    print(f"{args.n - len(bad)}/{args.n} queries agree "
+          f"(seed={args.seed}, sf={args.sf})")
+    sys.exit(len(bad))
+
+
+if __name__ == "__main__":
+    main()
