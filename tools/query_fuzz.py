@@ -321,7 +321,17 @@ def group_keys(rng, table, alias=""):
         opts.append(f"({p}{rng.choice(ints)} % {rng.randint(2, 12)})")
     tss = _cols(table, "ts")
     if tss:
-        opts.append(f"YEAR({p}{rng.choice(tss)})")
+        # CAST to DATE: DuckDB's date_trunc('month', ts) yields DATE
+        # while Spark yields TIMESTAMP — a dialect type quirk, not a
+        # semantic difference; the cast makes both engines emit DATE
+        opts.append(
+            rng.choice(
+                [
+                    f"YEAR({p}{rng.choice(tss)})",
+                    f"CAST(DATE_TRUNC('month', {p}{rng.choice(tss)}) AS DATE)",
+                ]
+            )
+        )
     rng.shuffle(opts)
     return opts[: rng.randint(1, max(1, len(opts)))]
 
@@ -355,9 +365,41 @@ def q_group(rng):
     where = (
         f" WHERE {predicate(rng, t)}" if rng.random() < 0.7 else ""
     )
+    gb = ", ".join(keys)
+    if len(keys) > 1 and rng.random() < 0.3:
+        gb = rng.choice(["ROLLUP", "CUBE"]) + f" ({gb})"
     return (
         f"SELECT {', '.join(aliased + aggs)} FROM {t}{where} "
-        f"GROUP BY {', '.join(keys)}{having}"
+        f"GROUP BY {gb}{having}"
+    )
+
+
+def q_distinct(rng):
+    """SELECT DISTINCT over computed expressions."""
+    t = rng.choice(AGG_TABLES)
+    return (
+        f"SELECT DISTINCT {int_expr(rng, t)} AS c0, "
+        f"{str_expr(rng, t)} AS c1 FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+
+
+def q_scalar_subquery(rng):
+    """Aggregate filtered by a scalar subquery over the same or a
+    joined-domain table."""
+    t = rng.choice(AGG_TABLES)
+    ints = _cols(t, "int")
+    c = rng.choice(ints)
+    sub_agg = rng.choice(["MIN", "MAX"])
+    sub = (
+        f"SELECT {sub_agg}({c} % {rng.randint(3, 40)}) FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    aggs = agg_exprs(rng, t)
+    op = rng.choice(["<", ">=", "="])
+    return (
+        f"SELECT {', '.join(aggs)} FROM {t} "
+        f"WHERE {c} % {rng.randint(3, 40)} {op} ({sub})"
     )
 
 
@@ -427,17 +469,23 @@ def q_window(rng):
     keys = group_keys(rng, t)
     part = keys[0]
     e = int_expr(rng, t)
+    # Determinism under DUPLICATE keys (the driver's lineitem is
+    # TPC-H-ish: (l_orderkey, l_linenumber) repeats, so no true pk
+    # exists — found by this fuzzer as a false-positive LAG swap):
+    # sequence-sensitive windows order by (pk, e) so tied keys carry a
+    # pinned e-order — rows identical in (pk, e) are interchangeable,
+    # making the output MULTISET deterministic even when pk repeats.
     fn = rng.choice(
         [
             f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {e}, {pk})",
             f"RANK() OVER (PARTITION BY {part} ORDER BY {e})",
             f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {e})",
             (
-                f"SUM({e}) OVER (PARTITION BY {part} ORDER BY {pk} "
+                f"SUM({e}) OVER (PARTITION BY {part} ORDER BY {pk}, {e} "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             ),
-            f"LAG({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk})",
-            f"LEAD({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk})",
+            f"LAG({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk}, {e})",
+            f"LEAD({e}, 1) OVER (PARTITION BY {part} ORDER BY {pk}, {e})",
         ]
     )
     inner = (
@@ -482,6 +530,8 @@ SHAPES = [
     (q_setop, 3),
     (q_window, 4),
     (q_subquery, 3),
+    (q_distinct, 2),
+    (q_scalar_subquery, 2),
 ]
 
 
