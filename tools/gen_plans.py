@@ -100,7 +100,11 @@ NOTES = {
         "Both sides compute 32-bit SRP signatures pre-shuffle and emit 8 "
         "(band_key, id) rows; candidates come from the band equi-join "
         "(queries broadcast), exact cosine only on candidates. No "
-        "CartesianProduct - the all-pairs scan never exists."
+        "CartesianProduct - the all-pairs scan never exists. r7: the "
+        "signature and the candidate cosine run as ArrowEvalPython "
+        "kernels (order-preserving numpy folds, bit-identical to the "
+        "HOF form) - Python only AFTER the band-join blocking, the "
+        "jw_pairs discipline."
     ),
     "tpch_q2": (
         "Correlated-MAX decorrelated as a window aggregate: ONE exchange "
@@ -793,12 +797,23 @@ NOTES = {
         "never shuffles (plan-pinned in tests/test_plans.py)."
     ),
     "events_ks_test": (
-        "Exact two-sample KS (r6): one union + groupBy(cents) "
-        "collapse (domain-bounded: distinct value units, not rows), "
-        "ONE ordered window over the distinct-value table for the "
-        "cumulative counts + totals (single-partition but domain-"
-        "sized - the auc_exact discipline), one max aggregate. Rows "
-        "never sort; only the value domain does."
+        "Exact two-sample KS (r6; r7 sharded): one union + "
+        "groupBy(cents) collapse (domain-bounded), then the TWO-PHASE "
+        "SHARDED prefix sum (operators/rank.py): range shards pinned "
+        "by localCheckpoint (the plan below starts at the checkpoint "
+        "scan), Window.partitionBy(_pid) per shard, the ONLY "
+        "unpartitioned window on the 32-row shard-totals table, side "
+        "totals a 1-row broadcast. No partition ever sorts more than "
+        "~domain/32 rows - the unquantized-domain fix of the r6 "
+        "verdict's standing weak."
+    ),
+    "quality_lr_pipeline": (
+        "Train-serve closure (r7): training ran at plan-build time "
+        "(10 integer gradient collects, driver state = 33 weights); "
+        "the SERVE plan below is a single narrow pass - tokenize, "
+        "hash to buckets, fold the weight literals, rational sigmoid, "
+        "gate - zero joins, zero shuffles, zero Python. The corpus "
+        "never moves; the model travels as literals."
     ),
     "events_bh_fdr": (
         "Welch family + BH (r6): the p-family is one two-phase "
