@@ -412,18 +412,18 @@ def golden_records(
     engine last — left implicit this diverges exactly when a cluster's
     modal count ties between NULL and a real value).
 
-    Shape: when the attributes share one type (the common CRM case —
-    string fields), ALL attributes vote through a single melt
-    (``stack``) → one (cluster, attr, value) count → one
-    (cluster, attr) top-1 window → one pivot back: a constant THREE
-    exchanges however many attributes there are, instead of the
-    per-attribute groupBy+window+join loop that put 3·K operators and
-    K joins in the plan at a K-attribute schema (the r6 verdict's
-    golden_records finding). Mixed-type schemas keep the per-attribute
-    loop — melting them would force a common cast, and casting changes
-    both the tie-break ORDER and value equality (``10`` < ``9`` as
-    strings), i.e. the answer. Exchanges carry (cluster, attr, value,
-    count) tuples either way; no record payloads cross after the first
+    Shape: attributes vote through ONE melt (``stack``) PER TYPE
+    GROUP → one (cluster, attr, value) count → one (cluster, attr)
+    top-1 window → one pivot back per group: exchanges scale with the
+    number of DISTINCT ATTRIBUTE TYPES (1 for the all-string CRM
+    case), never with the attribute count — the r6 verdict's
+    golden_records finding was the per-attribute groupBy+window+join
+    loop putting 3·K operators and K joins in the plan at a
+    K-attribute schema. Types are never mixed inside one melt: a
+    common cast would change both the tie-break ORDER and value
+    equality (``10`` < ``9`` as strings), i.e. the answer — each type
+    group melts in its native type. Exchanges carry (cluster, attr,
+    value, count) tuples; no record payloads cross after the first
     projection. Attribute votes are independent, so the golden record
     may mix sources (that is the point of survivorship — field-level,
     not record-level, truth selection).
@@ -436,13 +436,15 @@ def golden_records(
         F.count(F.lit(1)).alias("n_members")
     )
     dtypes = dict(labeled.dtypes)
-    if len(set(dtypes[a] for a in attr_cols)) == 1:
-        # homogeneous attributes: melt once, vote once, pivot back
-        stack_args = ", ".join(f"'{a}', `{a}`" for a in attr_cols)
+    groups: dict[str, list[str]] = {}
+    for a in attr_cols:
+        groups.setdefault(dtypes[a], []).append(a)
+    for cols in groups.values():
+        stack_args = ", ".join(f"'{a}', `{a}`" for a in cols)
         stacked = labeled.select(
             F.col(cluster_col),
             F.expr(
-                f"stack({len(attr_cols)}, {stack_args}) AS (_attr, _val)"
+                f"stack({len(cols)}, {stack_args}) AS (_attr, _val)"
             ),
         )
         votes = stacked.groupBy(cluster_col, "_attr", "_val").agg(
@@ -455,26 +457,11 @@ def golden_records(
             votes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .groupBy(cluster_col)
-            .pivot("_attr", attr_cols)
+            .pivot("_attr", cols)
             .agg(F.first("_val"))
         )
-        return out.join(top, cluster_col).select(
-            cluster_col, "n_members", *attr_cols
-        )
-    for a in attr_cols:
-        votes = labeled.groupBy(cluster_col, a).agg(
-            F.count(F.lit(1)).alias("_c")
-        )
-        w = Window.partitionBy(cluster_col).orderBy(
-            F.desc("_c"), F.col(a).asc_nulls_last()
-        )
-        top = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(cluster_col, a)
-        )
         out = out.join(top, cluster_col)
-    return out
+    return out.select(cluster_col, "n_members", *attr_cols)
 
 
 def phonetic_code(col: Column) -> Column:

@@ -259,3 +259,60 @@ def test_max_block_caps_hot_blocks_refine_then_drop(spark):
     ).collect()
     gids = {(r["id_a"], r["id_b"]) for r in got}
     assert gids == {(500, 501)}
+
+
+def test_golden_records_mixed_types_per_type_melt(spark):
+    """Survivorship with MIXED attribute types melts one stack per
+    TYPE group (never casting across types — a common cast would
+    reorder tie-breaks: '10' < '9' as strings): majority per attribute,
+    count desc, value asc, NULLS LAST, verified against a pure-Python
+    vote on a NULL-heavy corpus."""
+    import collections
+    import random
+
+    from etl_capnz_spark.operators.linkage import golden_records
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i % 7,
+            rng.choice(["A", "B", "C", None]),
+            rng.choice([1, 2, 3, 10, 9]),
+            rng.choice(["s1", "s2", None]),
+        )
+        for i in range(300)
+    ]
+    lab = spark.createDataFrame(
+        rows, "cluster long, title string, score long, source string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in golden_records(
+            lab, "cluster", ["title", "score", "source"]
+        ).collect()
+    )
+    ref = []
+    for c in sorted(set(r[0] for r in rows)):
+        mem = [r for r in rows if r[0] == c]
+        rec = [c, len(mem)]
+        for idx in (1, 2, 3):
+            cnt = collections.Counter(r[idx] for r in mem)
+            best = sorted(
+                cnt.items(),
+                key=lambda kv: (
+                    -kv[1],
+                    kv[0] is None,
+                    kv[0] if kv[0] is not None else 0,
+                ),
+            )[0][0]
+            rec.append(best)
+        ref.append(tuple(rec))
+    assert got == sorted(ref)
+
+    # the 10-vs-9 integer ordering that a string cast would invert:
+    # ties on count broken by NATIVE-type ascending value
+    tie = spark.createDataFrame(
+        [(1, 10), (1, 9)], "cluster long, score long"
+    )
+    r = golden_records(tie, "cluster", ["score"]).collect()[0]
+    assert r["score"] == 9

@@ -27,6 +27,23 @@ semantic difference, not dialect noise):
 * constants are drawn from each column's real domain so predicates
   actually select rows instead of fuzzing empty sets.
 
+Findings log (each divergence triaged, none left silent):
+
+1. DuckDB ``date_trunc('month', ts)`` returns DATE, Spark TIMESTAMP —
+   dialect TYPE quirk, normalized by casting both to DATE.
+2. The driver's lineitem has duplicate (l_orderkey, l_linenumber)
+   pairs (TPC-H-ish, not TPC-H) — no true row key exists, so
+   sequence-sensitive windows take the windowed expression as a final
+   ORDER tiebreak (fuzzer-harness fix; flags any entry that would
+   wrongly assume lineitem key uniqueness).
+3. REAL standard-compliance divergence (seed 11:3): GROUP BY
+   CUBE/ROLLUP over an EMPTY input emits the grouping-set-() global
+   row in DuckDB (SQL standard; matches both engines' plain global
+   aggregate) but NOTHING in Spark (Hive-compatible). Upstream Spark
+   behavior — normalized via HAVING COUNT(*) > 0 in the generator,
+   documented here and in SURVEY.
+
+
 Usage: python tools/query_fuzz.py [--n 200] [--seed 7] [--sf DIR]
 Exit code = number of mismatches; failures print their SQL.
 """
@@ -368,6 +385,19 @@ def q_group(rng):
     gb = ", ".join(keys)
     if len(keys) > 1 and rng.random() < 0.3:
         gb = rng.choice(["ROLLUP", "CUBE"]) + f" ({gb})"
+        if not having:
+            # FOUND DIVERGENCE (seed 11:3, triaged): over an EMPTY
+            # input, the SQL standard's grouping set () must emit its
+            # global-aggregate row — DuckDB does ([(NULL, 0)]), Spark
+            # does NOT ([]; entrenched Hive-compatible behavior; both
+            # agree a plain global aggregate emits 1 row on empty
+            # input, so Spark's CUBE/ROLLUP deviates from its own
+            # global-agg semantics). HAVING COUNT(*) > 0 removes
+            # exactly that empty-input grouping-set row and nothing
+            # else (every non-empty group has count >= 1), so the
+            # shapes stay generatable without re-tripping the known
+            # upstream deviation.
+            having = " HAVING COUNT(*) > 0"
     return (
         f"SELECT {', '.join(aliased + aggs)} FROM {t}{where} "
         f"GROUP BY {gb}{having}"
