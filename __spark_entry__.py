@@ -2253,6 +2253,86 @@ def _q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (operators/frequency.py
+    hll_registers/hll_estimate, m=256 registers) of event_ids per
+    event_type, alongside the exact count — the fixed-size register/max
+    complement to the KMV bottom-k sketch: a group's sketch is ≤ m rows
+    no matter the input, partials combine map-side (max), and rollups
+    merge by register max without re-scanning. The 52-bit md5 hash, the
+    EXACT-INTEGER harmonic sum (Σ 2^(45−M_j), empties at 2^45 — no
+    float partition-order hazard), and the single-division estimator
+    with its linear-counting branch are all replayed verbatim by the
+    oracle, so the sketch is oracle-EXACT even though the estimate
+    approximates (≈6.5 % std err at m=256; pinned ≤ 3σ in
+    test_frequency)."""
+    from etl_capnz_spark.operators.frequency import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_estimate(
+        hll_registers(ev, ["event_type"], "event_id"), ["event_type"]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "v_zero",
+        "harmonic_sum",
+        F.round(F.col("est_distinct"), 6).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+def _q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch-union law as a checked readout: the five per-type
+    register tables merged by register-wise max (hll_merge) estimate
+    the GLOBAL cardinality, side-by-side with a direct global sketch —
+    merge(sketch(A..E)) == sketch(A ∪ .. ∪ E) EXACTLY (max is
+    associative/commutative/idempotent), which is the property that
+    lets a 100 TB pipeline keep per-day/per-shard sketches and answer
+    any union window by max-merging m-row tables instead of
+    re-scanning. One row: both estimates, the register-table equality
+    flag, and the exact count. The three 1-row frames combine by
+    crossJoin (the repo's scalar-combination pattern)."""
+    from etl_capnz_spark.operators.frequency import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    per_type = hll_registers(ev, ["event_type"], "event_id")
+    union_est = hll_estimate(hll_merge(per_type, []), []).select(
+        F.col("v_zero").alias("v_zero_union"),
+        F.col("harmonic_sum").alias("harmonic_sum_union"),
+        F.round(F.col("est_distinct"), 6).alias("est_union"),
+    )
+    direct_est = hll_estimate(hll_registers(ev, [], "event_id"), []).select(
+        F.col("harmonic_sum").alias("harmonic_sum_direct"),
+        F.round(F.col("est_distinct"), 6).alias("est_direct"),
+    )
+    exact = ev.agg(F.count_distinct("event_id").alias("exact_distinct"))
+    return (
+        union_est.crossJoin(direct_est)
+        .crossJoin(exact)
+        .select(
+            "v_zero_union",
+            "harmonic_sum_union",
+            "est_union",
+            "est_direct",
+            (
+                F.col("harmonic_sum_union")
+                == F.col("harmonic_sum_direct")
+            ).alias("union_equals_direct"),
+            "exact_distinct",
+        )
+    )
+
+
 def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k quantile sketch (operators/audit.py
     quantile_sketch, k=64) of event values per event_type — completes
@@ -7537,6 +7617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots": _q_crawl_robots,
         "crawl_frontier_polite": _q_crawl_frontier_polite,
         "events_kmv_distinct": _q_events_kmv_distinct,
+        "events_hll_distinct": _q_events_hll_distinct,
+        "events_hll_merge": _q_events_hll_merge,
         "events_kmv_setops": _q_events_kmv_setops,
         "events_quantile_sketch": _q_events_quantile_sketch,
         "events_quantile_merge": _q_events_quantile_merge,
@@ -11545,6 +11627,105 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct,
                    exact_distinct
             FROM sk JOIN ex USING (event_type)""",
+        # HLL: the estimator constant is α_m·m²·2^45 for m=256 — the
+        # EXACT repr of operators/frequency.HLL_ALPHA_NUM (asserted
+        # equal in test_frequency), so the single division below is
+        # bit-identical to the engine's.
+        "events_hll_distinct": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM events),
+            r AS (
+              SELECT event_type, h % 256 AS j,
+                     max(CASE WHEN (h >> 8) = 0 THEN 45
+                              ELSE 45 - length(bin(h >> 8)) END) AS m_j
+              FROM h GROUP BY 1, 2),
+            g AS (
+              SELECT event_type, count(*) AS cnt,
+                     sum((1::BIGINT) << (45 - m_j))::BIGINT AS s_present
+              FROM r GROUP BY 1),
+            e AS (
+              SELECT event_type, (256 - cnt)::BIGINT AS v_zero,
+                     (s_present
+                      + (256 - cnt)::BIGINT * (1::BIGINT << 45))::BIGINT
+                       AS harmonic_sum
+              FROM g),
+            ex AS (
+              SELECT event_type,
+                     count(DISTINCT event_id)::BIGINT AS exact_distinct
+              FROM events GROUP BY 1)
+            SELECT event_type, v_zero, harmonic_sum,
+                   round(CASE WHEN 1.6562238378542564e+18 / harmonic_sum
+                                     <= 640.0 AND v_zero > 0
+                              THEN 256.0 * ln(256.0 / v_zero)
+                              ELSE 1.6562238378542564e+18 / harmonic_sum
+                         END, 6) AS est_distinct,
+                   exact_distinct
+            FROM e JOIN ex USING (event_type)""",
+        "events_hll_merge": """
+            WITH h AS (
+              SELECT event_type,
+                     ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM events),
+            per_type AS (
+              SELECT event_type, h % 256 AS j,
+                     max(CASE WHEN (h >> 8) = 0 THEN 45
+                              ELSE 45 - length(bin(h >> 8)) END) AS m_j
+              FROM h GROUP BY 1, 2),
+            -- union of the five sketches: register-wise max
+            merged AS (
+              SELECT j, max(m_j) AS m_j FROM per_type GROUP BY 1),
+            -- direct global sketch straight from the hashes
+            direct AS (
+              SELECT h % 256 AS j,
+                     max(CASE WHEN (h >> 8) = 0 THEN 45
+                              ELSE 45 - length(bin(h >> 8)) END) AS m_j
+              FROM h GROUP BY 1),
+            gm AS (
+              SELECT count(*) AS cnt,
+                     sum((1::BIGINT) << (45 - m_j))::BIGINT AS s_present
+              FROM merged),
+            gd AS (
+              SELECT count(*) AS cnt,
+                     sum((1::BIGINT) << (45 - m_j))::BIGINT AS s_present
+              FROM direct),
+            em AS (
+              SELECT (256 - cnt)::BIGINT AS v_zero_union,
+                     (s_present
+                      + (256 - cnt)::BIGINT * (1::BIGINT << 45))::BIGINT
+                       AS harmonic_sum_union
+              FROM gm),
+            ed AS (
+              SELECT (s_present
+                      + (256 - cnt)::BIGINT * (1::BIGINT << 45))::BIGINT
+                       AS harmonic_sum_direct,
+                     (256 - cnt)::BIGINT AS v_zero_direct
+              FROM gd),
+            ex AS (
+              SELECT count(DISTINCT event_id)::BIGINT AS exact_distinct
+              FROM events)
+            SELECT v_zero_union, harmonic_sum_union,
+                   round(CASE WHEN 1.6562238378542564e+18
+                                     / harmonic_sum_union <= 640.0
+                                   AND v_zero_union > 0
+                              THEN 256.0 * ln(256.0 / v_zero_union)
+                              ELSE 1.6562238378542564e+18
+                                   / harmonic_sum_union
+                         END, 6) AS est_union,
+                   round(CASE WHEN 1.6562238378542564e+18
+                                     / harmonic_sum_direct <= 640.0
+                                   AND v_zero_direct > 0
+                              THEN 256.0 * ln(256.0 / v_zero_direct)
+                              ELSE 1.6562238378542564e+18
+                                   / harmonic_sum_direct
+                         END, 6) AS est_direct,
+                   harmonic_sum_union = harmonic_sum_direct
+                     AS union_equals_direct,
+                   exact_distinct
+            FROM em, ed, ex""",
         "events_quantile_sketch": _QUANTILE_SKETCH_ORACLE,
         "events_quantile_merge": _QUANTILE_SKETCH_ORACLE,
         "events_heavy_hitters": """

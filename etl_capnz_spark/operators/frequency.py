@@ -217,3 +217,124 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ------------------------------------------------------------- hyperloglog
+# Flajolet–Fusy–Gandouet–Meunier (AofA'07) register sketch — the
+# industry-standard mergeable distinct-count primitive, complementing
+# audit.kmv_sketch (bottom-k minima, sum-free merge) with the fixed-m
+# register/max shape every warehouse HLL column stores. The reference
+# engine has no sketch surface (north-star extension, SURVEY.md §2.12);
+# what matters at 100 TB is that a group's sketch is AT MOST ``m`` rows
+# no matter how many rows/distincts feed it, partial-aggregates
+# map-side (max), and a day×day rollup merges by register max without
+# re-scanning — exactly the count_distinct that does NOT need the raw
+# key domain shuffled.
+#
+# Determinism discipline (the cms/kmv precedent): the hash is the
+# repo-standard 52-bit md5 prefix (identical in DuckDB), the harmonic
+# sum is kept as an EXACT INTEGER (each register contributes
+# 2^(45 − M_j), empties 2^45 — max term 2^45, ≤ m terms, < 2^53, so a
+# bigint sum has no float partition-order hazard), and the estimate is
+# ONE float division by that integer (plus one ln in the
+# linear-counting branch) — bit-identical across engines.
+
+HLL_P = 8  # m = 256 registers: std err 1.04/sqrt(m) ≈ 6.5 %
+_HLL_M = 1 << HLL_P
+_HLL_W_BITS = 52 - HLL_P  # hash bits left after the register index
+_HLL_RHO_MAX = _HLL_W_BITS + 1
+# alpha_m · m² · 2^ρmax (the harmonic sum below is scaled by 2^ρmax:
+# each register contributes 2^(ρmax − M_j)): ONE Python-computed
+# literal embedded identically in the Spark expression and the oracle
+# SQL, so the only cross-engine float op is the final division.
+HLL_ALPHA_NUM = (
+    0.7213
+    / (1.0 + 1.079 / _HLL_M)
+    * _HLL_M
+    * _HLL_M
+    * float(1 << _HLL_RHO_MAX)
+)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register table: group_cols + (j, m_j).
+
+    j = low ``HLL_P`` bits of the 52-bit md5 hash; ρ = position of the
+    highest set bit of the remaining ``_HLL_W_BITS``-bit word counted
+    from the top (leading zeros + 1; all-zero word → ρ_max), computed
+    as ``45 − length(bin(w))`` — ``bin`` drops leading zeros in Spark
+    and DuckDB alike, which is what makes the oracle replay exact.
+    m_j = max ρ seen in the register. One narrow projection + one
+    hash-agg whose partial max collapses each map task to ≤ m rows per
+    group before the shuffle; the raw value domain never shuffles.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(F.col("_h"), HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, h.alias("_h"))
+        .select(
+            *group_cols,
+            (F.col("_h") % _HLL_M).alias("j"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").alias("m_j"))
+    )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union of sketches = register-wise max. Associative, commutative,
+    idempotent — merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY
+    (not approximately), pinned in tests. ``group_cols`` is the
+    post-merge grain (pass fewer columns than the input grain to roll
+    up, e.g. per-day sketches → one global sketch)."""
+    return regs.groupBy(*group_cols, "j").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    group_cols + (v_zero, harmonic_sum, est_distinct).
+
+    harmonic_sum = Σ_j 2^(45 − M_j) with absent registers at 2^45 — the
+    exact-integer form of m·Σ 2^(−M_j). est = α·m²·2^45 / harmonic_sum,
+    with the standard linear-counting fallback m·ln(m/V) when the raw
+    estimate ≤ 2.5m and V > 0 empty registers remain (the 32-bit
+    large-range correction is irrelevant at a 52-bit hash and is
+    omitted). The group agg is over ≤ m rows per group — driver-safe at
+    any input scale.
+    """
+    g = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m_j)")
+        ).alias("_s_present"),
+    )
+    v_zero = (F.lit(_HLL_M) - F.col("_cnt")).cast("bigint")
+    s = (
+        F.col("_s_present")
+        + v_zero * F.lit(1 << _HLL_RHO_MAX).cast("bigint")
+    ).cast("bigint")
+    raw = F.lit(HLL_ALPHA_NUM) / F.col("harmonic_sum")
+    lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / F.col("v_zero")
+    )
+    return (
+        g.select(
+            *group_cols,
+            v_zero.alias("v_zero"),
+            s.alias("harmonic_sum"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.when(
+                (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0), lc
+            ).otherwise(raw),
+        )
+    )

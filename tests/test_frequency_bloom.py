@@ -362,3 +362,103 @@ def test_trimmed_mean_guard():
 
     with pytest.raises(ValueError):
         trimmed_mean_udaf(-1)
+
+
+# ------------------------------------------------------------ hyperloglog
+def test_hll_matches_pure_python_and_error_bound(spark):
+    """HLL registers/estimate vs a from-scratch pure-Python HLL on the
+    same 52-bit md5 hash: register tables identical, harmonic sum
+    identical (exact integer), estimate bit-equal; and on a planted
+    5000-distinct column the estimate lands within 3σ = 3·1.04/√256
+    ≈ 19.5 % of truth (observed ≪ that; the loose bound keeps the pin
+    hash-free)."""
+    import hashlib
+    import math
+
+    from etl_capnz_spark.operators.frequency import (
+        HLL_ALPHA_NUM,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") * 7 + 13).cast("string").alias("v")
+    )
+    got = {
+        r["j"]: r["m_j"]
+        for r in hll_registers(df, [], "v").collect()
+    }
+    # pure-python reference sketch
+    ref: dict[int, int] = {}
+    for i in range(n):
+        h = int(
+            hashlib.md5(str(i * 7 + 13).encode()).hexdigest()[:13], 16
+        )
+        j, w = h % 256, h >> 8
+        rho = 45 if w == 0 else 45 - (w.bit_length())
+        ref[j] = max(ref.get(j, 0), rho)
+    assert got == ref
+    s = sum(1 << (45 - ref.get(j, 0)) for j in range(256))
+    v = 256 - len(ref)
+    e = (
+        256.0 * math.log(256.0 / v)
+        if (HLL_ALPHA_NUM / s <= 640.0 and v > 0)
+        else HLL_ALPHA_NUM / s
+    )
+    row = hll_estimate(hll_registers(df, [], "v"), []).collect()[0]
+    assert row["harmonic_sum"] == s and row["v_zero"] == v
+    assert row["est_distinct"] == e
+    assert abs(e - n) / n < 3 * 1.04 / 16
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """Register-wise max merge of two disjoint halves' sketches equals
+    the sketch of the union EXACTLY (not approximately) — the property
+    that makes per-day HLL columns roll up without re-scanning. Also:
+    merge is idempotent (self-merge is a no-op)."""
+    from etl_capnz_spark.operators.frequency import (
+        hll_merge,
+        hll_registers,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(500, 2000).select(
+        F.col("id").cast("string").alias("v")
+    )
+    merged = hll_merge(
+        hll_registers(a, [], "v").unionByName(hll_registers(b, [], "v")),
+        [],
+    )
+    direct = hll_registers(a.unionByName(b), [], "v")
+    as_set = lambda df: {(r["j"], r["m_j"]) for r in df.collect()}
+    assert as_set(merged) == as_set(direct)
+    self_merged = hll_merge(
+        hll_registers(a, [], "v").unionByName(hll_registers(a, [], "v")),
+        [],
+    )
+    assert as_set(self_merged) == as_set(hll_registers(a, [], "v"))
+
+
+def test_hll_linear_counting_branch_and_alpha_literal(spark):
+    """A 40-distinct input falls in the linear-counting regime
+    (raw ≤ 2.5m, V > 0): estimate must be m·ln(m/V) and within 15 % of
+    truth there (LC is near-exact at this occupancy). Also pins the
+    oracle's embedded estimator literal to the exact repr of
+    HLL_ALPHA_NUM — the one constant the SQL replay depends on."""
+    import math
+
+    from etl_capnz_spark.operators.frequency import (
+        HLL_ALPHA_NUM,
+        hll_estimate,
+        hll_registers,
+    )
+
+    assert repr(HLL_ALPHA_NUM) == "1.6562238378542564e+18"
+    df = spark.range(40).select(F.col("id").cast("string").alias("v"))
+    row = hll_estimate(hll_registers(df, [], "v"), []).collect()[0]
+    assert row["v_zero"] > 0
+    assert row["est_distinct"] == 256.0 * math.log(
+        256.0 / row["v_zero"]
+    )
+    assert abs(row["est_distinct"] - 40) / 40 < 0.15

@@ -44,12 +44,24 @@ Findings log (each divergence triaged, none left silent):
    documented here and in SURVEY.
 
 
+Grammar (round-7 growth): the original 8 shapes (scalar/group/join/
+set-op/window/IN-EXISTS/distinct/scalar-subquery) plus nested
+aggregation through derived tables, scalar subqueries in the SELECT
+list (uncorrelated + correlated COUNT), WITH-chain CTEs (incl. double
+reference), exact DECIMAL arithmetic (engines disagree on result
+SCALE, not value — comparator canonicalizes Decimal by value),
+NULL-heavy shapes (NOT IN over a NULL-capable subquery, COUNT(expr)
+vs COUNT(*), NULL group keys), EXCEPT/INTERSECT ALL, and richer
+window frames (NTILE / FIRST_VALUE / value-keyed RANGE frames,
+deterministic under ties by construction).
+
 Usage: python tools/query_fuzz.py [--n 200] [--seed 7] [--sf DIR]
 Exit code = number of mismatches; failures print their SQL.
 """
 from __future__ import annotations
 
 import datetime
+import decimal as _decimal
 import random
 
 # ---------------------------------------------------------------- catalog
@@ -480,7 +492,16 @@ def q_join(rng):
 
 def q_setop(rng):
     t = rng.choice(AGG_TABLES)
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    op = rng.choice(
+        [
+            "UNION",
+            "UNION ALL",
+            "INTERSECT",
+            "EXCEPT",
+            "INTERSECT ALL",
+            "EXCEPT ALL",
+        ]
+    )
     e0, e1 = int_expr(rng, t), str_expr(rng, t)
     lhs = (
         f"SELECT {e0} AS c0, {e1} AS c1 FROM {t} "
@@ -553,6 +574,182 @@ def q_subquery(rng):
     return f"SELECT {', '.join(aggs)} FROM {outer} WHERE {where}"
 
 
+def q_nested_agg(rng):
+    """Two-level aggregation through a derived table — exercises
+    partial-agg rewrites, agg-over-agg pushdown, and re-grouping of an
+    already-aggregated stream (a shape no hand-written entry stacks
+    randomly)."""
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    inner = (
+        f"SELECT {keys[0]} AS g, COUNT(*) AS cnt, "
+        f"SUM({int_expr(rng, t)}) AS s, "
+        f"MIN({int_expr(rng, t)}) AS mn FROM {t} "
+        f"WHERE {predicate(rng, t)} GROUP BY {keys[0]}"
+    )
+    outer_key = rng.choice(
+        ["(cnt % 5)", "(s % 7)", "CASE WHEN mn < 3 THEN 'lo' ELSE 'hi' END"]
+    )
+    return (
+        f"SELECT {outer_key} AS og, COUNT(*) AS a0, SUM(cnt) AS a1, "
+        f"MAX(s) AS a2, MIN(mn) AS a3 FROM ({inner}) sub GROUP BY "
+        f"{outer_key}"
+    )
+
+
+def q_select_subquery(rng):
+    """Scalar subqueries in the SELECT list: an uncorrelated global
+    aggregate, and (half the time) a correlated per-row COUNT — the
+    decorrelation rewrite both optimizers apply differently."""
+    outer, okey, inner, ikey = rng.choice(
+        [
+            ("nation", "n_nationkey", "customer", "c_nationkey"),
+            ("nation", "n_nationkey", "supplier", "s_nationkey"),
+            ("region", "r_regionkey", "nation", "n_regionkey"),
+        ]
+    )
+    uncorr = (
+        f"(SELECT MIN({int_expr(rng, inner)}) FROM {inner} "
+        f"WHERE {predicate(rng, inner)})"
+    )
+    sel = [f"{_pk(outer)} AS id", f"{uncorr} AS u0"]
+    if rng.random() < 0.5:
+        sel.append(
+            f"(SELECT COUNT(*) FROM {inner} i WHERE i.{ikey} = "
+            f"{outer}.{okey} AND {predicate(rng, inner, 'i')}) AS c0"
+        )
+    return f"SELECT {', '.join(sel)} FROM {outer} WHERE {predicate(rng, outer)}"
+
+
+def q_cte(rng):
+    """WITH chain: filter CTE → aggregate CTE referencing it → final
+    re-aggregation, with the first CTE referenced twice half the time
+    (tests CTE reuse/inlining decisions)."""
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    a = f"SELECT * FROM {t} WHERE {predicate(rng, t)}"
+    b = (
+        f"SELECT {keys[0]} AS g, COUNT(*) AS cnt, "
+        f"SUM({int_expr(rng, t)}) AS s FROM a GROUP BY {keys[0]}"
+    )
+    if rng.random() < 0.5:
+        final = (
+            "SELECT COUNT(*) AS a0, SUM(cnt) AS a1, SUM(s) AS a2, "
+            "MIN(cnt) AS a3 FROM b"
+        )
+    else:
+        # reference the first CTE a second time through a semi-join
+        final = (
+            "SELECT b.g AS g0, b.cnt AS a0, b.s AS a1 FROM b "
+            "WHERE b.cnt > (SELECT COUNT(*) FROM a) / 100"
+        )
+    return f"WITH a AS ({a}), b AS ({b}) {final}"
+
+
+def q_decimal(rng):
+    """Exact DECIMAL arithmetic: quantized casts, +/-/* chains, SUM of
+    decimals (exact in both engines — unlike double). Result scale
+    rules differ per dialect (Spark Hive-rules vs DuckDB), so the
+    comparator canonicalizes Decimal by VALUE; the final CAST keeps
+    precision in both engines' representable range."""
+    t = rng.choice(["lineitem", "orders", "customer", "part", "events"])
+    floats = _cols(t, "float")
+    c = rng.choice(floats)
+    scale = rng.choice(["1.05", "0.90", "2.50"])
+    e = f"CAST(ROUND({c} * 100) AS DECIMAL(18, 0))"
+    expr = rng.choice(
+        [
+            f"({e} * CAST({scale} AS DECIMAL(4, 2)))",
+            f"({e} + CAST({rng.randint(1, 99)} AS DECIMAL(10, 0)))",
+            f"({e} - {e})",
+        ]
+    )
+    keys = group_keys(rng, t)
+    return (
+        f"SELECT {keys[0]} AS g0, "
+        f"CAST(SUM({expr}) AS DECIMAL(38, 6)) AS a0, "
+        f"CAST(MIN({expr}) AS DECIMAL(38, 6)) AS a1, "
+        f"COUNT(*) AS a2 FROM {t} WHERE {predicate(rng, t)} "
+        f"GROUP BY {keys[0]}"
+    )
+
+
+def q_null_semantics(rng):
+    """NULL-heavy shapes: NOT IN over a subquery that CAN emit NULL
+    (the classic all-rows-vanish trap), COUNT(expr) vs COUNT(*) under
+    NULLIF, and NULL-grouping — standard semantics both engines must
+    share exactly."""
+    t = rng.choice(AGG_TABLES)
+    ints = _cols(t, "int")
+    c = rng.choice(ints)
+    k = rng.randint(3, 12)
+    which = rng.randrange(3)
+    if which == 0:
+        # NOT IN with a possibly-NULL subquery element: if NULLIF ever
+        # fires, the NOT IN predicate is never TRUE and the result is
+        # the empty set — per the standard, in BOTH engines
+        inner_t = rng.choice(AGG_TABLES)
+        ic = rng.choice(_cols(inner_t, "int"))
+        sub = (
+            f"SELECT NULLIF({ic} % {k}, {rng.randint(0, k - 1)}) "
+            f"FROM {inner_t} WHERE {predicate(rng, inner_t)}"
+        )
+        return (
+            f"SELECT COUNT(*) AS a0, COUNT(DISTINCT {c} % {k}) AS a1 "
+            f"FROM {t} WHERE ({c} % {k}) NOT IN ({sub})"
+        )
+    if which == 1:
+        # COUNT(expr) skips NULLs, COUNT(*) doesn't; SUM over an
+        # all-NULL group is NULL (not 0) — both pinned differentially
+        e = f"NULLIF({c} % {k}, {rng.randint(0, k - 1)})"
+        keys = group_keys(rng, t)
+        return (
+            f"SELECT {keys[0]} AS g0, COUNT(*) AS a0, COUNT({e}) AS a1, "
+            f"SUM({e}) AS a2, COUNT(DISTINCT {e}) AS a3 FROM {t} "
+            f"WHERE {predicate(rng, t)} GROUP BY {keys[0]}"
+        )
+    # NULL as a group key: NULLIF-derived key groups all NULLs together
+    e = f"NULLIF({c} % {k}, {rng.randint(0, k - 1)})"
+    return (
+        f"SELECT {e} AS g0, COUNT(*) AS a0, "
+        f"MIN({int_expr(rng, t)}) AS a1 FROM {t} GROUP BY {e}"
+    )
+
+
+def q_window_frames(rng):
+    """Richer window coverage: NTILE, FIRST_VALUE under a total order,
+    and RANGE frames keyed by VALUE (deterministic under ties by
+    construction — the frame is a value interval, so tied rows see
+    identical frames)."""
+    t = rng.choice(AGG_TABLES)
+    pk = _pk(t)
+    part = group_keys(rng, t)[0]
+    e = int_expr(rng, t)
+    fn = rng.choice(
+        [
+            f"NTILE({rng.randint(2, 7)}) OVER "
+            f"(PARTITION BY {part} ORDER BY {e}, {pk})",
+            f"FIRST_VALUE({e}) OVER (PARTITION BY {part} "
+            f"ORDER BY {e}, {pk} ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW)",
+            f"SUM({e}) OVER (PARTITION BY {part} ORDER BY {e} "
+            f"RANGE BETWEEN {rng.randint(1, 10)} PRECEDING AND "
+            f"CURRENT ROW)",
+            f"COUNT(*) OVER (PARTITION BY {part} ORDER BY {e} "
+            f"RANGE BETWEEN CURRENT ROW AND "
+            f"{rng.randint(1, 10)} FOLLOWING)",
+        ]
+    )
+    inner = (
+        f"SELECT {part} AS g0, {e} AS v, {fn} AS w FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    return (
+        f"SELECT g0, COUNT(*) AS a0, SUM(w) AS a1, MIN(w) AS a2, "
+        f"MAX(v) AS a3 FROM ({inner}) sub GROUP BY g0"
+    )
+
+
 SHAPES = [
     (q_scalar, 4),
     (q_group, 6),
@@ -562,6 +759,12 @@ SHAPES = [
     (q_subquery, 3),
     (q_distinct, 2),
     (q_scalar_subquery, 2),
+    (q_nested_agg, 3),
+    (q_select_subquery, 2),
+    (q_cte, 3),
+    (q_decimal, 2),
+    (q_null_semantics, 3),
+    (q_window_frames, 3),
 ]
 
 
@@ -582,6 +785,10 @@ def gen_query(rng):
 def _norm(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat().replace("+00:00", "")
+    if isinstance(v, _decimal.Decimal):
+        # engines disagree on result SCALE (Spark Hive-rules vs DuckDB),
+        # not value: canonicalize exactly, trailing zeros stripped
+        return format(v.normalize(), "f")
     if isinstance(v, float):
         return round(v, 9)
     if isinstance(v, int):
