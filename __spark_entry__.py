@@ -2333,6 +2333,62 @@ def _q_events_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active-user estimate from MATERIALIZED daily HLL
+    register tables — the oracle-EXACT twin of the engine-native
+    `events_wau_hll` (rows-only): per-day sketches are built once (what
+    a warehouse stores per partition), each day's ≤256-row register
+    table fans out to the 7 windows it serves, and every window is ONE
+    register-max merge + the closed-form estimate — no re-scan of raw
+    events per window, no unbounded distinct state. The exact WAU rides
+    alongside from a single events self-window for the accuracy
+    readout. 150 distinct users keeps every window in the
+    linear-counting regime — deliberately: LC is the branch
+    `events_hll_distinct` (2k distincts, raw branch) does NOT exercise,
+    so the pair covers both estimator arms cross-engine."""
+    from etl_capnz_spark.operators.frequency import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "j",
+        "m_j",
+    )
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    merged = (
+        contrib.join(F.broadcast(days), "wday")
+        .groupBy("wday", "j")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    est = hll_estimate(merged, ["wday"]).select(
+        "wday",
+        "v_zero",
+        F.round(F.col("est_distinct"), 6).alias("est_wau"),
+    )
+    exact = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .alias("a")
+        .join(
+            days.alias("d"),
+            (F.col("a.day") >= F.date_sub(F.col("d.wday"), 6))
+            & (F.col("a.day") <= F.col("d.wday")),
+        )
+        .groupBy("d.wday")
+        .agg(F.count_distinct("a.user_id").alias("exact_wau"))
+    )
+    return est.join(exact, "wday")
+
+
 def _q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable bottom-k quantile sketch (operators/audit.py
     quantile_sketch, k=64) of event values per event_type — completes
@@ -7619,6 +7675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": _q_events_kmv_distinct,
         "events_hll_distinct": _q_events_hll_distinct,
         "events_hll_merge": _q_events_hll_merge,
+        "events_hll_wau": _q_events_hll_wau,
         "events_kmv_setops": _q_events_kmv_setops,
         "events_quantile_sketch": _q_events_quantile_sketch,
         "events_quantile_merge": _q_events_quantile_merge,
@@ -11726,6 +11783,47 @@ def oracle_sql() -> dict[str, str]:
                      AS union_equals_direct,
                    exact_distinct
             FROM em, ed, ex""",
+        "events_hll_wau": """
+            WITH h AS (
+              SELECT ts::DATE AS day,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT
+                       AS h
+              FROM events),
+            daily AS (
+              SELECT day, h % 256 AS j,
+                     max(CASE WHEN (h >> 8) = 0 THEN 45
+                              ELSE 45 - length(bin(h >> 8)) END) AS m_j
+              FROM h GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day AS wday FROM daily),
+            contrib AS (
+              SELECT (day + (x::INT))::DATE AS wday, j, m_j
+              FROM daily, generate_series(0, 6) AS t(x)),
+            merged AS (
+              SELECT c.wday, j, max(m_j) AS m_j
+              FROM contrib c JOIN days USING (wday) GROUP BY 1, 2),
+            g AS (
+              SELECT wday, count(*) AS cnt,
+                     sum((1::BIGINT) << (45 - m_j))::BIGINT AS s_present
+              FROM merged GROUP BY 1),
+            e AS (
+              SELECT wday, (256 - cnt)::BIGINT AS v_zero,
+                     (s_present
+                      + (256 - cnt)::BIGINT * (1::BIGINT << 45))::BIGINT
+                       AS harmonic_sum
+              FROM g),
+            ex AS (
+              SELECT d.wday, count(DISTINCT a.user_id)::BIGINT AS exact_wau
+              FROM (SELECT ts::DATE AS day, user_id FROM events) a
+              JOIN days d ON a.day BETWEEN d.wday - 6 AND d.wday
+              GROUP BY 1)
+            SELECT wday, v_zero,
+                   round(CASE WHEN 1.6562238378542564e+18 / harmonic_sum
+                                     <= 640.0 AND v_zero > 0
+                              THEN 256.0 * ln(256.0 / v_zero)
+                              ELSE 1.6562238378542564e+18 / harmonic_sum
+                         END, 6) AS est_wau,
+                   exact_wau
+            FROM e JOIN ex USING (wday)""",
         "events_quantile_sketch": _QUANTILE_SKETCH_ORACLE,
         "events_quantile_merge": _QUANTILE_SKETCH_ORACLE,
         "events_heavy_hitters": """

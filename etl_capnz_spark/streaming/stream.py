@@ -882,6 +882,60 @@ def kmv_distinct_sink(
     )
 
 
+def hll_distinct_sink(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+):
+    """Incrementally-maintained HLL register tables per group
+    (foreachBatch) — completes the streaming sketch-sink family
+    (:func:`kmv_distinct_sink` = bottom-k distinct,
+    :func:`cms_sketch_sink` = frequency, this = register distinct,
+    the shape warehouse HLL columns persist): each micro-batch's
+    register table (operators/frequency.hll_registers) merges into the
+    persisted state by register-wise MAX.
+
+    Replay-safe WITHOUT an epoch manifest for the same reason as KMV
+    and UNLIKE CMS: max-merge is IDEMPOTENT (re-merging a crash-
+    replayed batch is a no-op), so no per-epoch bookkeeping is needed
+    where CMS's counter ADDITION forces per-epoch overwrite partials.
+    State is ≤ groups × m rows of (j, m_j) smallints regardless of
+    stream volume; the estimate is read on demand with
+    frequency.hll_estimate. The merged table (tiny) is eagerly
+    localCheckpointed before overwriting the state dir it was read
+    from.
+
+    Cross-checks (tests/test_streaming.py): final state == batch
+    hll_registers over all data seen (the streaming/batch twin pin),
+    and a double-merged batch leaves state identical.
+    """
+    from etl_capnz_spark.operators.frequency import (
+        hll_merge,
+        hll_registers,
+    )
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        cur = hll_registers(batch, group_cols, value_col)
+        try:
+            prev = sess.read.parquet(state_path).select(
+                *group_cols, "j", "m_j"
+            )
+        except Exception:
+            prev = None
+        both = cur if prev is None else prev.unionByName(cur)
+        merged = hll_merge(both, group_cols).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+
+
 def frontier_schedule_stream(
     links_stream: DataFrame,
     schedule_path: str,

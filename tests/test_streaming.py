@@ -1607,3 +1607,74 @@ def test_incremental_dedup_two_concurrent_writers(spark, tmp_path):
     man = _read_index_manifest(idx)
     tags = {str(e).split(":")[0] for e in man["epochs"]}
     assert len(tags) == 2, man["epochs"]
+
+
+def test_hll_distinct_sink_matches_batch_registers(spark, tmp_path):
+    """Streaming/batch twin + idempotent max-merge pin for the HLL
+    sink: after two micro-batches (with cross-batch repeated users),
+    the persisted register state equals batch hll_registers over
+    everything seen; a batch of pure duplicates leaves state
+    bit-identical; and the estimate read off the state equals the
+    batch estimate."""
+    import json as js
+
+    from etl_capnz_spark.operators.frequency import (
+        hll_estimate,
+        hll_registers,
+    )
+    from etl_capnz_spark.streaming.stream import hll_distinct_sink
+
+    land = tmp_path / "land_hll"
+    land.mkdir()
+    state = str(tmp_path / "hll_state")
+    cp = str(tmp_path / "cp_hll")
+    schema = "event_type STRING, user_id BIGINT"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = hll_distinct_sink(
+            stream, state, cp, ["event_type"], "user_id"
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    b1 = [{"event_type": "view", "user_id": u} for u in range(40)] + [
+        {"event_type": "click", "user_id": u} for u in range(5)
+    ]
+    b2 = [{"event_type": "view", "user_id": u} for u in range(20, 60)] + [
+        {"event_type": "click", "user_id": u} for u in range(5)  # all dups
+    ]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(d) for d in b1))
+    run_batch()
+    state1 = {
+        (r["event_type"], r["j"]): r["m_j"]
+        for r in spark.read.parquet(state).collect()
+    }
+    (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
+    run_batch()
+
+    got = {
+        (r["event_type"], r["j"]): r["m_j"]
+        for r in spark.read.parquet(state).collect()
+    }
+    full = spark.createDataFrame(
+        [(d["event_type"], d["user_id"]) for d in b1 + b2],
+        "event_type string, user_id long",
+    )
+    want = {
+        (r["event_type"], r["j"]): r["m_j"]
+        for r in hll_registers(full, ["event_type"], "user_id").collect()
+    }
+    assert got == want
+    # click saw only duplicate users in batch 2 -> register table
+    # unchanged (idempotent max-merge)
+    assert {k: v for k, v in got.items() if k[0] == "click"} == {
+        k: v for k, v in state1.items() if k[0] == "click"
+    }
+    # estimate read off the persisted state == batch estimate
+    st = hll_estimate(
+        spark.read.parquet(state), ["event_type"]
+    ).collect()
+    bt = hll_estimate(
+        hll_registers(full, ["event_type"], "user_id"), ["event_type"]
+    ).collect()
+    assert sorted(map(tuple, st)) == sorted(map(tuple, bt))
