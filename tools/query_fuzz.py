@@ -51,9 +51,17 @@ list (uncorrelated + correlated COUNT), WITH-chain CTEs (incl. double
 reference), exact DECIMAL arithmetic (engines disagree on result
 SCALE, not value — comparator canonicalizes Decimal by value),
 NULL-heavy shapes (NOT IN over a NULL-capable subquery, COUNT(expr)
-vs COUNT(*), NULL group keys), EXCEPT/INTERSECT ALL, and richer
-window frames (NTILE / FIRST_VALUE / value-keyed RANGE frames,
-deterministic under ties by construction).
+vs COUNT(*), NULL group keys), EXCEPT/INTERSECT ALL, richer window
+frames (NTILE / FIRST_VALUE / value-keyed RANGE frames, deterministic
+under ties by construction), explicit GROUPING SETS mixes with
+GROUPING() (the () set inherits the seed-11:3 empty-input
+normalization), correlated LATERAL derived tables, and windows
+stacked over LEFT JOINs (NULL partition keys; order keys COALESCE-
+wrapped — Spark defaults NULLS FIRST asc, DuckDB NULLS LAST, a
+dialect ORDER default, not a semantic divergence). Generator-liveness
+lesson: never re-roll group_keys to "get more keys" — supplier only
+ever yields one (its strings are outside STR_DOMAIN), so a re-roll
+loop hangs; synthesize the extra key instead.
 
 Usage: python tools/query_fuzz.py [--n 200] [--seed 7] [--sf DIR]
 Exit code = number of mismatches; failures print their SQL.
@@ -200,6 +208,14 @@ def _cols(table, kind):
 
 def _pk(table):
     return PK_EXPR.get(table, TABLES[table][0])
+
+
+def _pk_q(table, alias):
+    """Alias-qualified pk: composite-key EXPRESSIONS need each column
+    qualified, not the whole expression prefixed."""
+    if table == "lineitem":
+        return f"({alias}.l_orderkey * 10 + {alias}.l_linenumber)"
+    return f"{alias}.{TABLES[table][0]}"
 
 
 # ------------------------------------------------------------- generators
@@ -750,6 +766,108 @@ def q_window_frames(rng):
     )
 
 
+def q_grouping_sets(rng):
+    """Explicit GROUPING SETS mixes (incl. the empty set) with
+    GROUPING() disambiguation — the generalization of the CUBE/ROLLUP
+    coverage in q_group. The () set inherits the triaged empty-input
+    normalization (HAVING COUNT(*) > 0): DuckDB emits the global row
+    over an empty input per the standard, Spark doesn't (Hive-
+    compatible; seed 11:3 finding)."""
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    # tables whose strings are outside STR_DOMAIN (supplier) only ever
+    # yield ONE key option — synthesize a guaranteed-distinct second
+    # key instead of re-rolling (re-rolling loops forever there)
+    while len(keys) < 2:
+        cand = f"({_pk(t)} % {rng.randint(2, 9)})"
+        if cand != keys[0]:
+            keys.append(cand)
+    a, b = keys[0], keys[1]
+    sets = rng.choice(
+        [
+            f"(({a}), ({b}))",
+            f"(({a}, {b}), ({a}), ())",
+            f"(({a}), ({b}), ())",
+            f"(({a}, {b}), ())",
+        ]
+    )
+    having = " HAVING COUNT(*) > 0" if "()" in sets else ""
+    where = f" WHERE {predicate(rng, t)}" if rng.random() < 0.6 else ""
+    return (
+        f"SELECT {a} AS g0, {b} AS g1, GROUPING({a}) AS gr0, "
+        f"GROUPING({b}) AS gr1, COUNT(*) AS a0, "
+        f"SUM({int_expr(rng, t)}) AS a1 FROM {t}{where} "
+        f"GROUP BY GROUPING SETS {sets}{having}"
+    )
+
+
+def q_lateral(rng):
+    """Correlated LATERAL derived table in FROM — an aggregate
+    subquery per outer row (always exactly one row, so the implicit
+    cross join never drops or duplicates): the decorrelation rewrite
+    exercised from the FROM clause instead of the SELECT list."""
+    outer, okey, inner, ikey = rng.choice(
+        [
+            ("nation", "n_nationkey", "customer", "c_nationkey"),
+            ("nation", "n_nationkey", "supplier", "s_nationkey"),
+            ("region", "r_regionkey", "nation", "n_regionkey"),
+        ]
+    )
+    agg = rng.choice(
+        [
+            "COUNT(*) AS c",
+            f"COUNT(*) AS c, MIN({int_expr(rng, inner, 'i')}) AS mn",
+        ]
+    )
+    return (
+        f"SELECT o.{_pk(outer)} AS id, l.* FROM {outer} o, "
+        f"LATERAL (SELECT {agg} FROM {inner} i WHERE "
+        f"i.{ikey} = o.{okey} AND {predicate(rng, inner, 'i')}) l "
+        f"WHERE {predicate(rng, outer, 'o')}"
+    )
+
+
+def q_outer_window(rng):
+    """Window functions stacked over a LEFT JOIN: unmatched rows carry
+    NULL right-side columns into partition keys (NULL groups together
+    in both engines) and into aggregated window inputs (SUM skips
+    NULL). Order keys are COALESCE-wrapped — Spark defaults to NULLS
+    FIRST ascending, DuckDB to NULLS LAST, a dialect ORDER default the
+    fuzzer must not re-discover every seed."""
+    lt, lc, rt, rc = rng.choice(
+        [
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ]
+    )
+    part = rng.choice(
+        [
+            f"COALESCE(r.{_cols(rt, 'int')[0]} % 7, -1)",
+            f"(l.{_cols(lt, 'int')[0]} % 5)",
+        ]
+    )
+    e = f"COALESCE({int_expr(rng, rt, 'r')}, -1)"
+    pk = _pk_q(lt, "l")
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {e}, {pk})",
+            f"SUM({e}) OVER (PARTITION BY {part} ORDER BY {pk}, {e} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            f"DENSE_RANK() OVER (PARTITION BY {part} ORDER BY {e})",
+        ]
+    )
+    inner = (
+        f"SELECT {part} AS g0, {e} AS v, {fn} AS w "
+        f"FROM {lt} l LEFT JOIN {rt} r ON l.{lc} = r.{rc} "
+        f"WHERE {predicate(rng, lt, 'l')}"
+    )
+    return (
+        f"SELECT g0, COUNT(*) AS a0, SUM(w) AS a1, MIN(w) AS a2, "
+        f"MAX(v) AS a3 FROM ({inner}) sub GROUP BY g0"
+    )
+
+
 SHAPES = [
     (q_scalar, 4),
     (q_group, 6),
@@ -765,6 +883,9 @@ SHAPES = [
     (q_decimal, 2),
     (q_null_semantics, 3),
     (q_window_frames, 3),
+    (q_grouping_sets, 3),
+    (q_lateral, 2),
+    (q_outer_window, 3),
 ]
 
 
