@@ -7254,6 +7254,39 @@ def _q_pipeline_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient
+    (operators/graph.py clustering_coefficients) over the part
+    co-order graph (parts linked when they appear in the same order —
+    ~116k edges / 2,000 nodes / 414k triangles at sf0.01): the
+    community-density readout of the co-occurrence family
+    (graph_adamic_adar ranks pairs; this scores NODES by how
+    clustered their neighborhood is). Degree-ordered orientation
+    bounds wedge enumeration to O(m^1.5) — a hub's edges point INTO
+    it, so its true degree never fans out — the structural form of
+    the adamic-adar max_degree cap. Edge fan-out from orders is
+    C(lines_per_order, 2), bounded per order, so the edge list is
+    LINEAR in orders at every scale. Top-20 by (triangles desc,
+    node): a total order, ties impossible on the unique node."""
+    from etl_capnz_spark.operators.graph import clustering_coefficients
+
+    li = _t(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = (
+        pl.alias("x")
+        .join(pl.alias("y"), "o")
+        .filter(F.col("x.p") < F.col("y.p"))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+    )
+    return (
+        clustering_coefficients(edges)
+        .orderBy(F.col("triangles").desc(), "node")
+        .limit(20)
+    )
+
+
 def _q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bipartite Adamic-Adar over the part↔supplier graph
     (operators/graph.py adamic_adar_bipartite): the top-20 SUPPLIER
@@ -7710,6 +7743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
+        "graph_triangles": _q_graph_triangles,
         "pipeline_curation_gate": _q_pipeline_curation_gate,
         "dedup_eval_prf": _q_dedup_eval_prf,
         "events_forecast_backtest": _q_events_forecast_backtest,
@@ -12300,6 +12334,46 @@ def oracle_sql() -> dict[str, str]:
                    digit_ratio, mean_token_len, n_emails, n_numbers,
                    drop_reason, drop_reason IS NULL AS keep
             FROM r""",
+        "graph_triangles": """
+            WITH pl AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+            e AS (
+              SELECT DISTINCT x.p AS a, y.p AS b
+              FROM pl x JOIN pl y ON x.o = y.o AND x.p < y.p),
+            deg AS (
+              SELECT n, count(*)::BIGINT AS degree
+              FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+            o AS (
+              SELECT CASE WHEN da.degree < db.degree
+                            OR (da.degree = db.degree AND e.a < e.b)
+                          THEN e.a ELSE e.b END AS src,
+                     CASE WHEN da.degree < db.degree
+                            OR (da.degree = db.degree AND e.a < e.b)
+                          THEN e.b ELSE e.a END AS dst
+              FROM e
+              JOIN deg da ON da.n = e.a
+              JOIN deg db ON db.n = e.b),
+            tri AS (
+              SELECT x.src AS c1, x.dst AS c2, y.dst AS c3
+              FROM o x
+              JOIN o y ON x.src = y.src AND x.dst <> y.dst
+              JOIN o z ON z.src = x.dst AND z.dst = y.dst),
+            corners AS (
+              SELECT n, count(*)::BIGINT AS triangles
+              FROM (SELECT c1 AS n FROM tri
+                    UNION ALL SELECT c2 FROM tri
+                    UNION ALL SELECT c3 FROM tri)
+              GROUP BY 1)
+            SELECT deg.n AS node, deg.degree,
+                   coalesce(corners.triangles, 0)::BIGINT AS triangles,
+                   CASE WHEN deg.degree >= 2
+                        THEN round((2.0 * coalesce(corners.triangles, 0))
+                                   / (deg.degree * (deg.degree - 1)), 6)
+                        ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN corners ON corners.n = deg.n
+            ORDER BY triangles DESC, node LIMIT 20""",
         "graph_adamic_adar": """
             -- AA replay: same degree cap, same nano quantization,
             -- same wedge equi-join and (score desc, u, v) order

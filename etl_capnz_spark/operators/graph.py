@@ -454,3 +454,111 @@ def adamic_adar_bipartite(
             ).alias("score"),
         )
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient per node,
+    via DEGREE-ORDERED edge orientation — the standard way to count
+    triangles on a skewed graph without a hub blow-up (Chiba–Nishizeki
+    / Schank–Wagner node-iterator with ordering; the same wedge-
+    enumeration hazard :func:`adamic_adar_bipartite` caps, solved here
+    structurally instead):
+
+    * undirected edges canonicalize (least, greatest), dedup, drop
+      self-loops/NULLs;
+    * every edge orients from the endpoint EARLIER in the
+      (degree, node) total order to the later one — a DAG in which a
+      node's out-degree is at most O(√m) regardless of its true
+      degree, because a hub's edges point INTO it from its
+      lower-degree neighbors;
+    * wedges enumerate only from out-neighbor pairs (apex = the
+      order-minimum corner, so each triangle has exactly ONE apex),
+      and close with one equi-join back to the oriented edge list —
+      Σ out_deg² ≤ O(m^1.5) total wedges, vs Σ deg² (unbounded under
+      skew) for the naive enumeration;
+    * corners explode ×3 and hash-aggregate per node.
+
+    Every step is an equi-join or hash agg on node keys — no
+    CartesianProduct (pinned in tests). The coefficient is ONE float
+    division + round(6) per node (2·T / (deg·(deg−1))), identical in
+    the oracle; all counts are exact integers.
+
+    Output: (node, degree, triangles, clustering) — clustering 0.0
+    for degree < 2 (no wedge exists; 0/0 is defined away, not NULL).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("a"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("b"),
+        )
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = e.join(
+        deg.select(F.col("n").alias("a"), F.col("degree").alias("_da")),
+        "a",
+    ).join(
+        deg.select(F.col("n").alias("b"), F.col("degree").alias("_db")),
+        "b",
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    tris = (
+        oriented.alias("x")
+        .join(oriented.alias("y"), F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst") != F.col("y.dst"))
+        .join(
+            oriented.alias("z"),
+            (F.col("z.src") == F.col("x.dst"))
+            & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("c1"),
+            F.col("x.dst").alias("c2"),
+            F.col("y.dst").alias("c3"),
+        )
+    )
+    corners = (
+        tris.select(
+            F.explode(F.array("c1", "c2", "c3")).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(corners, "n", "left").select(
+        F.col("n").alias("node"),
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (
+                    F.lit(2.0)
+                    * F.coalesce(F.col("triangles"), F.lit(0))
+                )
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

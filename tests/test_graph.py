@@ -309,3 +309,79 @@ def test_adamic_adar_bipartite_hand_case_and_cap(spark):
         ).collect()
     }
     assert rep == got
+
+
+# ------------------------------------------------------------- triangles
+def test_clustering_coefficients_known_graph(spark):
+    """K4 (every node coeff 1.0) + a pendant on node 1 (its degree
+    rises to 4, coeff drops to 2·3/(4·3) = 0.5) + a disjoint path
+    (zero triangles, coeff 0.0 incl. the degree-2 middle): the
+    closed-form cases, plus duplicate/reversed/self-loop inputs
+    collapsing in canonicalization."""
+    from etl_capnz_spark.operators.graph import clustering_coefficients
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 1), (6, 7), (7, 8),
+        (2, 1), (3, 1), (4, 4),  # reversed dups + self-loop: no-ops
+    ]
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {r["node"]: r for r in clustering_coefficients(df).collect()}
+    assert got[1]["degree"] == 4 and got[1]["triangles"] == 3
+    assert got[1]["clustering"] == 0.5
+    for n in (2, 3, 4):
+        assert got[n]["triangles"] == 3 and got[n]["clustering"] == 1.0
+    for n in (5, 6, 7, 8):
+        assert got[n]["triangles"] == 0 and got[n]["clustering"] == 0.0
+    # total corner count = 3 x 4 triangles of K4' (1-pendant adds none)
+    assert sum(r["triangles"] for r in got.values()) == 12
+
+
+def test_clustering_coefficients_vs_bruteforce(spark):
+    """Deterministic pseudo-random 60-node graph vs a pure-Python
+    brute force over all node triples — exact triangle counts per
+    node, and partition invariance."""
+    import itertools
+
+    from etl_capnz_spark.operators.graph import clustering_coefficients
+
+    nodes = list(range(60))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if (a * 31 + b * 17 + a * b) % 7 == 0
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want_tri = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want_tri[n] += 1
+    df = spark.createDataFrame(edges, "u int, v int")
+    got = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in clustering_coefficients(df).collect()
+    }
+    want = {
+        n: (len(adj[n]), want_tri[n]) for n in nodes if adj[n]
+    }
+    assert got == want
+    rep = {
+        r["node"]: (r["degree"], r["triangles"])
+        for r in clustering_coefficients(df.repartition(7)).collect()
+    }
+    assert rep == got
+
+
+def test_clustering_coefficients_plan_no_cartesian(spark):
+    """The wedge build and closure are equi-joins on node keys — an
+    all-pairs shape (CartesianProduct) in the plan would mean the
+    orientation discipline silently broke."""
+    from etl_capnz_spark.operators.graph import clustering_coefficients
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u int, v int")
+    plan = clustering_coefficients(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
