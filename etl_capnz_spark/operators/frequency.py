@@ -278,7 +278,11 @@ def hll_registers(
         F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
     )
     return (
-        df.select(*group_cols, h.alias("_h"))
+        # NULL is not a value (count_distinct semantics): unfiltered,
+        # md5(NULL) -> NULL would mint a phantom j=NULL register that
+        # inflates the occupancy count and skews v_zero
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
         .select(
             *group_cols,
             (F.col("_h") % _HLL_M).alias("j"),
