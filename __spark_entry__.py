@@ -3075,6 +3075,31 @@ def _q_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jw_pairs(docs, "doc_id", "title", threshold=0.9)
 
 
+def _q_linkage_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/linkage.py
+    sorted_neighborhood_pairs, window=5): the third classic ER
+    blocking strategy beside prefix (fuzzy_jw) and Soundex
+    (linkage_phonetic) — candidates are EXACTLY the pairs within 5
+    positions in the (title, id) sort order, so candidate volume is
+    ≤ n·w by construction with NO hot block to cap; the global rank
+    comes from the two-phase sharded scan (no single-partition
+    Window.orderBy), and the verify is the same JW kernel pinned
+    bit-identical to DuckDB's jaro_winkler_similarity. The oracle
+    replays the identical rank → band → verify pipeline."""
+    from etl_capnz_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 12).alias("title")
+    )
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "title", window=5, threshold=0.85
+    )
+
+
 def _q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered view→click→purchase funnel
     (operators/funnel.py): each level joins the next step's
@@ -7912,6 +7937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": _q_events_survival,
         "fuzzy_edit1": _q_fuzzy_edit1,
         "fuzzy_jw": _q_fuzzy_jw,
+        "linkage_sorted_neighborhood": _q_linkage_sorted_neighborhood,
         "entity_golden": _q_entity_golden,
         "events_funnel_steps": _q_events_funnel_steps,
         "events_retention_weekly": _q_events_retention_weekly,
@@ -9131,6 +9157,24 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             JOIN tcanon tc USING (cluster)
             JOIN scanon sc USING (cluster)""",
+        "linkage_sorted_neighborhood": """
+            WITH t AS (
+              SELECT doc_id AS id, substr(text, 1, 12) AS s
+              FROM documents WHERE text IS NOT NULL),
+            r AS (
+              SELECT id, s,
+                     row_number() OVER (ORDER BY s, id) AS rnk
+              FROM t),
+            cand AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.rnk AS rank_a, b.rnk AS rank_b,
+                     a.s AS str_a, b.s AS str_b
+              FROM r a JOIN r b
+                ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5)
+            SELECT id_a, id_b, rank_a, rank_b, str_a, str_b,
+                   jaro_winkler_similarity(str_a, str_b) AS sim
+            FROM cand
+            WHERE jaro_winkler_similarity(str_a, str_b) >= 0.85""",
         "fuzzy_jw": """
             WITH t AS (
               SELECT doc_id AS id, substr(text, 1, 12) AS s,

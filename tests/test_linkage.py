@@ -316,3 +316,68 @@ def test_golden_records_mixed_types_per_type_melt(spark):
     )
     r = golden_records(tie, "cluster", ["score"]).collect()[0]
     assert r["score"] == 9
+
+
+# --------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    """SNM candidates are EXACTLY the pairs within `window` positions
+    of the (key, id) sort order; survivors exactly those with JW ≥ θ
+    (pure-Python reference) — and the pairing is partition-invariant."""
+    from etl_capnz_spark.operators.linkage import (
+        jaro_winkler_py,
+        sorted_neighborhood_pairs,
+    )
+
+    names = [
+        "catherine", "katharine", "jonathan", "jonathon", "jon",
+        "maria", "mariah", "marie", "zachary", "zack",
+        "alexander", "alexandra", "liz", "lisa", "lizzy",
+    ]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    w, theta = 3, 0.85
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + 1 + w, len(order))):
+            a, b = order[i], order[j]
+            if jaro_winkler_py(a[1], b[1]) >= theta:
+                want.add((a[0], b[0]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "name", window=w, threshold=theta
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous
+    rep = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "id", "name", window=w, threshold=theta
+        ).collect()
+    }
+    assert rep == got
+
+
+def test_sorted_neighborhood_candidate_bound_and_plan(spark):
+    """The defining SNM property: candidate volume ≤ n·window even
+    when EVERY key is identical (the hot-block case that forces
+    _cap_blocks in the other blockers) — and no CartesianProduct."""
+    from etl_capnz_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    n, w = 200, 4
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(n)], "id int, name string"
+    )
+    out = sorted_neighborhood_pairs(
+        df, "id", "name", window=w, threshold=0.0
+    )
+    rows = out.collect()
+    assert len(rows) == n * w - w * (w + 1) // 2  # exact band count
+    assert all(
+        0 < r["rank_b"] - r["rank_a"] <= w for r in rows
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
