@@ -856,6 +856,37 @@ NOTES = {
         "no data-sized table enters any exchange beyond the LSH "
         "band join itself."
     ),
+    "events_hll_distinct": (
+        "The sketch IS the aggregation state: partial max collapses "
+        "each map task to <= 256 (group, j) rows before the exchange, "
+        "so the shuffle carries groups x registers regardless of row "
+        "or distinct count - the shape that replaces the 1e11-key "
+        "distinct shuffle at 100 TB. The estimate agg runs over <= m "
+        "rows per group; harmonic sums stay exact bigints end-to-end."
+    ),
+    "events_hll_wau": (
+        "Materialized daily register tables fan out (explode over 7 "
+        "window days - tiny: <= 256 rows/day) and every window merge "
+        "is one register-max hash agg. Raw events are scanned ONCE to "
+        "build daily sketches; no per-window re-scan exists in the "
+        "plan. The exact-WAU twin side carries the only range join."
+    ),
+    "graph_triangles": (
+        "Wedge build and closure are plain equi-joins on node keys "
+        "(SortMergeJoin/ShuffledHashJoin under AQE) - no "
+        "CartesianProduct anywhere. Degree-ordered orientation caps "
+        "out-degree at O(sqrt(m)), so the wedge exchange is O(m^1.5) "
+        "worst-case and hub-flat (triangle_scale_probe: a degree-1e5 "
+        "star adds zero wedges and zero wall)."
+    ),
+    "linkage_sorted_neighborhood": (
+        "Rank comes from the sharded scan (repartitionByRange + "
+        "per-shard window + broadcast offsets - no single-partition "
+        "Window.orderBy in the plan); the neighborhood is a bucket "
+        "band equi-join (explode to 2 probes/row), so candidates are "
+        "exactly <= n*w rows into the Arrow JW kernel. The only "
+        "Python in the plan is the post-blocking verify."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
