@@ -7279,14 +7279,16 @@ def _q_pipeline_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle counts + local clustering coefficient
     (operators/graph.py clustering_coefficients) over the part
     co-order graph (parts linked when they appear in the same order —
     ~116k edges / 2,000 nodes / 414k triangles at sf0.01): the
     community-density readout of the co-occurrence family
-    (graph_adamic_adar ranks pairs; this scores NODES by how
-    clustered their neighborhood is). Degree-ordered orientation
+    (graph_adamic_adar ranks pairs; graph_triangles counts per-node
+    triangles on the co-SUPPLY graph via id-ordered enumeration; this
+    one scores NODES by normalized neighborhood density and uses
+    DEGREE-ordered orientation, the hub-safe form). Degree-ordered orientation
     bounds wedge enumeration to O(m^1.5) — a hub's edges point INTO
     it, so its true degree never fans out — the structural form of
     the adamic-adar max_degree cap. Edge fan-out from orders is
@@ -7768,7 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
-        "graph_triangles": _q_graph_triangles,
+        "graph_clustering_coeff": _q_graph_clustering_coeff,
         "pipeline_curation_gate": _q_pipeline_curation_gate,
         "dedup_eval_prf": _q_dedup_eval_prf,
         "events_forecast_backtest": _q_events_forecast_backtest,
@@ -12378,7 +12380,7 @@ def oracle_sql() -> dict[str, str]:
                    digit_ratio, mean_token_len, n_emails, n_numbers,
                    drop_reason, drop_reason IS NULL AS keep
             FROM r""",
-        "graph_triangles": """
+        "graph_clustering_coeff": """
             WITH pl AS (
               SELECT DISTINCT l_orderkey AS o, l_partkey AS p
               FROM lineitem),

@@ -871,7 +871,7 @@ NOTES = {
         "build daily sketches; no per-window re-scan exists in the "
         "plan. The exact-WAU twin side carries the only range join."
     ),
-    "graph_triangles": (
+    "graph_clustering_coeff": (
         "Wedge build and closure are plain equi-joins on node keys "
         "(SortMergeJoin/ShuffledHashJoin under AQE) - no "
         "CartesianProduct anywhere. Degree-ordered orientation caps "
