@@ -3086,8 +3086,11 @@ def _q_linkage_sorted_neighborhood(
     ≤ n·w by construction with NO hot block to cap; the global rank
     comes from the two-phase sharded scan (no single-partition
     Window.orderBy), and the verify is the same JW kernel pinned
-    bit-identical to DuckDB's jaro_winkler_similarity. The oracle
-    replays the identical rank → band → verify pipeline."""
+    bit-identical to DuckDB's jaro_winkler_similarity. Candidate-only
+    sibling: dedup_snm (operators/dedup.py) — numeric sort key,
+    borrow-plan sharding, no verify stage; this entry is the full ER
+    pipeline via the rank-bucket band join. The oracle replays the
+    identical rank → band → verify pipeline."""
     from etl_capnz_spark.operators.linkage import (
         sorted_neighborhood_pairs,
     )

@@ -586,7 +586,18 @@ def sorted_neighborhood_pairs(
     — the third classic blocking strategy beside :func:`jw_pairs`
     (prefix blocks) and :func:`phonetic_pairs` (Soundex blocks):
     records sort by a key and ONLY pairs within ``window`` positions
-    of each other become candidates. Its defining property is the one
+    of each other become candidates.
+
+    Relationship to ``operators/dedup.sorted_neighborhood_pairs``
+    (entry ``dedup_snm``): that one is the CANDIDATE-ONLY generator
+    over a numeric sort key (n_chars), sharded via a driver-computed
+    borrow plan that replicates following shards' first rows backwards
+    as lead-targets. This one is the full ER pipeline — string sort
+    key, rank from the cumsum_sharded scan, neighborhood as a
+    rank-bucket BAND equi-join, and the Arrow JW kernel verifying the
+    candidates. Two implementations of the same window semantics on
+    purpose: the band join generalizes to any window size without a
+    borrow plan, and the differential entry pair keeps both honest. Its defining property is the one
     the other two lack: candidate volume is EXACTLY ≤ n·window by
     construction, independent of the key distribution — no hot block
     exists to cap (`_cap_blocks` has nothing to do here), at the price

@@ -827,6 +827,70 @@ def q_lateral(rng):
     )
 
 
+def q_exists_in_case(rng):
+    """EXISTS/IN as a VALUE inside CASE and in the SELECT list (not
+    just WHERE) — the subquery-to-expression lowering both engines
+    implement differently from the WHERE path."""
+    outer, okey, inner, ikey = rng.choice(
+        [
+            ("nation", "n_nationkey", "customer", "c_nationkey"),
+            ("nation", "n_nationkey", "supplier", "s_nationkey"),
+            ("region", "r_regionkey", "nation", "n_regionkey"),
+        ]
+    )
+    ex = (
+        f"EXISTS (SELECT 1 FROM {inner} i WHERE i.{ikey} = "
+        f"{outer}.{okey} AND {predicate(rng, inner, 'i')})"
+    )
+    form = rng.randrange(3)
+    if form == 0:
+        sel = f"CASE WHEN {ex} THEN 'hit' ELSE 'miss' END AS tag"
+    elif form == 1:
+        sel = f"CAST({ex} AS INT) AS tag"
+    else:
+        sub = (
+            f"SELECT {ikey} % 7 FROM {inner} WHERE "
+            f"{predicate(rng, inner)}"
+        )
+        sel = (
+            f"CASE WHEN {okey} % 7 IN ({sub}) THEN 1 ELSE 0 END AS tag"
+        )
+    return (
+        f"SELECT {_pk(outer)} AS id, {sel}, "
+        f"{int_expr(rng, outer)} AS c0 FROM {outer}"
+    )
+
+
+def q_cte_window(rng):
+    """Multi-level CTE windows: a window over an aggregate CTE, then a
+    second window (or re-aggregation) over the first's output — rank-
+    of-rank shapes that stress window pushdown/reuse decisions."""
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    a = (
+        f"SELECT {keys[0]} AS g, COUNT(*) AS cnt, "
+        f"SUM({int_expr(rng, t)}) AS s FROM {t} "
+        f"WHERE {predicate(rng, t)} GROUP BY {keys[0]}"
+    )
+    b = (
+        "SELECT g, cnt, s, "
+        "ROW_NUMBER() OVER (ORDER BY cnt DESC, g) AS rnk, "
+        "SUM(cnt) OVER (ORDER BY cnt DESC, g ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS run FROM a"
+    )
+    if rng.random() < 0.5:
+        final = (
+            "SELECT (rnk % 3) AS band, COUNT(*) AS a0, SUM(run) AS a1, "
+            "MIN(s) AS a2 FROM b GROUP BY (rnk % 3)"
+        )
+    else:
+        final = (
+            "SELECT g, rnk, run, "
+            "LAG(run, 1) OVER (ORDER BY rnk) AS prev_run FROM b"
+        )
+    return f"WITH a AS ({a}), b AS ({b}) {final}"
+
+
 def q_outer_window(rng):
     """Window functions stacked over a LEFT JOIN: unmatched rows carry
     NULL right-side columns into partition keys (NULL groups together
@@ -886,6 +950,8 @@ SHAPES = [
     (q_grouping_sets, 3),
     (q_lateral, 2),
     (q_outer_window, 3),
+    (q_exists_in_case, 2),
+    (q_cte_window, 3),
 ]
 
 
