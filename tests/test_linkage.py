@@ -381,3 +381,37 @@ def test_sorted_neighborhood_candidate_bound_and_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_snm_twins_agree_on_neighborhoods(spark):
+    """The differential pin behind the docstring claim: the two SNM
+    implementations — dedup.sorted_neighborhood_pairs (borrow-plan
+    sharding, candidate-only) and linkage.sorted_neighborhood_pairs
+    (rank-bucket band join; θ=0 keeps every candidate) — produce the
+    IDENTICAL pair set on the same numeric key and window."""
+    from pyspark.sql import functions as F
+
+    from etl_capnz_spark.operators.dedup import (
+        sorted_neighborhood_pairs as snm_dedup,
+    )
+    from etl_capnz_spark.operators.linkage import (
+        sorted_neighborhood_pairs as snm_linkage,
+    )
+
+    rows = [
+        (i, f"doc{i:03d}", (i * 37) % 101 + (i % 3))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, s string, k int")
+    w = 4
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in snm_dedup(df, "id", "k", w=w + 1).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in snm_linkage(
+            df, "id", "s", window=w, threshold=0.0, key=F.col("k")
+        ).collect()
+    }
+    assert got == want and len(want) > 300
