@@ -58,7 +58,11 @@ GROUPING() (the () set inherits the seed-11:3 empty-input
 normalization), correlated LATERAL derived tables, and windows
 stacked over LEFT JOINs (NULL partition keys; order keys COALESCE-
 wrapped — Spark defaults NULLS FIRST asc, DuckDB NULLS LAST, a
-dialect ORDER default, not a semantic divergence). Generator-liveness
+dialect ORDER default, not a semantic divergence); round-7 growth 3:
+EXISTS/IN as a VALUE in the SELECT list and inside CASE (the
+subquery-to-expression lowering, distinct from the WHERE path), and
+multi-level CTE windows (rank-of-rank, running sums re-windowed —
+window pushdown/reuse stress). Generator-liveness
 lesson: never re-roll group_keys to "get more keys" — supplier only
 ever yields one (its strings are outside STR_DOMAIN), so a re-roll
 loop hangs; synthesize the extra key instead.
