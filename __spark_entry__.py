@@ -7124,6 +7124,26 @@ def _q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(a, b, "cents")
 
 
+def _q_events_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein drift (operators/mlmetrics.py w1_drift)
+    between purchase and click value distributions, in CENTS — the
+    drift MAGNITUDE the rest of the family can't give (PSI names the
+    bucket, KS bounds the worst CDF gap, JSD scores overlap; W1 is
+    the area between CDFs in value units — the thresholdable "it
+    moved this many cents"). Exact integer area in decimal(38,0)
+    over the distinct-cents support, ONE division; cumulative counts
+    from the sharded scan, adjacent-value gaps from the
+    borrow-plan SNM with w=2 (machinery reuse, not re-derivation).
+    Oracle replays the identical construction in HUGEINT."""
+    from etl_capnz_spark.operators.mlmetrics import w1_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    a = ev.filter(F.col("event_type") == "purchase").select(cents)
+    b = ev.filter(F.col("event_type") == "click").select(cents)
+    return w1_drift(a, b, "cents")
+
+
 def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-averaged Spearman rank correlation
     (operators/mlmetrics.py spearman_corr): does a user's activity
@@ -7759,6 +7779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lr_train": _q_text_lr_train,
         "quality_lr_pipeline": _q_quality_lr_pipeline,
         "events_ks_test": _q_events_ks_test,
+        "events_w1_drift": _q_events_w1_drift,
         "events_spearman": _q_events_spearman,
         "text_ngram_novelty": _q_text_ngram_novelty,
         "drift_jsd": _q_drift_jsd,
@@ -12175,6 +12196,47 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT * FROM scored
             WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""",
+        "events_w1_drift": """
+            WITH src AS (
+              SELECT round(value * 100)::BIGINT AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END AS sa,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END AS sb
+              FROM events
+              WHERE event_type IN ('purchase', 'click')),
+            vals AS (
+              SELECT v, sum(sa)::BIGINT AS na, sum(sb)::BIGINT AS nb
+              FROM src WHERE v IS NOT NULL GROUP BY v),
+            drops AS (
+              SELECT coalesce(sum(sa), 0)::BIGINT AS n_dropped_a,
+                     coalesce(sum(sb), 0)::BIGINT AS n_dropped_b
+              FROM src WHERE v IS NULL),
+            t AS (
+              SELECT coalesce(sum(na), 0)::HUGEINT AS ta,
+                     coalesce(sum(nb), 0)::HUGEINT AS tb
+              FROM vals),
+            c AS (
+              SELECT v,
+                     sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS ca,
+                     sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cb,
+                     lead(v) OVER (ORDER BY v) AS nxt
+              FROM vals),
+            n AS (
+              SELECT coalesce(sum(abs(ca::HUGEINT * tb
+                                      - cb::HUGEINT * ta)
+                                  * (nxt - v)::HUGEINT),
+                              0) AS num
+              FROM c, t WHERE nxt IS NOT NULL)
+            SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+                   n_dropped_a, n_dropped_b,
+                   CASE WHEN ta > 0 AND tb > 0
+                        THEN round(num::DOUBLE
+                                   / (ta::DOUBLE * tb::DOUBLE), 6)
+                   END AS w1
+            FROM t, n, drops""",
         "events_ks_test": """
             -- exact two-sample KS replay: same cents quantization,
             -- distinct-value cumulative counts, HUGEINT cross-products

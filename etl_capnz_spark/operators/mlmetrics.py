@@ -958,3 +958,118 @@ def lift_gains(
             F.col("_pt") > 0, F.round(cum_pos / d("_pt"), 6)
         ).alias("cum_pos_share"),
     )
+
+
+def w1_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two
+    empirical distributions — the drift MAGNITUDE the rest of the
+    family can\'t give: PSI names the drifted bucket, KS bounds the
+    worst CDF gap, JSD scores overlap, but only W1 says "the
+    distribution moved this many VALUE UNITS" (it is the area between
+    the CDFs, in value_col\'s own units) — the number a corpus-refresh
+    gate can threshold in dollars/cents/tokens.
+
+    Exactness: over integer-valued data (the mann_whitney/ks_test
+    quantization contract), W1 = Σ_i |F_A(v_i) − F_B(v_i)|·(v_{i+1} −
+    v_i) over the sorted distinct merged support. Each term\'s
+    numerator |ca·n_b − cb·n_a|·gap is an exact integer accumulated in
+    decimal(38,0); ONE division by n_a·n_b at the end. NULLs are
+    un-measurable: dropped and surfaced per side (the auc_exact
+    discipline).
+
+    Scale shape: groupBy(value) collapse (domain-bounded), cumulative
+    counts from the two-phase sharded prefix sum (rank.py
+    cumsum_sharded — no partition ever sorts more than ~domain/32
+    rows), and the ADJACENT-value gaps come from
+    dedup.sorted_neighborhood_pairs with w=2 — the borrow-plan
+    machinery that already carries lead() across shard boundaries,
+    reused instead of re-derived. The largest value has no successor
+    and contributes no area (both CDFs are 1 there).
+
+    Output: 1 row (n_a, n_b, n_dropped_a, n_dropped_b, w1). Empty
+    side → NULL w1 (undefined, not 0); identical distributions → 0.0.
+    """
+    from .dedup import sorted_neighborhood_pairs
+    from .rank import cumsum_sharded
+
+    def side(df: DataFrame, a: int) -> DataFrame:
+        return df.select(
+            F.col(value_col).cast("bigint").alias("_v"),
+            F.lit(a).alias("_sa"),
+            F.lit(1 - a).alias("_sb"),
+        )
+
+    src = side(df_a, 1).unionByName(side(df_b, 0))
+    grouped = src.groupBy(
+        F.col("_v").isNotNull().alias("_ok"), "_v"
+    ).agg(
+        F.sum("_sa").alias("na_i"),
+        F.sum("_sb").alias("nb_i"),
+    )
+    vals = grouped.filter(F.col("_ok")).drop("_ok")
+    drops = grouped.filter(~F.col("_ok")).agg(
+        F.coalesce(F.sum("na_i"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped_a"),
+        F.coalesce(F.sum("nb_i"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped_b"),
+    )
+    dec = "decimal(38,0)"
+    cummed, totals = cumsum_sharded(
+        vals, [F.col("_v").asc()], ["na_i", "nb_i"], inclusive=True
+    )
+    adj = sorted_neighborhood_pairs(
+        vals.select("_v"), "_v", "_v", w=2
+    ).select(
+        F.col("id_a").alias("_v"),
+        (F.col("id_b") - F.col("id_a")).cast(dec).alias("_gap"),
+    )
+    cum = (
+        cummed.join(adj, "_v")  # the max value has no successor row
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cum_na_i").cast(dec).alias("ca"),
+            F.col("cum_nb_i").cast(dec).alias("cb"),
+            F.col("tot_na_i").cast(dec).alias("ta"),
+            F.col("tot_nb_i").cast(dec).alias("tb"),
+            F.col("_gap"),
+        )
+    )
+    agg = cum.agg(
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+            * F.col("_gap")
+        ).alias("_num"),
+    )
+    # single-value support: adj is empty -> agg over empty -> NULLs;
+    # recover the totals from the scan\'s broadcast frame instead
+    agg = agg.crossJoin(F.broadcast(totals)).select(
+        F.coalesce(F.col("n_a"), F.col("tot_na_i"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.col("n_b"), F.col("tot_nb_i"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.coalesce(F.col("_num"), F.lit(0).cast(dec)).alias("_num"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.crossJoin(F.broadcast(drops)).select(
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        "n_dropped_a",
+        "n_dropped_b",
+        F.when(
+            ok, F.round(d("_num") / (d("n_a") * d("n_b")), 6)
+        ).alias("w1"),
+    )

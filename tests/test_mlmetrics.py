@@ -657,3 +657,72 @@ def test_lift_gains_matches_pure_python_and_properties(spark):
     assert top["pos_rate"] == 1.0
     assert top["lift"] == round(1 / 0.1, 6)
     assert top["cum_pos_share"] == 1.0
+
+
+# ------------------------------------------------------------ wasserstein
+def test_w1_drift_matches_bruteforce(spark):
+    """w1_drift vs the textbook area-between-CDFs computed in pure
+    Python: identical distributions → 0, disjoint point masses → the
+    distance between them, mixed supports exact; NULLs dropped and
+    surfaced; empty side → NULL (undefined, not 0)."""
+    from etl_capnz_spark.operators.mlmetrics import w1_drift
+
+    def ref(a, b):
+        vs = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        return round(
+            sum(
+                abs(
+                    sum(x <= vs[i] for x in a) / na
+                    - sum(x <= vs[i] for x in b) / nb
+                )
+                * (vs[i + 1] - vs[i])
+                for i in range(len(vs) - 1)
+            ),
+            6,
+        )
+
+    cases = [
+        ([1, 2, 3, 4, 5], [1, 2, 3, 4, 5]),
+        ([0, 0, 0], [10, 10, 10]),
+        ([1, 5, 7, 7, 9, 100], [2, 2, 3, 8, 50]),
+        ([4], [9]),
+        ([3, 3, 3], [3]),
+        ([-5, 0, 5], [0]),
+    ]
+    for a, b in cases:
+        da = spark.createDataFrame([(x,) for x in a], "v long")
+        db = spark.createDataFrame([(x,) for x in b], "v long")
+        row = w1_drift(da, db, "v").collect()[0]
+        assert row["w1"] == ref(a, b), (a, b, row["w1"], ref(a, b))
+        assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+
+    # NULL accounting + empty side
+    dn = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+    d1 = spark.createDataFrame([(2,)], "v long")
+    row = w1_drift(dn, d1, "v").collect()[0]
+    assert (row["n_a"], row["n_dropped_a"], row["w1"]) == (2, 1, 1.0)
+    empty = spark.createDataFrame([], "v long")
+    assert w1_drift(d1, empty, "v").collect()[0]["w1"] is None
+
+
+def test_w1_drift_translation_equivariance(spark):
+    """W1's defining metric property on the line: shifting ONE
+    distribution by c changes W1 by at most |c| and shifting BOTH by
+    the same c leaves it unchanged — the sanity law bucketized drift
+    scores (PSI) famously violate."""
+    from etl_capnz_spark.operators.mlmetrics import w1_drift
+
+    a = [1, 4, 4, 7, 12]
+    b = [2, 3, 9, 9, 15]
+
+    def w1(xs, ys):
+        da = spark.createDataFrame([(x,) for x in xs], "v long")
+        db = spark.createDataFrame([(y,) for y in ys], "v long")
+        return w1_drift(da, db, "v").collect()[0]["w1"]
+
+    base = w1(a, b)
+    both = w1([x + 100 for x in a], [y + 100 for y in b])
+    assert both == base
+    one = w1([x + 100 for x in a], b)
+    assert one <= base + 100 + 1e-9

@@ -465,6 +465,7 @@ def test_drift_metrics_windows_are_sharded(spark, sf_dir):
         "ml_auc_exact",
         "ml_lift_gains",
         "events_mann_whitney",
+        "events_w1_drift",
     ):
         plan = _plan(entrymod.queries()[entry](spark, sf_dir))
         assert "CartesianProduct" not in plan, entry
@@ -474,6 +475,11 @@ def test_drift_metrics_windows_are_sharded(spark, sf_dir):
             # lift_gains' final cumulative-gains window runs on the
             # BUCKET table (<= `buckets` rows, bounded by argument)
             if entry == "ml_lift_gains" and "bucket#" in ln:
+                continue
+            # w1_drift's adjacency comes from the borrow-plan SNM,
+            # whose lead() windows partition by _bucket — shard-
+            # bounded by the same range partitioning as _pid
+            if entry == "events_w1_drift" and "_bucket#" in ln:
                 continue
             assert "_pid" in ln, (
                 f"{entry}: Window without the _pid shard discipline "
