@@ -7144,6 +7144,30 @@ def _q_events_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w1_drift(a, b, "cents")
 
 
+def _q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PR-curve operating points (operators/mlmetrics.py
+    pr_curve_topk): the top-10 value-cents thresholds by F1 for
+    predicting a purchase — the "where do I CUT?" selector that
+    completes the scorer family (auc = threshold-free ranking
+    quality, lift_gains = depth deciles, this = the deployed
+    threshold; the number quality_lr_pipeline's gate runs on).
+    tp/fp/fn at every distinct score are exact integers off the
+    EXCLUSIVE sharded scan; one double division each for
+    precision/recall/F1; total (f1 desc, threshold asc) order.
+    Oracle replays the identical construction."""
+    from etl_capnz_spark.operators.mlmetrics import pr_curve_topk
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.col("event_type").isNotNull(),
+            (F.col("event_type") == "purchase").cast("int"),
+        ).alias("y"),
+    )
+    return pr_curve_topk(src, "cents", "y", k=10)
+
+
 def _q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-averaged Spearman rank correlation
     (operators/mlmetrics.py spearman_corr): does a user's activity
@@ -7780,6 +7804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_pipeline": _q_quality_lr_pipeline,
         "events_ks_test": _q_events_ks_test,
         "events_w1_drift": _q_events_w1_drift,
+        "ml_pr_curve": _q_ml_pr_curve,
         "events_spearman": _q_events_spearman,
         "text_ngram_novelty": _q_text_ngram_novelty,
         "drift_jsd": _q_drift_jsd,
@@ -12196,6 +12221,52 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             SELECT * FROM scored
             WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.8""",
+        "ml_pr_curve": """
+            WITH src AS (
+              SELECT round(value * 100)::BIGINT AS v,
+                     CASE WHEN event_type IS NULL THEN NULL
+                          WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END AS y
+              FROM events),
+            f AS (
+              SELECT v, y FROM src
+              WHERE v IS NOT NULL AND y IS NOT NULL),
+            vals AS (
+              SELECT v, sum(y)::BIGINT AS pos,
+                     sum(1 - y)::BIGINT AS neg
+              FROM f GROUP BY v),
+            t AS (
+              SELECT sum(pos)::BIGINT AS pos_all,
+                     sum(neg)::BIGINT AS neg_all
+              FROM vals),
+            c AS (
+              SELECT v,
+                     coalesce(sum(pos) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpos,
+                     coalesce(sum(neg) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+              FROM vals),
+            pts AS (
+              SELECT v AS threshold,
+                     (pos_all - cpos)::BIGINT AS tp,
+                     (neg_all - cneg)::BIGINT AS fp,
+                     cpos::BIGINT AS fn
+              FROM c, t),
+            s AS (
+              SELECT threshold, tp, fp, fn,
+                     tp::DOUBLE / (tp + fp)::DOUBLE AS prec,
+                     CASE WHEN tp + fn > 0
+                          THEN tp::DOUBLE / (tp + fn)::DOUBLE
+                     END AS rec,
+                     2.0 * tp::DOUBLE
+                       / (2.0 * tp::DOUBLE + fp::DOUBLE + fn::DOUBLE)
+                       AS f1r
+              FROM pts)
+            SELECT threshold, tp, fp, fn,
+                   round(prec, 6) AS precision,
+                   round(rec, 6) AS recall,
+                   round(f1r, 6) AS f1
+            FROM s ORDER BY f1r DESC, threshold ASC LIMIT 10""",
         "events_w1_drift": """
             WITH src AS (
               SELECT round(value * 100)::BIGINT AS v,

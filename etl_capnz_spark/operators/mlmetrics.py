@@ -1073,3 +1073,93 @@ def w1_drift(
             ok, F.round(d("_num") / (d("n_a") * d("n_b")), 6)
         ).alias("w1"),
     )
+
+
+def pr_curve_topk(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact precision/recall/F1 operating points over every distinct
+    score threshold, ranked by F1 — the classifier THRESHOLD SELECTOR
+    (ml_auc_exact scores ranking quality threshold-free; lift_gains
+    reads depth deciles; this answers "where do I CUT?" — the number a
+    quality-gate like quality_lr_pipeline deploys with). Predict
+    positive when score ≥ t, for t over the distinct-score table.
+
+    Exactness: tp/fp/fn at every threshold are exact integers from the
+    EXCLUSIVE sharded prefix sum (tp(t) = total_pos − pos_below(t));
+    precision/recall/F1 are one double division each from those
+    integers, identical cross-engine, and the top-k order
+    (f1 desc, threshold asc) is total. ``score_col`` must be
+    integer-valued (the ks_test/mann_whitney quantization contract);
+    NULL scores or labels are dropped before counting (filter
+    upstream to audit them — the lift_gains contract).
+
+    Scale shape: groupBy(score) collapse (domain-bounded), the
+    two-phase sharded scan for the cumulatives, TakeOrdered for the
+    top-k — no single-partition domain sort anywhere.
+
+    Output: k rows (threshold, tp, fp, fn, precision, recall, f1).
+    """
+    from .rank import cumsum_sharded
+
+    src = df.select(
+        F.col(score_col).cast("bigint").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    vals = src.groupBy("_v").agg(
+        F.sum("_y").alias("pos_i"),
+        F.sum(F.lit(1) - F.col("_y")).alias("neg_i"),
+    )
+    cummed, totals = cumsum_sharded(
+        vals, [F.col("_v").asc()], ["pos_i", "neg_i"], inclusive=False
+    )
+    dec = "decimal(38,0)"
+    pts = cummed.crossJoin(F.broadcast(totals)).select(
+        F.col("_v").alias("threshold"),
+        (F.col("tot_pos_i") - F.col("cum_pos_i"))
+        .cast("bigint")
+        .alias("tp"),
+        (F.col("tot_neg_i") - F.col("cum_neg_i"))
+        .cast("bigint")
+        .alias("fp"),
+        F.col("cum_pos_i").cast("bigint").alias("fn"),
+    )
+
+    def d(c: str) -> Column:
+        return F.col(c).cast("double")
+
+    scored = pts.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        # tp+fp >= 1 always (every threshold is an attained score);
+        # tp+fn = total positives can be 0 (all-negative input) and
+        # ANSI mode raises on 0/0 -> recall is NULL there, not NaN
+        (d("tp") / (d("tp") + d("fp"))).alias("_prec"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            d("tp") / (d("tp") + d("fn")),
+        ).alias("_rec"),
+        (
+            F.lit(2.0)
+            * d("tp")
+            / (F.lit(2.0) * d("tp") + d("fp") + d("fn"))
+        ).alias("_f1"),
+    )
+    return (
+        scored.orderBy(F.col("_f1").desc(), F.col("threshold").asc())
+        .limit(k)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.round("_prec", 6).alias("precision"),
+            F.round("_rec", 6).alias("recall"),
+            F.round("_f1", 6).alias("f1"),
+        )
+    )

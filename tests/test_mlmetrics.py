@@ -726,3 +726,47 @@ def test_w1_drift_translation_equivariance(spark):
     assert both == base
     one = w1([x + 100 for x in a], b)
     assert one <= base + 100 + 1e-9
+
+
+def test_pr_curve_matches_bruteforce(spark):
+    """pr_curve_topk vs sklearn-free brute force: every distinct
+    threshold's tp/fp/fn counted directly, precision/recall/F1 from
+    those integers, same (f1 desc, threshold asc) order; NULL scores
+    and labels dropped; all-negative input yields f1=0 rows (no
+    divide-by-zero on precision: every threshold is an attained
+    score, so tp+fp ≥ 1)."""
+    from etl_capnz_spark.operators.mlmetrics import pr_curve_topk
+
+    data = [
+        (9, 1), (8, 1), (8, 0), (7, 1), (5, 0), (5, 1), (4, 0),
+        (2, 0), (2, 1), (1, 0), (None, 1), (6, None),
+    ]
+    df = spark.createDataFrame(data, "s long, y int")
+    clean = [(s, y) for s, y in data if s is not None and y is not None]
+
+    def brute(k):
+        pts = []
+        for t in sorted({s for s, _ in clean}):
+            tp = sum(1 for s, y in clean if s >= t and y == 1)
+            fp = sum(1 for s, y in clean if s >= t and y == 0)
+            fn = sum(1 for s, y in clean if s < t and y == 1)
+            f1 = 2.0 * tp / (2.0 * tp + fp + fn)
+            pts.append((t, tp, fp, fn, round(tp / (tp + fp), 6),
+                        round(tp / (tp + fn), 6), round(f1, 6), f1))
+        pts.sort(key=lambda p: (-p[7], p[0]))
+        return [p[:7] for p in pts[:k]]
+
+    got = [
+        (r["threshold"], r["tp"], r["fp"], r["fn"], r["precision"],
+         r["recall"], r["f1"])
+        for r in pr_curve_topk(df, "s", "y", k=5).collect()
+    ]
+    assert got == brute(5)
+
+    allneg = spark.createDataFrame([(i, 0) for i in range(6)], "s long, y int")
+    rows = pr_curve_topk(allneg, "s", "y", k=3).collect()
+    assert all(
+        r["f1"] == 0.0 and r["precision"] == 0.0
+        and r["recall"] is None  # 0/0: NULL under ANSI, not NaN
+        for r in rows
+    )
