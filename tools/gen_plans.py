@@ -879,6 +879,21 @@ NOTES = {
         "worst-case and hub-flat (triangle_scale_probe: a degree-1e5 "
         "star adds zero wedges and zero wall)."
     ),
+    "events_w1_drift": (
+        "Drift family scale shape: groupBy(value) collapse "
+        "(domain-bounded), sharded prefix scan for the cumulatives "
+        "(_pid windows only), and the adjacent-value gaps REUSE the "
+        "borrow-plan SNM (w=2) - its lead() windows partition by "
+        "_bucket, shard-bounded by the same range partitioning. The "
+        "exact integer area accumulates in decimal(38,0); one double "
+        "division in the whole plan."
+    ),
+    "ml_pr_curve": (
+        "Exclusive sharded scan gives tp/fp/fn at every attained "
+        "threshold as exact integers; TakeOrderedAndProject caps the "
+        "top-k - no global sort of the score domain materializes, "
+        "and the only doubles are the three per-row divisions."
+    ),
     "linkage_sorted_neighborhood": (
         "Rank comes from the sharded scan (repartitionByRange + "
         "per-shard window + broadcast offsets - no single-partition "
