@@ -766,7 +766,14 @@ def pq_fit(
     )
     spark = corpus.sparkSession
 
-    # farthest-point init, all subspaces per pass
+    # farthest-point init, all subspaces per pass. The running
+    # min-distance-to-seeds column is maintained INCREMENTALLY
+    # (_mind = least(_mind, d2(newest seed)), lazily checkpointed per
+    # pass) instead of re-deriving all k×m seed distances as one
+    # sub-branched expression each pass — that shape's codegen grows
+    # O(k·m·pass) and was the dominant cost of pq_fit at any scale;
+    # the incremental form is bit-identical (min over the same
+    # doubles, same round-9 at selection) with O(1) expression depth.
     w1 = Window.partitionBy("sub").orderBy("id")
     first = (
         subs.withColumn("_r", F.row_number().over(w1))
@@ -777,22 +784,24 @@ def pq_fit(
     seeds: dict[int, list[list[float]]] = {
         r["sub"]: [list(r["sv"])] for r in first
     }
-    for _ in range(1, k):
-        # min distance to own-subspace seeds, as a sub-branched expression
+
+    def _d2_newest(latest: dict[int, list[float]]) -> Column:
         best = None
-        for j, sv_list in sorted(seeds.items()):
-            d2s = [
-                _l2sq(F.col("sv"), F.array(*[F.lit(float(x)) for x in s]))
-                for s in sv_list
-            ]
-            mind = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+        for j, s in sorted(latest.items()):
+            d2 = _l2sq(F.col("sv"), F.array(*[F.lit(float(x)) for x in s]))
             best = (
-                F.when(F.col("sub") == j, mind)
+                F.when(F.col("sub") == j, d2)
                 if best is None
-                else best.when(F.col("sub") == j, mind)
+                else best.when(F.col("sub") == j, d2)
             )
+        return best
+
+    tracked = subs.withColumn(
+        "_mind", _d2_newest({j: sv[0] for j, sv in seeds.items()})
+    ).localCheckpoint(eager=False)
+    for _ in range(1, k):
         nxt = (
-            subs.withColumn("_d", F.round(best, 9))
+            tracked.withColumn("_d", F.round(F.col("_mind"), 9))
             .withColumn(
                 "_r",
                 F.row_number().over(
@@ -805,8 +814,14 @@ def pq_fit(
             .select("sub", "sv")
             .collect()
         )
+        newest: dict[int, list[float]] = {}
         for r in nxt:
             seeds[r["sub"]].append(list(r["sv"]))
+            newest[r["sub"]] = list(r["sv"])
+        tracked = tracked.withColumn(
+            "_mind",
+            F.least(F.col("_mind"), _d2_newest(newest)),
+        ).localCheckpoint(eager=False)
 
     cents = [
         (j, c, sv) for j, sv_list in seeds.items() for c, sv in enumerate(sv_list)

@@ -314,3 +314,23 @@ def test_rrf_fuse_hand_case(spark):
     assert rows[30]["rrf"] == 1 / 63.0
     assert [rows[i]["fused_rank"] for i in (10, 20, 30)] == [1, 2, 3]
     assert rows[10]["n_lists"] == 2 and rows[30]["n_lists"] == 1
+
+
+def test_pq_fit_partition_invariant(spark, sf_dir):
+    """The incremental farthest-point init (running _mind column,
+    lazily checkpointed per pass) must select the same seeds and
+    converge to the same codebook regardless of input partitioning —
+    the determinism contract the round-9 tie-break + id tie order
+    guarantee."""
+    from etl_capnz_spark.operators.similarity import pq_fit
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").limit(120)
+    a = pq_fit(emb, "vec_id", "embedding", m=4, k=4, iters=1)
+    b = pq_fit(
+        emb.repartition(7), "vec_id", "embedding", m=4, k=4, iters=1
+    )
+    as_map = lambda df: {
+        (r["sub"], r["cell"]): tuple(r["centroid"]) for r in df.collect()
+    }
+    assert as_map(a) == as_map(b)
