@@ -250,33 +250,41 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     them like lowest-k-ids). Ties break by id, so the result is stable.
 
     Distributed shape: the seeds are driver-side constants, so each round
-    is ONE narrow pass — similarity to each seed as literal-array
-    expressions folded with ``greatest`` (no join, no shuffle) — followed
-    by a global top-1 (TakeOrderedAndProject: partial top-1 per
-    partition, k-1 rows ever reach the driver). k-1 corpus passes at
-    init; acceptable for IVF cell counts, and each pass is cheaper than
-    one Lloyd iteration.
+    is ONE narrow pass — similarity to the NEWEST seed folded into a
+    running ``_maxsim`` column with ``greatest`` (lazily checkpointed
+    per pass; the pq_fit discipline — re-deriving all seeds' sims per
+    pass grows codegen O(k·pass), and greatest of the same round-9
+    doubles is associative, so the incremental form is bit-identical) —
+    followed by a global top-1 (TakeOrderedAndProject: partial top-1
+    per partition, k-1 rows ever reach the driver). k-1 corpus passes
+    at init; acceptable for IVF cell counts, and each pass is cheaper
+    than one Lloyd iteration.
     """
     first = vecs.orderBy("id").limit(1).collect()[0]
     seeds: list[list[float]] = [list(first["v"])]
+
+    def _sim_newest(s: list[float]) -> Column:
+        return F.round(
+            cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in s])), 9
+        )
+
+    tracked = vecs.select(
+        "id", "v", _sim_newest(seeds[0]).alias("_maxsim")
+    ).localCheckpoint(eager=False)
     for _ in range(1, k):
-        sims = [
-            F.round(
-                cosine(
-                    F.col("v"), F.array(*[F.lit(float(x)) for x in s])
-                ),
-                9,
-            )
-            for s in seeds
-        ]
-        best = sims[0] if len(sims) == 1 else F.greatest(*sims)
         nxt = (
-            vecs.select("id", "v", best.alias("_maxsim"))
-            .orderBy(F.col("_maxsim").asc(), F.col("id").asc())
+            tracked.orderBy(F.col("_maxsim").asc(), F.col("id").asc())
             .limit(1)
             .collect()[0]
         )
         seeds.append(list(nxt["v"]))
+        tracked = tracked.select(
+            "id",
+            "v",
+            F.greatest(
+                F.col("_maxsim"), _sim_newest(seeds[-1])
+            ).alias("_maxsim"),
+        ).localCheckpoint(eager=False)
     return list(enumerate(seeds))
 
 
