@@ -83,6 +83,350 @@ from etl_capnz_spark.operators.geometry import (
 )
 
 _DUCK = "WITH " + derive.DUCK_CAP_CTE
+_DUCK_REC = "WITH RECURSIVE " + derive.DUCK_CAP_CTE
+
+from etl_capnz_spark.operators.rank import (  # noqa: E402
+    bounded_const_key as _const_key,
+)
+
+
+def _dp_d2_expr(px: str, py: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """Perpendicular-distance² of point (px,py) from chord (ax,ay)-(bx,by),
+    clamped to the segment — the EXACT expression tree of
+    geometry.dp_reference (dx/dy/seg2, t = dot/seg2 clamped to [0,1],
+    foot = a + t*d, d2 = (p-foot)²) so DuckDB reproduces Python's IEEE
+    doubles bitwise. seg2 == 0 degenerates to distance-to-a."""
+    dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+    seg2 = f"({dx}*{dx} + {dy}*{dy})"
+    t = (
+        f"greatest(0.0, least(1.0, "
+        f"(({px} - {ax})*{dx} + ({py} - {ay})*{dy}) / {seg2}))"
+    )
+    cx, cy = f"({ax} + {t}*{dx})", f"({ay} + {t}*{dy})"
+    return (
+        f"(CASE WHEN {seg2} = 0.0 "
+        f"THEN ({px} - {ax})*({px} - {ax}) + ({py} - {ay})*({py} - {ay}) "
+        f"ELSE ({px} - {cx})*({px} - {cx}) + ({py} - {cy})*({py} - {cy}) "
+        f"END)"
+    )
+
+
+def _build_polygon_simplify_oracle() -> str:
+    """Genuine Douglas-Peucker replay in DuckDB (closes the four-round
+    `no_oracle` row, VERDICT r7 item 1): a recursive CTE carries the
+    per-ring DP state — the points list, the explicit segment STACK
+    (popped from the END like dp_reference's list.pop()), and the kept
+    index set. Each recursion step pops ONE segment, computes every
+    interior point's chord distance² with the same expression tree as
+    the Python reference, splits at the FIRST index attaining the
+    maximum iff it exceeds eps² = 0.01*0.01 (strict, same literal
+    product), and pushes the two halves. A ring terminates when its
+    stack empties; the outer query keeps exactly those terminal rows.
+    The degenerate guard (2 survivors → re-add the farthest interior
+    point, lowest index on ties) is replayed too. Coordinates are
+    densified the same way as the Spark query (integer corners +
+    0.25-step lerp → exact dyadic doubles), so '%.9f' formatting and
+    the md5 digest match bit-for-bit."""
+    d2_seg = _dp_d2_expr(
+        "pts[i].x", "pts[i].y", "pts[a].x", "pts[a].y", "pts[b].x", "pts[b].y"
+    )
+    d2_chord = _dp_d2_expr(
+        "pts[i].x",
+        "pts[i].y",
+        "pts[1].x",
+        "pts[1].y",
+        "pts[len(pts)].x",
+        "pts[len(pts)].y",
+    )
+    e2 = "(0.01 * 0.01)"
+    return f"""{_DUCK_REC},
+        rings AS (
+          SELECT k, 0 AS poly_idx,
+                 [{{'x': lon0::DOUBLE, 'y': lat0::DOUBLE}},
+                  {{'x': lon0::DOUBLE, 'y': (lat0 + 1)::DOUBLE}},
+                  {{'x': (lon0 + 1)::DOUBLE, 'y': (lat0 + 1)::DOUBLE}},
+                  {{'x': (lon0 + 1)::DOUBLE, 'y': lat0::DOUBLE}},
+                  {{'x': lon0::DOUBLE, 'y': lat0::DOUBLE}}] AS ring
+          FROM cap WHERE g IN (0, 1, 2, 3)
+          UNION ALL
+          SELECT k, 1,
+                 [{{'x': lon0::DOUBLE, 'y': lat0::DOUBLE}},
+                  {{'x': lon0::DOUBLE, 'y': (lat0 + 2)::DOUBLE}},
+                  {{'x': (lon0 + 2)::DOUBLE, 'y': lat0::DOUBLE}},
+                  {{'x': lon0::DOUBLE, 'y': lat0::DOUBLE}}]
+          FROM cap WHERE g = 2),
+        dense AS (
+          SELECT k, poly_idx,
+            list_concat(
+              flatten(list_transform(generate_series(1, len(ring) - 1),
+                e -> [ring[e],
+                      {{'x': ring[e].x + 0.25*(ring[e+1].x - ring[e].x),
+                        'y': ring[e].y + 0.25*(ring[e+1].y - ring[e].y)}},
+                      {{'x': ring[e].x + 0.5*(ring[e+1].x - ring[e].x),
+                        'y': ring[e].y + 0.5*(ring[e+1].y - ring[e].y)}},
+                      {{'x': ring[e].x + 0.75*(ring[e+1].x - ring[e].x),
+                        'y': ring[e].y + 0.75*(ring[e+1].y - ring[e].y)}}])),
+              [ring[len(ring)]]) AS ring
+          FROM rings),
+        dp AS (
+          SELECT k, poly_idx, len(ring) AS n_in,
+                 ring[1:len(ring)-1] AS pts,
+                 [{{'a': 1, 'b': len(ring) - 1}}] AS stack,
+                 [1, len(ring) - 1] AS keep
+          FROM dense
+          UNION ALL
+          SELECT k, poly_idx, n_in, pts,
+            CASE WHEN best_i > 0
+                 THEN list_concat(rest,
+                        [{{'a': a, 'b': best_i}}, {{'a': best_i, 'b': b}}])
+                 ELSE rest END AS stack,
+            CASE WHEN best_i > 0 THEN list_append(keep, best_i)
+                 ELSE keep END AS keep
+          FROM (
+            SELECT k, poly_idx, n_in, pts, keep, a, b, rest,
+              CASE WHEN list_max(d2l) > {e2}
+                   THEN list_position(d2l, list_max(d2l)) + a
+                   ELSE 0 END AS best_i
+            FROM (
+              SELECT k, poly_idx, n_in, pts, keep, a, b, rest,
+                list_transform(
+                  CASE WHEN b - a >= 2
+                       THEN generate_series(a + 1, b - 1)
+                       ELSE [] END,
+                  i -> {d2_seg}) AS d2l
+              FROM (
+                SELECT k, poly_idx, n_in, pts, keep,
+                       stack[len(stack)].a AS a,
+                       stack[len(stack)].b AS b,
+                       stack[1:len(stack)-1] AS rest
+                FROM dp WHERE len(stack) > 0)))),
+        done AS (
+          SELECT k, poly_idx, n_in, pts, list_sort(keep) AS keep
+          FROM dp WHERE len(stack) = 0),
+        guarded AS (
+          SELECT k, poly_idx, n_in, pts,
+            CASE WHEN len(keep) = 2 AND len(pts) >= 3
+                 THEN list_sort(list_append(keep,
+                   list_position(chord_d2l, list_max(chord_d2l)) + 1))
+                 ELSE keep END AS keep
+          FROM (
+            SELECT *, list_transform(
+                CASE WHEN len(keep) = 2 AND len(pts) >= 3
+                     THEN generate_series(2, len(pts) - 1)
+                     ELSE [] END,
+                i -> {d2_chord}) AS chord_d2l
+            FROM done)),
+        closed AS (
+          SELECT k, poly_idx, n_in,
+            list_append(list_transform(keep, i -> pts[i]), pts[keep[1]])
+              AS ring_out
+          FROM guarded)
+        SELECT k, poly_idx, n_in::INT AS n_in, len(ring_out)::INT AS n_out,
+               md5(array_to_string(
+                 list_transform(
+                   flatten(list_transform(ring_out, p -> [p.x, p.y])),
+                   v -> printf('%.9f', v)),
+                 ',')) AS ring_digest
+        FROM closed"""
+
+
+_POLY_SIMPLIFY_ORACLE = _build_polygon_simplify_oracle()
+
+
+def _build_dtw_oracle(n: int = 8, band: int = 2, k: int = 20) -> str:
+    """Sakoe-Chiba DTW unrolled to closed form (VERDICT r7 item 4): the
+    8×8 banded DP has a FIXED set of ~34 cells, so the recurrence
+    ``cur[j] = cost(i,j) + min(prev[j], cur[j-1], prev[j-1])`` unrolls
+    to one chained CTE per cell with out-of-band predecessors simply
+    omitted (they are +inf). Same expression tree as the engine's numpy
+    kernel (timeseries.dtw_topk): cost = (vals[i]-q[j])², min over the
+    identical operand set (associative over identical doubles),
+    sqrt+round(6) once at the end. The series CTE is the proven
+    ts_similarity_l2 replay of daily_series. Query = [1.0 .. 8.0]."""
+    series_cte = """
+            WITH daily AS (
+              SELECT user_id, ts::DATE AS day, sum(value) AS day_v
+              FROM events GROUP BY user_id, ts::DATE),
+            w AS (
+              SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY user_id),
+            b AS (
+              SELECT d.user_id,
+                     floor(date_diff('day', w.d0, d.day) * 8
+                           / (date_diff('day', w.d0, w.d1) + 1))::INT
+                       AS bucket,
+                     d.day_v
+              FROM daily d JOIN w USING (user_id)),
+            bv AS (
+              SELECT user_id, bucket, round(avg(day_v), 6) AS bv
+              FROM b GROUP BY user_id, bucket),
+            grid AS (
+              SELECT user_id, unnest(range(8))::INT AS bucket FROM w),
+            filled AS (
+              SELECT g.user_id, g.bucket, coalesce(bv.bv, 0.0) AS bv
+              FROM grid g LEFT JOIN bv USING (user_id, bucket)),
+            series AS (
+              SELECT user_id, list(bv ORDER BY bucket) AS vals
+              FROM filled GROUP BY user_id)"""
+    cells: set[tuple[int, int]] = set()
+    ctes: list[str] = []
+    prev_name = "series"
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - band), min(n, i + band)
+        for j in range(lo, hi + 1):
+            q = float(j)
+            cost = f"(vals[{i}] - {q})*(vals[{i}] - {q})"
+            preds: list[str] = []
+            if i == 1 and j == 1:
+                preds.append("0.0")
+            if (i - 1, j) in cells:
+                preds.append(f"d_{i - 1}_{j}")
+            if (i, j - 1) in cells:
+                preds.append(f"d_{i}_{j - 1}")
+            if (i - 1, j - 1) in cells:
+                preds.append(f"d_{i - 1}_{j - 1}")
+            cells.add((i, j))
+            base = preds[0] if len(preds) == 1 else (
+                "least(" + ", ".join(preds) + ")"
+            )
+            name = f"c_{i}_{j}"
+            ctes.append(
+                f"{name} AS (SELECT *, {cost} + {base} AS d_{i}_{j} "
+                f"FROM {prev_name})"
+            )
+            prev_name = name
+    return (
+        series_cte
+        + ",\n            "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT user_id, round(sqrt(d_{n}_{n}), 6) AS dist
+            FROM {prev_name}
+            ORDER BY dist ASC, user_id ASC
+            LIMIT {k}"""
+    )
+
+
+_DTW_ORACLE = _build_dtw_oracle()
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Engine-identical cosine tree: dot/(norm·norm) with DuckDB's
+    sequential list_dot_product (verified bit-identical to the
+    engine's left fold, SURVEY r7 item 6)."""
+    return (
+        f"({oracles.dot_sql(a, b)} / "
+        f"({oracles.norm_sql(a)} * {oracles.norm_sql(b)}))"
+    )
+
+
+def _build_kmeans_ctes(corpus: str, k: int, iters: int, dim: int = 64) -> str:
+    """Replay the engine's deterministic k-means (similarity.kmeans_fit)
+    as generated MATERIALIZED CTEs (VERDICT r7 item 4, the
+    quality_lr_pipeline precedent for iterative trainings):
+
+    * init — k-1 farthest-point passes, each ONE pass over ``corpus``:
+      ``m{t}`` folds the newest seed into the running max-similarity
+      column exactly like _maximin_init's incremental ``greatest``
+      (same round-9, same (ms ASC, id ASC) selection);
+    * Lloyd — per round one argmax assignment (row_number over
+      (sim DESC, cell ASC), the _with_nearest_cell tie-break) and one
+      EXACT-INTEGER mean (micro-unit bigint sums / (n·1e6), the engine's
+      round-8 determinism contract — no float partition-order hazard on
+      either engine).
+
+    Emits CTEs ``s0..s{k-1}, m0.., cent0..cent{iters}, asg1..`` and
+    finally ``cells`` = the assignment against ``cent{iters}``.
+    Requires a prior CTE ``{corpus}`` with (id, v DOUBLE[]).
+    """
+    parts: list[str] = []
+    parts.append(
+        f"s0 AS MATERIALIZED (SELECT v FROM {corpus} ORDER BY id LIMIT 1)"
+    )
+    parts.append(
+        f"m0 AS MATERIALIZED (SELECT e.id, e.v, "
+        f"round({_cos_sql('e.v', 's0.v')}, 9) AS ms FROM {corpus} e, s0)"
+    )
+    for t in range(1, k):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT v FROM m{t - 1} "
+            f"ORDER BY ms ASC, id ASC LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"m{t} AS MATERIALIZED (SELECT m.id, m.v, "
+                f"greatest(m.ms, round({_cos_sql('m.v', f's{t}.v')}, 9)) "
+                f"AS ms FROM m{t - 1} m, s{t})"
+            )
+    seeds = " UNION ALL ".join(
+        f"SELECT {c} AS cell, v AS centroid FROM s{c}" for c in range(k)
+    )
+    parts.append(f"cent0 AS MATERIALIZED ({seeds})")
+    for it in range(1, iters + 1):
+        parts.append(
+            f"asg{it} AS MATERIALIZED (SELECT id, v, cell FROM ("
+            f"SELECT e.id, e.v, c.cell, row_number() OVER ("
+            f"PARTITION BY e.id ORDER BY "
+            f"round({_cos_sql('e.v', 'c.centroid')}, 9) DESC, c.cell ASC"
+            f") AS rn FROM {corpus} e, cent{it - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"cent{it} AS MATERIALIZED (SELECT cell, "
+            f"list(m ORDER BY i) AS centroid FROM ("
+            f"SELECT cell, i, sum(round(x * 1000000.0)::BIGINT)::DOUBLE "
+            f"/ (count(*)::DOUBLE * 1000000.0) AS m FROM ("
+            f"SELECT a.cell, g.i, a.v[g.i + 1] AS x FROM asg{it} a, "
+            f"(SELECT unnest(range({dim}))::INT AS i) g) "
+            f"GROUP BY cell, i) GROUP BY cell)"
+        )
+    parts.append(
+        f"cells AS MATERIALIZED (SELECT id, cell FROM ("
+        f"SELECT e.id, c.cell, row_number() OVER ("
+        f"PARTITION BY e.id ORDER BY "
+        f"round({_cos_sql('e.v', 'c.centroid')}, 9) DESC, c.cell ASC"
+        f") AS rn FROM {corpus} e, cent{iters} c) WHERE rn = 1)"
+    )
+    return ",\n            ".join(parts)
+
+
+_KMEANS_CELLS_ORACLE = f"""
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            {_build_kmeans_ctes('emb', k=8, iters=3)}
+            SELECT cell, count(*)::BIGINT AS n_vectors
+            FROM cells GROUP BY cell"""
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+            WITH RECURSIVE corp AS MATERIALIZED (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding::DOUBLE[]
+              FROM embeddings WHERE vec_id % 10 = 0),
+            {_build_kmeans_ctes('corp', k=8, iters=2)},
+            pairs AS MATERIALIZED (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM (SELECT c.id, c.cell, e.v FROM cells c
+                    JOIN corp e USING (id)) a
+              JOIN (SELECT c.id, c.cell, e.v FROM cells c
+                    JOIN corp e USING (id)) b
+                ON a.cell = b.cell AND a.id < b.id
+              WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.999),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b AS s, id_a AS d FROM pairs),
+            reach(id, lbl) AS (
+              SELECT DISTINCT s, s FROM edges
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+            comp AS (
+              SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            losers AS (
+              SELECT id FROM comp WHERE id <> component)
+            SELECT id AS vec_id, cell FROM cells
+            WHERE id NOT IN (SELECT id FROM losers)"""
 
 
 def _active(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,16 +680,43 @@ def _q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cap_polygon_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas-Peucker ring simplification (operators/geometry.py
-    simplify_rings, eps=0.01) over the parsed alert polygons — the
-    rendering-prep pass. Map-only Arrow seam (rings never shuffle);
-    rows-only checked (the recursive split has no SQL form) with the
-    exact pure-Python parity + brute-force eps-guarantee pins in
-    tests/test_geometry.py. Output avoids list cells (canonicalizer
-    discipline): counts + an md5 ring digest."""
+    simplify_rings, eps=0.01) over DENSIFIED alert polygons — the
+    rendering-prep pass. Each ring edge is first subdivided at
+    t=0.25/0.5/0.75 (collinear interior points, the map-tile
+    densify-then-simplify round trip), so the DP pass genuinely DROPS
+    points back to the corners rather than passing the tiny parsed
+    rings through untouched. Map-only Arrow seam (rings never
+    shuffle). Oracle-exact since round 8: the DuckDB oracle replays
+    the split recursion as a recursive CTE carrying the explicit
+    (stack, keep) state per ring — same pop order, same strict
+    d2 > eps² comparison, same first-index tie-break — over
+    bit-identical densified coordinates (integer corners, 0.25-step
+    lerp: every value is an exact dyadic rational, so the '%.9f'
+    digest needs no rounding). The exact pure-Python parity +
+    brute-force eps-guarantee pins stay in tests/test_geometry.py.
+    Output avoids list cells (canonicalizer discipline): counts + an
+    md5 ring digest."""
     from etl_capnz_spark.operators.geometry import simplify_rings
 
     parsed = _parsed_polygons(spark, sf_dir)
-    out = simplify_rings(parsed, "ring", eps=0.01)
+    n = F.size("ring")
+    p0s = F.slice("ring", 1, n - 1)
+    p1s = F.slice("ring", 2, n - 1)
+
+    def _lerp(p, q, t):
+        return F.array(p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+
+    edges = F.zip_with(
+        p0s,
+        p1s,
+        lambda p, q: F.array(
+            p, _lerp(p, q, 0.25), _lerp(p, q, 0.5), _lerp(p, q, 0.75)
+        ),
+    )
+    dense = F.concat(F.flatten(edges), F.slice("ring", n, 1))
+    out = simplify_rings(
+        parsed.select("k", "poly_idx", dense.alias("ring")), "ring", eps=0.01
+    )
     return out.select(
         "k",
         "poly_idx",
@@ -2620,7 +2991,10 @@ def _q_ts_similarity_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DTW top-k (Sakoe-Chiba band 2) over the same series — imperative
     O(n·m) DP through the sanctioned mapInPandas seam; exactness pinned
     vs a pure-Python reference in tests/test_timeseries.py (BPE-style
-    discipline) → rows-only here."""
+    discipline). Oracle-exact since round 8: the fixed 8×8 banded DP
+    has ~34 cells, so the oracle unrolls the recurrence to one chained
+    CTE per cell (see _build_dtw_oracle) — identical expression trees,
+    out-of-band predecessors omitted as +inf."""
     from etl_capnz_spark.operators.timeseries import daily_series, dtw_topk
 
     series = daily_series(_t(spark, sf_dir, "events"))
@@ -3993,14 +4367,21 @@ def _q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("spend"),
     )
+    _ck = _const_key(F.col("o_custkey"))
     r = F.ntile(5).over(
-        Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+        Window.partitionBy(_ck).orderBy(
+            F.col("last_order").desc(), F.col("o_custkey")
+        )
     )
     f = F.ntile(5).over(
-        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+        Window.partitionBy(_ck).orderBy(
+            F.col("n_orders").desc(), F.col("o_custkey")
+        )
     )
     m = F.ntile(5).over(
-        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        Window.partitionBy(_ck).orderBy(
+            F.col("spend").desc(), F.col("o_custkey")
+        )
     )
     scored = base.select(
         "o_custkey", r.alias("r_quintile"), f.alias("f_quintile"),
@@ -4136,7 +4517,9 @@ def _q_parts_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("bigint")
     rev = li.groupBy("l_partkey").agg(F.sum(line_cents).alias("cents"))
-    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    w = Window.partitionBy(_const_key(F.col("l_partkey"))).orderBy(
+        F.col("cents").desc(), F.col("l_partkey")
+    )
     total = rev.agg(F.sum("cents").alias("_t"))
     before = F.coalesce(
         F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, -1)),
@@ -4170,7 +4553,7 @@ def _q_tpch_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.quarter("o_orderdate").alias("qtr"),
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
-    w = Window.orderBy("yr", "qtr")
+    w = Window.partitionBy(_const_key(F.col("yr"))).orderBy("yr", "qtr")
     prev = F.lag("revenue").over(w)
     return q.select(
         "yr",
@@ -4242,7 +4625,9 @@ def _q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = per.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
-    w = Window.orderBy(F.desc("n_sessions"), F.col("path"))
+    w = Window.partitionBy(_const_key(F.col("path"))).orderBy(
+        F.desc("n_sessions"), F.col("path")
+    )
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
@@ -4804,10 +5189,9 @@ def _q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("cents", "o_custkey")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    _ck = _const_key(F.col("o_custkey"))
+    w = Window.partitionBy(_ck).orderBy("cents", "o_custkey")
+    wall = Window.partitionBy(_ck)
     ranked = spend.withColumn(
         "_rn", F.row_number().over(w)
     ).withColumn("_n", F.count(F.lit(1)).over(wall))
@@ -4837,12 +5221,11 @@ def _q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
-    wcum = Window.orderBy("decile").rowsBetween(
+    _ck = _const_key(F.col("decile"))
+    wcum = Window.partitionBy(_ck).orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wtot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    wtot = Window.partitionBy(_ck)
     return per.select(
         "decile",
         "n_customers",
@@ -4906,9 +5289,7 @@ def _q_orders_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    wall = Window.partitionBy(_const_key(F.col("x")))
     e = spend.withColumn("xt", F.sum("x").over(wall)).withColumn(
         "n", F.count(F.lit(1)).over(wall)
     )
@@ -5013,7 +5394,9 @@ def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("spend")
     )
     decile = F.ntile(10).over(
-        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        Window.partitionBy(_const_key(F.col("o_custkey"))).orderBy(
+            F.col("spend").desc(), F.col("o_custkey")
+        )
     )
     total = spend.agg(F.sum("spend").alias("_total"))
     return (
@@ -5835,7 +6218,9 @@ def _q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_hour = first_seen.groupBy("hour").agg(
         F.count("*").alias("new_users")
     )
-    w = Window.orderBy("hour").rowsBetween(
+    w = Window.partitionBy(_const_key(F.col("hour"))).orderBy(
+        "hour"
+    ).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return per_hour.select(
@@ -8371,6 +8756,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cap WHERE g IN (0, 1, 2, 3)
             UNION ALL
             SELECT k, 1, 2.0::DOUBLE FROM cap WHERE g = 2""",
+        "cap_polygon_simplify": _POLY_SIMPLIFY_ORACLE,
         # Faithful window-function oracle (SURVEY.md §2.9): shoelace via
         # lead() over unnested ground-truth points, grouped per polygon.
         "cap_centroid_window": f"""{_DUCK},
@@ -11822,7 +12208,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
                        AS h
-              FROM events),
+              FROM events WHERE event_id IS NOT NULL),
             r AS (
               SELECT event_type, h % 256 AS j,
                      max(CASE WHEN (h >> 8) = 0 THEN 45
@@ -11855,7 +12241,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT
                        AS h
-              FROM events),
+              FROM events WHERE event_id IS NOT NULL),
             per_type AS (
               SELECT event_type, h % 256 AS j,
                      max(CASE WHEN (h >> 8) = 0 THEN 45
@@ -11917,7 +12303,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT ts::DATE AS day,
                      ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT
                        AS h
-              FROM events),
+              FROM events WHERE user_id IS NOT NULL),
             daily AS (
               SELECT day, h % 256 AS j,
                      max(CASE WHEN (h >> 8) = 0 THEN 45
@@ -14140,6 +14526,9 @@ def oracle_sql() -> dict[str, str]:
             FROM series
             ORDER BY dist ASC, user_id ASC
             LIMIT 20""",
+        "ts_similarity_dtw": _DTW_ORACLE,
+        "knn_kmeans_cells": _KMEANS_CELLS_ORACLE,
+        "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

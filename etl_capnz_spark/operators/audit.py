@@ -708,9 +708,10 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
         "digit",
         "left",
     ).select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
-    w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    from .rank import bounded_const_key
+
+    # 9-row digit table; warning-silent const key
+    w = Window.partitionBy(bounded_const_key(F.col("digit")))
     n = F.sum("n_obs").over(w)
     exp = n * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
     return per.select(
@@ -833,11 +834,12 @@ def mutual_information(
     cells = df.groupBy(
         F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
     ).agg(F.count(F.lit(1)).alias("nxy"))
+    from .rank import bounded_const_key
+
     wx = Window.partitionBy("_x")
     wy = Window.partitionBy("_y")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # cell-table total (bounded by |x|·|y| cells); warning-silent key
+    wall = Window.partitionBy(bounded_const_key(F.col("_x")))
     e = (
         cells.withColumn("nx", F.sum("nxy").over(wx))
         .withColumn("ny", F.sum("nxy").over(wy))
@@ -895,9 +897,12 @@ def chi2_independence(
     obs = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).agg(F.count(F.lit(1)).alias("n_obs"))
+    from .rank import bounded_const_key
+
     wr = Window.partitionBy("r")
     wc = Window.partitionBy("c")
-    wall = Window.partitionBy()
+    # (r, c) cell-table total; warning-silent const key
+    wall = Window.partitionBy(bounded_const_key(F.col("r")))
     t = (
         obs.withColumn("row_total", F.sum("n_obs").over(wr))
         .withColumn("col_total", F.sum("n_obs").over(wc))

@@ -124,7 +124,11 @@ def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
     # key-bounded aggregate, never the data.
     from pyspark.sql.window import Window
 
-    n = F.sum("cnt").over(Window.partitionBy())
+    from .rank import bounded_const_key
+
+    n = F.sum("cnt").over(
+        Window.partitionBy(bounded_const_key(F.col("item")))
+    )
     return (
         counted.withColumn("_n", n)
         .filter(F.col("item").isNotNull() & (F.col("cnt") * (k + 1) > F.col("_n")))

@@ -163,7 +163,9 @@ def psi_drift(
     # the bucket-domain-sized table (bounded: K rows, not data rows)
     from pyspark.sql.window import Window
 
-    wall = Window.partitionBy()
+    from .rank import bounded_const_key
+
+    wall = Window.partitionBy(bounded_const_key(F.col("n_a")))
     tot = both.select(
         "*",
         F.sum("n_a").over(wall).alias("_ta"),
@@ -699,10 +701,15 @@ def bh_fdr(
     per_shard = staged.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_n")
     )
-    # n_shards-row tables: the only unpartitioned windows, bounded by
-    # construction (32 rows) — rank offsets forward, min suffix back
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    from .rank import bounded_const_key
+
+    # n_shards-row tables: single-effective-partition windows, bounded
+    # by construction (32 rows) — rank offsets forward, min suffix
+    # back; constant-keyed so WindowExec stays warning-silent
+    w_off = (
+        Window.partitionBy(bounded_const_key(F.col("_pid")))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = per_shard.select(
         "_pid",
@@ -733,8 +740,10 @@ def bh_fdr(
     # clamp-at-1 literal also closes the empty-suffix case exactly
     # as the single-window form did)
     shard_min = ranked.groupBy("_pid").agg(F.min("_raw").alias("_m"))
-    w_suf = Window.orderBy(F.col("_pid").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    w_suf = (
+        Window.partitionBy(bounded_const_key(F.col("_pid")))
+        .orderBy(F.col("_pid").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     suffix = shard_min.select(
         "_pid", F.min("_m").over(w_suf).alias("_sufmin")
@@ -938,8 +947,14 @@ def lift_gains(
         F.max("_nt").alias("_nt"),
         F.max("_pt").alias("_pt"),
     )
-    wc = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
+    from .rank import bounded_const_key
+
+    # bucket table: <= `buckets` rows by argument — constant-keyed
+    # single-effective-partition window (warning-silent)
+    wc = (
+        Window.partitionBy(bounded_const_key(F.col("bucket")))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum_pos = F.sum("n_pos").over(wc).cast("double")
 

@@ -173,8 +173,15 @@ def training_order(
     final lightweight (key, id) projection. At shard-writing scale use
     :func:`training_order_sharded` — bit-identical positions via a
     two-phase distributed rank with no global window."""
+    from .rank import bounded_const_key
+
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    # deliberate global sort (sharded twin: training_order_sharded);
+    # warning-silent const key
+    w = (
+        Window.partitionBy(bounded_const_key(F.col(id_col)))
+        .orderBy(key.asc(), F.col(id_col).asc())
+    )
     return df.select(
         F.col(id_col),
         (F.row_number().over(w) - 1).alias("position"),
@@ -235,7 +242,13 @@ def interleave_sources(
             weight
         )
     key = F.row_number().over(w_pos).cast("double") / weight
-    w_glob = Window.orderBy(key.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    from .rank import bounded_const_key
+
+    # deliberate global interleave sort; warning-silent const key
+    w_glob = (
+        Window.partitionBy(bounded_const_key(F.col(id_col)))
+        .orderBy(key.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    )
     return df.select(
         F.col(id_col),
         F.col(source_col),

@@ -271,13 +271,21 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     tracked = vecs.select(
         "id", "v", _sim_newest(seeds[0]).alias("_maxsim")
     ).localCheckpoint(eager=False)
+    prev: DataFrame | None = None
     for _ in range(1, k):
         nxt = (
             tracked.orderBy(F.col("_maxsim").asc(), F.col("id").asc())
             .limit(1)
             .collect()[0]
         )
+        # this collect materialized `tracked`'s checkpoint, so the
+        # previous pass's blocks are no longer reachable from any live
+        # plan — drop them now instead of waiting for ContextCleaner
+        # (otherwise block-manager storage grows toward k corpus copies)
+        if prev is not None:
+            prev.unpersist()
         seeds.append(list(nxt["v"]))
+        prev = tracked
         tracked = tracked.select(
             "id",
             "v",
@@ -285,6 +293,8 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
                 F.col("_maxsim"), _sim_newest(seeds[-1])
             ).alias("_maxsim"),
         ).localCheckpoint(eager=False)
+    if prev is not None:
+        prev.unpersist()
     return list(enumerate(seeds))
 
 
@@ -345,6 +355,17 @@ def kmeans_fit(
     iteration count is a driver-side loop over lazy plans — each round
     materializes only k×dim doubles at the driver, so the pattern scales
     to any corpus size.
+
+    Determinism contract (round 8): the per-cell means are EXACT-INTEGER
+    — each coordinate quantizes once to micro-units
+    (``round(x·1e6)::bigint``), the sum is a bigint (order-independent,
+    no float partition-order hazard), and the mean is one double
+    division ``sum / (n·1e6)``. This makes the trained centroids
+    bit-stable across partitionings AND replayable by the DuckDB oracle
+    (the quantize-before-stats discipline every exact-stat operator in
+    the repo already follows); the 1e-6 coordinate quantization is far
+    below embedding noise, and the recall pins re-verify downstream
+    quality.
     """
     vecs = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -360,7 +381,20 @@ def kmeans_fit(
         new_cents = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e6)).cast("bigint")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cell",
+                "i",
+                (
+                    F.col("_s").cast("double")
+                    / (F.col("_n").cast("double") * F.lit(1e6))
+                ).alias("m"),
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
             .select(
@@ -807,6 +841,7 @@ def pq_fit(
     tracked = subs.withColumn(
         "_mind", _d2_newest({j: sv[0] for j, sv in seeds.items()})
     ).localCheckpoint(eager=False)
+    prev: DataFrame | None = None
     for _ in range(1, k):
         nxt = (
             tracked.withColumn("_d", F.round(F.col("_mind"), 9))
@@ -822,14 +857,23 @@ def pq_fit(
             .select("sub", "sv")
             .collect()
         )
+        # the collect above materialized `tracked`'s checkpoint, so the
+        # prior pass's blocks have no remaining reader — free them now
+        # rather than letting block-manager storage grow toward k
+        # corpus copies until ContextCleaner GC catches up
+        if prev is not None:
+            prev.unpersist()
         newest: dict[int, list[float]] = {}
         for r in nxt:
             seeds[r["sub"]].append(list(r["sv"]))
             newest[r["sub"]] = list(r["sv"])
+        prev = tracked
         tracked = tracked.withColumn(
             "_mind",
             F.least(F.col("_mind"), _d2_newest(newest)),
         ).localCheckpoint(eager=False)
+    if prev is not None:
+        prev.unpersist()
 
     cents = [
         (j, c, sv) for j, sv_list in seeds.items() for c, sv in enumerate(sv_list)

@@ -660,7 +660,14 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.col("token"))
+    from .rank import bounded_const_key
+
+    # vocabulary-sized global rank — deliberate (the zipf fit needs the
+    # total order; vocab ≪ corpus); warning-silent const key
+    w = (
+        Window.partitionBy(bounded_const_key(F.col("token")))
+        .orderBy(F.desc("freq"), F.col("token"))
+    )
     xy = freqs.withColumn("rank", F.row_number().over(w)).select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
@@ -715,11 +722,12 @@ def source_kl(
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("nst"))
     )
+    from .rank import bounded_const_key
+
     ws = Window.partitionBy("source")
     wt = Window.partitionBy("token")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # (source, token) cell-table total; warning-silent const key
+    wall = Window.partitionBy(bounded_const_key(F.col("token")))
     e = (
         tf.withColumn("ns", F.sum("nst").over(ws))
         .withColumn("nt", F.sum("nst").over(wt))

@@ -644,13 +644,19 @@ def kaplan_meier(
         F.sum(F.col(observed_col).cast("long")).alias("n_events"),
         F.count(F.lit(1)).alias("n_at_t"),
     )
-    w_all = Window.orderBy("t").rowsBetween(
+    from .rank import bounded_const_key
+
+    # distinct-duration table (time-grid bounded); constant-keyed so
+    # the deliberate single-effective-partition windows stay
+    # warning-silent (rank.bounded_const_key)
+    _k = bounded_const_key(F.col("t"))
+    w_all = Window.partitionBy(_k).orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_prev = Window.orderBy("t").rowsBetween(
+    w_prev = Window.partitionBy(_k).orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    w_cum = Window.orderBy("t").rowsBetween(
+    w_cum = Window.partitionBy(_k).orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     with_risk = per_t.withColumn(
@@ -713,8 +719,15 @@ def seasonal_decompose(
     """
     from pyspark.sql.window import Window
 
+    from .rank import bounded_const_key
+
     w = 2 * half + 1
-    win = Window.orderBy(t_col).rowsBetween(-half, half)
+    # one row per time step (grid-bounded); warning-silent const key
+    win = (
+        Window.partitionBy(bounded_const_key(F.col(t_col)))
+        .orderBy(t_col)
+        .rowsBetween(-half, half)
+    )
     base = hourly.select(
         F.col(t_col),
         F.col(cents_col).cast("bigint").alias("cents"),
@@ -854,7 +867,10 @@ def autocorrelation(
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(t_col)
+    from .rank import bounded_const_key
+
+    # one row per time step (grid-bounded); warning-silent const key
+    w = Window.partitionBy(bounded_const_key(F.col(t_col))).orderBy(t_col)
     base = series.select(
         F.col(cents_col).cast("bigint").alias("x"),
         F.row_number().over(w).alias("rn"),
@@ -918,7 +934,10 @@ def cross_correlation(
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(t_col)
+    from .rank import bounded_const_key
+
+    # one row per time step (grid-bounded); warning-silent const key
+    w = Window.partitionBy(bounded_const_key(F.col(t_col))).orderBy(t_col)
     base = series.select(
         F.col(a_col).cast("bigint").alias("a"),
         F.col(b_col).cast("bigint").alias("b"),

@@ -26,8 +26,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.errors import AnalysisException
+
 from etl_capnz_spark.operators.features import build_features
+from etl_capnz_spark.operators.rank import bounded_const_key as _bounded_key
 from etl_capnz_spark.sources.xml import parse_cap_xml
+
+
+def _read_state_parquet(sess: SparkSession, path: str) -> DataFrame | None:
+    """Read a sink's persisted state dir, or None iff it doesn't exist yet.
+
+    ONLY the path-missing case (first batch ever) maps to None; any other
+    read failure — corruption, transient IO, permission — propagates and
+    fails the batch, because the callers' next step is an overwrite of
+    ``path``: swallowing a real read error would silently reset all
+    accumulated state to just the current batch (ADVICE r7).
+    """
+    try:
+        return sess.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            # UNABLE_TO_INFER_SCHEMA: dir exists but holds no parquet
+            # footers yet (e.g. created empty) — also a first-batch state
+            return None
+        raise
 
 
 def read_xml_stream(
@@ -238,10 +265,7 @@ def upsert_alert_state(
             "identifier", "msg_type", "sent_ts",
             F.to_json(F.struct(*[F.col(c) for c in batch.columns])).alias("payload"),
         )
-        try:
-            current = spark.read.parquet(state_path)
-        except Exception:
-            current = None
+        current = _read_state_parquet(spark, state_path)
         merged = (
             incoming
             if current is None
@@ -865,12 +889,9 @@ def kmv_distinct_sink(
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         cur = kmv_sketch(batch, group_cols, value_col, k)
-        try:
-            prev = sess.read.parquet(state_path).select(
-                *group_cols, "sketch", "n_seen", "est_distinct"
-            )
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(sess, state_path)
+        if prev is not None:
+            prev = prev.select(*group_cols, "sketch", "n_seen", "est_distinct")
         both = cur if prev is None else prev.unionByName(cur)
         merged = kmv_merge(both, group_cols, k=k).localCheckpoint()
         merged.write.mode("overwrite").parquet(state_path)
@@ -919,12 +940,9 @@ def hll_distinct_sink(
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         cur = hll_registers(batch, group_cols, value_col)
-        try:
-            prev = sess.read.parquet(state_path).select(
-                *group_cols, "j", "m_j"
-            )
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(sess, state_path)
+        if prev is not None:
+            prev = prev.select(*group_cols, "j", "m_j")
         both = cur if prev is None else prev.unionByName(cur)
         merged = hll_merge(both, group_cols).localCheckpoint()
         merged.write.mode("overwrite").parquet(state_path)
@@ -973,10 +991,12 @@ def frontier_schedule_stream(
 
     def _round(batch_df, batch_id: int):
         sess = batch_df.sparkSession
-        try:
-            crawled = sess.read.parquet(crawled_path).select("url")
-        except Exception:
-            crawled = sess.createDataFrame([], "url string")
+        crawled = _read_state_parquet(sess, crawled_path)
+        crawled = (
+            sess.createDataFrame([], "url string")
+            if crawled is None
+            else crawled.select("url")
+        )
         frontier = build_frontier(
             batch_df.select(src_col, url_col), crawled, url_col
         )
@@ -1199,7 +1219,9 @@ def _mg_fold_df(summaries: DataFrame, k: int) -> DataFrame:
     ranked = summed.withColumn(
         "_rk",
         FF.row_number().over(
-            Window.partitionBy().orderBy(FF.col("mg_count").desc(), "item")
+            Window.partitionBy(_bounded_key(FF.col("item"))).orderBy(
+                FF.col("mg_count").desc(), "item"
+            )
         ),
     )
     # decrement = the (k+1)-th largest count; agg over the (possibly
@@ -1428,10 +1450,9 @@ def quantile_sketch_sink(
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         cur = quantile_sketch(batch, group_cols, value_col, id_col, k)
-        try:
-            prev = sess.read.parquet(state_path).select(cur.columns)
-        except Exception:
-            prev = None
+        prev = _read_state_parquet(sess, state_path)
+        if prev is not None:
+            prev = prev.select(cur.columns)
         both = cur if prev is None else prev.unionByName(cur)
         merged = quantile_sketch_merge(
             both, group_cols, k=k

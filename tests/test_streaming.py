@@ -1678,3 +1678,30 @@ def test_hll_distinct_sink_matches_batch_registers(spark, tmp_path):
         hll_registers(full, ["event_type"], "user_id"), ["event_type"]
     ).collect()
     assert sorted(map(tuple, st)) == sorted(map(tuple, bt))
+
+
+def test_read_state_parquet_first_batch_vs_corrupt(spark, tmp_path):
+    """ADVICE r7: only path-missing (or footer-less dir) reads as
+    first-batch None; a corrupted state file must FAIL the batch, not
+    silently reset accumulated sink state before the overwrite."""
+    from etl_capnz_spark.streaming.stream import _read_state_parquet
+
+    missing = str(tmp_path / "never_written")
+    assert _read_state_parquet(spark, missing) is None
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert _read_state_parquet(spark, str(empty)) is None
+
+    good = tmp_path / "state"
+    spark.range(5).write.parquet(str(good))
+    df = _read_state_parquet(spark, str(good))
+    assert df is not None and df.count() == 5
+    # corrupt the parquet footer in place
+    for f in good.glob("*.parquet"):
+        f.write_bytes(b"PAR1 this is not a parquet file")
+    with pytest.raises(Exception) as exc:
+        d = _read_state_parquet(spark, str(good))
+        if d is not None:  # failure may surface at scan, not at read()
+            d.count()
+    assert "PATH_NOT_FOUND" not in str(exc.value)

@@ -17,8 +17,9 @@ df2 = mod.entry(spark)
 assert df2.schema.json() == schema1, 'schema unstable across calls'
 print(f'T1 SMOKE: entry rows={n} stable-schema=True elapsed={time.time()-t0:.1f}s')
 
-# t2 correctness at sf0.01 vs duckdb oracle
-sf = '/root/testdata/sf0.01'
+# t2 correctness at sf0.01 vs duckdb oracle (override dir with
+# SPARK_GRAFT_CONTRACT_SF_DIR for scale passes, e.g. .scale/sf1.0)
+sf = os.environ.get('SPARK_GRAFT_CONTRACT_SF_DIR', '/root/testdata/sf0.01')
 con = duckdb.connect()
 for t in 'region nation customer supplier part orders lineitem events documents embeddings'.split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
