@@ -389,6 +389,213 @@ def _build_kmeans_ctes(corpus: str, k: int, iters: int, dim: int = 64) -> str:
     return ",\n            ".join(parts)
 
 
+def _d2_sql(a: str, b: str, d: int) -> str:
+    """Engine-identical squared-L2 tree (similarity._l2sq's left fold):
+    per-position difference, then DuckDB's sequential list_dot_product
+    of the diff with itself — Σ (a_i−b_i)·(a_i−b_i) accumulated in
+    ascending order from 0.0, the same IEEE sequence as the zip_with +
+    aggregate fold."""
+    diff = f"list_transform(range({d}), j -> {a}[j + 1] - {b}[j + 1])"
+    return f"list_dot_product({diff}, {diff})"
+
+
+def _build_pq_ctes(
+    corpus: str, m: int, k: int, iters: int, d_sub: int
+) -> str:
+    """Replay similarity.pq_fit + pq_encode as generated MATERIALIZED
+    CTEs (the kmeans oracle's sibling): ONE exploded (id, sub, sv)
+    table carries all m subspaces; init is k−1 vectorized
+    farthest-point passes (per-sub window top-1 on round(ms,9) DESC,
+    id ASC — exactly pq_fit's selection); Lloyd rounds argmin on
+    round(d2,9) with cell ASC ties and recompute means as EXACT
+    integer micro-unit sums (the round-8 determinism contract).
+    Emits ``subs``, ``pcb{iters}`` (the codebook) and ``codes``.
+    Requires a prior CTE ``{corpus}`` with (id, v DOUBLE[])."""
+    parts: list[str] = []
+    parts.append(
+        f"subs AS MATERIALIZED (SELECT id, g.sub, "
+        f"v[g.sub * {d_sub} + 1 : g.sub * {d_sub} + {d_sub}] AS sv "
+        f"FROM {corpus}, (SELECT unnest(range({m}))::INT AS sub) g)"
+    )
+    parts.append(
+        "ps0 AS MATERIALIZED (SELECT sub, sv FROM ("
+        "SELECT sub, sv, row_number() OVER (PARTITION BY sub "
+        "ORDER BY id) AS rn FROM subs) WHERE rn = 1)"
+    )
+    d2_seed = _d2_sql("s.sv", "p.sv", d_sub)
+    parts.append(
+        f"pm0 AS MATERIALIZED (SELECT s.id, s.sub, s.sv, "
+        f"{d2_seed} AS ms FROM subs s JOIN ps0 p USING (sub))"
+    )
+    for t in range(1, k):
+        parts.append(
+            f"ps{t} AS MATERIALIZED (SELECT sub, sv FROM ("
+            f"SELECT sub, sv, row_number() OVER (PARTITION BY sub "
+            f"ORDER BY round(ms, 9) DESC, id ASC) AS rn "
+            f"FROM pm{t - 1}) WHERE rn = 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f"pm{t} AS MATERIALIZED (SELECT s.id, s.sub, s.sv, "
+                f"least(s.ms, {d2_seed.replace('p.sv', 'p2.sv')}) AS ms "
+                f"FROM pm{t - 1} s "
+                f"JOIN (SELECT sub, sv AS sv FROM ps{t}) p2 USING (sub))"
+            )
+    seeds = " UNION ALL ".join(
+        f"SELECT sub, {c} AS cell, sv AS centroid FROM ps{c}"
+        for c in range(k)
+    )
+    parts.append(f"pcb0 AS MATERIALIZED ({seeds})")
+    d2_cent = _d2_sql("s.sv", "c.centroid", d_sub)
+    for it in range(1, iters + 1):
+        parts.append(
+            f"pasg{it} AS MATERIALIZED (SELECT id, sub, sv, cell FROM ("
+            f"SELECT s.id, s.sub, s.sv, c.cell, row_number() OVER ("
+            f"PARTITION BY s.sub, s.id ORDER BY round({d2_cent}, 9) ASC, "
+            f"c.cell ASC) AS rn FROM subs s JOIN pcb{it - 1} c "
+            f"USING (sub)) WHERE rn = 1)"
+        )
+        parts.append(
+            f"pcb{it} AS MATERIALIZED (SELECT sub, cell, "
+            f"list(mn ORDER BY i) AS centroid FROM ("
+            f"SELECT sub, cell, i, "
+            f"sum(round(x * 1000000.0)::BIGINT)::DOUBLE "
+            f"/ (count(*)::DOUBLE * 1000000.0) AS mn FROM ("
+            f"SELECT a.sub, a.cell, g.i, a.sv[g.i + 1] AS x "
+            f"FROM pasg{it} a, "
+            f"(SELECT unnest(range({d_sub}))::INT AS i) g) "
+            f"GROUP BY sub, cell, i) GROUP BY sub, cell)"
+        )
+    parts.append(
+        f"codes AS MATERIALIZED (SELECT id, sub, code FROM ("
+        f"SELECT s.id, s.sub, c.cell AS code, row_number() OVER ("
+        f"PARTITION BY s.sub, s.id ORDER BY round({d2_cent}, 9) ASC, "
+        f"c.cell ASC) AS rn FROM subs s JOIN pcb{iters} c USING (sub)) "
+        f"WHERE rn = 1)"
+    )
+    return ",\n            ".join(parts)
+
+
+_KNN_PQ_ORACLE = f"""
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            {_build_pq_ctes('emb', m=8, k=8, iters=2, d_sub=8)},
+            qsubs AS MATERIALIZED (
+              SELECT id AS query_id, sub, sv FROM subs
+              WHERE id % 50 = 0),
+            dtab AS MATERIALIZED (
+              SELECT q.query_id, q.sub, c.cell AS code,
+                     round({_d2_sql('q.sv', 'c.centroid', 8)}, 9) AS d2
+              FROM qsubs q JOIN pcb2 c USING (sub)),
+            scored AS MATERIALIZED (
+              SELECT t.query_id, s.id AS neighbor_id,
+                     sum(round(t.d2 * 1000000.0)::BIGINT)::DOUBLE
+                     / 1000000.0 AS approx_d2
+              FROM codes s JOIN dtab t
+                ON s.sub = t.sub AND s.code = t.code
+              WHERE s.id <> t.query_id
+              GROUP BY t.query_id, s.id),
+            short AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY approx_d2 ASC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 75)
+            SELECT query_id, neighbor_id, d2, rank::INT AS rank FROM (
+              SELECT s.query_id, s.neighbor_id,
+                     round({_d2_sql('q.v', 'c.v', 64)}, 6) AS d2,
+                     row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY round({_d2_sql('q.v', 'c.v', 64)}, 6) ASC,
+                                s.neighbor_id) AS rank
+              FROM short s
+              JOIN emb c ON c.id = s.neighbor_id
+              JOIN emb q ON q.id = s.query_id)
+            WHERE rank <= 5"""
+
+
+_KNN_IVFPQ_ORACLE = f"""
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            {_build_kmeans_ctes('emb', k=8, iters=2)},
+            {_build_pq_ctes('emb', m=8, k=8, iters=2, d_sub=8)},
+            q AS MATERIALIZED (
+              SELECT id AS query_id, v AS qv FROM emb WHERE id % 50 = 0),
+            probes AS MATERIALIZED (
+              SELECT query_id, cell AS ivf_cell FROM (
+                SELECT q.query_id, c.cell, row_number() OVER (
+                  PARTITION BY q.query_id
+                  ORDER BY round({_d2_sql('q.qv', 'c.centroid', 64)},
+                                 9) ASC, c.cell ASC) AS rn
+                FROM q, cent2 c) WHERE rn <= 3),
+            qsubs AS MATERIALIZED (
+              SELECT id AS query_id, sub, sv FROM subs
+              WHERE id % 50 = 0),
+            dtab AS MATERIALIZED (
+              SELECT qs.query_id, qs.sub, c.cell AS code,
+                     round({_d2_sql('qs.sv', 'c.centroid', 8)}, 9) AS d2
+              FROM qsubs qs JOIN pcb2 c USING (sub)),
+            scored AS MATERIALIZED (
+              SELECT t.query_id, s.id AS neighbor_id,
+                     sum(round(t.d2 * 1000000.0)::BIGINT)::DOUBLE
+                     / 1000000.0 AS approx_d2
+              FROM codes s
+              JOIN cells cm ON cm.id = s.id
+              JOIN probes p ON p.ivf_cell = cm.cell
+              JOIN dtab t ON t.query_id = p.query_id
+                AND t.sub = s.sub AND t.code = s.code
+              WHERE s.id <> p.query_id
+              GROUP BY t.query_id, s.id),
+            short AS MATERIALIZED (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY approx_d2 ASC, neighbor_id) AS rn
+                FROM scored) WHERE rn <= 75)
+            SELECT query_id, neighbor_id, d2, rank::INT AS rank FROM (
+              SELECT s.query_id, s.neighbor_id,
+                     round({_d2_sql('qq.qv', 'c.v', 64)}, 6) AS d2,
+                     row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY round({_d2_sql('qq.qv', 'c.v', 64)},
+                                      6) ASC,
+                                s.neighbor_id) AS rank
+              FROM short s
+              JOIN emb c ON c.id = s.neighbor_id
+              JOIN q qq ON qq.query_id = s.query_id)
+            WHERE rank <= 5"""
+
+
+_KNN_IVF_ORACLE = f"""
+            WITH emb AS MATERIALIZED (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings),
+            cents AS MATERIALIZED (
+              SELECT cell, list(m ORDER BY i) AS centroid FROM (
+                SELECT label AS cell, i,
+                       sum(round(x * 1000000.0)::BIGINT)::DOUBLE
+                       / (count(*)::DOUBLE * 1000000.0) AS m
+                FROM (SELECT label, g.i, v[g.i + 1] AS x FROM emb,
+                      (SELECT unnest(range(64))::INT AS i) g)
+                GROUP BY label, i) GROUP BY cell),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+                  WHERE vec_id % 50 = 0),
+            probes AS MATERIALIZED (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY round({_cos_sql('q.qv', 'c.centroid')},
+                                        9) DESC,
+                                  c.cell ASC) AS rn
+                FROM q, cents c) WHERE rn <= 2),
+            scored AS (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     round({_cos_sql('p.qv', 'e.v')}, 6) AS sim
+              FROM emb e JOIN probes p ON e.label = p.cell
+              WHERE e.vec_id <> p.query_id)
+            SELECT query_id, neighbor_id, sim, rank::INT AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM scored)
+            WHERE rank <= 5"""
+
 _KMEANS_CELLS_ORACLE = f"""
             WITH emb AS MATERIALIZED (
               SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -1206,9 +1413,19 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.1
+    # per-row cents quantization BEFORE the sum (the repo's exact-stat
+    # discipline): profit is a DIFFERENCE of two products, so a raw
+    # double SUM is partition-order-dependent and diverged from the
+    # oracle at the sf1.0 scale pass (round-8 finding — green at
+    # sf0.01 for seven rounds, the exact latent hazard the 10× step
+    # exists to expose). Integer cents sum exactly in any order.
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+        )
+        * 100
+    ).cast("bigint")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -1218,7 +1435,11 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            (F.sum(profit_cents).cast("double") / F.lit(100.0)).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -4059,7 +4280,11 @@ def _q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN — approximate by design, so rows-only checked."""
+    """IVF-pruned ANN — approximate by DESIGN (recall < 1 when true
+    neighbours live outside probed cells) yet oracle-exact since round
+    8: every stage is deterministic (exact-integer label-mean
+    centroids, round-9 probe ranking, round-6 exact cosine on probed
+    cells), so DuckDB replays the same approximation verbatim."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(emb, qs, "vec_id", "embedding", "label", k=5, n_probe=2)
@@ -4132,9 +4357,11 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact rerank: deterministic PQ
     codebooks (farthest-point + Lloyd, all m subspaces trained in one
     exploded pipeline), ADC shortlist on compressed codes, exact L2
-    rerank on the shortlist only. Rows-only checked (iterative float
-    argmin is not reasonably SQL-expressible); recall pinned vs brute
-    force in tests/test_similarity.py."""
+    rerank on the shortlist only. Oracle-exact since round 8: exact-
+    integer micro-unit means + integer ADC sums make every stage
+    deterministic, and the DuckDB oracle replays the full training
+    (_build_pq_ctes) + encode + ADC + rerank; recall stays pinned vs
+    brute force in tests/test_similarity.py."""
     from etl_capnz_spark.operators.similarity import pq_topk_rerank
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4152,7 +4379,9 @@ def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ serving shape: k-means cells prune WHICH vectors
     are scored (n_probe of ivf_cells), PQ codes compress HOW (ADC on
     sub-codes inside probed cells only), exact rerank on the shortlist.
-    Rows-only checked (two iterative trainings); recall pinned in
+    Oracle-exact since round 8: BOTH iterative trainings replay as
+    generated CTEs (_build_kmeans_ctes + _build_pq_ctes — the
+    quality_lr_pipeline precedent, composed); recall pinned in
     tests/test_similarity.py."""
     from etl_capnz_spark.operators.similarity import ivfpq_topk
 
@@ -8980,8 +9209,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1""",
         "tpch_q9": """
             SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                   round(sum(l_extendedprice * (1 - l_discount)
-                             - p_retailprice * l_quantity * 0.1), 2)
+                   sum(round((l_extendedprice * (1 - l_discount)
+                              - p_retailprice * l_quantity * 0.1)
+                             * 100)::BIGINT)::DOUBLE / 100.0
                      AS sum_profit
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
@@ -14529,6 +14759,9 @@ def oracle_sql() -> dict[str, str]:
         "ts_similarity_dtw": _DTW_ORACLE,
         "knn_kmeans_cells": _KMEANS_CELLS_ORACLE,
         "dedup_semantic": _SEMANTIC_DEDUP_ORACLE,
+        "knn_ivf": _KNN_IVF_ORACLE,
+        "knn_pq": _KNN_PQ_ORACLE,
+        "knn_ivfpq": _KNN_IVFPQ_ORACLE,
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

@@ -223,6 +223,10 @@ def centroids_by_label(
 
     (A stand-in for k-means init that keeps the harness deterministic; the
     probe/prune structure is identical with learned centroids.)
+
+    Means are EXACT-INTEGER (micro-unit bigint sums / (n·1e6), the
+    kmeans_fit round-8 determinism contract): bit-stable across
+    partitionings and replayable by the DuckDB oracle.
     """
     dim = F.size(F.col(vec_col))
     exploded = corpus.select(
@@ -231,7 +235,20 @@ def centroids_by_label(
     )
     return (
         exploded.groupBy("cell", "i")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("x") * F.lit(1e6)).cast("bigint")).alias(
+                "_s"
+            ),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "cell",
+            "i",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_n").cast("double") * F.lit(1e6))
+            ).alias("m"),
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_sm"))
         .select(
@@ -897,7 +914,24 @@ def pq_fit(
         new_cents = (
             assigned.select("sub", "cell", F.posexplode("sv").alias("i", "x"))
             .groupBy("sub", "cell", "i")
-            .agg(F.avg("x").alias("mean"))
+            .agg(
+                F.sum(
+                    F.round(F.col("x") * F.lit(1e6)).cast("bigint")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            # exact-integer micro-unit means (the kmeans_fit round-8
+            # determinism contract): bit-stable across partitionings,
+            # oracle-replayable
+            .select(
+                "sub",
+                "cell",
+                "i",
+                (
+                    F.col("_s").cast("double")
+                    / (F.col("_n").cast("double") * F.lit(1e6))
+                ).alias("mean"),
+            )
             .groupBy("sub", "cell")
             .agg(F.array_sort(F.collect_list(F.struct("i", "mean"))).alias("_sm"))
             .select(
@@ -979,11 +1013,24 @@ def pq_topk(
         F.col("cell").alias("code"),
         F.round(_l2sq(F.col("sv"), F.col("centroid")), 9).alias("d2"),
     )
+    # ADC sum over the m per-subspace distances as EXACT integer
+    # micro-units (sum of doubles is partition-order-dependent; the
+    # kmeans_fit round-8 determinism contract) — one double division
+    # at the end, bit-stable and oracle-replayable
     scored = (
         codes.join(F.broadcast(table), ["sub", "code"])
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .agg(
+            F.sum(
+                F.round(F.col("d2") * F.lit(1e6)).cast("bigint")
+            ).alias("_sq")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("_sq").cast("double") / F.lit(1e6)).alias("approx_d2"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id")
@@ -1113,12 +1160,22 @@ def ivfpq_topk(
         F.col("cell").alias("code"),
         F.round(_l2sq(F.col("sv"), F.col("centroid")), 9).alias("d2"),
     )
+    # exact-integer ADC sum (see pq_topk) — order-independent
     scored = (
         codes.join(F.broadcast(probes), "ivf_cell")
         .join(F.broadcast(table), ["query_id", "sub", "code"])
         .filter(F.col("id") != F.col("query_id"))
         .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 6).alias("approx_d2"))
+        .agg(
+            F.sum(
+                F.round(F.col("d2") * F.lit(1e6)).cast("bigint")
+            ).alias("_sq")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("_sq").cast("double") / F.lit(1e6)).alias("approx_d2"),
+        )
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id")

@@ -440,12 +440,32 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
     file's schema the parquet reader happened to sample. An incompatible
     type change fails LOUDLY at the union, never silently coerces.
     Pre-evolution outputs (no ``_schemas.json``) read as before.
+
+    Snapshot-isolated (VERDICT r7 item 9, the read_scd2_state
+    pointer-first pattern generalized): when the committed pointer
+    ``_committed.json`` exists, ONLY epochs it lists are read — an
+    epoch whose parquet has landed but whose index-manifest commit has
+    not completed is invisible, so a reader racing a writer sees
+    strictly a committed prefix, never a mid-commit mix. Failure modes:
+    crash AFTER manifest commit but BEFORE the pointer append leaves
+    that epoch invisible until the stream's replay repairs the pointer
+    (bounded staleness, no phantom); crash BEFORE the manifest commit
+    leaves the epoch dir on disk but never in the pointer (replay
+    rewrites the same dir, readers never saw it).
     """
     import json
     import os
 
+    committed = _read_committed_epochs(out_path)
     sch_p = os.path.join(out_path, "_schemas.json")
     if not os.path.exists(sch_p):
+        if committed is not None:
+            dirs = [
+                os.path.join(out_path, n)
+                for n in committed
+                if os.path.isdir(os.path.join(out_path, n))
+            ]
+            return spark.read.parquet(*dirs)
         return spark.read.option("recursiveFileLookup", "true").parquet(
             out_path
         )
@@ -458,6 +478,8 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
         names = [
             e if isinstance(e, str) else f"epoch_{e}" for e in v["epochs"]
         ]
+        if committed is not None:
+            names = [n for n in names if n in set(committed)]
         dirs = [
             os.path.join(out_path, n)
             for n in names
@@ -477,6 +499,41 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _read_committed_epochs(out_path: str) -> "list[str] | None":
+    """The reader-side snapshot pointer (VERDICT r7 item 9): the list of
+    epoch dir names whose INDEX-manifest commit has completed. None =
+    pre-pointer output (sink ran before round 8) — read unrestricted."""
+    import json
+    import os
+
+    p = os.path.join(out_path, "_committed.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["epochs"]
+
+
+def _append_committed_epoch(out_path: str, epoch_name: str) -> None:
+    """Atomically (write-tmp + os.replace) append one epoch to the
+    committed pointer. Called AFTER the index-manifest commit — and
+    again from the replay early-return path, which repairs a crash that
+    landed between the manifest commit and this write (the epoch stays
+    invisible to readers until that repair; never visible BEFORE its
+    commit)."""
+    import json
+    import os
+
+    epochs = _read_committed_epochs(out_path) or []
+    if epoch_name in epochs:
+        return
+    epochs.append(epoch_name)
+    os.makedirs(out_path, exist_ok=True)
+    tmp = os.path.join(out_path, "_committed.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"epochs": epochs}, f)
+    os.replace(tmp, os.path.join(out_path, "_committed.json"))
 
 
 def _read_output_schemas(out_path: str) -> dict:
@@ -701,9 +758,14 @@ def incremental_dedup_sink(
             list(manifest["epochs"]),
         )
         epoch_key = f"{run_tag}:{epoch_id}"
-        if epoch_key in manifest["epochs"] or epoch_id in manifest["epochs"]:
-            return  # replay of a committed epoch: physical no-op
         epoch_name = f"epoch_{run_tag}_{epoch_id}"
+        if epoch_key in manifest["epochs"] or epoch_id in manifest["epochs"]:
+            # replay of a committed epoch: physical no-op — except the
+            # committed-reader pointer, which a crash between the
+            # manifest commit and the pointer append leaves one epoch
+            # behind; repair it here so the epoch becomes visible
+            _append_committed_epoch(out_path, epoch_name)
+            return
         in_batch = exact_dedup(batch, text_col, id_col).withColumn(
             "_h", content_hash(F.col(text_col))
         )
@@ -850,6 +912,11 @@ def incremental_dedup_sink(
                 "generation": generation,
             },
         )
+        # reader visibility LAST (strictly after the manifest commit):
+        # readers following the _committed.json pointer can never see
+        # an epoch whose index commit might still fail; the replay
+        # early-return above repairs a crash in this final window
+        _append_committed_epoch(out_path, epoch_name)
 
     return (
         doc_stream.writeStream.outputMode("append")

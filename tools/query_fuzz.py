@@ -42,6 +42,13 @@ Findings log (each divergence triaged, none left silent):
    aggregate) but NOTHING in Spark (Hive-compatible). Upstream Spark
    behavior — normalized via HAVING COUNT(*) > 0 in the generator,
    documented here and in SURVEY.
+4. Implicit-cast STRICTNESS split (seeds 52-58, round 8): Spark
+   coerces string↔numeric in ALL comparisons; DuckDB's binder coerces
+   EQUALITY (``varchar = bigint`` binds) but REFUSES every INEQUALITY
+   against a numeric RHS — literal or column ("an explicit cast is
+   required"). A bind-time dialect policy difference, not a silent
+   wrong answer (one engine errors loudly). The generator keeps the
+   equality forms and quoted-literal (string-vs-string) inequalities.
 
 
 Grammar (round-7 growth): the original 8 shapes (scalar/group/join/
@@ -58,6 +65,19 @@ GROUPING() (the () set inherits the seed-11:3 empty-input
 normalization), correlated LATERAL derived tables, and windows
 stacked over LEFT JOINs (NULL partition keys; order keys COALESCE-
 wrapped — Spark defaults NULLS FIRST asc, DuckDB NULLS LAST, a
+documented dialect split). Round-8 growth (VERDICT r7 item 7 — the
+type-coercion surface): mixed-precision/scale DECIMAL arithmetic
+chains (q_decimal_mixed; division excluded — result-scale truncation
+is a per-dialect rule, not a wrong answer), INTERVAL day/month/year
+arithmetic incl. month-end clamping and shifted-date grouping
+(q_interval), and string↔numeric implicit casts in comparisons over
+always-numeric string renderings (q_implicit_cast). Array/struct
+CONSTRUCTORS in SELECT lists were scoped out: the two engines share
+no constructor syntax (Spark array()/named_struct() vs DuckDB
+[..]/{{..}}/list_value) — the one-string-both-engines discipline is
+the fuzzer's entire soundness argument, and array-valued outputs are
+covered by hand-written entries through the driver canonicalizer
+(tpch_order_lines).
 dialect ORDER default, not a semantic divergence); round-7 growth 3:
 EXISTS/IN as a VALUE in the SELECT list and inside CASE (the
 subquery-to-expression lowering, distinct from the WHERE path), and
@@ -694,6 +714,105 @@ def q_decimal(rng):
     )
 
 
+def q_decimal_mixed(rng):
+    """Round-8 growth: DECIMAL arithmetic with MIXED precision/scale —
+    (12,2)·(10,4), (18,3)+(8,1), nested (a·b)−c — the class where the
+    two engines' result-type rules (Spark Hive-rules vs DuckDB) differ
+    most; values must stay EXACT (comparator canonicalizes Decimal by
+    value, so only a real arithmetic divergence can trip). Division is
+    excluded by design: decimal division result SCALE truncates the
+    true value differently per dialect (a documented dialect split,
+    not a wrong answer)."""
+    t = rng.choice(["lineitem", "orders", "part", "events"])
+    c = rng.choice(_cols(t, "float"))
+    i = rng.choice(_cols(t, "int"))
+    a = f"CAST(ROUND({c} * 100) AS DECIMAL(12, 2))"
+    b = f"CAST({i} % 1000 AS DECIMAL(10, 4))"
+    d = f"CAST(ROUND({c} * 10) AS DECIMAL(18, 3))"
+    e = f"CAST({rng.randint(1, 9)}.{rng.randint(0, 9)} AS DECIMAL(8, 1))"
+    expr = rng.choice(
+        [
+            f"({a} * {b})",
+            f"({d} + {e})",
+            f"(({a} * {e}) - {d})",
+            f"({a} + {b} + {d})",
+        ]
+    )
+    keys = group_keys(rng, t)
+    return (
+        f"SELECT {keys[0]} AS g0, "
+        f"CAST(SUM({expr}) AS DECIMAL(38, 8)) AS a0, "
+        f"CAST(MAX({expr}) AS DECIMAL(38, 8)) AS a1, "
+        f"COUNT(*) AS a2 FROM {t} WHERE {predicate(rng, t)} "
+        f"GROUP BY {keys[0]}"
+    )
+
+
+def q_interval(rng):
+    """Round-8 growth: INTERVAL arithmetic on timestamps — day shifts,
+    month shifts (month-end clamping must agree), and shifted-date
+    grouping/comparison. The ANSI ``INTERVAL n UNIT`` literal is the
+    one interval syntax both engines parse; results compare as DATEs
+    (the date_trunc finding #1 discipline)."""
+    t = rng.choice(["orders", "lineitem", "events"])
+    ts = rng.choice(_cols(t, "ts"))
+    nd = rng.randint(1, 45)
+    nm = rng.randint(1, 14)
+    shift = rng.choice(
+        [
+            f"({ts} + INTERVAL {nd} DAY)",
+            f"({ts} - INTERVAL {nd} DAY)",
+            f"({ts} + INTERVAL {nm} MONTH)",
+            f"({ts} + INTERVAL 1 YEAR)",
+        ]
+    )
+    cmp_ts = rng.choice(TS_DOMAIN)
+    return (
+        f"SELECT CAST({shift} AS DATE) AS g0, COUNT(*) AS a0 "
+        f"FROM {t} "
+        f"WHERE {ts} + INTERVAL {rng.randint(1, 30)} DAY "
+        f">= TIMESTAMP '{cmp_ts} 00:00:00' "
+        f"AND {predicate(rng, t)} "
+        f"GROUP BY CAST({shift} AS DATE)"
+    )
+
+
+def q_implicit_cast(rng):
+    """Round-8 growth: string↔numeric implicit casts in comparisons —
+    a STRING rendering of an integer key (CAST AS STRING — the one
+    string-type spelling both parsers accept; Spark rejects bare
+    VARCHAR without a length) compared against the numeric
+    column or literal (both engines coerce the string side to the
+    numeric type; the strings are always-numeric by construction so
+    neither engine's cast can error). Also covers numeric-vs-string
+    ordering asymmetry ('10' < '9' as strings) by comparing BOTH the
+    cast and the pure-string form."""
+    t = rng.choice(["orders", "customer", "events", "part"])
+    i = rng.choice(_cols(t, "int"))
+    lit = rng.randint(2, 500)
+    variant = rng.choice(
+        [
+            # string rendering vs numeric: both engines coerce
+            # EQUALITY; inequality is refused by DuckDB's binder for
+            # any numeric RHS (finding #4) so only = forms appear here
+            f"CAST({i} AS STRING) = {i}",
+            f"CAST({i} % 97 AS STRING) = ({i} % 97)",
+            # pure string comparison of the SAME rendering (no cast):
+            # lexicographic, diverges from numeric — both engines must
+            # agree it is a STRING compare
+            f"CAST({i} AS STRING) >= '{lit}'",
+            # numeric column vs numeric-looking string literal
+            f"{i} = '{lit}'",
+        ]
+    )
+    keys = group_keys(rng, t)
+    return (
+        f"SELECT {keys[0]} AS g0, COUNT(*) AS a0, "
+        f"SUM(CASE WHEN {variant} THEN 1 ELSE 0 END) AS a1 "
+        f"FROM {t} GROUP BY {keys[0]}"
+    )
+
+
 def q_null_semantics(rng):
     """NULL-heavy shapes: NOT IN over a subquery that CAN emit NULL
     (the classic all-rows-vanish trap), COUNT(expr) vs COUNT(*) under
@@ -956,6 +1075,9 @@ SHAPES = [
     (q_outer_window, 3),
     (q_exists_in_case, 2),
     (q_cte_window, 3),
+    (q_decimal_mixed, 3),
+    (q_interval, 3),
+    (q_implicit_cast, 2),
 ]
 
 
