@@ -4309,6 +4309,111 @@ def _q_emb_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space ANN over 32-bit SRP signatures (round 8): the
+    compressed-signature brute-force tier between knn_brute (full
+    vectors) and knn_srp (banded buckets) — score every corpus
+    signature against each broadcast query signature with
+    bit_count(sig XOR qsig), 8 bytes per row instead of 512. The
+    corpus never shuffles (broadcast queries, TakeOrdered top-k); at
+    100 TB this is the standard re-rank precursor when banding recall
+    is insufficient. Integer-exact end to end → oracle-exact."""
+    from pyspark.sql.window import Window
+
+    from etl_capnz_spark.operators.similarity import (
+        srp_hyperplanes,
+        srp_signature,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = srp_hyperplanes(32, 64)
+    sigs = emb.select(
+        "vec_id",
+        srp_signature(
+            F.col("embedding").cast("array<double>"), planes
+        ).alias("sig"),
+    )
+    q = sigs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+            .cast("int")
+            .alias("hd"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hd").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+
+def _q_emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift from the corpus mean (round
+    8): which class's embedding mass sits farthest from the global
+    centroid — the embedding-space analog of drift_psi, and the audit
+    a training pipeline runs when a data source changes. Exact-integer
+    micro-unit means (the round-8 kmeans determinism contract) make
+    the centroids — and therefore the cosines — oracle-exact."""
+    from etl_capnz_spark.operators.similarity import (
+        centroids_by_label,
+        cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    per = centroids_by_label(emb, "vec_id", "embedding", "label")
+    glob = centroids_by_label(
+        emb.withColumn("_g", F.lit(0)), "vec_id", "embedding", "_g"
+    ).select(F.col("centroid").alias("gcent"))
+    return per.crossJoin(F.broadcast(glob)).select(
+        F.col("cell").alias("label"),
+        F.round(cosine(F.col("centroid"), F.col("gcent")), 9).alias(
+            "centroid_sim"
+        ),
+    )
+
+
+def _q_train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training batches (round 8): equi-width
+    length bins (easy→hard by document size; boundaries from a 1-row
+    broadcast min/max aggregate — no global sort, no percentile scan)
+    with a deterministic seeded-md5 shuffle WITHIN each bin. Positions
+    are per-bin (Window.partitionBy(bin)), so no single-partition
+    window exists at any scale; the global curriculum order is
+    (bin, pos) by construction."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    mm = docs.agg(
+        F.min("n_chars").alias("_lo"), F.max("n_chars").alias("_hi")
+    )
+    binned = docs.crossJoin(F.broadcast(mm)).select(
+        "doc_id",
+        "n_chars",
+        F.floor(
+            (F.col("n_chars") - F.col("_lo"))
+            * 4
+            / (F.col("_hi") - F.col("_lo") + 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    key = F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("bin").orderBy(key.asc(), F.col("doc_id").asc())
+    return binned.select(
+        "doc_id",
+        "bin",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
 def _q_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k: banded signature equi-join for
     candidates, exact cosine on candidates only. Deterministic planes →
@@ -8475,6 +8580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _q_knn_ivf,
         "emb_srp_signature": _q_emb_srp_signature,
         "knn_srp": _q_knn_srp,
+        "knn_hamming": _q_knn_hamming,
+        "emb_label_drift": _q_emb_label_drift,
+        "train_curriculum": _q_train_curriculum,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "cap_xml_roundtrip": _q_xml_roundtrip,
@@ -14880,6 +14988,58 @@ def oracle_sql() -> dict[str, str]:
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings)
             SELECT vec_id, {oracles.srp_sig_sql('v')} AS srp_sig FROM c""",
+        "knn_hamming": f"""
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            sigs AS MATERIALIZED (
+              SELECT vec_id, {oracles.srp_sig_sql('v', 32, 64)} AS sig
+              FROM c),
+            q AS (SELECT vec_id AS query_id, sig AS qsig FROM sigs
+                  WHERE vec_id % 50 = 0)
+            SELECT query_id, neighbor_id, hd, rank::INT AS rank FROM (
+              SELECT q.query_id, s.vec_id AS neighbor_id,
+                     bit_count(xor(s.sig, q.qsig))::INT AS hd,
+                     row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY bit_count(xor(s.sig, q.qsig))::INT ASC,
+                                s.vec_id) AS rank
+              FROM sigs s, q WHERE s.vec_id <> q.query_id)
+            WHERE rank <= 5""",
+        "emb_label_drift": f"""
+            WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+            per AS MATERIALIZED (
+              SELECT cell, list(m ORDER BY i) AS centroid FROM (
+                SELECT label AS cell, i,
+                       sum(round(x * 1000000.0)::BIGINT)::DOUBLE
+                       / (count(*)::DOUBLE * 1000000.0) AS m
+                FROM (SELECT label, g.i, v[g.i + 1] AS x FROM emb,
+                      (SELECT unnest(range(64))::INT AS i) g)
+                GROUP BY label, i) GROUP BY cell),
+            gcent_t AS MATERIALIZED (
+              SELECT list(m ORDER BY i) AS gcent FROM (
+                SELECT i, sum(round(x * 1000000.0)::BIGINT)::DOUBLE
+                       / (count(*)::DOUBLE * 1000000.0) AS m
+                FROM (SELECT g.i, v[g.i + 1] AS x FROM emb,
+                      (SELECT unnest(range(64))::INT AS i) g)
+                GROUP BY i))
+            SELECT per.cell AS label,
+                   round({_cos_sql('per.centroid', 'gcent_t.gcent')}, 9)
+                     AS centroid_sim
+            FROM per, gcent_t""",
+        "train_curriculum": """
+            WITH mm AS (
+              SELECT min(n_chars) AS lo, max(n_chars) AS hi
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     floor((n_chars - lo) * 4 / (hi - lo + 1))::INT
+                       AS bin
+              FROM documents, mm)
+            SELECT doc_id, bin,
+                   row_number() OVER (PARTITION BY bin
+                     ORDER BY md5('cur' || doc_id::VARCHAR) ASC,
+                              doc_id ASC)::INT AS pos
+            FROM b""",
         "knn_srp": f"""
             WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
                         FROM embeddings),

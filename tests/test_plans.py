@@ -493,3 +493,36 @@ def test_drift_metrics_windows_are_sharded(spark, sf_dir):
         "vocabulary-sized single-partition window"
     )
     assert "HashAggregate" in jplan
+
+
+def test_golden_records_melt_exchange_count(spark):
+    """Survivorship exchange budget (VERDICT r7 item 5 'done'
+    criterion): the per-TYPE melt keeps exchanges proportional to the
+    number of DISTINCT ATTRIBUTE TYPES, never the attribute count. Pin
+    the Exchange operator count for (a) an all-string 4-attribute
+    schema and (b) a mixed string+long schema — (b) must cost exactly
+    one type-group more than (a), and adding MORE attributes of an
+    existing type must not change either count."""
+    from etl_capnz_spark.operators.linkage import golden_records
+
+    base = spark.createDataFrame(
+        [(1, "a", "b", "c", "d", 7, 8)],
+        "cluster long, w string, x string, y string, z string, "
+        "p long, q long",
+    )
+
+    def n_exchanges(attrs):
+        plan = _plan(golden_records(base, "cluster", attrs))
+        return plan.count("Exchange ")
+
+    all_string = n_exchanges(["w", "x"])
+    all_string_wider = n_exchanges(["w", "x", "y", "z"])
+    mixed = n_exchanges(["w", "x", "p"])
+    mixed_wider = n_exchanges(["w", "x", "y", "z", "p", "q"])
+    # widening within a type group is exchange-free
+    assert all_string_wider == all_string, (all_string, all_string_wider)
+    assert mixed_wider == mixed, (mixed, mixed_wider)
+    # one extra type group costs a fixed number of exchanges
+    per_group = mixed - all_string
+    assert per_group > 0
+    assert mixed == all_string + per_group
