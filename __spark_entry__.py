@@ -5875,6 +5875,22 @@ def _q_media_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm_features(media)
 
 
+def _q_media_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode, oracle-exact (round 8 — the 8th honest codec):
+    deterministic 24-bit bottom-up BMPs with 4-byte row padding and
+    BGR byte order are parsed by the struct+numpy decoder; the DuckDB
+    oracle recomputes channel means AND the top-row red mean from the
+    logical pixel formula without ever seeing the file layout — a
+    decoder that forgets the row flip (top_row_mean_r), the padding,
+    or the BGR order diverges."""
+    from etl_capnz_spark.operators.multimodal import (
+        decode_bmp_features,
+        synthesize_bmp_media,
+    )
+
+    return decode_bmp_features(synthesize_bmp_media(_docs(spark, sf_dir)))
+
+
 def _q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-level dedup via perceptual (average) hash over the REAL PPM
     decoder (operators/multimodal.py phash_ppm): payloads are planted
@@ -8667,6 +8683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_feature_hash": _q_text_feature_hash,
         "text_classifier_score": _q_text_classifier_score,
         "media_ppm_decode": _q_media_ppm_decode,
+        "media_bmp_decode": _q_media_bmp_decode,
         "media_phash_dedup": _q_media_phash_dedup,
         "media_wav_decode": _q_media_wav_decode,
         "media_y4m_decode": _q_media_y4m_decode,
@@ -10489,6 +10506,22 @@ def oracle_sql() -> dict[str, str]:
                   t -> t <> '')) AS token
                 FROM documents))
             GROUP BY doc_id, bucket""",
+        "media_bmp_decode": """
+            SELECT doc_id AS media_id, 6 AS width, 4 AS height,
+                   round(avg(CASE WHEN c = 0 THEN val END), 6) AS mean_r,
+                   round(avg(CASE WHEN c = 1 THEN val END), 6) AS mean_g,
+                   round(avg(CASE WHEN c = 2 THEN val END), 6) AS mean_b,
+                   round(avg(CASE WHEN y = 0 AND c = 0 THEN val END), 6)
+                     AS top_row_mean_r
+            FROM (
+              SELECT doc_id, x, y, c,
+                     ((doc_id * 11 + (y * 6 + x) * 5 + c * 29) % 256
+                     )::DOUBLE AS val
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 5)) AS x),
+                   (SELECT unnest(generate_series(0, 3)) AS y),
+                   (SELECT unnest(generate_series(0, 2)) AS c))
+            GROUP BY doc_id""",
         "media_ppm_decode": """
             SELECT doc_id AS media_id, 8 AS width, 6 AS height,
                    round(avg(CASE WHEN i % 3 = 0 THEN val END), 6)

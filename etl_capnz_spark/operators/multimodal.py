@@ -386,6 +386,130 @@ _WAV_DECODE_SCHEMA = (
 )
 
 
+BMP_W, BMP_H = 6, 4  # 3·6 = 18 bytes/row → 2 pad bytes: padding exercised
+
+
+def synthesize_bmp_media(documents: DataFrame) -> DataFrame:
+    """Deterministic 24-bit BMP payloads (round 8 — the 8th REAL
+    codec): 6×4 BGR with BITMAPFILEHEADER + BITMAPINFOHEADER, POSITIVE
+    height (bottom-up row order, the format's defining quirk) and
+    4-byte row padding (18 data bytes + 2 pad per row). The LOGICAL
+    pixel value is the closed form
+    ``val(doc, x, y, c) = (doc·11 + (y·W + x)·5 + c·29) mod 256`` with
+    y = 0 at the image TOP and c ∈ {0=R, 1=G, 2=B} — the file stores
+    rows bottom-up and channels B,G,R, so a decoder that forgets the
+    flip, the padding, or the BGR order computes different features."""
+    import struct
+
+    import pandas as pd
+
+    def _gen(batches: Iterator) -> Iterator:
+        w, h = BMP_W, BMP_H
+        row_pad = (4 - (3 * w) % 4) % 4
+        img_size = (3 * w + row_pad) * h
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0
+            )
+        )
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id)
+                rows = []
+                for file_row in range(h):
+                    y = h - 1 - file_row  # bottom-up storage
+                    row = bytearray()
+                    for x in range(w):
+                        base = seed * 11 + (y * w + x) * 5
+                        r = (base + 0 * 29) % 256
+                        g = (base + 1 * 29) % 256
+                        b = (base + 2 * 29) % 256
+                        row += bytes((b, g, r))  # BGR on disk
+                    row += b"\x00" * row_pad
+                    rows.append(bytes(row))
+                payloads.append(header + b"".join(rows))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _gen, "media_id long, payload binary"
+    )
+
+
+def decode_bmp_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """ACTUAL BMP decode: parse both headers with struct, honour the
+    pixel-array offset, strip per-row padding, flip the bottom-up rows
+    into image order, swap BGR → RGB, and emit channel means plus the
+    TOP-row red mean (means alone are row-order-invariant, so
+    ``top_row_mean_r`` is what proves the flip was done). Malformed
+    payloads yield NULL dims (T8 row-level isolation)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def _decode(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "top_row_mean_r": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["media_id"].append(mid)
+                try:
+                    raw = bytes(payload)
+                    assert raw[:2] == b"BM"
+                    (offset,) = struct.unpack_from("<I", raw, 10)
+                    hdr_size, w, h = struct.unpack_from("<Iii", raw, 14)
+                    planes, bpp, comp = struct.unpack_from("<HHI", raw, 26)
+                    assert hdr_size >= 40 and planes == 1
+                    assert bpp == 24 and comp == 0
+                    bottom_up = h > 0
+                    h_abs = abs(h)
+                    row_pad = (4 - (3 * w) % 4) % 4
+                    stride = 3 * w + row_pad
+                    plane = np.frombuffer(
+                        raw, dtype=np.uint8, count=stride * h_abs,
+                        offset=offset,
+                    ).reshape(h_abs, stride)[:, : 3 * w]
+                    img = plane.reshape(h_abs, w, 3)
+                    if bottom_up:
+                        img = img[::-1]
+                    bgr = img.astype(np.float64)
+                    out["width"].append(w)
+                    out["height"].append(h_abs)
+                    out["mean_r"].append(round(float(bgr[:, :, 2].mean()), 6))
+                    out["mean_g"].append(round(float(bgr[:, :, 1].mean()), 6))
+                    out["mean_b"].append(round(float(bgr[:, :, 0].mean()), 6))
+                    out["top_row_mean_r"].append(
+                        round(float(bgr[0, :, 2].mean()), 6)
+                    )
+                except Exception:
+                    for k in (
+                        "width", "height", "mean_r", "mean_g", "mean_b",
+                        "top_row_mean_r",
+                    ):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _decode,
+        "media_id long, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, top_row_mean_r double",
+    )
+
+
 def synthesize_wav_media(documents: DataFrame) -> DataFrame:
     """Deterministic mono 16-bit PCM WAV payloads (test support):
     sample[i] = ((doc_id·31 + i·17) mod 2048) − 1024 — closed-form, so

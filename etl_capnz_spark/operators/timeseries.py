@@ -1053,3 +1053,4 @@ def forecast_backtest(
             "mase_like_ratio"
         ),
     )
+

@@ -576,3 +576,56 @@ def test_jpeg_decode_features_malformed_isolation(spark):
     for i in range(6):
         assert out[i]["width"] == 16 and out[i]["height"] == 16
         assert out[i]["mean_r"] is not None
+
+
+def test_bmp_decode_real_parser_and_quirks(spark):
+    """The 8th real codec (round 8): decode features must equal the
+    closed-form pixel means, the TOP-row feature must prove the
+    bottom-up flip happened, and a payload with mangled magic isolates
+    to NULLs instead of failing the batch (T8)."""
+    from etl_capnz_spark.operators.multimodal import (
+        BMP_H,
+        BMP_W,
+        decode_bmp_features,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    media = synthesize_bmp_media(docs)
+    rows = {r["media_id"]: r for r in decode_bmp_features(media).collect()}
+    for doc in range(4):
+        vals = {
+            c: [
+                (doc * 11 + (y * BMP_W + x) * 5 + c * 29) % 256
+                for y in range(BMP_H)
+                for x in range(BMP_W)
+            ]
+            for c in range(3)
+        }
+        r = rows[doc]
+        assert r["width"] == BMP_W and r["height"] == BMP_H
+        assert r["mean_r"] == round(sum(vals[0]) / len(vals[0]), 6)
+        assert r["mean_g"] == round(sum(vals[1]) / len(vals[1]), 6)
+        assert r["mean_b"] == round(sum(vals[2]) / len(vals[2]), 6)
+        top = [
+            (doc * 11 + (0 * BMP_W + x) * 5 + 0 * 29) % 256
+            for x in range(BMP_W)
+        ]
+        # row-order-sensitive: equals the IMAGE top row, which is the
+        # LAST row in the file — a decoder without the flip fails here
+        assert r["top_row_mean_r"] == round(sum(top) / len(top), 6)
+
+    # malformed payload isolates to NULL dims (T8 discipline)
+    import pandas as pd
+
+    def corrupt(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                b"XX" + bytes(p)[2:] for p in pdf["payload"]
+            ]
+            yield pdf
+
+    bad = media.mapInPandas(corrupt, "media_id long, payload binary")
+    out = decode_bmp_features(bad).collect()
+    assert all(r["width"] is None and r["mean_r"] is None for r in out)
