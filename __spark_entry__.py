@@ -4427,9 +4427,10 @@ def _q_knn_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iterative k-means IVF training (3 Lloyd rounds) + cell assignment —
-    rows-only checked (iterative float argmin is not ANSI-SQL-expressible
-    at reasonable cost)."""
+    """Iterative k-means IVF training (3 Lloyd rounds) + cell assignment.
+    Oracle-exact since round 8: exact-integer micro-unit means make the
+    training deterministic and _KMEANS_CELLS_ORACLE replays the maximin
+    init + Lloyd rounds as generated MATERIALIZED CTEs."""
     from etl_capnz_spark.operators.similarity import assign_cells, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4445,8 +4446,9 @@ def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/similarity.py semantic_dedup): k-means cells →
     within-cell exact cosine ≥ 0.999 → components → min-id survivor.
     Planted exact-copy embeddings (vec_id % 10 == 0, id + 100000) are the
-    duplicates to prune; every original must survive. Rows-only checked
-    (iterative k-means is not SQL-expressible); the prune guarantee is
+    duplicates to prune; every original must survive. Oracle-exact since
+    round 8 (_SEMANTIC_DEDUP_ORACLE: the k-means CTE replay + in-cell
+    cosine pairs + recursive-CTE components); the prune guarantee stays
     pinned in tests/test_similarity.py."""
     from etl_capnz_spark.operators.similarity import semantic_dedup
 

@@ -477,6 +477,7 @@ def decode_bmp_features(
                     assert bpp == 24 and comp == 0
                     bottom_up = h > 0
                     h_abs = abs(h)
+                    assert w > 0 and h_abs > 0
                     row_pad = (4 - (3 * w) % 4) % 4
                     stride = 3 * w + row_pad
                     plane = np.frombuffer(
@@ -487,14 +488,24 @@ def decode_bmp_features(
                     if bottom_up:
                         img = img[::-1]
                     bgr = img.astype(np.float64)
-                    out["width"].append(w)
-                    out["height"].append(h_abs)
-                    out["mean_r"].append(round(float(bgr[:, :, 2].mean()), 6))
-                    out["mean_g"].append(round(float(bgr[:, :, 1].mean()), 6))
-                    out["mean_b"].append(round(float(bgr[:, :, 0].mean()), 6))
-                    out["top_row_mean_r"].append(
-                        round(float(bgr[0, :, 2].mean()), 6)
+                    # compute EVERY feature before the first append (the
+                    # PPM decoder's discipline): a mid-row failure after a
+                    # partial append would desync the column lists and
+                    # crash the whole batch instead of isolating the row
+                    feats = (
+                        w,
+                        h_abs,
+                        round(float(bgr[:, :, 2].mean()), 6),
+                        round(float(bgr[:, :, 1].mean()), 6),
+                        round(float(bgr[:, :, 0].mean()), 6),
+                        round(float(bgr[0, :, 2].mean()), 6),
                     )
+                    out["width"].append(feats[0])
+                    out["height"].append(feats[1])
+                    out["mean_r"].append(feats[2])
+                    out["mean_g"].append(feats[3])
+                    out["mean_b"].append(feats[4])
+                    out["top_row_mean_r"].append(feats[5])
                 except Exception:
                     for k in (
                         "width", "height", "mean_r", "mean_g", "mean_b",

@@ -257,6 +257,41 @@ def centroids_by_label(
     )
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a consumed localCheckpoint's blocks.
+
+    ``DataFrame.unpersist()`` is a NO-OP for local checkpoints (it goes
+    through the CacheManager, which has no entry — the blocks belong to
+    the RDD-level persist localCheckpoint performed; probed on 4.1:
+    storage info unchanged after unpersist, and even dropping the
+    Python reference leaves the blocks to ContextCleaner's async GC).
+    The persisted RDD IS reachable as the analyzed plan's LogicalRDD
+    ``rdd()``; unpersisting THAT frees the blocks immediately (probed:
+    storage info 1 → 0). Private-API access, so fail-soft: on any
+    reflection change we fall back to the old ContextCleaner-eventually
+    behavior rather than breaking the training loop.
+
+    RDD.unpersist on a locally-checkpointed RDD logs an EXPECTED
+    'lineage has been truncated and cannot be recomputed' WARN — true
+    and intentional here (the caller only frees a pass AFTER the next
+    pass's checkpoint materialized, so nothing can ever recompute it).
+    ~80 of those per contract sweep would bury real warnings (the
+    WindowExec lesson), and unlike WindowExec there is no way to make
+    it not fire — so the one emitting logger (o.a.s.rdd.MapPartitionsRDD)
+    is set to ERROR once per JVM, scoped to exactly that logger."""
+    try:
+        jvm = df.sparkSession._jvm
+        if not getattr(_unpersist_checkpoint, "_quieted", False):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.rdd.MapPartitionsRDD",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+            _unpersist_checkpoint._quieted = True
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     """Deterministic k-means‖-style seeding: farthest-point traversal.
 
@@ -300,7 +335,7 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
         # plan — drop them now instead of waiting for ContextCleaner
         # (otherwise block-manager storage grows toward k corpus copies)
         if prev is not None:
-            prev.unpersist()
+            _unpersist_checkpoint(prev)
         seeds.append(list(nxt["v"]))
         prev = tracked
         tracked = tracked.select(
@@ -311,7 +346,7 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[tuple[int, list[float]]]:
             ).alias("_maxsim"),
         ).localCheckpoint(eager=False)
     if prev is not None:
-        prev.unpersist()
+        _unpersist_checkpoint(prev)
     return list(enumerate(seeds))
 
 
@@ -879,7 +914,7 @@ def pq_fit(
         # rather than letting block-manager storage grow toward k
         # corpus copies until ContextCleaner GC catches up
         if prev is not None:
-            prev.unpersist()
+            _unpersist_checkpoint(prev)
         newest: dict[int, list[float]] = {}
         for r in nxt:
             seeds[r["sub"]].append(list(r["sv"]))
@@ -890,7 +925,7 @@ def pq_fit(
             F.least(F.col("_mind"), _d2_newest(newest)),
         ).localCheckpoint(eager=False)
     if prev is not None:
-        prev.unpersist()
+        _unpersist_checkpoint(prev)
 
     cents = [
         (j, c, sv) for j, sv_list in seeds.items() for c, sv in enumerate(sv_list)

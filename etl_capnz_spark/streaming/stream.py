@@ -46,14 +46,26 @@ def _read_state_parquet(sess: SparkSession, path: str) -> DataFrame | None:
         return sess.read.parquet(path)
     except AnalysisException as e:
         msg = str(e)
-        if (
-            "PATH_NOT_FOUND" in msg
-            or "Path does not exist" in msg
-            or "UNABLE_TO_INFER_SCHEMA" in msg
-        ):
-            # UNABLE_TO_INFER_SCHEMA: dir exists but holds no parquet
-            # footers yet (e.g. created empty) — also a first-batch state
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
+        if "UNABLE_TO_INFER_SCHEMA" in msg:
+            # dir EXISTS but holds no parquet footers: the signature of
+            # a crash-interrupted state overwrite (files deleted, new
+            # ones not yet written) — treating it as first-batch would
+            # silently reset accumulated state, the exact class this
+            # helper exists to close (code-review r8). Fail loudly; the
+            # operator must decide (restore from a copy / accept reset
+            # by deleting the dir). Residual known gap: a crash in the
+            # overwrite's DELETE phase leaves the path missing entirely
+            # and is indistinguishable from first-batch — closing that
+            # needs versioned state dirs + a pointer (the read_scd2_state
+            # pattern), queued as a round-9 item.
+            raise RuntimeError(
+                f"state dir {path} exists but contains no readable "
+                "parquet (crash-interrupted overwrite?) — refusing to "
+                "treat as first batch; delete the dir to reset state "
+                "deliberately"
+            ) from e
         raise
 
 
@@ -465,6 +477,11 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
                 for n in committed
                 if os.path.isdir(os.path.join(out_path, n))
             ]
+            if not dirs:
+                raise FileNotFoundError(
+                    f"no committed epochs on disk under {out_path} "
+                    "(pointer exists but lists nothing readable)"
+                )
             return spark.read.parquet(*dirs)
         return spark.read.option("recursiveFileLookup", "true").parquet(
             out_path
@@ -492,6 +509,14 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
                 ).parquet(*dirs)
             )
     if not parts:
+        if committed is not None:
+            # a pointer exists: falling back to a recursive read would
+            # expose uncommitted epoch dirs and void the snapshot
+            # isolation the pointer provides (code-review r8)
+            raise FileNotFoundError(
+                f"no committed epochs on disk under {out_path} "
+                "(pointer exists but lists nothing readable)"
+            )
         return spark.read.option("recursiveFileLookup", "true").parquet(
             out_path
         )
@@ -521,14 +546,36 @@ def _append_committed_epoch(out_path: str, epoch_name: str) -> None:
     again from the replay early-return path, which repairs a crash that
     landed between the manifest commit and this write (the epoch stays
     invisible to readers until that repair; never visible BEFORE its
-    commit)."""
+    commit).
+
+    First-pointer BACKFILL (code-review r8): when the pointer file does
+    not exist yet but the output dir already holds epoch dirs (a sink
+    that ran before round 8), those epochs were committed under the old
+    regime and readers could see them — seed the pointer with every
+    existing ``epoch_*`` dir so the FIRST post-upgrade commit doesn't
+    silently hide all previously accumulated output."""
     import json
     import os
 
-    epochs = _read_committed_epochs(out_path) or []
-    if epoch_name in epochs:
-        return
-    epochs.append(epoch_name)
+    existing = _read_committed_epochs(out_path)
+    if existing is not None and epoch_name in existing:
+        return  # already durably recorded
+    if existing is None:
+        # backfill may already list epoch_name (its dir lands before the
+        # commit) — the pointer FILE must still be created, so only the
+        # already-recorded case above may early-return
+        epochs = sorted(
+            d
+            for d in (
+                os.listdir(out_path) if os.path.isdir(out_path) else []
+            )
+            if d.startswith("epoch_")
+            and os.path.isdir(os.path.join(out_path, d))
+        )
+    else:
+        epochs = list(existing)
+    if epoch_name not in epochs:
+        epochs.append(epoch_name)
     os.makedirs(out_path, exist_ok=True)
     tmp = os.path.join(out_path, "_committed.json.tmp")
     with open(tmp, "w") as f:
@@ -763,8 +810,20 @@ def incremental_dedup_sink(
             # replay of a committed epoch: physical no-op — except the
             # committed-reader pointer, which a crash between the
             # manifest commit and the pointer append leaves one epoch
-            # behind; repair it here so the epoch becomes visible
-            _append_committed_epoch(out_path, epoch_name)
+            # behind; repair it here so the epoch becomes visible.
+            # A LEGACY int manifest entry's dir is epoch_<id> (no run
+            # tag) — repair with the name that actually exists, never a
+            # phantom (code-review r8)
+            import os as _os
+
+            repair = epoch_name
+            if not _os.path.isdir(_os.path.join(out_path, repair)):
+                legacy = f"epoch_{epoch_id}"
+                if _os.path.isdir(_os.path.join(out_path, legacy)):
+                    repair = legacy
+                else:
+                    return  # no output dir on disk: nothing to expose
+            _append_committed_epoch(out_path, repair)
             return
         in_batch = exact_dedup(batch, text_col, id_col).withColumn(
             "_h", content_hash(F.col(text_col))

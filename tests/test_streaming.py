@@ -1689,9 +1689,12 @@ def test_read_state_parquet_first_batch_vs_corrupt(spark, tmp_path):
     missing = str(tmp_path / "never_written")
     assert _read_state_parquet(spark, missing) is None
 
+    # dir exists but footer-less = crash-interrupted overwrite signature
+    # (code-review r8): must FAIL LOUDLY, not read as first batch
     empty = tmp_path / "empty_dir"
     empty.mkdir()
-    assert _read_state_parquet(spark, str(empty)) is None
+    with pytest.raises(RuntimeError, match="refusing to treat as first"):
+        _read_state_parquet(spark, str(empty))
 
     good = tmp_path / "state"
     spark.range(5).write.parquet(str(good))
@@ -1791,3 +1794,57 @@ def test_incremental_reader_snapshot_isolation(spark, tmp_path):
     _append_committed_epoch(out, lost)  # idempotent
     assert _read_committed_epochs(out).count(lost) == 1
     assert read_incremental_output(spark, out).count() == 8
+
+
+def test_committed_pointer_backfills_legacy_epochs(spark, tmp_path):
+    """code-review r8: the FIRST pointer write on an output dir that
+    predates the pointer regime must backfill the existing epoch dirs —
+    otherwise the first post-upgrade commit hides all accumulated
+    output from readers."""
+    import json as js
+
+    from etl_capnz_spark.streaming.stream import (
+        _append_committed_epoch,
+        _read_committed_epochs,
+        incremental_dedup_sink,
+        read_incremental_output,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+
+    def run_batch(cp: str):
+        stream = spark.readStream.schema("doc_id BIGINT, text STRING").json(
+            str(land)
+        )
+        q = incremental_dedup_sink(stream, out, idx, cp).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(js.dumps({"doc_id": i, "text": f"a{i}"}) for i in range(4))
+    )
+    run_batch(str(tmp_path / "cp1"))
+    # simulate a PRE-POINTER deployment: remove the pointer, keep epochs
+    import os
+
+    os.remove(f"{out}/_committed.json")
+    assert _read_committed_epochs(out) is None
+    assert read_incremental_output(spark, out).count() == 4  # legacy read
+
+    (land / "b2.jsonl").write_text(
+        "\n".join(js.dumps({"doc_id": 10 + i, "text": f"b{i}"})
+                  for i in range(3))
+    )
+    run_batch(str(tmp_path / "cp2"))
+    # the first post-upgrade commit backfilled the legacy epoch
+    committed = _read_committed_epochs(out)
+    assert committed is not None and len(committed) == 2, committed
+    assert read_incremental_output(spark, out).count() == 7
+
+    # direct repair with a legacy-style name is also idempotent
+    _append_committed_epoch(out, committed[0])
+    assert _read_committed_epochs(out).count(committed[0]) == 1

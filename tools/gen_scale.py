@@ -62,6 +62,8 @@ def _stride(con, path: str, col: str) -> int:
     mx = con.execute(
         f"SELECT max({col}) FROM read_parquet('{path}')"
     ).fetchone()[0]
+    if mx is None:  # empty source table: any stride works (0 rows copied)
+        return 10
     s = 10
     while s <= mx:
         s *= 10
