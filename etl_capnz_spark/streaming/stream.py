@@ -55,11 +55,11 @@ def _read_state_parquet(sess: SparkSession, path: str) -> DataFrame | None:
             # silently reset accumulated state, the exact class this
             # helper exists to close (code-review r8). Fail loudly; the
             # operator must decide (restore from a copy / accept reset
-            # by deleting the dir). Residual known gap: a crash in the
-            # overwrite's DELETE phase leaves the path missing entirely
-            # and is indistinguishable from first-batch — closing that
-            # needs versioned state dirs + a pointer (the read_scd2_state
-            # pattern), queued as a round-9 item.
+            # by deleting the dir). The sketch sinks no longer hit
+            # either window: they ride versioned state dirs + the
+            # atomic pointer (_versioned_state_read/_commit below), so
+            # this helper now guards only the remaining flat-layout
+            # callers and legacy pre-versioned state dirs.
             raise RuntimeError(
                 f"state dir {path} exists but contains no readable "
                 "parquet (crash-interrupted overwrite?) — refusing to "
@@ -67,6 +67,109 @@ def _read_state_parquet(sess: SparkSession, path: str) -> DataFrame | None:
                 "deliberately"
             ) from e
         raise
+
+
+def _versioned_state_read(
+    sess: SparkSession, state_path: str
+) -> tuple[DataFrame | None, dict]:
+    """Resolve a sketch sink's committed state: pointer first, then the
+    ``_v_<n>`` directory it names — never a half-written snapshot.
+
+    Version dirs are underscore-prefixed ON PURPOSE: Spark's file
+    listing skips hidden (``_``/``.``) children, so a legacy flat read
+    of ``state_path`` cannot accidentally ingest an in-flight version
+    dir, and an in-flight version dir left by a crash (write finished
+    or not, pointer never advanced) is simply invisible until a replay
+    overwrites and commits it.
+
+    No pointer yet means one of: first batch ever (dir missing or only
+    hidden entries — an in-flight ``_v_1`` from a crashed first commit
+    counts), or a LEGACY flat-layout state dir from the pre-versioned
+    sink (visible part files) — read as-is and migrated by the next
+    commit. Returns ``(state_or_None, pointer)``.
+    """
+    import os
+
+    pointer = _read_scd2_pointer(state_path)
+    if pointer["version"] > 0:
+        vdir = os.path.join(state_path, f"_v_{pointer['version']}")
+        return sess.read.parquet(vdir), pointer
+    if not os.path.isdir(state_path):
+        return None, pointer
+    visible = [
+        e for e in os.listdir(state_path) if not e.startswith(("_", "."))
+    ]
+    if not visible:
+        return None, pointer
+    return _read_state_parquet(sess, state_path), pointer
+
+
+def _versioned_state_commit(
+    merged: DataFrame,
+    state_path: str,
+    pointer: dict,
+    epoch_key: str,
+    keep_versions: int = 3,
+) -> None:
+    """Commit a sketch sink's next state snapshot: write ``_v_<n+1>``,
+    THEN advance the pointer (atomic ``os.replace``), then clean up.
+
+    Crash orderings (the scd2_sink discipline, closing the delete-phase
+    window the old in-place overwrite had):
+
+    * crash during/after the version write but before the pointer
+      commit → readers keep resolving ``_v_<n>``; the replayed epoch
+      recomputes from ``_v_<n>`` and overwrites ``_v_<n+1>``;
+    * crash after the pointer commit → the epoch key is recorded, the
+      replay is an outright no-op (and these sinks' merges are
+      idempotent anyway, so even a trimmed-away ancient epoch key —
+      the list keeps the last 64, far beyond Spark's replay horizon of
+      one batch — re-merges harmlessly);
+    * the committed version dir is NEVER deleted while it is what the
+      pointer names, so the old "crash in the overwrite's delete phase
+      looks like first batch" reset cannot occur.
+
+    The first commit over a LEGACY flat-layout state dir migrates it:
+    the flat part files are deleted only after the pointer names
+    ``_v_1``.
+
+    No eager localCheckpoint is needed (the old sinks checkpointed
+    because they overwrote the dir they had just lazily read): the
+    merge plan reads ``_v_<n>`` and writes ``_v_<n+1>`` — distinct
+    dirs.
+    """
+    import os
+    import shutil
+
+    n = pointer["version"]
+    vdir = os.path.join(state_path, f"_v_{n + 1}")
+    merged.write.mode("overwrite").parquet(vdir)
+    epochs = (pointer["epochs"] + [epoch_key])[-64:]
+    _write_scd2_pointer(state_path, {"version": n + 1, "epochs": epochs})
+    if n == 0:
+        for e in os.listdir(state_path):
+            if e.startswith(("_", ".")):
+                continue
+            p = os.path.join(state_path, e)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    stale = n + 1 - keep_versions
+    if stale >= 1:
+        old = os.path.join(state_path, f"_v_{stale}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+
+def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The committed state of a versioned sketch sink (KMV / HLL /
+    quantile) — pointer-resolved, so a reader racing a commit sees
+    strictly the old or the new snapshot, never a mix and never an
+    in-flight version dir. A legacy flat-layout dir (pre-versioned
+    sink, not yet migrated by a commit) is read as-is.
+    """
+    state, _ = _versioned_state_read(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed sketch state at {state_path}")
+    return state
 
 
 def read_xml_stream(
@@ -999,28 +1102,41 @@ def kmv_distinct_sink(
     state is ``groups × k`` longs, and the answer is the same
     closed-form estimate the batch operator gives.
 
-    Replay-safe WITHOUT an epoch manifest because KMV merge is
-    IDEMPOTENT — merging the same batch twice is set-union + k-min, a
-    no-op the second time — so a crash-replayed batch converges to the
-    identical state (pinned in tests). The merged table (tiny) is
-    eagerly localCheckpointed before overwriting the state dir it was
-    read from.
+    State rides versioned ``_v_<n>`` dirs behind the atomic pointer
+    (:func:`_versioned_state_commit` — write the new snapshot, THEN
+    advance the pointer), read back with :func:`read_sketch_state`:
+    the committed snapshot is never deleted in place, so no crash
+    ordering can reset accumulated state (the old in-place overwrite's
+    delete-phase window). Replays of committed epochs are outright
+    no-ops via the pointer's epoch keys — and KMV merge is IDEMPOTENT
+    anyway (set-union + k-min), so even a re-merge converges to the
+    identical state (pinned in tests).
 
     Cross-checks: final state == batch kmv_sketch over all data seen —
     the streaming/batch twin pin, same contract as
     session_counts_dynamic and incremental_rollup.
     """
+    import hashlib
+    import os
+
     from etl_capnz_spark.operators.audit import kmv_merge, kmv_sketch
+
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        prev, pointer = _versioned_state_read(sess, state_path)
+        epoch_key = f"{run_tag}:{epoch_id}"
+        if epoch_key in pointer["epochs"]:
+            return
         cur = kmv_sketch(batch, group_cols, value_col, k)
-        prev = _read_state_parquet(sess, state_path)
         if prev is not None:
             prev = prev.select(*group_cols, "sketch", "n_seen", "est_distinct")
         both = cur if prev is None else prev.unionByName(cur)
-        merged = kmv_merge(both, group_cols, k=k).localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
+        merged = kmv_merge(both, group_cols, k=k)
+        _versioned_state_commit(merged, state_path, pointer, epoch_key)
 
     return (
         events_stream.writeStream.outputMode("append")
@@ -1044,34 +1160,45 @@ def hll_distinct_sink(
     register table (operators/frequency.hll_registers) merges into the
     persisted state by register-wise MAX.
 
-    Replay-safe WITHOUT an epoch manifest for the same reason as KMV
-    and UNLIKE CMS: max-merge is IDEMPOTENT (re-merging a crash-
-    replayed batch is a no-op), so no per-epoch bookkeeping is needed
-    where CMS's counter ADDITION forces per-epoch overwrite partials.
-    State is ≤ groups × m rows of (j, m_j) smallints regardless of
-    stream volume; the estimate is read on demand with
-    frequency.hll_estimate. The merged table (tiny) is eagerly
-    localCheckpointed before overwriting the state dir it was read
-    from.
+    State rides versioned ``_v_<n>`` dirs behind the atomic pointer
+    (:func:`_versioned_state_commit`; read back with
+    :func:`read_sketch_state`) — the committed snapshot is never
+    deleted in place, closing the old overwrite's delete-phase reset
+    window. Committed epochs replay as no-ops via the pointer's epoch
+    keys — and UNLIKE CMS, max-merge is IDEMPOTENT anyway (re-merging
+    a crash-replayed batch is a no-op), where CMS's counter ADDITION
+    forces per-epoch overwrite partials. State is ≤ groups × m rows of
+    (j, m_j) smallints regardless of stream volume; the estimate is
+    read on demand with frequency.hll_estimate.
 
     Cross-checks (tests/test_streaming.py): final state == batch
     hll_registers over all data seen (the streaming/batch twin pin),
     and a double-merged batch leaves state identical.
     """
+    import hashlib
+    import os
+
     from etl_capnz_spark.operators.frequency import (
         hll_merge,
         hll_registers,
     )
 
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        prev, pointer = _versioned_state_read(sess, state_path)
+        epoch_key = f"{run_tag}:{epoch_id}"
+        if epoch_key in pointer["epochs"]:
+            return
         cur = hll_registers(batch, group_cols, value_col)
-        prev = _read_state_parquet(sess, state_path)
         if prev is not None:
             prev = prev.select(*group_cols, "j", "m_j")
         both = cur if prev is None else prev.unionByName(cur)
-        merged = hll_merge(both, group_cols).localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
+        merged = hll_merge(both, group_cols)
+        _versioned_state_commit(merged, state_path, pointer, epoch_key)
 
     return (
         events_stream.writeStream.outputMode("append")
@@ -1557,33 +1684,40 @@ def quantile_sketch_sink(
     estimate the batch operator gives, with the same DKW rank-error
     bound.
 
-    Replay-safe WITHOUT an epoch manifest for the same reason as
-    :func:`kmv_distinct_sink`: bottom-k-by-hash merge is IDEMPOTENT —
-    merging a crash-replayed batch is set-union + k-min, a no-op the
-    second time (pinned in tests). The merged table (tiny) is eagerly
-    localCheckpointed before overwriting the state dir it was read
-    from.
+    State rides versioned ``_v_<n>`` dirs behind the atomic pointer
+    (:func:`_versioned_state_commit`; read back with
+    :func:`read_sketch_state`) — same crash discipline as
+    :func:`kmv_distinct_sink`, and bottom-k-by-hash merge is
+    IDEMPOTENT anyway (set-union + k-min; pinned in tests).
 
     Cross-check: final state == batch quantile_sketch over all data
     seen — the streaming/batch twin pin, same contract as
     kmv_distinct_sink and incremental_rollup.
     """
+    import hashlib
+    import os
+
     from etl_capnz_spark.operators.audit import (
         quantile_sketch,
         quantile_sketch_merge,
     )
 
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        prev, pointer = _versioned_state_read(sess, state_path)
+        epoch_key = f"{run_tag}:{epoch_id}"
+        if epoch_key in pointer["epochs"]:
+            return
         cur = quantile_sketch(batch, group_cols, value_col, id_col, k)
-        prev = _read_state_parquet(sess, state_path)
         if prev is not None:
             prev = prev.select(cur.columns)
         both = cur if prev is None else prev.unionByName(cur)
-        merged = quantile_sketch_merge(
-            both, group_cols, k=k
-        ).localCheckpoint()
-        merged.write.mode("overwrite").parquet(state_path)
+        merged = quantile_sketch_merge(both, group_cols, k=k)
+        _versioned_state_commit(merged, state_path, pointer, epoch_key)
 
     return (
         events_stream.writeStream.outputMode("append")

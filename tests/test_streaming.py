@@ -702,7 +702,10 @@ def test_kmv_distinct_sink_matches_batch_sketch(spark, tmp_path):
     import json as js
 
     from etl_capnz_spark.operators.audit import kmv_sketch
-    from etl_capnz_spark.streaming.stream import kmv_distinct_sink
+    from etl_capnz_spark.streaming.stream import (
+        kmv_distinct_sink,
+        read_sketch_state,
+    )
 
     land = tmp_path / "land_kmv"
     land.mkdir()
@@ -727,14 +730,14 @@ def test_kmv_distinct_sink_matches_batch_sketch(spark, tmp_path):
     run_batch()
     state1 = {
         r["event_type"]: (r["sketch"], r["est_distinct"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
     run_batch()
 
     got = {
         r["event_type"]: (r["sketch"], r["n_seen"], r["est_distinct"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     full = spark.createDataFrame(
         [(d["event_type"], d["user_id"]) for d in b1 + b2],
@@ -1047,7 +1050,10 @@ def test_quantile_sketch_sink_matches_batch_sketch(spark, tmp_path):
     import json as js
 
     from etl_capnz_spark.operators.audit import quantile_sketch
-    from etl_capnz_spark.streaming.stream import quantile_sketch_sink
+    from etl_capnz_spark.streaming.stream import (
+        quantile_sketch_sink,
+        read_sketch_state,
+    )
 
     land = tmp_path / "land_qs"
     land.mkdir()
@@ -1081,7 +1087,7 @@ def test_quantile_sketch_sink_matches_batch_sketch(spark, tmp_path):
     run_batch()
     state1 = {
         r["event_type"]: r["sketch"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
     run_batch()
@@ -1091,7 +1097,7 @@ def test_quantile_sketch_sink_matches_batch_sketch(spark, tmp_path):
             r["sketch"], r["n_kept"], r["est_p50"], r["est_p90"],
             r["est_p99"],
         )
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     full = spark.createDataFrame(
         [(d["event_type"], d["event_id"], d["value"]) for d in b1 + b2],
@@ -1622,7 +1628,10 @@ def test_hll_distinct_sink_matches_batch_registers(spark, tmp_path):
         hll_estimate,
         hll_registers,
     )
-    from etl_capnz_spark.streaming.stream import hll_distinct_sink
+    from etl_capnz_spark.streaming.stream import (
+        hll_distinct_sink,
+        read_sketch_state,
+    )
 
     land = tmp_path / "land_hll"
     land.mkdir()
@@ -1647,14 +1656,14 @@ def test_hll_distinct_sink_matches_batch_registers(spark, tmp_path):
     run_batch()
     state1 = {
         (r["event_type"], r["j"]): r["m_j"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
     run_batch()
 
     got = {
         (r["event_type"], r["j"]): r["m_j"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     full = spark.createDataFrame(
         [(d["event_type"], d["user_id"]) for d in b1 + b2],
@@ -1672,7 +1681,7 @@ def test_hll_distinct_sink_matches_batch_registers(spark, tmp_path):
     }
     # estimate read off the persisted state == batch estimate
     st = hll_estimate(
-        spark.read.parquet(state), ["event_type"]
+        read_sketch_state(spark, state), ["event_type"]
     ).collect()
     bt = hll_estimate(
         hll_registers(full, ["event_type"], "user_id"), ["event_type"]
@@ -1848,3 +1857,119 @@ def test_committed_pointer_backfills_legacy_epochs(spark, tmp_path):
     # direct repair with a legacy-style name is also idempotent
     _append_committed_epoch(out, committed[0])
     assert _read_committed_epochs(out).count(committed[0]) == 1
+
+
+def test_sketch_sink_versioned_state_crash_and_legacy(spark, tmp_path):
+    """Versioned-state discipline for the mergeable sketch sinks
+    (kmv/hll/quantile share _versioned_state_read/_commit; KMV stands
+    in for the family):
+
+    1. LEGACY migration — a pre-versioned flat-layout state dir is
+       read as the starting state; the first commit writes ``_v_1``,
+       advances the pointer, and only THEN removes the flat part
+       files.
+    2. Crash between the version write and the pointer commit — a
+       phantom ``_v_<n+1>`` on disk is invisible to readers (the
+       pointer still names ``_v_<n>``) and the next epoch overwrites
+       it.
+    3. The committed snapshot is never deleted in place, so no crash
+       ordering can make accumulated state read as first-batch (the
+       old overwrite's delete-phase window).
+    """
+    import json as js
+    import os
+
+    from etl_capnz_spark.operators.audit import kmv_sketch
+    from etl_capnz_spark.streaming.stream import (
+        _read_scd2_pointer,
+        kmv_distinct_sink,
+        read_sketch_state,
+    )
+
+    land = tmp_path / "land_kmv_v"
+    land.mkdir()
+    state = str(tmp_path / "kmv_state_v")
+    cp = str(tmp_path / "cp_kmv_v")
+    schema = "event_type STRING, user_id BIGINT"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = kmv_distinct_sink(
+            stream, state, cp, ["event_type"], "user_id", k=16
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    # (1) seed a LEGACY flat-layout state dir, as the pre-versioned
+    # sink would have left it
+    b0 = [{"event_type": "view", "user_id": u} for u in range(10)]
+    legacy_df = spark.createDataFrame(
+        [(d["event_type"], d["user_id"]) for d in b0],
+        "event_type string, user_id long",
+    )
+    kmv_sketch(legacy_df, ["event_type"], "user_id", k=16).write.parquet(
+        state
+    )
+    flat_parts = [
+        e for e in os.listdir(state) if not e.startswith(("_", "."))
+    ]
+    assert flat_parts, "legacy layout should have visible part files"
+
+    b1 = [{"event_type": "view", "user_id": u} for u in range(5, 25)] + [
+        {"event_type": "click", "user_id": u} for u in range(3)
+    ]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(d) for d in b1))
+    run_batch()
+    ptr = _read_scd2_pointer(state)
+    assert ptr["version"] == 1 and len(ptr["epochs"]) == 1
+    assert not [
+        e for e in os.listdir(state) if not e.startswith(("_", "."))
+    ], "legacy flat files must be gone after the migrating commit"
+    full01 = spark.createDataFrame(
+        [(d["event_type"], d["user_id"]) for d in b0 + b1],
+        "event_type string, user_id long",
+    )
+    want01 = {
+        r["event_type"]: (r["sketch"], r["n_seen"])
+        for r in kmv_sketch(full01, ["event_type"], "user_id", k=16).collect()
+    }
+    got01 = {
+        r["event_type"]: (r["sketch"], r["n_seen"])
+        for r in read_sketch_state(spark, state).collect()
+    }
+    assert got01 == want01  # legacy state participated in the merge
+
+    # (2) phantom in-flight version dir: a crash after writing _v_2 but
+    # before the pointer commit
+    legacy_df.limit(1).selectExpr(
+        "event_type", "array(user_id) as sketch",
+        "cast(1 as long) as n_seen", "cast(1.0 as double) as est_distinct",
+    ).write.parquet(os.path.join(state, "_v_2"))
+    got_after_phantom = {
+        r["event_type"]: (r["sketch"], r["n_seen"])
+        for r in read_sketch_state(spark, state).collect()
+    }
+    assert got_after_phantom == want01  # reader never sees _v_2
+
+    b2 = [{"event_type": "click", "user_id": u} for u in range(3, 9)]
+    (land / "b2.jsonl").write_text("\n".join(js.dumps(d) for d in b2))
+    run_batch()
+    ptr = _read_scd2_pointer(state)
+    assert ptr["version"] == 2  # the replayed epoch overwrote _v_2
+    full = spark.createDataFrame(
+        [(d["event_type"], d["user_id"]) for d in b0 + b1 + b2],
+        "event_type string, user_id long",
+    )
+    want = {
+        r["event_type"]: (r["sketch"], r["n_seen"])
+        for r in kmv_sketch(full, ["event_type"], "user_id", k=16).collect()
+    }
+    got = {
+        r["event_type"]: (r["sketch"], r["n_seen"])
+        for r in read_sketch_state(spark, state).collect()
+    }
+    assert got == want
+
+    # (3) the committed v_2 dir exists alongside the retained v_1 —
+    # nothing was deleted in place
+    assert os.path.isdir(os.path.join(state, "_v_2"))
+    assert os.path.isdir(os.path.join(state, "_v_1"))
