@@ -8427,6 +8427,203 @@ def _q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _retrieval_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate table for the retrieval-eval family (ml_ndcg /
+    ml_mrr / ml_map): query = customer, item = part, score = exact
+    revenue cents (per-row quantization BEFORE the sum — the q9 money
+    discipline), graded relevance 0-3 from a seeded md5 of the
+    (query, item) key so both engines derive identical labels with no
+    RNG. One equi-join + one groupBy; the downstream rank windows
+    partition by query (≈1.5k customers at sf0.01, millions at scale —
+    never a global window)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cand = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(cents).alias("score_cents"))
+    )
+    rel = F.ascii(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_custkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_partkey").cast("string"),
+                )
+            ),
+            1,
+            1,
+        )
+    ) % 4
+    return cand.withColumn("rel", rel)
+
+
+def _q_ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@10 over the customer→part revenue ranking
+    (operators/mlmetrics.py ndcg_at_k): exact integer pivoted gains,
+    ONE fixed-association weighted sum per query with the 1/log2(i+1)
+    weights injected as shared double literals (ndcg_weights) — no
+    float accumulates, no engine calls its own log2."""
+    from etl_capnz_spark.operators.mlmetrics import ndcg_at_k
+
+    return ndcg_at_k(
+        _retrieval_candidates(spark, sf_dir),
+        "o_custkey",
+        "l_partkey",
+        "score_cents",
+        "rel",
+        k=10,
+    ).withColumnRenamed("query", "custkey")
+
+
+def _q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query reciprocal rank@10 (operators/mlmetrics.py mrr_at_k):
+    first relevant rank via exact integer MIN, rr = one float division
+    (0.0 when nothing relevant makes the cutoff)."""
+    from etl_capnz_spark.operators.mlmetrics import mrr_at_k
+
+    return mrr_at_k(
+        _retrieval_candidates(spark, sf_dir),
+        "o_custkey",
+        "l_partkey",
+        "score_cents",
+        "rel",
+        k=10,
+    ).withColumnRenamed("query", "custkey")
+
+
+def _q_ml_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query average precision@10, exact-rational
+    (operators/mlmetrics.py map_at_k): AP's inner precision sum carried
+    as the integer Σ cᵢ·(2520/i) (2520 = lcm 1..10), so the only float
+    is the final division — ap_num is the hash anchor."""
+    from etl_capnz_spark.operators.mlmetrics import map_at_k
+
+    return map_at_k(
+        _retrieval_candidates(spark, sf_dir),
+        "o_custkey",
+        "l_partkey",
+        "score_cents",
+        "rel",
+        k=10,
+    ).withColumnRenamed("query", "custkey")
+
+
+# Shared front half of the retrieval-eval oracles: the identical
+# candidate build (q9 money discipline: per-row cents round BEFORE the
+# sum) + the identical total-order rank window.
+_RETRIEVAL_CAND_SQL = """cand AS (
+              SELECT o_custkey AS custkey, l_partkey AS item,
+                     sum(round(l_extendedprice * (1 - l_discount) * 100)
+                         ::BIGINT)::BIGINT AS score,
+                     ascii(substr(md5(o_custkey::VARCHAR || ':'
+                                      || l_partkey::VARCHAR), 1, 1))
+                       % 4 AS rel
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey, l_partkey),
+            ranked AS (
+              SELECT custkey, item, score, rel,
+                     row_number() OVER (PARTITION BY custkey
+                       ORDER BY score DESC, item ASC) AS rnk
+              FROM cand)"""
+
+
+def _oracle_ml_ndcg(k: int = 10) -> str:
+    """NDCG replay: same pivoted integer gains, same fixed-association
+    weighted sum over the SAME double literals (mlmetrics.ndcg_weights
+    is the single source for both engines — neither calls its own
+    log2)."""
+    from etl_capnz_spark.operators.mlmetrics import ndcg_weights
+
+    ws = ndcg_weights(k)
+    gcols = ",\n                     ".join(
+        f"max(CASE WHEN rnk = {i} THEN gain END) AS _g{i},\n"
+        f"                     "
+        f"max(CASE WHEN irnk = {i} THEN gain END) AS _ig{i}"
+        for i in range(1, k + 1)
+    )
+    dcg = "\n                       + ".join(
+        f"coalesce(_g{i}, 0)::DOUBLE * {ws[i - 1]!r}"
+        for i in range(1, k + 1)
+    )
+    idcg = "\n                       + ".join(
+        f"coalesce(_ig{i}, 0)::DOUBLE * {ws[i - 1]!r}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+            WITH {_RETRIEVAL_CAND_SQL},
+            both_ AS (
+              SELECT custkey, rnk,
+                     row_number() OVER (PARTITION BY custkey
+                       ORDER BY rel DESC, item ASC) AS irnk,
+                     (1 << rel) - 1 AS gain
+              FROM ranked),
+            piv AS (
+              SELECT custkey, count(*)::BIGINT AS n_items,
+                     {gcols}
+              FROM both_ GROUP BY custkey),
+            raw AS (
+              SELECT custkey, n_items,
+                     ({dcg}) AS dcg_raw,
+                     ({idcg}) AS idcg_raw
+              FROM piv)
+            SELECT custkey, n_items,
+                   round(dcg_raw, 6) AS dcg,
+                   round(idcg_raw, 6) AS idcg,
+                   CASE WHEN idcg_raw > 0
+                        THEN round(dcg_raw / idcg_raw, 6) END AS ndcg
+            FROM raw"""
+
+
+def _oracle_ml_mrr(k: int = 10) -> str:
+    return f"""
+            WITH {_RETRIEVAL_CAND_SQL},
+            per AS (
+              SELECT custkey, count(*)::BIGINT AS n_items,
+                     min(CASE WHEN rel > 0 AND rnk <= {k}
+                         THEN rnk END) AS first_rel_rank
+              FROM ranked GROUP BY custkey)
+            SELECT custkey, n_items, first_rel_rank,
+                   round(coalesce(1.0 / first_rel_rank::DOUBLE, 0.0), 6)
+                     AS rr
+            FROM per"""
+
+
+def _oracle_ml_map(k: int = 10) -> str:
+    import math
+
+    lcm = math.lcm(*range(1, k + 1))
+    return f"""
+            WITH {_RETRIEVAL_CAND_SQL},
+            cum AS (
+              SELECT custkey, rnk, rel,
+                     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY custkey ORDER BY rnk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c_i
+              FROM ranked),
+            per AS (
+              SELECT custkey, count(*)::BIGINT AS n_items,
+                     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_rel,
+                     coalesce(sum(CASE WHEN rel > 0 AND rnk <= {k}
+                       THEN (c_i * {lcm}) // rnk END), 0)::BIGINT
+                       AS ap_num
+              FROM cum GROUP BY custkey)
+            SELECT custkey, n_items, n_rel, ap_num,
+                   CASE WHEN n_rel > 0 THEN
+                     round(ap_num::DOUBLE
+                           / ({lcm} * least(n_rel, {k}))::DOUBLE, 6)
+                   END AS ap
+            FROM per"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cap_active_alerts": _q_active_alerts,
@@ -8567,6 +8764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_geohash": _q_geo_geohash,
         "ml_calibration_ece": _q_ml_calibration_ece,
         "ml_auc_exact": _q_ml_auc_exact,
+        "ml_ndcg": _q_ml_ndcg,
+        "ml_mrr": _q_ml_mrr,
+        "ml_map": _q_ml_map,
         "drift_psi": _q_drift_psi,
         "anno_kappa": _q_anno_kappa,
         "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
@@ -14117,6 +14317,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_pos, n_neg, n_dropped, auc,
                    round(2.0 * auc - 1.0, 6) AS gini
             FROM a2, drops""",
+        "ml_ndcg": _oracle_ml_ndcg(10),
+        "ml_mrr": _oracle_ml_mrr(10),
+        "ml_map": _oracle_ml_map(10),
         "drift_psi": """
             -- PSI replay: same least(9, n_chars//500) bucketing,
             -- full-outer union domain, Laplace (n+1)/(N+K) shares

@@ -1178,3 +1178,223 @@ def pr_curve_topk(
             F.round("_f1", 6).alias("f1"),
         )
     )
+
+
+def ndcg_weights(k: int) -> list[float]:
+    """The NDCG position weights 1/log2(i+1) for ranks 1..k, computed
+    ONCE driver-side and injected as double literals into BOTH the
+    Spark expression tree and the generated oracle SQL — the engines
+    never call their own log2 (whose last-ULP behavior is not
+    guaranteed to agree across libm implementations), so the final
+    weighted sum is the identical IEEE expression on both sides."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def _ranked_candidates(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+):
+    """Shared front half of the retrieval-eval family: one row per
+    (query, item) candidate with an EXACT-integer score and graded
+    integer relevance, ranked per query by score descending with the
+    item id as the total-order tiebreak (ties are real in revenue-style
+    scores; an undefined tie order would make every metric
+    nondeterministic). The window partitions by query — the natural
+    key, millions of small partitions at corpus scale, never global."""
+    from pyspark.sql.window import Window
+
+    src = df.select(
+        F.col(query_col).alias("query"),
+        F.col(item_col).alias("item"),
+        F.col(score_col).cast("bigint").alias("score"),
+        F.col(rel_col).cast("int").alias("rel"),
+    ).filter(
+        F.col("query").isNotNull()
+        & F.col("item").isNotNull()
+        & F.col("score").isNotNull()
+        & F.col("rel").isNotNull()
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("item").asc()
+    )
+    return src.withColumn("rank", F.row_number().over(w))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query NDCG@k — the graded ranking readout for a
+    retrieval scorer (the metric that distinguishes "found the
+    relevant items" from "found them FIRST"): DCG@k with gains
+    2^rel − 1 against the ideal ordering's IDCG@k.
+
+    Exactness discipline (the q9/auc lesson): no float SUM exists
+    anywhere. Gains are exact integers (shiftleft, not pow); per-rank
+    gains are pivoted into k integer MAX-aggregate columns (order-
+    independent), and DCG/IDCG are each ONE fixed-association float
+    expression g₁·w₁ + … + g_k·w_k over literal weights from
+    :func:`ndcg_weights` — bit-identical in any engine that parses the
+    same double literals. The ideal ranking breaks gain ties by item
+    id so IDCG is a total order too.
+
+    Output: (query, n_items, dcg, idcg, ndcg) — ndcg NULL when the
+    query has no relevant item (IDCG 0), all floats 6dp.
+    """
+    from pyspark.sql.window import Window
+
+    ranked = _ranked_candidates(df, query_col, item_col, score_col, rel_col)
+    wi = Window.partitionBy("query").orderBy(
+        F.col("rel").desc(), F.col("item").asc()
+    )
+    both = ranked.withColumn("irank", F.row_number().over(wi)).withColumn(
+        # exact integer gain 2^rel − 1 (the python API's shiftleft
+        # takes only a literal count; the SQL form shifts by a column)
+        "gain",
+        F.expr("shiftleft(1, rel) - 1"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    for i in range(1, k + 1):
+        aggs.append(
+            F.max(F.when(F.col("rank") == i, F.col("gain"))).alias(f"_g{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("irank") == i, F.col("gain"))).alias(
+                f"_ig{i}"
+            )
+        )
+    piv = both.groupBy("query").agg(*aggs)
+    ws = ndcg_weights(k)
+
+    def wsum(prefix: str) -> Column:
+        expr = None
+        for i in range(1, k + 1):
+            term = F.coalesce(
+                F.col(f"{prefix}{i}"), F.lit(0)
+            ).cast("double") * F.lit(ws[i - 1])
+            expr = term if expr is None else expr + term
+        return expr
+
+    dcg, idcg = wsum("_g"), wsum("_ig")
+    return piv.select(
+        "query",
+        "n_items",
+        F.round(dcg, 6).alias("dcg"),
+        F.round(idcg, 6).alias("idcg"),
+        F.when(idcg > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query reciprocal rank@k — the "how deep does the user
+    scroll" readout: the rank of the FIRST relevant (rel > 0)
+    candidate within the top k, and rr = 1/rank (0.0 when no relevant
+    candidate makes the cutoff — the query still reports, absence is
+    the signal). rr is a single float division over an exact integer
+    rank; no float accumulates.
+
+    Output: (query, n_items, first_rel_rank nullable, rr) 6dp.
+    """
+    ranked = _ranked_candidates(df, query_col, item_col, score_col, rel_col)
+    per = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min(
+            F.when(
+                (F.col("rel") > 0) & (F.col("rank") <= k), F.col("rank")
+            )
+        ).alias("first_rel_rank"),
+    )
+    return per.select(
+        "query",
+        "n_items",
+        "first_rel_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+    )
+
+
+def map_at_k(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query average precision@k, EXACT-RATIONAL: AP@k's inner sum
+    Σ precision@i over relevant ranks i ≤ k is a rational with
+    denominators ≤ k, so with L = lcm(1..k) the whole sum is the
+    integer Σ c_i · (L/i) (c_i = relevant count at depth i) — both
+    engines aggregate exact integers and the ONLY float is the final
+    division ap = num / (L · min(R, k)), where R counts the query's
+    relevant candidates over the FULL candidate list (the standard
+    min(R,k) normalizer: a query with 3 relevant items and all 3 in
+    the top k scores 1.0). Relevance is binary at rel > 0; queries
+    with R = 0 report ap NULL (no ranking could score on them).
+
+    Output: (query, n_items, n_rel, ap_num, ap) — ap_num is the exact
+    integer numerator (the hash anchor), ap 6dp.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    lcm = math.lcm(*range(1, k + 1))
+    ranked = _ranked_candidates(df, query_col, item_col, score_col, rel_col)
+    wc = (
+        Window.partitionBy("query")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumd = ranked.withColumn(
+        "c_i", F.sum((F.col("rel") > 0).cast("bigint")).over(wc)
+    )
+    per = cumd.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("rel") > 0).cast("bigint")).alias("n_rel"),
+        F.coalesce(
+            F.sum(
+                # L is divisible by every rank <= k, so integer `div`
+                # is exact — `/` would detour through doubles
+                F.when(
+                    (F.col("rel") > 0) & (F.col("rank") <= k),
+                    F.expr(f"(c_i * CAST({lcm} AS BIGINT)) div rank"),
+                )
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("ap_num"),
+    )
+    denom = F.lit(lcm) * F.least(F.col("n_rel"), F.lit(k))
+    return per.select(
+        "query",
+        "n_items",
+        "n_rel",
+        "ap_num",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("ap_num").cast("double") / denom.cast("double"), 6
+            ),
+        ).alias("ap"),
+    )

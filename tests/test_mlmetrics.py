@@ -770,3 +770,86 @@ def test_pr_curve_matches_bruteforce(spark):
         and r["recall"] is None  # 0/0: NULL under ANSI, not NaN
         for r in rows
     )
+
+
+def test_retrieval_metrics_hand_case(spark):
+    """NDCG/MRR/MAP@k on a hand-computed 2-query fixture: query A has
+    graded relevance with a known ideal reordering, query B has no
+    relevant item (ndcg NULL, rr 0.0, ap NULL)."""
+    from etl_capnz_spark.operators.mlmetrics import (
+        map_at_k,
+        mrr_at_k,
+        ndcg_at_k,
+    )
+
+    rows = [
+        # query A: ranked by score desc -> i1(rel3), i2(rel0),
+        # i3(rel2), i4(rel1)
+        ("A", "i1", 100, 3),
+        ("A", "i2", 90, 0),
+        ("A", "i3", 80, 2),
+        ("A", "i4", 70, 1),
+        # query B: nothing relevant
+        ("B", "j1", 50, 0),
+        ("B", "j2", 40, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, it string, s long, r int")
+
+    nd = {
+        r["query"]: r
+        for r in ndcg_at_k(df, "q", "it", "s", "r", k=10).collect()
+    }
+    w = [1.0 / math.log2(i + 1) for i in range(1, 5)]
+    dcg_a = 7 * w[0] + 0 * w[1] + 3 * w[2] + 1 * w[3]
+    idcg_a = 7 * w[0] + 3 * w[1] + 1 * w[2] + 0 * w[3]
+    assert nd["A"]["dcg"] == round(dcg_a, 6)
+    assert nd["A"]["idcg"] == round(idcg_a, 6)
+    assert nd["A"]["ndcg"] == round(dcg_a / idcg_a, 6)
+    assert nd["B"]["ndcg"] is None and nd["B"]["dcg"] == 0.0
+
+    mr = {
+        r["query"]: r
+        for r in mrr_at_k(df, "q", "it", "s", "r", k=10).collect()
+    }
+    assert mr["A"]["first_rel_rank"] == 1 and mr["A"]["rr"] == 1.0
+    assert mr["B"]["first_rel_rank"] is None and mr["B"]["rr"] == 0.0
+
+    ap = {
+        r["query"]: r
+        for r in map_at_k(df, "q", "it", "s", "r", k=10).collect()
+    }
+    # A: relevant at ranks 1,3,4 -> precisions 1/1, 2/3, 3/4; R=3
+    want_ap = (1 / 1 + 2 / 3 + 3 / 4) / 3
+    assert ap["A"]["n_rel"] == 3 and ap["A"]["ap"] == round(want_ap, 6)
+    # exact-rational numerator: lcm(1..10)=2520
+    assert ap["A"]["ap_num"] == 1 * 2520 + 2 * (2520 // 3) + 3 * (2520 // 4)
+    assert ap["B"]["n_rel"] == 0 and ap["B"]["ap"] is None
+
+
+def test_retrieval_metrics_k_cutoff_and_ties(spark):
+    """The @k cutoff actually cuts (a relevant item at rank k+1 counts
+    for R but not for the inner sums), and score ties break by item id
+    so the ranking is a total order."""
+    from etl_capnz_spark.operators.mlmetrics import (
+        map_at_k,
+        mrr_at_k,
+        ndcg_at_k,
+    )
+
+    # 4 candidates, k=3; the ONLY relevant item is tied on score with
+    # its neighbors and lands at rank 4 by the item tiebreak
+    rows = [
+        ("Q", "a", 10, 0),
+        ("Q", "b", 10, 0),
+        ("Q", "c", 10, 0),
+        ("Q", "d", 10, 2),
+    ]
+    df = spark.createDataFrame(rows, "q string, it string, s long, r int")
+    nd = ndcg_at_k(df, "q", "it", "s", "r", k=3).collect()[0]
+    assert nd["dcg"] == 0.0  # the relevant item is outside the top 3
+    assert nd["idcg"] > 0  # ideal ranking puts it first
+    assert nd["ndcg"] == 0.0
+    mr = mrr_at_k(df, "q", "it", "s", "r", k=3).collect()[0]
+    assert mr["first_rel_rank"] is None and mr["rr"] == 0.0
+    ap = map_at_k(df, "q", "it", "s", "r", k=3).collect()[0]
+    assert ap["n_rel"] == 1 and ap["ap_num"] == 0 and ap["ap"] == 0.0
