@@ -2539,6 +2539,17 @@ def _q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_frequencies(_docs(spark, sf_dir), "text", top_n=50)
 
 
+def _q_token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab coverage (operators/text.py vocab_coverage):
+    top-16 corpus tokens as the fixed vocab (the synthetic corpus has
+    ~31 types, so OOV is a real signal), per-doc occurrence- and
+    type-level OOV counts + rate. Bounded vocab broadcast, two-phase
+    counts, one groupBy(doc) — no full sort anywhere."""
+    from etl_capnz_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), "text", "doc_id", top_n=16)
+
+
 def _q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → main-text extraction (operators/html.py) — the missing
     FIRST stage of a crawl pipeline (VERDICT r2 item 3; regex-over-markup
@@ -8706,6 +8717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "token_topk": _q_token_topk,
+        "token_oov_rate": _q_token_oov_rate,
         "extract_main_text": _q_extract_main_text,
         "html_outlinks": _q_html_outlinks,
         "chunk_documents": _q_chunk_documents,
@@ -12495,6 +12507,31 @@ def oracle_sql() -> dict[str, str]:
                 t -> t <> '')) AS token
               FROM documents)
             GROUP BY token ORDER BY n DESC, token LIMIT 50""",
+        "token_oov_rate": """
+            -- vocab-coverage replay: same tokenizer, same top-16
+            -- (count DESC, token) vocab cut, same per-doc rollup
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS token
+              FROM documents),
+            vocab AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS n FROM toks GROUP BY token
+                ORDER BY n DESC, token LIMIT 16)),
+            flagged AS (
+              SELECT t.doc_id, t.token,
+                     (v.token IS NOT NULL) AS iv
+              FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+                   count(DISTINCT token)::BIGINT AS n_types,
+                   count(DISTINCT CASE WHEN NOT iv THEN token END)
+                     ::BIGINT AS n_oov_types,
+                   round(sum(CASE WHEN iv THEN 0 ELSE 1 END)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS oov_rate
+            FROM flagged GROUP BY doc_id""",
         "extract_main_text": """
             WITH wrapped AS (
               SELECT doc_id,

@@ -1020,3 +1020,53 @@ def ngram_novelty(
             ),
         ),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Tokenizer vocabulary coverage — the pre-training readout that
+    decides whether a fixed vocab is big enough for a corpus slice:
+    derive the top-``top_n`` tokens by global frequency (ties broken
+    by token, a total order), then report per document how much of it
+    falls outside that vocab, at occurrence AND type granularity.
+
+    Scale shape: the vocab is bounded by the argument (top-N via
+    TakeOrdered on the two-phase token counts — never a full sort),
+    broadcast to the occurrence stream, one left join + one
+    groupBy(doc). The explode is narrow; only (doc, token) pairs
+    shuffle for the distinct-type counts. Documents with zero tokens
+    produce no row (they have no coverage to measure).
+
+    Output: (id_col, n_tokens, n_oov, n_types, n_oov_types, oov_rate)
+    — oov_rate a single exact division, 6dp.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "token")
+        .limit(top_n)
+        .select("token", F.lit(1).alias("_iv"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("_iv").isNull(), 1).otherwise(0)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.countDistinct("token").cast("bigint").alias("n_types"),
+        F.countDistinct(
+            F.when(F.col("_iv").isNull(), F.col("token"))
+        ).cast("bigint").alias("n_oov_types"),
+    ).withColumn(
+        "oov_rate",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ),
+    )

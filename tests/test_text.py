@@ -143,3 +143,31 @@ def test_curation_gate_reasons_and_precedence(spark):
     assert got[6]["drop_reason"] == "pii" and got[6]["n_emails"] == 1
     # precedence: doc 2 is ALSO not-English-scoring, but too_short
     # fires first (first-failing-check contract)
+
+
+def test_vocab_coverage_hand_case(spark):
+    """Known corpus: vocab = top-2 tokens by (count desc, token asc);
+    per-doc occurrence and type OOV counts are hand-checkable, empty
+    docs emit no row."""
+    from etl_capnz_spark.operators.text import vocab_coverage
+
+    rows = [
+        (1, "a a a b b c"),   # a:3 b:2 c:1
+        (2, "b b a z z z"),   # z:3 here -> global z:3
+        (3, "   "),           # tokenless: no output row
+    ]
+    # global counts: a:4, b:4, z:3, c:1 -> top-2 = {a, b}
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in vocab_coverage(df, "text", "doc_id", top_n=2).collect()
+    }
+    assert set(got) == {1, 2}
+    d1 = got[1]
+    assert d1["n_tokens"] == 6 and d1["n_oov"] == 1  # the lone c
+    assert d1["n_types"] == 3 and d1["n_oov_types"] == 1
+    assert d1["oov_rate"] == round(1 / 6, 6)
+    d2 = got[2]
+    assert d2["n_tokens"] == 6 and d2["n_oov"] == 3  # the three z
+    assert d2["n_types"] == 3 and d2["n_oov_types"] == 1
+    assert d2["oov_rate"] == 0.5
