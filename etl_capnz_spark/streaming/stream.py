@@ -643,7 +643,9 @@ def _read_committed_epochs(out_path: str) -> "list[str] | None":
         return json.load(f)["epochs"]
 
 
-def _append_committed_epoch(out_path: str, epoch_name: str) -> None:
+def _append_committed_epoch(
+    out_path: str, epoch_name: str, prefix: str = "epoch_"
+) -> None:
     """Atomically (write-tmp + os.replace) append one epoch to the
     committed pointer. Called AFTER the index-manifest commit — and
     again from the replay early-return path, which repairs a crash that
@@ -653,10 +655,12 @@ def _append_committed_epoch(out_path: str, epoch_name: str) -> None:
 
     First-pointer BACKFILL (code-review r8): when the pointer file does
     not exist yet but the output dir already holds epoch dirs (a sink
-    that ran before round 8), those epochs were committed under the old
-    regime and readers could see them — seed the pointer with every
-    existing ``epoch_*`` dir so the FIRST post-upgrade commit doesn't
-    silently hide all previously accumulated output."""
+    that ran before the pointer upgrade), those epochs were committed
+    under the old regime and readers could see them — seed the pointer
+    with every existing ``prefix``-named dir so the FIRST post-upgrade
+    commit doesn't silently hide all previously accumulated output.
+    ``prefix`` is ``epoch_`` for the dedup sink's dirs and ``epoch=``
+    for the sketch sinks' Hive-partition-style epoch dirs."""
     import json
     import os
 
@@ -672,7 +676,7 @@ def _append_committed_epoch(out_path: str, epoch_name: str) -> None:
             for d in (
                 os.listdir(out_path) if os.path.isdir(out_path) else []
             )
-            if d.startswith("epoch_")
+            if d.startswith(prefix)
             and os.path.isdir(os.path.join(out_path, d))
         )
     else:
@@ -1369,6 +1373,14 @@ def cms_sketch_sink(
     State size: ≤ depth × width cells per epoch, compacted by the
     reader's sum — at scale, periodically fold old epochs into a
     generation file exactly as the dedup index does.
+
+    Reader isolation (the incremental_dedup pointer discipline,
+    generalized round-8): each epoch dir is committed to the
+    ``_committed.json`` ledger strictly AFTER its write completes, and
+    :func:`read_cms_state` reads ONLY committed dirs — a reader racing
+    a micro-batch can no longer ingest a half-written epoch's partial
+    cells (a silent undercount, the worst failure mode for a counting
+    sketch). Committed epochs replay as no-ops.
     """
     import hashlib
     import os
@@ -1380,10 +1392,15 @@ def cms_sketch_sink(
     ).hexdigest()[:8]
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        epoch_name = f"epoch={run_tag}_{epoch_id}"
+        committed = _read_committed_epochs(state_path)
+        if committed is not None and epoch_name in committed:
+            return  # replay of a committed epoch
         cells = cms_build(batch, value_col, depth=depth, width=width)
         cells.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"epoch={run_tag}_{epoch_id}")
+            os.path.join(state_path, epoch_name)
         )
+        _append_committed_epoch(state_path, epoch_name, prefix="epoch=")
 
     return (
         stream.writeStream.outputMode("append")
@@ -1392,14 +1409,34 @@ def cms_sketch_sink(
     )
 
 
+def _committed_epoch_paths(state_path: str) -> "list[str] | None":
+    """Resolve a sketch sink's committed epoch dirs: the ledger names
+    the committed set (None = pre-ledger output, read unrestricted —
+    the dirs were visible under the old regime). Raises when the
+    ledger exists but nothing is committed yet."""
+    import os
+
+    committed = _read_committed_epochs(state_path)
+    if committed is None:
+        return None
+    if not committed:
+        raise FileNotFoundError(f"no committed epochs at {state_path}")
+    return [os.path.join(state_path, e) for e in committed]
+
+
 def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Merge all epoch partials into the queryable sketch: cell-wise
-    sum — exactly ``cms_build`` over everything the stream has seen."""
-    return (
+    """Merge the COMMITTED epoch partials into the queryable sketch:
+    cell-wise sum — exactly ``cms_build`` over everything the stream
+    has seen. An in-flight epoch dir (its ledger commit not yet
+    written) is invisible, so a racing reader never undercounts from
+    half-written cells."""
+    paths = _committed_epoch_paths(state_path)
+    src = (
         spark.read.parquet(state_path)
-        .groupBy("i", "j")
-        .agg(F.sum("cnt").alias("cnt"))
+        if paths is None
+        else spark.read.parquet(*paths)
     )
+    return src.groupBy("i", "j").agg(F.sum("cnt").alias("cnt"))
 
 
 def mg_heavy_hitters_sink(
@@ -1430,7 +1467,10 @@ def mg_heavy_hitters_sink(
     each epoch's batch summary lands in an ``epoch=<runtag>_<id>``
     overwrite dir first and the state fold happens at READ time
     (:func:`read_mg_state`) — a crash-replayed epoch rewrites its own
-    summary byte-for-byte.
+    summary byte-for-byte. Reader isolation as in the CMS sink: the
+    epoch commits to the ``_committed.json`` ledger after its write,
+    and the reader folds ONLY committed epochs (a half-written summary
+    would silently undercount an item straight past the MG guarantee).
     """
     import hashlib
     import os
@@ -1442,13 +1482,18 @@ def mg_heavy_hitters_sink(
     ).hexdigest()[:8]
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
+        epoch_name = f"epoch={run_tag}_{epoch_id}"
+        committed = _read_committed_epochs(state_path)
+        if committed is not None and epoch_name in committed:
+            return  # replay of a committed epoch
         # fold the batch's per-partition summaries into ONE ≤k-row
         # summary for the epoch (sum + (k+1)-th-largest decrement)
         per_part = misra_gries_candidates(batch.select(value_col), value_col, k)
         epoch_summary = _mg_fold_df(per_part, k)
         epoch_summary.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"epoch={run_tag}_{epoch_id}")
+            os.path.join(state_path, epoch_name)
         )
+        _append_committed_epoch(state_path, epoch_name, prefix="epoch=")
 
     return (
         stream.writeStream.outputMode("append")
@@ -1491,10 +1536,15 @@ def _mg_fold_df(summaries: DataFrame, k: int) -> DataFrame:
 
 
 def read_mg_state(spark: SparkSession, state_path: str, k: int) -> DataFrame:
-    """Fold all epoch summaries into the final ≤ k-row MG state."""
-    return _mg_fold_df(
-        spark.read.parquet(state_path).select("item", "mg_count"), k
+    """Fold the COMMITTED epoch summaries into the final ≤ k-row MG
+    state (ledger-resolved — an in-flight epoch is invisible)."""
+    paths = _committed_epoch_paths(state_path)
+    src = (
+        spark.read.parquet(state_path)
+        if paths is None
+        else spark.read.parquet(*paths)
     )
+    return _mg_fold_df(src.select("item", "mg_count"), k)
 
 
 def _read_scd2_pointer(dim_path: str) -> dict:
@@ -1822,12 +1872,27 @@ def cusum_sink(
 
 
 def read_cusum_alarms(spark: SparkSession, out_path: str) -> DataFrame:
-    """All alarms the monitor has raised. Epoch dirs are replay-stable
-    (a crash-replayed epoch rewrites the same rows), so reading every
-    epoch is exact."""
+    """All COMMITTED alarms the monitor has raised. The sink writes an
+    epoch's alarms dir BEFORE the state/pointer commit, so an alarm dir
+    whose epoch key is not in the state pointer is in-flight (or
+    orphaned by a crash — the replay rewrites it byte-identically and
+    then commits): reading it early would surface alarms that the next
+    replay could still be recomputing. The pointer's epoch keys ARE the
+    committed set, so this reads exactly those dirs. Empty-batch epochs
+    commit without an alarms dir — they are skipped, not errors."""
     import os
 
-    return spark.read.parquet(os.path.join(out_path, "alarms"))
+    state_path = os.path.join(out_path, "state")
+    alarms = os.path.join(out_path, "alarms")
+    pointer = _read_scd2_pointer(state_path)
+    paths = [
+        os.path.join(alarms, f"epoch={key.replace(':', '_')}")
+        for key in pointer["epochs"]
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        raise FileNotFoundError(f"no committed CUSUM alarms at {alarms}")
+    return spark.read.parquet(*paths)
 
 
 def read_cusum_state(spark: SparkSession, out_path: str) -> DataFrame:

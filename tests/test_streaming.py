@@ -1973,3 +1973,113 @@ def test_sketch_sink_versioned_state_crash_and_legacy(spark, tmp_path):
     # nothing was deleted in place
     assert os.path.isdir(os.path.join(state, "_v_2"))
     assert os.path.isdir(os.path.join(state, "_v_1"))
+
+
+def test_epoch_sinks_reader_isolation(spark, tmp_path):
+    """A reader racing a micro-batch must not ingest a half-written
+    epoch: cms/mg fold only ledger-committed epoch dirs, cusum alarms
+    only pointer-committed epochs. Simulated by planting a phantom
+    (uncommitted) epoch dir with poisoned values — it must be
+    invisible."""
+    import json as js
+    import os
+
+    from etl_capnz_spark.streaming.stream import (
+        cms_sketch_sink,
+        mg_heavy_hitters_sink,
+        read_cms_state,
+        read_mg_state,
+    )
+
+    land = tmp_path / "land_iso"
+    land.mkdir()
+    rows = [{"v": f"item{i % 4}"} for i in range(40)]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(r) for r in rows))
+
+    # --- CMS
+    cms_state = str(tmp_path / "cms_state")
+    q = cms_sketch_sink(
+        spark.readStream.schema("v STRING").json(str(land)),
+        cms_state, str(tmp_path / "cp_cms"), "v", depth=2, width=16,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    before = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in read_cms_state(spark, cms_state).collect()
+    }
+    assert sum(before.values()) == 2 * 40  # depth x n rows
+    # phantom in-flight epoch with poisoned giant counts
+    spark.createDataFrame(
+        [(0, 0, 10**9)], "i int, j int, cnt long"
+    ).write.parquet(os.path.join(cms_state, "epoch=deadbeef_999"))
+    after = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in read_cms_state(spark, cms_state).collect()
+    }
+    assert after == before  # the uncommitted epoch is invisible
+
+    # --- MG
+    mg_state = str(tmp_path / "mg_state")
+    q = mg_heavy_hitters_sink(
+        spark.readStream.schema("v STRING").json(str(land)),
+        mg_state, str(tmp_path / "cp_mg"), "v", k=8,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    mg_before = {
+        r["item"]: r["mg_count"]
+        for r in read_mg_state(spark, mg_state, 8).collect()
+    }
+    assert mg_before  # the 4 items all survive at k=8
+    spark.createDataFrame(
+        [("poison", 10**9)], "item string, mg_count long"
+    ).write.parquet(os.path.join(mg_state, "epoch=deadbeef_999"))
+    mg_after = {
+        r["item"]: r["mg_count"]
+        for r in read_mg_state(spark, mg_state, 8).collect()
+    }
+    assert mg_after == mg_before and "poison" not in mg_after
+
+
+def test_cusum_alarms_reader_isolation(spark, tmp_path):
+    """An alarms epoch dir whose key is NOT in the cusum state pointer
+    (in-flight or orphaned by a crash before the commit) is invisible
+    to read_cusum_alarms."""
+    import json as js
+    import os
+
+    from etl_capnz_spark.streaming.stream import (
+        cusum_sink,
+        read_cusum_alarms,
+    )
+
+    land = tmp_path / "land_ciso"
+    land.mkdir()
+    out = str(tmp_path / "ciso_out")
+    rows = [
+        {"user_id": 1, "event_id": 1,
+         "ts": "2024-01-01 00:00:01", "value": 30.0},
+    ]
+    (land / "b1.jsonl").write_text("\n".join(js.dumps(r) for r in rows))
+    src = (
+        spark.readStream.schema(
+            "user_id BIGINT, event_id BIGINT, ts STRING, value DOUBLE"
+        )
+        .json(str(land))
+        .selectExpr(
+            "user_id", "event_id", "cast(ts as timestamp) AS ts", "value"
+        )
+    )
+    q = cusum_sink(
+        src, out, str(tmp_path / "cp_ciso"), "user_id", "ts", "value",
+        "event_id", level=10.0, threshold=15.0,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = read_cusum_alarms(spark, out).collect()
+    assert len(got) == 1  # 30 - 10 = 20 > 15
+    # orphaned alarms dir from a crashed, never-committed epoch
+    spark.createDataFrame(
+        [(99, 99, None, 999.0)],
+        "user_id long, event_id long, ts timestamp, cusum double",
+    ).write.parquet(os.path.join(out, "alarms", "epoch=deadbeef_7"))
+    got2 = read_cusum_alarms(spark, out).collect()
+    assert len(got2) == 1 and got2[0]["user_id"] == 1
