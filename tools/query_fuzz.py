@@ -1055,6 +1055,100 @@ def q_outer_window(rng):
     )
 
 
+def _str_fun(rng, c):
+    """One string-function layer over expression ``c``, restricted to
+    the PROBED shared subset: substr start >= 1 (Spark treats start 0
+    as 1 and still yields n chars; DuckDB clips position 0 and yields
+    n-1 — a silent split), and ``||`` only, never CONCAT() (Spark
+    NULL-propagates CONCAT, DuckDB skips NULLs — another silent
+    split). Everything below returned identical values in both
+    engines on the round-8 probe."""
+    return rng.choice(
+        [
+            f"UPPER({c})",
+            f"LOWER({c})",
+            f"REVERSE({c})",
+            f"SUBSTR({c}, {rng.randint(1, 4)}, {rng.randint(1, 8)})",
+            f"LEFT({c}, {rng.randint(1, 6)})",
+            f"RIGHT({c}, {rng.randint(1, 6)})",
+            f"LPAD({c}, {rng.randint(3, 10)}, 'xy')",
+            f"RPAD({c}, {rng.randint(3, 10)}, 'xy')",
+            f"REPLACE({c}, '{rng.choice('aeio')}', "
+            f"'{rng.choice(['', '#'])}')",
+            f"TRIM({c})",
+            f"({c} || '_{rng.randint(0, 9)}')",
+            f"SPLIT_PART({c}, '{rng.choice([' ', 'a', '-'])}', "
+            f"{rng.randint(1, 3)})",
+        ]
+    )
+
+
+def q_string_funcs(rng):
+    """Round-8 growth 5a — the string-function surface: two composed
+    function layers over a string column, grouped on a derived length
+    key, with INSTR/POSITION feeding an aggregate so match positions
+    are compared, not just printed. MIN/MAX over the derived strings
+    exercise string comparison (both engines binary-collate the
+    ASCII test data)."""
+    t = rng.choice(AGG_TABLES)
+    strs = _cols(t, "str")
+    if not strs:
+        t = "orders"
+        strs = _cols(t, "str")
+    c = rng.choice(strs)
+    s = _str_fun(rng, _str_fun(rng, c))
+    needle = rng.choice("aeinrst")
+    inner = (
+        f"SELECT {s} AS s, LENGTH({s}) AS n, "
+        f"INSTR({s}, '{needle}') AS pos "
+        f"FROM {t} WHERE {predicate(rng, t)}"
+    )
+    return (
+        f"SELECT (n % {rng.randint(2, 5)}) AS g0, COUNT(*) AS a0, "
+        f"MIN(s) AS a1, MAX(s) AS a2, SUM(n) AS a3, SUM(pos) AS a4 "
+        f"FROM ({inner}) sub GROUP BY g0"
+    )
+
+
+def q_nulls_order(rng):
+    """Round-8 growth 5b — EXPLICIT NULLS FIRST/LAST on window order
+    keys. The r7 grammar COALESCE-wrapped every nullable order key
+    because the engines' ascending DEFAULTS split (Spark NULLS FIRST,
+    DuckDB NULLS LAST); the explicit clause is shared syntax that PINS
+    the placement, so the window can finally run on a genuinely
+    NULL-capable key (NULLIF-manufactured) instead of avoiding one.
+    The pk tiebreak keeps every shape a total order."""
+    t = rng.choice(AGG_TABLES)
+    ints = _cols(t, "int")
+    pk = _pk(t)
+    part = group_keys(rng, t)[0]
+    nkey = f"NULLIF({rng.choice(ints)} % {rng.randint(3, 9)}, 0)"
+    nf = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    dirn = rng.choice(["ASC", "DESC"])
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} "
+            f"ORDER BY {nkey} {dirn} {nf}, {pk})",
+            f"SUM(COALESCE({nkey}, -1)) OVER (PARTITION BY {part} "
+            f"ORDER BY {nkey} {dirn} {nf}, {pk} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            f"DENSE_RANK() OVER (PARTITION BY {part} "
+            f"ORDER BY {nkey} {dirn} {nf})",
+            f"FIRST_VALUE(COALESCE({nkey}, -1)) OVER (PARTITION BY "
+            f"{part} ORDER BY {nkey} {dirn} {nf}, {pk} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        ]
+    )
+    inner = (
+        f"SELECT {part} AS g0, {nkey} AS v, {fn} AS w FROM {t} "
+        f"WHERE {predicate(rng, t)}"
+    )
+    return (
+        f"SELECT g0, COUNT(*) AS a0, SUM(w) AS a1, MIN(w) AS a2, "
+        f"MAX(w) AS a3, COUNT(v) AS a4 FROM ({inner}) sub GROUP BY g0"
+    )
+
+
 SHAPES = [
     (q_scalar, 4),
     (q_group, 6),
@@ -1078,6 +1172,8 @@ SHAPES = [
     (q_decimal_mixed, 3),
     (q_interval, 3),
     (q_implicit_cast, 2),
+    (q_string_funcs, 3),
+    (q_nulls_order, 3),
 ]
 
 
