@@ -160,11 +160,11 @@ def _versioned_state_commit(
 
 
 def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The committed state of a versioned sketch sink (KMV / HLL /
-    quantile) — pointer-resolved, so a reader racing a commit sees
-    strictly the old or the new snapshot, never a mix and never an
-    in-flight version dir. A legacy flat-layout dir (pre-versioned
-    sink, not yet migrated by a commit) is read as-is.
+    """The committed state of a versioned state sink (KMV / HLL /
+    quantile sketches, alert upsert) — pointer-resolved, so a reader
+    racing a commit sees strictly the old or the new snapshot, never a
+    mix and never an in-flight version dir. A legacy flat-layout dir
+    (pre-versioned sink, not yet migrated by a commit) is read as-is.
     """
     state, _ = _versioned_state_read(spark, state_path)
     if state is None:
@@ -368,19 +368,35 @@ def upsert_alert_state(
     identifier. msgType semantics: Alert/Update upsert the latest row
     (by sent_ts), Cancel removes the identifier.
 
-    Implemented with ``foreachBatch`` + parquet state rewrite (MERGE
-    without a table format; swap in Delta MERGE where available).
+    Implemented with ``foreachBatch`` + versioned parquet state behind
+    the atomic pointer (MERGE without a table format; swap in Delta
+    MERGE where available). The pre-round-8 shape staged to a
+    ``_next`` dir and rewrote the canonical path — two full writes per
+    batch AND a crash window in the final overwrite's delete phase
+    that read as first-batch (silently dropping every current alert);
+    the versioned commit is one write, and the committed snapshot is
+    never deleted in place (:func:`_versioned_state_commit`). Read the
+    current alerts with :func:`read_sketch_state`.
     """
+    import hashlib
+    import os
+
     spark = alert_stream.sparkSession
+    run_tag = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        current, pointer = _versioned_state_read(spark, state_path)
+        epoch_key = f"{run_tag}:{epoch_id}"
+        if epoch_key in pointer["epochs"]:
+            return  # replay of a committed epoch
         incoming = batch.select(
             "identifier", "msg_type", "sent_ts",
             F.to_json(F.struct(*[F.col(c) for c in batch.columns])).alias("payload"),
         )
-        current = _read_state_parquet(spark, state_path)
         merged = (
             incoming
             if current is None
@@ -393,11 +409,7 @@ def upsert_alert_state(
             .drop("_rn")
         )
         survivors = latest.filter(F.col("msg_type") != "Cancel")
-        survivors.write.mode("overwrite").parquet(state_path + "_next")
-        # atomic-ish swap: rewrite the canonical path from the staged copy
-        spark.read.parquet(state_path + "_next").write.mode("overwrite").parquet(
-            state_path
-        )
+        _versioned_state_commit(survivors, state_path, pointer, epoch_key)
 
     return (
         alert_stream.writeStream.outputMode("append")

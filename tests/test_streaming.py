@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from etl_capnz_spark.session import read_table
 from etl_capnz_spark.streaming.stream import (
+    read_sketch_state,
     read_xml_stream,
     session_counts,
     sliding_counts,
@@ -150,7 +151,7 @@ def test_upsert_alert_state(spark, tmp_path):
     q.awaitTermination(120)
     final = {
         r["identifier"]: r["msg_type"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_sketch_state(spark, state).collect()
     }
     assert final == {"A": "Update", "B": "Alert"}  # C cancelled
 
