@@ -545,12 +545,36 @@ def compact_parquet(
     1-row aggregates (count, and the rewrite job itself is fully
     distributed).
     """
+    import os
+    import shutil
+
+    path = path.rstrip("/")
+    staged = path + "_compacted"
+    trash = path + "_precompact"
+    # crash repair: a previous compaction that died between the two
+    # renames left the data in `trash` (and possibly a complete copy in
+    # `staged`) with `path` missing — restore before doing anything
+    if not os.path.isdir(path) and os.path.isdir(trash):
+        os.rename(trash, path)
+    elif os.path.isdir(path) and os.path.isdir(trash):
+        # crash after the second rename but before cleanup: `path` is
+        # the compacted copy, `trash` is superseded — clear it or the
+        # next swap's rename would collide
+        shutil.rmtree(trash)
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    staged = path.rstrip("/") + "_compacted"
     df.repartition(n_files).write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    # swap by two renames instead of a rewrite-in-place: every crash
+    # point leaves at least one complete copy on disk (between the
+    # renames BOTH exist and the repair above restores; the pre-r8
+    # shape re-wrote `path` and a crash in its delete phase lost the
+    # landing data outright). On an object store this becomes a
+    # manifest swap — the same property a table format's log provides.
+    spark.read.parquet(staged).count()  # staged copy is complete+readable
+    os.rename(path, trash)
+    os.rename(staged, path)
+    shutil.rmtree(trash)
     return n_files
 
 
@@ -1245,13 +1269,23 @@ def frontier_schedule_stream(
     3. the round's schedule lands under ``schedule_path`` partitioned by
        round, and the selected URLs are admitted into the crawled index.
 
-    Replay-idempotent without a manifest: BOTH sinks write with dynamic
-    partition overwrite on ``round=<batch_id>``, so a re-run of a batch
-    after a crash replaces its own round's output byte-for-byte instead
-    of duplicating it. This closes the loop between ``html_outlinks``
-    (link discovery) and :func:`crawl_ingest_stream` (fetch+ingest): the
-    fetch executors read round N's schedule, fetch at their slot offsets,
-    and land pages for round N+1's discovery.
+    Replay-idempotent: BOTH sinks write with dynamic partition
+    overwrite on ``round=<batch_id>``, so a re-run of a batch after a
+    crash replaces its own round's output byte-for-byte instead of
+    duplicating it — and the anti-join reads ONLY rounds BEFORE the
+    current one (``round < batch_id``). That filter is load-bearing: a
+    crash mid-admission leaves a torn ``round=<batch_id>`` partition
+    in the crawled index, and a replay that anti-joined against its
+    own torn admissions would silently DROP those URLs from the
+    rescheduled round (admitted as crawled, never actually scheduled —
+    they'd never be crawled at all). Committed rounds are recorded in
+    the schedule dir's ``_committed.json`` ledger (after both writes);
+    :func:`read_frontier_schedule` serves external consumers only
+    committed rounds, and a committed round replays as a no-op. This
+    closes the loop between ``html_outlinks`` (link discovery) and
+    :func:`crawl_ingest_stream` (fetch+ingest): the fetch executors
+    read round N's schedule, fetch at their slot offsets, and land
+    pages for round N+1's discovery.
     """
     from etl_capnz_spark.operators.frontier import (
         build_frontier,
@@ -1260,11 +1294,17 @@ def frontier_schedule_stream(
 
     def _round(batch_df, batch_id: int):
         sess = batch_df.sparkSession
+        round_name = f"round={batch_id}"
+        committed = _read_committed_epochs(schedule_path)
+        if committed is not None and round_name in committed:
+            return  # replay of a committed round
         crawled = _read_state_parquet(sess, crawled_path)
         crawled = (
             sess.createDataFrame([], "url string")
             if crawled is None
-            else crawled.select("url")
+            else crawled.filter(
+                F.col("round") < F.lit(batch_id)
+            ).select("url")
         )
         frontier = build_frontier(
             batch_df.select(src_col, url_col), crawled, url_col
@@ -1290,12 +1330,35 @@ def frontier_schedule_stream(
             .partitionBy("round")
             .parquet(crawled_path)
         )
+        _append_committed_epoch(schedule_path, round_name, prefix="round=")
 
     return (
         links_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_round)
     )
+
+
+def read_frontier_schedule(
+    spark: SparkSession, schedule_path: str
+) -> DataFrame:
+    """The COMMITTED crawl schedule (ledger-resolved): an external
+    fetch fleet racing round N's write never reads a torn round — a
+    round is visible only after its schedule AND its crawled-index
+    admission both landed. Pre-ledger output reads unrestricted."""
+    import os
+
+    committed = _read_committed_epochs(schedule_path)
+    if committed is None:
+        return spark.read.parquet(schedule_path)
+    if not committed:
+        raise FileNotFoundError(
+            f"no committed rounds at {schedule_path}"
+        )
+    df = spark.read.option("basePath", schedule_path).parquet(
+        *[os.path.join(schedule_path, r) for r in committed]
+    )
+    return df
 
 
 def crawl_ingest_stream(

@@ -260,3 +260,101 @@ def test_robots_filter_allow_wins_length_tie(spark):
         [("a.com", "http://a.com/page/1")], "host string, url string"
     )
     assert robots_filter(frontier, rules).count() == 1
+
+
+def test_frontier_torn_round_replay_and_committed_reader(spark, tmp_path):
+    """The crash-window pins for the streaming scheduler:
+
+    1. A TORN crawled-index admission for the in-flight round must not
+       poison its own replay (the anti-join reads only round <
+       batch_id) — the replayed round reschedules the same URLs.
+    2. read_frontier_schedule serves only ledger-committed rounds: a
+       torn/uncommitted schedule partition is invisible.
+    """
+    import os
+
+    from etl_capnz_spark.streaming.stream import (
+        _read_committed_epochs,
+        frontier_schedule_stream,
+        read_frontier_schedule,
+    )
+
+    land = tmp_path / "links_t"
+    land.mkdir()
+    sched_path = str(tmp_path / "schedule_t")
+    crawled_path = str(tmp_path / "crawled_t")
+    schema = "src BIGINT, url STRING"
+
+    def run_round(cp):
+        stream = spark.readStream.schema(schema).json(str(land))
+        q = frontier_schedule_stream(
+            stream, sched_path, crawled_path, cp, k_per_host=5,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            json.dumps({"src": 1, "url": u})
+            for u in ["http://h1.com/a", "http://h1.com/b"]
+        )
+    )
+    # simulate the crash: round 0's ADMISSIONS landed (torn or whole)
+    # but the round never committed (no ledger entry, checkpoint not
+    # advanced) — the replay must still schedule a and b
+    spark.createDataFrame(
+        [("http://h1.com/a",)], "url string"
+    ).withColumn("round", F.lit(0).cast("bigint")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "round"
+    ).parquet(crawled_path)
+
+    run_round(str(tmp_path / "cp_t1"))
+    got = {
+        r["url"]
+        for r in read_frontier_schedule(spark, sched_path)
+        .filter(F.col("round") == 0)
+        .collect()
+    }
+    assert got == {"http://h1.com/a", "http://h1.com/b"}, got
+    assert _read_committed_epochs(sched_path) == ["round=0"]
+
+    # an uncommitted (torn) schedule partition is invisible to readers
+    spark.createDataFrame(
+        [(9, "http://ghost.com/x", 0, 0)],
+        "priority long, url string, slot int, start_ms long",
+    ).withColumn("round", F.lit(7).cast("bigint")).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "round"
+    ).parquet(sched_path)
+    assert os.path.isdir(os.path.join(sched_path, "round=7"))
+    vis = {
+        r["round"]
+        for r in read_frontier_schedule(spark, sched_path).collect()
+    }
+    assert vis == {0}
+
+
+def test_compact_parquet_crash_repair(spark, tmp_path):
+    """compact_parquet's two-rename swap: every crash point leaves a
+    complete copy, and the entry-time repair restores it. Simulated at
+    the worst point — after `path -> trash`, before `staged -> path`
+    (path missing entirely, the pre-r8 data-loss window)."""
+    import os
+
+    from etl_capnz_spark.streaming.stream import compact_parquet
+
+    path = str(tmp_path / "landing")
+    spark.range(100).toDF("x").repartition(8).write.parquet(path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 8
+
+    # simulate the mid-swap crash
+    os.rename(path, path + "_precompact")
+    assert not os.path.isdir(path)
+    n = compact_parquet(spark, path, target_rows_per_file=1000)
+    assert n == 1
+    got = sorted(r["x"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(100))
+    assert not os.path.isdir(path + "_precompact")
+    assert not os.path.isdir(path + "_compacted")
