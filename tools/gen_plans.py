@@ -902,6 +902,26 @@ NOTES = {
         "exactly <= n*w rows into the Arrow JW kernel. The only "
         "Python in the plan is the post-blocking verify."
     ),
+    "ml_ndcg": (
+        "One equi-join + one groupBy builds the candidates, then TWO "
+        "windows both partitioned BY QUERY (millions of small "
+        "partitions at scale, never global), a single hash aggregate "
+        "pivots the integer gains into 2k MAX columns, and DCG/IDCG "
+        "appear in the plan as ONE fixed-association expression over "
+        "literal weights (visible in the Project: 0.6309297535714575 "
+        "etc. - injected driver-side, so neither engine calls its own "
+        "log2 and no float SUM exists). The whole metric is "
+        "whole-stage-codegen arithmetic after the pivot."
+    ),
+    "token_oov_rate": (
+        "The vocab is bounded by the argument (TakeOrdered top-N on "
+        "two-phase token counts) and arrives as a BroadcastHashJoin "
+        "build side - the occurrence stream never shuffles for "
+        "membership. The two countDistincts expand to the standard "
+        "3-branch gid Expand over (doc, token) pairs: bounded 3x of "
+        "the pair stream, partial-aggregated map-side before the one "
+        "hash exchange on doc_id."
+    ),
 }
 def main() -> None:
     from etl_capnz_spark.session import get_session
