@@ -146,12 +146,17 @@ def _versioned_state_commit(
     merged.write.mode("overwrite").parquet(vdir)
     epochs = (pointer["epochs"] + [epoch_key])[-64:]
     _write_scd2_pointer(state_path, {"version": n + 1, "epochs": epochs})
-    if n == 0:
-        for e in os.listdir(state_path):
-            if e.startswith(("_", ".")):
-                continue
-            p = os.path.join(state_path, e)
-            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    # legacy flat-file sweep on EVERY commit, not just the migrating
+    # one: visible entries can only be pre-versioned leftovers (version
+    # dirs and the pointer are underscore-hidden), and a crash between
+    # the first pointer commit and its cleanup would otherwise leave
+    # the stale pre-migration snapshot on disk forever (code-review
+    # r8 continuation) — self-healing beats one-shot
+    for e in os.listdir(state_path):
+        if e.startswith(("_", ".")):
+            continue
+        p = os.path.join(state_path, e)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
     stale = n + 1 - keep_versions
     if stale >= 1:
         old = os.path.join(state_path, f"_v_{stale}")
@@ -378,13 +383,17 @@ def upsert_alert_state(
     never deleted in place (:func:`_versioned_state_commit`). Read the
     current alerts with :func:`read_sketch_state`.
     """
-    import hashlib
     import os
+    import shutil
 
     spark = alert_stream.sparkSession
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
+    # the pre-versioned sink staged to a sibling `_next` dir; a stale
+    # copy left by the old code is superseded the moment this sink
+    # exists — clear it so a full extra state snapshot doesn't linger
+    # next to the live state looking current (code-review r8 cont.)
+    if os.path.isdir(state_path + "_next"):
+        shutil.rmtree(state_path + "_next")
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -665,10 +674,22 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
     return out
 
 
-def _read_committed_epochs(out_path: str) -> "list[str] | None":
-    """The reader-side snapshot pointer (VERDICT r7 item 9): the list of
-    epoch dir names whose INDEX-manifest commit has completed. None =
-    pre-pointer output (sink ran before round 8) — read unrestricted."""
+def _run_tag(checkpoint: str) -> str:
+    """The run-identity tag every epoch-keyed sink derives from its
+    checkpoint path: replay-dedup keys are scoped per checkpoint
+    LINEAGE, so two sinks sharing a state dir but not a checkpoint
+    never mistake each other's epochs for replays. One definition —
+    a drift in any copy would silently change replay-dedup keys."""
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+
+
+def _read_committed_ledger(out_path: str) -> "dict | None":
+    """The full committed-epoch ledger dict ({"epochs": [...]} plus an
+    optional "run_tag" for sinks whose epoch names are not themselves
+    run-scoped), or None when no ledger exists yet."""
     import json
     import os
 
@@ -676,7 +697,48 @@ def _read_committed_epochs(out_path: str) -> "list[str] | None":
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return json.load(f)["epochs"]
+        return json.load(f)
+
+
+def _read_committed_epochs(out_path: str) -> "list[str] | None":
+    """The reader-side snapshot pointer (VERDICT r7 item 9): the list of
+    epoch dir names whose INDEX-manifest commit has completed. None =
+    pre-pointer output (sink ran before round 8) — read unrestricted."""
+    ledger = _read_committed_ledger(out_path)
+    return None if ledger is None else ledger["epochs"]
+
+
+def _ensure_committed_ledger(
+    out_path: str, prefix: str = "epoch_", run_tag: "str | None" = None
+) -> None:
+    """Create the committed-epoch ledger at SINK CONSTRUCTION time when
+    it doesn't exist yet (backfilling any pre-ledger epoch dirs, which
+    were visible under the old regime). Without this, a brand-new
+    sink's FIRST epoch had no ledger while mid-write, so the reader's
+    'no ledger = read unrestricted' legacy fallback re-opened exactly
+    the half-written-epoch race the ledger exists to close
+    (code-review r8 continuation). After construction the ledger
+    always exists: an empty one makes readers raise
+    no-committed-epochs instead of ingesting a torn first epoch."""
+    import json
+    import os
+
+    p = os.path.join(out_path, "_committed.json")
+    if os.path.exists(p):
+        return
+    epochs = sorted(
+        d
+        for d in (os.listdir(out_path) if os.path.isdir(out_path) else [])
+        if d.startswith(prefix) and os.path.isdir(os.path.join(out_path, d))
+    )
+    ledger: dict = {"epochs": epochs}
+    if run_tag is not None:
+        ledger["run_tag"] = run_tag
+    os.makedirs(out_path, exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, p)
 
 
 def _append_committed_epoch(
@@ -700,29 +762,29 @@ def _append_committed_epoch(
     import json
     import os
 
-    existing = _read_committed_epochs(out_path)
-    if existing is not None and epoch_name in existing:
+    ledger = _read_committed_ledger(out_path)
+    if ledger is not None and epoch_name in ledger["epochs"]:
         return  # already durably recorded
-    if existing is None:
+    if ledger is None:
         # backfill may already list epoch_name (its dir lands before the
         # commit) — the pointer FILE must still be created, so only the
         # already-recorded case above may early-return
-        epochs = sorted(
-            d
-            for d in (
-                os.listdir(out_path) if os.path.isdir(out_path) else []
+        ledger = {
+            "epochs": sorted(
+                d
+                for d in (
+                    os.listdir(out_path) if os.path.isdir(out_path) else []
+                )
+                if d.startswith(prefix)
+                and os.path.isdir(os.path.join(out_path, d))
             )
-            if d.startswith(prefix)
-            and os.path.isdir(os.path.join(out_path, d))
-        )
-    else:
-        epochs = list(existing)
-    if epoch_name not in epochs:
-        epochs.append(epoch_name)
+        }
+    if epoch_name not in ledger["epochs"]:
+        ledger["epochs"].append(epoch_name)
     os.makedirs(out_path, exist_ok=True)
     tmp = os.path.join(out_path, "_committed.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"epochs": epochs}, f)
+        json.dump(ledger, f)  # non-epoch keys (e.g. run_tag) preserved
     os.replace(tmp, os.path.join(out_path, "_committed.json"))
 
 
@@ -914,7 +976,6 @@ def incremental_dedup_sink(
 
     spark = doc_stream.sparkSession
 
-    import hashlib
 
     # epoch ids restart at 0 whenever the stream gets a fresh checkpoint
     # (a schema change forces one) — a bare epoch_id key would then
@@ -922,9 +983,11 @@ def incremental_dedup_sink(
     # batch, and `epoch_0` dirs would overwrite across runs. Commits and
     # directory names are therefore keyed by (checkpoint-derived run
     # tag, epoch).
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
+    # ledger exists from construction: a brand-new sink's first epoch
+    # is otherwise mid-write with NO ledger, and the reader's legacy
+    # fallback would ingest the torn epoch (code-review r8 cont.)
+    _ensure_committed_ledger(out_path, prefix="epoch_")
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         # serialize the whole read→dedup→commit against OTHER WRITERS
@@ -1156,14 +1219,11 @@ def kmv_distinct_sink(
     the streaming/batch twin pin, same contract as
     session_counts_dynamic and incremental_rollup.
     """
-    import hashlib
     import os
 
     from etl_capnz_spark.operators.audit import kmv_merge, kmv_sketch
 
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -1215,7 +1275,6 @@ def hll_distinct_sink(
     hll_registers over all data seen (the streaming/batch twin pin),
     and a double-merged batch leaves state identical.
     """
-    import hashlib
     import os
 
     from etl_capnz_spark.operators.frequency import (
@@ -1223,9 +1282,7 @@ def hll_distinct_sink(
         hll_registers,
     )
 
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -1292,12 +1349,36 @@ def frontier_schedule_stream(
         frontier_select,
     )
 
+    # round partitions are NUMERIC (external consumers order by them),
+    # so unlike the sketch sinks the ledger keys carry no run tag — the
+    # ledger itself records the checkpoint lineage instead, and a
+    # mismatch fails LOUDLY below rather than silently skipping the new
+    # lineage's early batches as "committed replays" (code-review r8
+    # continuation). Like every accumulating sink here, schedule/crawled
+    # dirs live and die with their checkpoint.
+    run_tag = _run_tag(checkpoint)
+    _ensure_committed_ledger(schedule_path, prefix="round=", run_tag=run_tag)
+
     def _round(batch_df, batch_id: int):
         sess = batch_df.sparkSession
         round_name = f"round={batch_id}"
-        committed = _read_committed_epochs(schedule_path)
+        ledger = _read_committed_ledger(schedule_path)
+        committed = None if ledger is None else ledger["epochs"]
+        if (
+            ledger is not None
+            and ledger.get("run_tag") not in (None, run_tag)
+        ):
+            raise RuntimeError(
+                f"schedule dir {schedule_path} belongs to a different "
+                f"checkpoint lineage (ledger run_tag "
+                f"{ledger.get('run_tag')!r} != {run_tag!r}). Batch ids "
+                "restart on a fresh checkpoint, so continuing would "
+                "silently skip rounds / re-admit crawled URLs — clear "
+                "the schedule and crawled dirs together with the "
+                "checkpoint, or resume with the original checkpoint."
+            )
         if committed is not None and round_name in committed:
-            return  # replay of a committed round
+            return  # replay of a committed round (same lineage)
         crawled = _read_state_parquet(sess, crawled_path)
         crawled = (
             sess.createDataFrame([], "url string")
@@ -1457,14 +1538,12 @@ def cms_sketch_sink(
     cells (a silent undercount, the worst failure mode for a counting
     sketch). Committed epochs replay as no-ops.
     """
-    import hashlib
     import os
 
     from etl_capnz_spark.operators.frequency import cms_build
 
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
+    _ensure_committed_ledger(state_path, prefix="epoch=")
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         epoch_name = f"epoch={run_tag}_{epoch_id}"
@@ -1547,14 +1626,12 @@ def mg_heavy_hitters_sink(
     and the reader folds ONLY committed epochs (a half-written summary
     would silently undercount an item straight past the MG guarantee).
     """
-    import hashlib
     import os
 
     from etl_capnz_spark.operators.frequency import misra_gries_candidates
 
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
+    _ensure_committed_ledger(state_path, prefix="epoch=")
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         epoch_name = f"epoch={run_tag}_{epoch_id}"
@@ -1680,7 +1757,6 @@ def scd2_sink(
     pointer lives in a table format's log — the crash ordering here is
     exactly the property that log provides.
     """
-    import hashlib
     import os
     import shutil
 
@@ -1689,9 +1765,7 @@ def scd2_sink(
     from etl_capnz_spark.sinks.warehouse import scd2_apply
 
     spark = update_stream.sparkSession
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         pointer = _read_scd2_pointer(dim_path)
@@ -1819,7 +1893,6 @@ def quantile_sketch_sink(
     seen — the streaming/batch twin pin, same contract as
     kmv_distinct_sink and incremental_rollup.
     """
-    import hashlib
     import os
 
     from etl_capnz_spark.operators.audit import (
@@ -1827,9 +1900,7 @@ def quantile_sketch_sink(
         quantile_sketch_merge,
     )
 
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -1885,7 +1956,6 @@ def cusum_sink(
     State is one row per group FOREVER (a double), the ideal streaming
     state bound; quiet groups carry their level forward unchanged.
     """
-    import hashlib
     import os
     import shutil
 
@@ -1894,9 +1964,7 @@ def cusum_sink(
     from etl_capnz_spark.operators.timeseries import cusum_step
 
     state_path = os.path.join(out_path, "state")
-    run_tag = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:8]
+    run_tag = _run_tag(checkpoint)
 
     def _merge(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -1953,20 +2021,27 @@ def read_cusum_alarms(spark: SparkSession, out_path: str) -> DataFrame:
     orphaned by a crash — the replay rewrites it byte-identically and
     then commits): reading it early would surface alarms that the next
     replay could still be recomputing. The pointer's epoch keys ARE the
-    committed set, so this reads exactly those dirs. Empty-batch epochs
-    commit without an alarms dir — they are skipped, not errors."""
+    committed set, so this reads exactly those dirs — and a COMMITTED
+    epoch whose alarms dir is missing is corruption (the sink writes an
+    alarms dir every epoch, empty batches included), reported loudly
+    rather than silently vanishing from the readout."""
     import os
 
     state_path = os.path.join(out_path, "state")
     alarms = os.path.join(out_path, "alarms")
     pointer = _read_scd2_pointer(state_path)
+    if not pointer["epochs"]:
+        raise FileNotFoundError(f"no committed CUSUM alarms at {alarms}")
     paths = [
         os.path.join(alarms, f"epoch={key.replace(':', '_')}")
         for key in pointer["epochs"]
     ]
-    paths = [p for p in paths if os.path.isdir(p)]
-    if not paths:
-        raise FileNotFoundError(f"no committed CUSUM alarms at {alarms}")
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"committed CUSUM epoch(s) missing their alarms dir "
+            f"(deleted/partial restore?): {missing}"
+        )
     return spark.read.parquet(*paths)
 
 

@@ -2084,3 +2084,145 @@ def test_cusum_alarms_reader_isolation(spark, tmp_path):
     ).write.parquet(os.path.join(out, "alarms", "epoch=deadbeef_7"))
     got2 = read_cusum_alarms(spark, out).collect()
     assert len(got2) == 1 and got2[0]["user_id"] == 1
+
+
+def test_fresh_sink_first_epoch_isolation_and_lineage_guard(spark, tmp_path):
+    """Code-review r8 continuation fixes:
+
+    1. The committed ledger exists from SINK CONSTRUCTION, so a reader
+       racing a brand-new sink's FIRST epoch raises
+       no-committed-epochs instead of falling back to an unrestricted
+       read that would ingest the torn epoch.
+    2. frontier_schedule_stream fails LOUDLY when the schedule dir
+       belongs to a different checkpoint lineage (batch ids restart at
+       0 — continuing would silently skip rounds).
+    3. A committed cusum epoch whose alarms dir is missing is loud
+       corruption, not a silent skip.
+    """
+    import json as js
+    import os
+    import shutil
+
+    from etl_capnz_spark.streaming.stream import (
+        _read_committed_epochs,
+        cms_sketch_sink,
+        cusum_sink,
+        frontier_schedule_stream,
+        read_cms_state,
+        read_cusum_alarms,
+        read_frontier_schedule,
+    )
+
+    # (1) constructing the sink creates an EMPTY ledger; a torn first
+    # epoch (present on disk, not committed) is invisible -> loud
+    land = tmp_path / "land_fresh"
+    land.mkdir()
+    cms_state = str(tmp_path / "fresh_cms_state")
+    stream = spark.readStream.schema("v STRING").json(str(land))
+    cms_sketch_sink(stream, cms_state, str(tmp_path / "cp_fresh"), "v")
+    assert _read_committed_epochs(cms_state) == []
+    spark.createDataFrame(
+        [(0, 0, 10**9)], "i int, j int, cnt long"
+    ).write.parquet(os.path.join(cms_state, "epoch=torn_0"))
+    with pytest.raises(FileNotFoundError, match="no committed epochs"):
+        read_cms_state(spark, cms_state)
+
+    # (2) lineage guard: run one committed round, then restart with a
+    # FRESH checkpoint against the same schedule/crawled dirs
+    sched_path = str(tmp_path / "lg_schedule")
+    crawled_path = str(tmp_path / "lg_crawled")
+    (land / "b1.jsonl").write_text(
+        js.dumps({"src": 1, "url": "http://h1.com/a"})
+    )
+
+    def run_frontier(cp):
+        s = spark.readStream.schema("src BIGINT, url STRING").json(
+            str(land)
+        )
+        q = frontier_schedule_stream(
+            s, sched_path, crawled_path, cp
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_frontier(str(tmp_path / "cp_lg1"))
+    assert read_frontier_schedule(spark, sched_path).count() == 1
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="lineage"):
+        run_frontier(str(tmp_path / "cp_lg2"))
+
+    # (3) cusum: deleting a committed alarms dir is loud corruption
+    out = str(tmp_path / "lg_cusum")
+    (land / "c1.jsonl").write_text(
+        js.dumps({"user_id": 1, "event_id": 1,
+                  "ts": "2024-01-01 00:00:01", "value": 30.0})
+    )
+    src = (
+        spark.readStream.schema(
+            "user_id BIGINT, event_id BIGINT, ts STRING, value DOUBLE"
+        )
+        .json(str(land))
+        .selectExpr(
+            "user_id", "event_id", "cast(ts as timestamp) AS ts", "value"
+        )
+    )
+    q = cusum_sink(
+        src, out, str(tmp_path / "cp_lg3"), "user_id", "ts", "value",
+        "event_id", level=10.0, threshold=15.0,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    alarms_dirs = os.listdir(os.path.join(out, "alarms"))
+    shutil.rmtree(os.path.join(out, "alarms", alarms_dirs[0]))
+    with pytest.raises(FileNotFoundError, match="missing their alarms"):
+        read_cusum_alarms(spark, out)
+
+
+def test_versioned_state_selfhealing_sweep_and_next_cleanup(spark, tmp_path):
+    """(a) A stray visible file in a versioned state dir (the signature
+    of a crash between the migrating pointer commit and its legacy
+    cleanup) is swept by the NEXT commit, not left forever. (b) The
+    pre-versioned upsert sink's stale `_next` staging dir is cleared at
+    construction."""
+    import json as js
+    import os
+
+    from etl_capnz_spark.streaming.stream import (
+        kmv_distinct_sink,
+        upsert_alert_state,
+    )
+
+    land = tmp_path / "land_sweep"
+    land.mkdir()
+    state = str(tmp_path / "sweep_state")
+    cp = str(tmp_path / "cp_sweep")
+
+    def run_batch():
+        s = spark.readStream.schema(
+            "event_type STRING, user_id BIGINT"
+        ).json(str(land))
+        q = kmv_distinct_sink(
+            s, state, cp, ["event_type"], "user_id", k=16
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        js.dumps({"event_type": "view", "user_id": 1})
+    )
+    run_batch()
+    # stray legacy leftover lands AFTER the first commit
+    stray = os.path.join(state, "part-legacy-leftover.parquet")
+    open(stray, "wb").write(b"junk")
+    (land / "b2.jsonl").write_text(
+        js.dumps({"event_type": "view", "user_id": 2})
+    )
+    run_batch()
+    assert not os.path.exists(stray)  # self-healing sweep
+
+    # (b) stale _next staging dir cleared at construction
+    up_state = str(tmp_path / "up_state")
+    os.makedirs(up_state + "_next")
+    stream = spark.readStream.schema(
+        "identifier STRING, msg_type STRING, sent_ts TIMESTAMP"
+    ).json(str(land))
+    upsert_alert_state(stream, up_state, str(tmp_path / "cp_up"))
+    assert not os.path.isdir(up_state + "_next")
