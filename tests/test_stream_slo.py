@@ -72,6 +72,7 @@ def test_slo_artifact_covers_every_benched_path():
         "crawl_ingest",
         "frontier_rounds",
         "feed_stream",
+        "sketch_fold",
     }
     for name, p in slo["paths"].items():
         assert p["p95_budget_ms"] >= p["measured_p95_ms"], name
@@ -93,4 +94,44 @@ def test_p95_within_budget(spark, tmp_path, path_name):
     assert p95 <= budget, (
         f"{path_name}: p95 {p95:.0f} ms exceeds SLO budget {budget:.0f} ms "
         f"on 1/10th-size data — regression"
+    )
+
+
+def test_slo_replay_sketch_fold(spark, tmp_path):
+    """sf0.01 replay of the versioned KMV sketch-fold path (per-batch
+    sketch build + committed-state merge + _v_<n+1> write + pointer
+    commit) inside the recorded sf0.1 budget — the regression net for
+    the versioned-state discipline's per-batch cost."""
+    from etl_capnz_spark.streaming.stream import kmv_distinct_sink
+
+    events = read_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "in_sketch_fold")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cp = str(tmp_path / "cp_sketch_fold")
+    q = (
+        kmv_distinct_sink(
+            stream, str(tmp_path / "state_sketch_fold"), cp,
+            ["event_type"], "user_id", k=64,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lat = [
+        float(p["durationMs"]["triggerExecution"])
+        for p in (json.loads(pp.json) for pp in q.recentProgress)
+        if p.get("numInputRows", 0) > 0
+        and "triggerExecution" in p["durationMs"]
+    ]
+    assert lat, "sketch_fold: no batches with input rows recorded"
+    p95 = _pctl(lat, 0.95)
+    assert p95 <= _budget("sketch_fold"), (
+        f"sketch_fold p95 {p95}ms over budget"
     )

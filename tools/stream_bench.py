@@ -41,6 +41,7 @@ from etl_capnz_spark.streaming.stream import (  # noqa: E402
     crawl_ingest_stream,
     frontier_schedule_stream,
     interval_join_streams,
+    kmv_distinct_sink,
     running_user_totals,
     session_counts,
     sliding_counts,
@@ -194,6 +195,21 @@ def main() -> None:
             .writeStream.format("parquet")
             .option("path", out)
             .outputMode("append"),
+        )
+        # versioned sketch fold (round-8 continuation): per-batch KMV
+        # build + merge with the committed state, one _v_<n+1> write +
+        # pointer commit per epoch — measures the versioned-state
+        # discipline's per-batch cost (pointer IO + snapshot write)
+        bench(
+            "sketch_fold",
+            lambda out: kmv_distinct_sink(
+                _stream(spark, path),
+                os.path.join(out, "state"),
+                os.path.join(base, "cp_sketch_fold"),
+                ["event_type"],
+                "user_id",
+                k=64,
+            ),
         )
         # crawl ingest: HTML pages (documents wrapped in the contract's
         # crawl template) → extraction → gate → manifest dedup sink.
