@@ -8239,6 +8239,28 @@ def _q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_privacy_randomized_response(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local-DP frequency estimation (operators/audit.py
+    randomized_response_counts): per event-type share of high-value
+    events (value > 50) collected under per-row randomized response —
+    seeded md5 coins (no RNG), 25% flip (ε≈1.1), EXACT-RATIONAL
+    debiasing with a single final division. The one privacy mechanism
+    that can be oracle-exact: Laplace/Gaussian need ln/erf, whose
+    last-ULP behavior differs across engines."""
+    from etl_capnz_spark.operators.audit import randomized_response_counts
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value") > 50.0).alias("hi"),
+    )
+    return randomized_response_counts(
+        ev, "event_type", "hi", "event_id", seed="rr1", flip_bp=2500
+    )
+
+
 def _q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's VARIANT type over the semi-structured props column —
     the OPEN-schema twin of events_props_json: try_parse_json encodes
@@ -8762,6 +8784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_variant": _q_events_props_variant,
         "ml_conformal": _q_ml_conformal,
         "privacy_k_anon": _q_privacy_k_anon,
+        "privacy_randomized_response": _q_privacy_randomized_response,
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
@@ -13702,6 +13725,33 @@ def oracle_sql() -> dict[str, str]:
                                    / n_test::DOUBLE, 6)
                    END AS coverage
             FROM scored, counts""",
+        "privacy_randomized_response": """
+            -- randomized-response replay: same seeded md5 coin (the
+            -- conv(substr(md5,1,13),16,10) 52-bit trick), same
+            -- flipped-report CASE, same exact-rational debias with one
+            -- final division
+            WITH src AS (
+              SELECT event_type,
+                     (value > 50.0) AS hi,
+                     (('0x' || substr(md5('rr1' || event_id::VARCHAR),
+                                      1, 13))::BIGINT % 10000) < 2500
+                       AS flipped
+              FROM events),
+            rep AS (
+              SELECT event_type,
+                     CASE WHEN flipped THEN NOT hi ELSE hi END AS r
+              FROM src),
+            per AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(CASE WHEN r THEN 1 ELSE 0 END)::BIGINT
+                       AS n_reported_true
+              FROM rep GROUP BY event_type)
+            SELECT event_type, n, n_reported_true,
+                   round((10000 * n_reported_true - 2500 * n)::DOUBLE
+                         / 5000.0, 6) AS est_true,
+                   round((10000 * n_reported_true - 2500 * n)::DOUBLE
+                         / (5000.0 * n::DOUBLE), 6) AS est_rate
+            FROM per""",
         "privacy_k_anon": """
             SELECT c_mktsegment, c_nationkey,
                    count(*)::BIGINT AS n,

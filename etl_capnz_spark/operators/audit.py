@@ -969,3 +969,75 @@ def k_anonymity(
             (F.col("n_sensitive") < l_div).alias("l_violation"),
         )
     )
+
+
+def randomized_response_counts(
+    df: DataFrame,
+    group_col: str,
+    truth_col: str,
+    id_col: str,
+    seed: str = "rr1",
+    flip_bp: int = 2500,
+) -> DataFrame:
+    """Local-DP frequency estimation via randomized response — the
+    privacy mechanism that IS oracle-exact, where Laplace/Gaussian
+    noise can never be (their inverse CDFs need ln/erf, whose
+    last-ULP behavior differs across libm implementations): each row
+    reports its true boolean with probability 1 − flip_bp/10⁴ and the
+    flipped value otherwise, the coin being a seeded md5 of the row id
+    — deterministic, reproducible, and replayable by any engine with
+    md5. That per-row plausible deniability is ε-local-DP with
+    ε = ln((10⁴−flip_bp)/flip_bp) (ε ≈ 1.1 at the 25% default).
+
+    The collector never sees the truth column in the aggregate — only
+    the reported bits — and debiases per group with the EXACT-RATIONAL
+    estimator: E[obs] = p·T + (1−p)(n−T) solves to
+    T̂ = (10⁴·obs − flip_bp·n) / (10⁴ − 2·flip_bp), an integer
+    numerator and denominator with a single float division at the end
+    (the house q9 discipline — no float accumulates).
+
+    One narrow projection + one groupBy; the only shuffle carries
+    (group, n, obs). Output: (group_col, n, n_reported_true,
+    est_true, est_rate) — est_true can legitimately fall outside
+    [0, n] on small groups (the unbiasedness/clamping trade-off,
+    reported un-clamped so the caller sees the noise floor).
+    """
+    if not 0 < flip_bp < 5000:
+        raise ValueError("flip_bp must be in (0, 5000): p must exceed 1/2")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    flipped = (u % 10000) < flip_bp
+    reported = F.when(
+        flipped, ~F.col(truth_col).cast("boolean")
+    ).otherwise(F.col(truth_col).cast("boolean"))
+    per = (
+        df.select(F.col(group_col).alias("grp"), reported.alias("_r"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("_r").cast("int")).cast("bigint").alias(
+                "n_reported_true"
+            ),
+        )
+    )
+    denom = 10000 - 2 * flip_bp
+    num = F.lit(10000) * F.col("n_reported_true") - F.lit(flip_bp) * F.col("n")
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_reported_true",
+        F.round(num.cast("double") / F.lit(float(denom)), 6).alias(
+            "est_true"
+        ),
+        F.round(
+            num.cast("double") / (F.lit(float(denom)) * F.col("n").cast("double")),
+            6,
+        ).alias("est_rate"),
+    )

@@ -586,3 +586,60 @@ def test_k_anonymity_flags_small_and_uniform_classes(spark):
     assert lv["n"] == 4 and not lv["k_violation"] and lv["l_violation"]
     nu = got[(None, 9)]
     assert nu["n"] == 3 and not nu["k_violation"] and not nu["l_violation"]
+
+
+def test_randomized_response_exact_debias_and_privacy(spark):
+    """The RR estimator is EXACT on the reported bits: recomputing
+    T_hat from (n, n_reported_true) by hand reproduces est_true, and
+    with flip_bp -> 0 the mechanism is the identity (est == truth).
+    The reported column must differ from the truth on exactly the
+    seeded-coin rows, independent of partitioning."""
+    import pyspark.sql.functions as F
+
+    from etl_capnz_spark.operators.audit import randomized_response_counts
+
+    rows = [(i % 3, i, i % 2 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp int, id long, truth boolean")
+
+    got = {
+        r["grp"]: r
+        for r in randomized_response_counts(
+            df, "grp", "truth", "id", seed="t1", flip_bp=2500
+        ).collect()
+    }
+    for g, r in got.items():
+        want = round((10000 * r["n_reported_true"] - 2500 * r["n"]) / 5000.0, 6)
+        assert r["est_true"] == want
+        assert r["est_rate"] == round(want / r["n"], 6)
+
+    # flip probability ~0 -> estimator returns the exact truth
+    ident = {
+        r["grp"]: r["est_true"]
+        for r in randomized_response_counts(
+            df, "grp", "truth", "id", seed="t1", flip_bp=1
+        ).collect()
+    }
+    true_counts = {
+        r["grp"]: r["t"]
+        for r in df.groupBy("grp")
+        .agg(F.sum(F.col("truth").cast("int")).alias("t"))
+        .collect()
+    }
+    # with 300 rows and p_flip = 1e-4 the seeded coins flip nobody
+    for g in true_counts:
+        assert abs(ident[g] - true_counts[g]) < 0.2
+
+    # partitioning invariance: coins depend only on (seed, id)
+    got2 = {
+        r["grp"]: (r["n"], r["n_reported_true"])
+        for r in randomized_response_counts(
+            df.repartition(13), "grp", "truth", "id", seed="t1",
+            flip_bp=2500,
+        ).collect()
+    }
+    assert got2 == {g: (r["n"], r["n_reported_true"]) for g, r in got.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        randomized_response_counts(df, "grp", "truth", "id", flip_bp=5000)
