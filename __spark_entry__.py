@@ -8239,6 +8239,23 @@ def _q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending counters (operators/timeseries.py decayed_counts):
+    per event-type recency-weighted count with a 7-day half-life
+    against the corpus end date — every weight is the exact integer
+    2³⁰ >> (age div 7), so the aggregate is a bigint SUM with no
+    float-order hazard and the oracle replays it verbatim."""
+    from etl_capnz_spark.operators.timeseries import decayed_counts
+
+    return decayed_counts(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "ts",
+        ref_date="2024-01-31",
+        half_life_days=7,
+    )
+
+
 def _q_privacy_randomized_response(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8785,6 +8802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_conformal": _q_ml_conformal,
         "privacy_k_anon": _q_privacy_k_anon,
         "privacy_randomized_response": _q_privacy_randomized_response,
+        "events_decayed_counts": _q_events_decayed_counts,
         "ml_lift_gains": _q_ml_lift_gains,
         "events_power": _q_events_power,
         "graph_adamic_adar": _q_graph_adamic_adar,
@@ -13725,6 +13743,24 @@ def oracle_sql() -> dict[str, str]:
                                    / n_test::DOUBLE, 6)
                    END AS coverage
             FROM scored, counts""",
+        "events_decayed_counts": """
+            -- decayed-counter replay: same integer micro-unit weight
+            -- 2^30 >> (age div 7), same bigint sum, one final unscale
+            WITH w AS (
+              SELECT event_type,
+                     (1073741824::BIGINT >> greatest(0, least(62,
+                        date_diff('day', ts::DATE, DATE '2024-01-31')
+                        // 7))::INT) AS wt
+              FROM events),
+            per AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(wt)::BIGINT AS ws
+              FROM w GROUP BY event_type)
+            SELECT event_type, n,
+                   round(ws::DOUBLE / 1073741824.0, 6) AS decayed_count,
+                   round(ws::DOUBLE / (1073741824.0 * n::DOUBLE), 6)
+                     AS decay_ratio
+            FROM per""",
         "privacy_randomized_response": """
             -- randomized-response replay: same seeded md5 coin (the
             -- conv(substr(md5,1,13),16,10) 52-bit trick), same

@@ -1054,3 +1054,62 @@ def forecast_backtest(
         ),
     )
 
+
+
+def decayed_counts(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    ref_date: str,
+    half_life_days: int = 7,
+) -> DataFrame:
+    """Time-decayed ("trending") counters — the recency-weighted count
+    a feed ranker or hot-topic monitor keeps per key: each event
+    contributes weight 2^(−steps) where steps = age_days div
+    half_life_days (piecewise-constant exponential decay, halving once
+    per half-life). The power-of-2 base is the point: every weight is
+    the exact integer 2³⁰ >> steps in micro-units, so the aggregate is
+    a plain bigint SUM — order-independent, partition-independent, and
+    oracle-exact, where an e^(−λ·age) weight would hit both the libm
+    ln/exp divergence AND the float-sum ordering hazard (the q9
+    class). The single float is the final unscale division.
+
+    One narrow projection + one two-phase hash aggregate; only
+    (group, n, weight-sum) tuples shuffle. Events from after
+    ``ref_date`` (negative age) clamp to full weight rather than
+    amplifying — a decayed counter never exceeds 1 per event.
+
+    Output: (group_col, n, decayed_count, decay_ratio) — decayed_count
+    = Σ weights (≤ n), decay_ratio = decayed_count / n, both 6dp.
+    """
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be positive")
+    # SQL form because the python-API shift helpers take only literal
+    # counts; greatest(0, ...) clamps future events to full weight and
+    # least(62, ...) keeps the shift in bigint range
+    w = F.expr(
+        f"shiftright(1073741824L, cast(greatest(0, least(62, "
+        f"datediff(cast('{ref_date}' as date), cast(`{ts_col}` as date)) "
+        f"div {int(half_life_days)})) as int))"
+    )
+    per = (
+        df.select(F.col(group_col).alias("grp"), w.alias("_w"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_w").cast("bigint").alias("_ws"),
+        )
+    )
+    unscale = 1073741824.0
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.round(F.col("_ws").cast("double") / F.lit(unscale), 6).alias(
+            "decayed_count"
+        ),
+        F.round(
+            F.col("_ws").cast("double")
+            / (F.lit(unscale) * F.col("n").cast("double")),
+            6,
+        ).alias("decay_ratio"),
+    )

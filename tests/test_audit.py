@@ -643,3 +643,35 @@ def test_randomized_response_exact_debias_and_privacy(spark):
 
     with _pytest.raises(ValueError):
         randomized_response_counts(df, "grp", "truth", "id", flip_bp=5000)
+
+
+def test_decayed_counts_exact_weights_and_clamps(spark):
+    """Hand-checkable decay ladder: events 0/7/14/70/700 days old at
+    half-life 7 weigh exactly 1, 1/2, 1/4, 2^-10, 0 (shift-out); a
+    FUTURE event clamps to full weight, never amplifies."""
+    from etl_capnz_spark.operators.timeseries import decayed_counts
+
+    import pytest as _pytest
+
+    rows = [
+        ("a", "2024-01-31 12:00:00"),   # age 0 -> 1
+        ("a", "2024-01-24 00:00:00"),   # age 7 -> 1/2
+        ("a", "2024-01-17 00:00:00"),   # age 14 -> 1/4
+        ("b", "2023-11-22 00:00:00"),   # age 70 -> 2^-10
+        ("b", "2022-03-02 00:00:00"),   # age 700 -> steps 100 -> clamp 62 -> 0
+        ("c", "2024-02-10 00:00:00"),   # FUTURE -> clamp to 1
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts_s string").selectExpr(
+        "grp", "cast(ts_s as timestamp) AS ts"
+    )
+    got = {
+        r["grp"]: r
+        for r in decayed_counts(df, "grp", "ts", "2024-01-31", 7).collect()
+    }
+    assert got["a"]["n"] == 3 and got["a"]["decayed_count"] == 1.75
+    assert got["b"]["decayed_count"] == round(2**-10, 6)
+    assert got["c"]["decayed_count"] == 1.0  # future event clamped
+    assert got["a"]["decay_ratio"] == round(1.75 / 3, 6)
+
+    with _pytest.raises(ValueError):
+        decayed_counts(df, "grp", "ts", "2024-01-31", 0)
