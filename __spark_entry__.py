@@ -8548,6 +8548,22 @@ def _q_ml_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("query", "custkey")
 
 
+def _q_ml_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 (operators/mlmetrics.py recall_at_k):
+    hits@k / R over the shared candidate build — exact integer counts
+    from one aggregate, the only float is the final division."""
+    from etl_capnz_spark.operators.mlmetrics import recall_at_k
+
+    return recall_at_k(
+        _retrieval_candidates(spark, sf_dir),
+        "o_custkey",
+        "l_partkey",
+        "score_cents",
+        "rel",
+        k=10,
+    ).withColumnRenamed("query", "custkey")
+
+
 def _q_ml_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query average precision@10, exact-rational
     (operators/mlmetrics.py map_at_k): AP's inner precision sum carried
@@ -8820,6 +8836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_ndcg": _q_ml_ndcg,
         "ml_mrr": _q_ml_mrr,
         "ml_map": _q_ml_map,
+        "ml_recall": _q_ml_recall,
         "drift_psi": _q_drift_psi,
         "anno_kappa": _q_anno_kappa,
         "fuzzy_phonetic_block": _q_fuzzy_phonetic_block,
@@ -14443,6 +14460,20 @@ def oracle_sql() -> dict[str, str]:
         "ml_ndcg": _oracle_ml_ndcg(10),
         "ml_mrr": _oracle_ml_mrr(10),
         "ml_map": _oracle_ml_map(10),
+        "ml_recall": f"""
+            WITH {_RETRIEVAL_CAND_SQL},
+            per AS (
+              SELECT custkey, count(*)::BIGINT AS n_items,
+                     sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_rel,
+                     coalesce(sum(CASE WHEN rel > 0 AND rnk <= 10
+                       THEN 1 ELSE 0 END), 0)::BIGINT AS hits_at_k
+              FROM ranked GROUP BY custkey)
+            SELECT custkey, n_items, n_rel, hits_at_k,
+                   CASE WHEN n_rel > 0 THEN
+                     round(hits_at_k::DOUBLE / n_rel::DOUBLE, 6)
+                   END AS recall
+            FROM per""",
         "drift_psi": """
             -- PSI replay: same least(9, n_chars//500) bucketing,
             -- full-outer union domain, Laplace (n+1)/(N+K) shares

@@ -1398,3 +1398,48 @@ def map_at_k(
             ),
         ).alias("ap"),
     )
+
+
+def recall_at_k(
+    df: DataFrame,
+    query_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query recall@k — the retrieval-eval family's coverage
+    readout (ndcg = position quality, mrr = first hit, map = averaged
+    precision, this = how much of the relevant set the cutoff
+    captures): hits@k / R with R the query's relevant candidates over
+    the FULL list. Exact integer counts from one aggregate over the
+    shared ranked frame; the only float is the final division (NULL
+    when R = 0 — no ranking could score).
+
+    Output: (query, n_items, n_rel, hits_at_k, recall) 6dp.
+    """
+    ranked = _ranked_candidates(df, query_col, item_col, score_col, rel_col)
+    per = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("rel") > 0).cast("bigint")).alias("n_rel"),
+        F.coalesce(
+            F.sum(
+                ((F.col("rel") > 0) & (F.col("rank") <= k)).cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("hits_at_k"),
+    )
+    return per.select(
+        "query",
+        "n_items",
+        "n_rel",
+        "hits_at_k",
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.col("hits_at_k").cast("double")
+                / F.col("n_rel").cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )

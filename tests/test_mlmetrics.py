@@ -853,3 +853,27 @@ def test_retrieval_metrics_k_cutoff_and_ties(spark):
     assert mr["first_rel_rank"] is None and mr["rr"] == 0.0
     ap = map_at_k(df, "q", "it", "s", "r", k=3).collect()[0]
     assert ap["n_rel"] == 1 and ap["ap_num"] == 0 and ap["ap"] == 0.0
+
+
+def test_recall_at_k_hand_case(spark):
+    """recall@k on the same fixture family: hits inside the cutoff over
+    ALL relevant; the rank-k+1 relevant item counts for R but not
+    hits."""
+    from etl_capnz_spark.operators.mlmetrics import recall_at_k
+
+    rows = [
+        ("A", "i1", 100, 3),
+        ("A", "i2", 90, 0),
+        ("A", "i3", 80, 2),
+        ("A", "i4", 70, 1),
+        ("B", "j1", 50, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, it string, s long, r int")
+    got = {
+        r["query"]: r
+        for r in recall_at_k(df, "q", "it", "s", "r", k=3).collect()
+    }
+    # A: relevant at ranks 1,3,4 -> 2 of 3 inside k=3
+    assert got["A"]["n_rel"] == 3 and got["A"]["hits_at_k"] == 2
+    assert got["A"]["recall"] == round(2 / 3, 6)
+    assert got["B"]["n_rel"] == 0 and got["B"]["recall"] is None
