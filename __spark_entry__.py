@@ -4493,6 +4493,73 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_index_path(sf_dir: str, flavor: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        tempfile.gettempdir(),
+        "etl_capnz_spark_indexes",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+        flavor,
+    )
+
+
+def _ensure_pq_index(spark: SparkSession, sf_dir: str, ivf: bool) -> str:
+    """Build-once cache for the persisted PQ / IVF-PQ index (the
+    training fixed cost, recorded in CAPACITY §24): training is
+    deterministic, so a cached index is bit-identical to a rebuild —
+    ``_meta.json`` lands LAST (atomic replace) as the commit marker."""
+    from etl_capnz_spark.operators.similarity import build_pq_index
+
+    flavor = "ivfpq_m8c8" if ivf else "pq_m8c8"
+    path = _pq_index_path(sf_dir, flavor)
+    if not os.path.exists(os.path.join(path, "_meta.json")):
+        emb = _t(spark, sf_dir, "embeddings")
+        build_pq_index(
+            emb, path, "vec_id", "embedding", m=8, n_cells=8, iters=2,
+            dim=64, ivf_cells=8 if ivf else None,
+        )
+    return path
+
+
+def _q_knn_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ probe-only serving (VERDICT r8 #2): ADC shortlist + exact
+    rerank over the PERSISTED :func:`build_pq_index` index — zero
+    training in the query, so an ADC/rerank regression is visible
+    standalone instead of hiding inside the ~10 s fixed k-1-barrier
+    training cost. Row-identical to knn_pq (same params, deterministic
+    training, doubles round-trip parquet bit-exactly) — the oracle IS
+    _KNN_PQ_ORACLE."""
+    from etl_capnz_spark.operators.similarity import pq_probe_index
+
+    path = _ensure_pq_index(spark, sf_dir, ivf=False)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_probe_index(
+        spark, path, qs, "vec_id", "embedding", k=5, shortlist=75
+    )
+
+
+def _q_knn_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe-only serving: n_probe cell selection against the
+    tiny persisted centroids, then an ``ivf_cell IN (...)`` scan of the
+    cell-PARTITIONED codes (partition pruning at file-listing time —
+    the build_ivf_index contract applied to compressed codes), ADC,
+    exact rerank. Row-identical to knn_ivfpq; oracle IS
+    _KNN_IVFPQ_ORACLE."""
+    from etl_capnz_spark.operators.similarity import pq_probe_index
+
+    path = _ensure_pq_index(spark, sf_dir, ivf=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_probe_index(
+        spark, path, qs, "vec_id", "embedding", k=5, shortlist=75,
+        n_probe=3,
+    )
+
+
 def _q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ serving shape: k-means cells prune WHICH vectors
     are scored (n_probe of ivf_cells), PQ codes compress HOW (ADC on
@@ -5909,9 +5976,12 @@ def _q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder (operators/multimodal.py phash_ppm): payloads are planted
     with exact duplicate images (pixel seed = doc_id % 100, media_id
     unique), hashed through the Arrow kernel, and clustered by hash —
-    the shuffle carries (id, 3-hex hash), never pixels. Hash kernel is
-    imperative numpy → rows-only; tests/test_multimodal.py pins the
-    distributed hashes EXACTLY against phash_reference and the cluster
+    the shuffle carries (id, 3-hex hash), never pixels. Oracle-exact
+    since round 9: the bit decision block_mean > global_mean reduces to
+    EXACT integers (12·S_block > S_total — gray's /3 and the /4,/12
+    means cancel), verified identical to phash_reference for all 100
+    planted seeds; tests/test_multimodal.py additionally pins the
+    distributed hashes against phash_reference and the cluster
     structure against the planted seeds."""
     from etl_capnz_spark.operators.multimodal import (
         phash_ppm,
@@ -8628,7 +8698,7 @@ def _oracle_ml_ndcg(k: int = 10) -> str:
               SELECT custkey, rnk,
                      row_number() OVER (PARTITION BY custkey
                        ORDER BY rel DESC, item ASC) AS irnk,
-                     (1 << rel) - 1 AS gain
+                     (1::BIGINT << rel) - 1 AS gain
               FROM ranked),
             piv AS (
               SELECT custkey, count(*)::BIGINT AS n_items,
@@ -9022,6 +9092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pca": _q_knn_pca,
         "knn_pq": _q_knn_pq,
         "knn_ivfpq": _q_knn_ivfpq,
+        "knn_pq_indexed": _q_knn_pq_indexed,
+        "knn_ivfpq_indexed": _q_knn_ivfpq_indexed,
         "media_resize": _q_media_resize,
     }
 
@@ -10794,6 +10866,38 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT unnest(generate_series(0, 3)) AS y),
                    (SELECT unnest(generate_series(0, 2)) AS c))
             GROUP BY doc_id""",
+        "media_phash_dedup": """
+            -- average-hash replay in EXACT integers (rows-only -> exact,
+            -- VERDICT r8 #6): the bit decision block_mean > global_mean
+            -- over the closed-form 8x6 pixels reduces to
+            -- 12*S_block > S_total with S in raw byte units (gray =
+            -- (r+g+b)/3 cancels) -- verified identical to
+            -- phash_reference for ALL 100 planted seeds (seed_mod=100)
+            WITH px AS (
+              SELECT doc_id,
+                     ((i // 3) // 8) // 2 AS by,
+                     ((i // 3) % 8) // 2 AS bx,
+                     ((doc_id % 100) * 7 + i * 13) % 256 AS v
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 143)) AS i)),
+            blocks AS (
+              SELECT doc_id, by, bx, sum(v)::BIGINT AS s
+              FROM px GROUP BY doc_id, by, bx),
+            tot AS (
+              SELECT doc_id, sum(s)::BIGINT AS st
+              FROM blocks GROUP BY doc_id),
+            hashes AS (
+              SELECT b.doc_id,
+                     sum(CASE WHEN 12 * s > st
+                         THEN 1 << (11 - (by * 4 + bx)) ELSE 0 END
+                        )::BIGINT AS val
+              FROM blocks b JOIN tot USING (doc_id)
+              GROUP BY b.doc_id)
+            SELECT printf('%03x', val) AS phash,
+                   count(*)::BIGINT AS n_images,
+                   min(doc_id)::BIGINT AS representative_id
+            FROM hashes
+            GROUP BY printf('%03x', val)""",
         "media_ppm_decode": """
             SELECT doc_id AS media_id, 8 AS width, 6 AS height,
                    round(avg(CASE WHEN i % 3 = 0 THEN val END), 6)
@@ -13789,7 +13893,8 @@ def oracle_sql() -> dict[str, str]:
                      (('0x' || substr(md5('rr1' || event_id::VARCHAR),
                                       1, 13))::BIGINT % 10000) < 2500
                        AS flipped
-              FROM events),
+              FROM events
+              WHERE event_id IS NOT NULL AND value IS NOT NULL),
             rep AS (
               SELECT event_type,
                      CASE WHEN flipped THEN NOT hi ELSE hi END AS r
@@ -15262,6 +15367,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_IVF_ORACLE,
         "knn_pq": _KNN_PQ_ORACLE,
         "knn_ivfpq": _KNN_IVFPQ_ORACLE,
+        # probe-only serving over the persisted index is row-identical
+        # to the train-inline operators (deterministic training +
+        # bit-exact parquet round-trip) — same oracle replays
+        "knn_pq_indexed": _KNN_PQ_ORACLE,
+        "knn_ivfpq_indexed": _KNN_IVFPQ_ORACLE,
         "text_repetition": f"""
             WITH uni AS (
               SELECT doc_id, unnest(list_filter(

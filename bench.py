@@ -118,6 +118,30 @@ def _calibrate() -> float:
         return -1.0
 
 
+def _host_factor(attempts: list, ref, ref_ok: bool) -> float:
+    """Normalization factor: MIN over every calibration sample of every
+    attempt / ref, clamped at 1.0 (timings are per-query MIN across the
+    same attempts, so the factor comes from the same cleanest window; a
+    faster-than-reference host must not TIGHTEN budgets)."""
+    samples = [
+        s for a in attempts for s in (a["before_sec"], a["after_sec"]) if s > 0
+    ]
+    if not (ref_ok and samples):
+        return 1.0
+    return max(1.0, round(min(samples) / ref, 3))
+
+
+def _is_contended(last: dict, ref, ref_ok: bool, threshold: float) -> bool:
+    """Contamination verdict on the FINAL attempt's WORSE sample —
+    min() let BENCH_r08's mid-run contamination (before 1.50s, after
+    3.83s vs ref 1.65) record contended:false (VERDICT r8 #1)."""
+    worst = max(
+        (s for s in (last["before_sec"], last["after_sec"]) if s > 0),
+        default=-1.0,
+    )
+    return bool(ref_ok and worst > 0 and worst / ref >= threshold)
+
+
 def main() -> None:
     if "--calibrate" in sys.argv:
         print(_calibrate_inprocess())
@@ -179,39 +203,80 @@ def main() -> None:
                 # bench vs 4.4 s standalone before this)
                 gc.collect()
 
-    # settle before probing: the bench JVM runs background GC /
-    # cleanup for a few seconds after a full pass, and a probe spawned
-    # into that window reads 4x on an idle host
-    gc.collect()
-    spark._jvm.System.gc()
-    time.sleep(5.0)
-    calib_before = _calibrate()
+    # Envelopes + calibration reference load EARLY: the dirty-window
+    # auto-rerun below needs ref_sec before the timed passes finish.
+    env_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_ENVELOPES.json"
+    )
+    envelopes = None
+    if os.path.exists(env_path):
+        with open(env_path) as f:
+            envelopes = json.load(f)
+    calib = (envelopes or {}).get("calibration", {})
+    ref = calib.get("ref_sec")
+    ref_ok = bool(ref) and calib.get("cpus") == int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
 
     # TWO timed passes, per-query MIN: a single JVM stall (one observed
     # full-GC pause put an 8 s spike on one query of an otherwise-idle
     # run) lands on one pass only, and min-of-2 is the steady-state
     # number the envelope budgets actually model. Sustained contention
     # still shows: it inflates BOTH passes and the calibration samples.
+    #
+    # Contamination honesty (VERDICT r8 "what's wrong" #1): BENCH_r08
+    # went contended MID-RUN — before-sample clean (1.50s vs 1.65 ref),
+    # after-sample 3.83s, loadavg 3.4->17 — and the old min()-based
+    # host_factor read 1.0 with contended:false, presenting +16%
+    # uniform host noise as raw truth. Now: a window whose WORSE sample
+    # exceeds dirty_threshold x ref auto-reruns the timed passes once
+    # (per-query MIN merges across attempts, so the cleaner window
+    # wins), and `contended` reports the FINAL window's worse sample —
+    # a contaminated run can no longer be recorded as raw truth.
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in names:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sec = round(time.time() - t0, 3)
-            if name not in timings or sec < timings[name]:
-                timings[name] = sec
-            gc.collect()
-
-    gc.collect()
-    spark._jvm.System.gc()
-    time.sleep(5.0)
-    calib_after = _calibrate()
-    try:
-        load_after = os.getloadavg()[0]
-    except OSError:
-        load_after = -1.0
+    attempts: list[dict] = []
+    dirty_threshold = calib.get("dirty_threshold", 1.5)
+    for _attempt in range(2):
+        # settle before probing: the bench JVM runs background GC /
+        # cleanup for a few seconds after a full pass, and a probe
+        # spawned into that window reads 4x on an idle host
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(5.0)
+        calib_before = _calibrate()
+        for _ in range(2):
+            for name in names:
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = round(time.time() - t0, 3)
+                if name not in timings or sec < timings[name]:
+                    timings[name] = sec
+                gc.collect()
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(5.0)
+        calib_after = _calibrate()
+        try:
+            load_after = os.getloadavg()[0]
+        except OSError:
+            load_after = -1.0
+        attempts.append(
+            {
+                "before_sec": calib_before,
+                "after_sec": calib_after,
+                "loadavg_after": round(load_after, 2),
+            }
+        )
+        dirty = (
+            ref_ok
+            and calib_before > 0
+            and calib_after > 0
+            and max(calib_before, calib_after) / ref >= dirty_threshold
+        )
+        if not dirty:
+            break
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -227,46 +292,31 @@ def main() -> None:
     # timing against its recorded budget so a noise wiggle is
     # distinguishable from a real regression without eyeballing history.
     # Budgets only apply at the envelope's recorded sf. Timings are
-    # normalized by host_factor (the worse of the two calibration
-    # samples over the idle-host reference) so a contended fleet host
-    # can't record false violations — BENCH_r04's failure mode.
-    env_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_ENVELOPES.json"
-    )
-    if os.path.exists(env_path):
-        with open(env_path) as f:
-            envelopes = json.load(f)
-        calib = envelopes.get("calibration", {})
-        ref = calib.get("ref_sec")
-        host_factor = 1.0
-        if (
-            ref
-            and calib_before > 0
-            and calib_after > 0
-            and calib.get("cpus")
-            == int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        ):
-            # MIN of the two probes: sustained contention (the r4
-            # failure mode - a loaded fleet host for the whole round)
-            # inflates both, while a one-sided transient (bench JVM
-            # background GC, a passing cron task) inflates only one
-            # and must not flag an idle run. Clamp below at 1.0: a
-            # faster-than-reference host must not TIGHTEN budgets
-            # (that would manufacture violations out of the reference
-            # host's slowness, the same lie in the other direction).
-            host_factor = max(
-                1.0, round(min(calib_before, calib_after) / ref, 3)
-            )
+    # normalized by host_factor so a contended fleet host can't record
+    # false violations — BENCH_r04's failure mode.
+    if envelopes is not None:
+        # host_factor from the MIN over ALL samples of ALL attempts:
+        # timings are per-query MIN across the same attempts, so the
+        # normalization factor comes from the same (cleanest) window.
+        # Clamp below at 1.0: a faster-than-reference host must not
+        # TIGHTEN budgets (that would manufacture violations out of
+        # the reference host's slowness, the same lie in the other
+        # direction).
+        host_factor = _host_factor(attempts, ref, ref_ok)
+        last = attempts[-1]
         out["calibration"] = {
-            "before_sec": calib_before,
-            "after_sec": calib_after,
+            "before_sec": last["before_sec"],
+            "after_sec": last["after_sec"],
             "ref_sec": ref,
             "host_factor": host_factor,
             "loadavg_before": round(load_before, 2),
-            "loadavg_after": round(load_after, 2),
+            "loadavg_after": last["loadavg_after"],
+            "attempts": attempts,
         }
-        out["contended"] = host_factor >= calib.get(
-            "contended_threshold", 1.3
+        # true means even the auto-rerun window was dirty and the raw
+        # numbers are not idle-host truth
+        out["contended"] = _is_contended(
+            last, ref, ref_ok, calib.get("contended_threshold", 1.3)
         )
         if sf == envelopes.get("sf"):
             violations = {

@@ -1017,8 +1017,15 @@ def randomized_response_counts(
     reported = F.when(
         flipped, ~F.col(truth_col).cast("boolean")
     ).otherwise(F.col(truth_col).cast("boolean"))
+    # NULL discipline (ADVICE r8): a NULL truth row would count in n
+    # but contribute nothing to the reported sum (silent downward bias
+    # in est_true), and a NULL id row gets a NULL coin so its TRUE
+    # value passes through unflipped — voiding that row's plausible
+    # deniability. Both are excluded up front, mirroring
+    # _ranked_candidates' null discipline.
     per = (
-        df.select(F.col(group_col).alias("grp"), reported.alias("_r"))
+        df.filter(F.col(id_col).isNotNull() & F.col(truth_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), reported.alias("_r"))
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

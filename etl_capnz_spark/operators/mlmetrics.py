@@ -1258,9 +1258,16 @@ def ndcg_at_k(
     )
     both = ranked.withColumn("irank", F.row_number().over(wi)).withColumn(
         # exact integer gain 2^rel − 1 (the python API's shiftleft
-        # takes only a literal count; the SQL form shifts by a column)
+        # takes only a literal count; the SQL form shifts by a column).
+        # BIGINT base: an int base masks the shift mod 32, so rel ≥ 31
+        # would silently wrap to negative/zero gains — out-of-range rel
+        # raises instead of wrapping (ADVICE r8)
         "gain",
-        F.expr("shiftleft(1, rel) - 1"),
+        F.expr(
+            "CASE WHEN rel BETWEEN 0 AND 62 THEN shiftleft(1L, rel) - 1 "
+            "ELSE raise_error(concat('ndcg_at_k: graded relevance must "
+            "be in [0, 62], got ', cast(rel as string))) END"
+        ),
     )
     aggs = [F.count(F.lit(1)).alias("n_items")]
     for i in range(1, k + 1):

@@ -1084,6 +1084,13 @@ def decayed_counts(
     """
     if half_life_days <= 0:
         raise ValueError("half_life_days must be positive")
+    # ref_date is interpolated into an F.expr SQL string below: a
+    # malformed (or quote-carrying) value must fail HERE as a clear
+    # ValueError, not as a confusing parse error at plan time — the
+    # half_life_days int() discipline applied to the date (ADVICE r8)
+    import datetime
+
+    ref_date = datetime.date.fromisoformat(str(ref_date)).isoformat()
     # SQL form because the python-API shift helpers take only literal
     # counts; greatest(0, ...) clamps future events to full weight and
     # least(62, ...) keeps the shift in bigint range

@@ -157,11 +157,23 @@ def _versioned_state_commit(
             continue
         p = os.path.join(state_path, e)
         (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
-    stale = n + 1 - keep_versions
-    if stale >= 1:
-        old = os.path.join(state_path, f"_v_{stale}")
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+    # sweep EVERY version at or below the retention floor, not just
+    # the single computed index: a crash between the pointer write and
+    # the prune (or a skipped commit) would otherwise orphan that one
+    # _v_ dir forever — no later commit re-targets it (ADVICE r8)
+    floor = n + 1 - keep_versions
+    if floor >= 1:
+        for e in os.listdir(state_path):
+            if not e.startswith("_v_"):
+                continue
+            try:
+                i = int(e[3:])
+            except ValueError:
+                continue
+            if i <= floor:
+                old = os.path.join(state_path, e)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
 
 
 def read_sketch_state(spark: SparkSession, state_path: str) -> DataFrame:
@@ -733,7 +745,15 @@ def _ensure_committed_ledger(
     )
     ledger: dict = {"epochs": epochs}
     if run_tag is not None:
-        ledger["run_tag"] = run_tag
+        # Backfilled epochs came from an UNKNOWN (pre-ledger) lineage:
+        # stamping the new run_tag would let the lineage guard pass and
+        # a FRESH checkpoint's batch ids 0..N early-return as
+        # "committed replays" — output silently never written (ADVICE
+        # r8). The sentinel makes the lineage check fail LOUDLY on the
+        # first batch instead (refuse semantics: lineage of pre-ledger
+        # dirs is unknowable, so the operator must clear the sink dirs
+        # together with the checkpoint — a one-time migration cost).
+        ledger["run_tag"] = "__pre_ledger__" if epochs else run_tag
     os.makedirs(out_path, exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
@@ -1368,6 +1388,16 @@ def frontier_schedule_stream(
             ledger is not None
             and ledger.get("run_tag") not in (None, run_tag)
         ):
+            if ledger.get("run_tag") == "__pre_ledger__":
+                raise RuntimeError(
+                    f"schedule dir {schedule_path} holds round= dirs "
+                    "that predate the committed-rounds ledger, so their "
+                    "checkpoint lineage is unknowable. Continuing could "
+                    "silently skip rounds (fresh checkpoint restarts "
+                    "batch ids inside the backfilled range) — clear the "
+                    "schedule and crawled dirs together with the "
+                    "checkpoint and re-run."
+                )
             raise RuntimeError(
                 f"schedule dir {schedule_path} belongs to a different "
                 f"checkpoint lineage (ledger run_tag "

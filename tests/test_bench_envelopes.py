@@ -63,3 +63,29 @@ def test_latest_recorded_bench_within_envelopes():
         and t / host_factor > env["queries"][q]["budget_sec"]
     }
     assert not over, f"queries over budget (normalized): {over}"
+
+
+def test_host_factor_uses_cleanest_window():
+    # r8 shape: clean before, contaminated after -> factor from the
+    # clean sample (timings min-merge across the same attempts)
+    attempts = [{"before_sec": 1.50, "after_sec": 3.83}]
+    assert bench._host_factor(attempts, 1.65, True) == 1.0
+    # sustained contention inflates every sample -> factor rises
+    attempts = [
+        {"before_sec": 3.3, "after_sec": 3.4},
+        {"before_sec": 3.2, "after_sec": 3.5},
+    ]
+    assert bench._host_factor(attempts, 1.65, True) == round(3.2 / 1.65, 3)
+    # failed probes (-1.0) are ignored; no usable sample -> 1.0
+    assert bench._host_factor([{"before_sec": -1.0, "after_sec": -1.0}], 1.65, True) == 1.0
+    assert bench._host_factor(attempts, 1.65, False) == 1.0
+
+
+def test_contended_judges_worse_sample():
+    # the BENCH_r08 failure mode: one-sided mid-run contamination must
+    # flag contended (old min()-based verdict said false)
+    last = {"before_sec": 1.50, "after_sec": 3.83}
+    assert bench._is_contended(last, 1.65, True, 1.3) is True
+    assert bench._is_contended({"before_sec": 1.6, "after_sec": 1.7}, 1.65, True, 1.3) is False
+    # cpus-mismatched reference never judges
+    assert bench._is_contended(last, 1.65, False, 1.3) is False

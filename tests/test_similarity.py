@@ -334,3 +334,58 @@ def test_pq_fit_partition_invariant(spark, sf_dir):
         (r["sub"], r["cell"]): tuple(r["centroid"]) for r in df.collect()
     }
     assert as_map(a) == as_map(b)
+
+
+def test_pq_index_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """Persisted PQ / IVF-PQ index (VERDICT r8 #2): the probe-only path
+    must be ROW-IDENTICAL to the train-inline operators (deterministic
+    training + bit-exact parquet round-trip is the whole oracle-reuse
+    argument), and the IVF probe must read codes through
+    PartitionFilters on ivf_cell."""
+    from etl_capnz_spark.operators.similarity import (
+        build_pq_index,
+        ivfpq_topk,
+        pq_probe_index,
+        pq_topk_rerank,
+    )
+    from etl_capnz_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id % 50 = 0")
+
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=8, n_cells=8, iters=2, dim=64)
+    probe = pq_probe_index(spark, path, qs, k=5, shortlist=75)
+    inline = pq_topk_rerank(
+        emb, qs, k=5, shortlist=75, m=8, n_cells=8, iters=2, dim=64
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, probe.collect()), key=lambda t: (t[0], t[3])) \
+        == sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3]))
+
+    ipath = str(tmp_path / "ivfpq")
+    build_pq_index(emb, ipath, m=8, n_cells=8, iters=2, dim=64, ivf_cells=8)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        iprobe = pq_probe_index(
+            spark, ipath, qs, k=5, shortlist=75, n_probe=3
+        )
+        irows = sorted(
+            map(tuple, iprobe.collect()), key=lambda t: (t[0], t[3])
+        )
+        plan = iprobe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    iinline = ivfpq_topk(
+        emb, qs, k=5, shortlist=75, ivf_cells=8, n_probe=3, m=8,
+        pq_cells=8, iters=2, dim=64,
+    )
+    assert irows == sorted(
+        map(tuple, iinline.collect()), key=lambda t: (t[0], t[3])
+    )
+    scan_line = next(
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "/codes" in ln
+    )
+    tail = scan_line.split("PartitionFilters")[1][:100]
+    assert "ivf_cell" in tail and " IN " in tail
