@@ -272,6 +272,7 @@ def lsh_cross_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int | None = None,
+    base_is_keys: bool = False,
 ) -> DataFrame:
     """Cross-corpus LSH: candidate (new_id, base_id) pairs between an
     incoming corpus and an existing one — the "dedupe the new crawl
@@ -294,21 +295,35 @@ def lsh_cross_candidates(
     is represented by its min base_id — each new doc pairs with ONE
     representative, which is the actual decision ("is this new doc a dup
     of something ingested?") at 1/B the volume.
+
+    ``base_is_keys=True`` takes ``sig_base`` as a PRECOMPUTED band-key
+    table — (id, band_key[, sig_key]) rows, the persisted-index shape
+    :func:`streaming.stream.incremental_neardup_sink` maintains — so
+    probing a batch reads the index instead of recomputing base
+    signatures (the "band keys precomputed and bucketed at ingest time"
+    scale path promised above). With ``max_bucket`` the index must
+    carry ``sig_key`` (``band_keys(..., with_sig=True)``).
     """
     if max_bucket is None:
         n = band_keys(sig_new, id_col, num_hashes, bands).withColumnRenamed(
             "id", "new_id"
         )
-        b = band_keys(sig_base, id_col, num_hashes, bands).withColumnRenamed(
-            "id", "base_id"
-        )
+        b = (
+            sig_base.select("id", "band_key")
+            if base_is_keys
+            else band_keys(sig_base, id_col, num_hashes, bands)
+        ).withColumnRenamed("id", "base_id")
         return n.join(b, "band_key").select("new_id", "base_id").distinct()
     # One union lineage with a side tag (window form — see the comment in
     # lsh_candidates): base-row counts come from SUM(is_base) windows over
     # band_key then bkey, so neither side's signature pipeline is
     # re-evaluated, and the final cold join's two arms share one exchange.
     n = band_keys(sig_new, id_col, num_hashes, bands, with_sig=True)
-    b = band_keys(sig_base, id_col, num_hashes, bands, with_sig=True)
+    b = (
+        sig_base.select("id", "band_key", "sig_key")
+        if base_is_keys
+        else band_keys(sig_base, id_col, num_hashes, bands, with_sig=True)
+    )
     u = n.withColumn("_side", F.lit("n")).unionByName(
         b.withColumn("_side", F.lit("b"))
     )

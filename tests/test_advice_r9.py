@@ -55,7 +55,7 @@ def test_frontier_stream_raises_on_pre_ledger_dir(spark, tmp_path):
     q = frontier_schedule_stream(
         stream, sched, crawled, checkpoint=ckpt
     ).trigger(availableNow=True).start()
-    with pytest.raises(Exception, match="predate the committed-rounds"):
+    with pytest.raises(Exception, match="predate the committed-epochs"):
         q.awaitTermination()
         raise RuntimeError(str(q.exception() or "no error"))
 

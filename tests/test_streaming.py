@@ -2226,3 +2226,97 @@ def test_versioned_state_selfhealing_sweep_and_next_cleanup(spark, tmp_path):
     ).json(str(land))
     upsert_alert_state(stream, up_state, str(tmp_path / "cp_up"))
     assert not os.path.isdir(up_state + "_next")
+
+
+def test_incremental_neardup_sink(spark, tmp_path):
+    """VERDICT r8 #5 — streaming near-dup dedup over the persisted LSH
+    band index: (1) streamed drop set ≡ batch lsh_cross_candidates over
+    (batch₂, committed survivors), (2) idempotent replay, (3)
+    committed-epoch reader isolation (a torn epoch dir is invisible)."""
+    import json as js
+    import os
+
+    from etl_capnz_spark.operators.dedup import (
+        lsh_cross_candidates,
+        minhash_signatures,
+    )
+    from etl_capnz_spark.streaming.stream import (
+        incremental_neardup_sink,
+        read_neardup_output,
+    )
+
+    land = tmp_path / "nd_land"
+    land.mkdir()
+    out = str(tmp_path / "nd_out")
+    idx = str(tmp_path / "nd_idx")
+    cp = str(tmp_path / "nd_cp")
+
+    texts = {
+        1: "severe weather warning issued for the northern region today",
+        2: "river levels rising rapidly near the coastal settlements",
+        3: "volcanic activity observed at the central plateau overnight",
+        4: "road closures expected across the alpine passes this weekend",
+    }
+    b2 = {
+        11: texts[1],  # cross-batch near-dup of doc 1 -> dropped
+        12: "new geothermal vent discovered by the survey team",
+        13: "ferry sailings cancelled due to heavy swell conditions",
+        14: "ferry sailings cancelled due to heavy swell conditions",
+        # ^ intra-batch dup of 13 -> dropped (greedy min-id)
+    }
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id BIGINT, text STRING"
+        ).option("maxFilesPerTrigger", 1).json(str(land))
+        q = incremental_neardup_sink(
+            stream, out, idx, cp
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    (land / "b1.jsonl").write_text(
+        "\n".join(
+            js.dumps({"doc_id": k, "text": v}) for k, v in texts.items()
+        )
+    )
+    run()
+    (land / "b2.jsonl").write_text(
+        "\n".join(js.dumps({"doc_id": k, "text": v}) for k, v in b2.items())
+    )
+    run()
+
+    got = {
+        r["doc_id"] for r in read_neardup_output(spark, out).collect()
+    }
+    assert got == {1, 2, 3, 4, 12, 13}
+
+    # (1) equivalence: the cross-dropped ids match the BATCH operator
+    # over (batch2 sigs, committed-survivor sigs) exactly
+    base = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    newb = spark.createDataFrame(
+        [(k, v) for k, v in b2.items()], "doc_id long, text string"
+    )
+    cross = lsh_cross_candidates(
+        minhash_signatures(newb, "text", "doc_id"),
+        minhash_signatures(base, "text", "doc_id"),
+        "doc_id",
+    )
+    batch_cross_drops = {r["new_id"] for r in cross.collect()}
+    streamed_cross_drops = {11}  # 14 is the intra-batch drop
+    assert batch_cross_drops == streamed_cross_drops
+
+    # (2) idempotent replay: re-running with no new files is a no-op
+    run()
+    assert {
+        r["doc_id"] for r in read_neardup_output(spark, out).collect()
+    } == {1, 2, 3, 4, 12, 13}
+
+    # (3) reader isolation: a torn (uncommitted) epoch dir is invisible
+    spark.createDataFrame(
+        [(999, "torn epoch row")], "doc_id long, text string"
+    ).write.parquet(os.path.join(out, "epoch_torn_9"))
+    assert {
+        r["doc_id"] for r in read_neardup_output(spark, out).collect()
+    } == {1, 2, 3, 4, 12, 13}
