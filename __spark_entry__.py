@@ -2458,6 +2458,62 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_docs(spark, sf_dir), "text", num_merges=10)
 
 
+def _q_tok_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py, round 9 — the EM twin of bpe_merges): seed
+    substring candidates → hard-EM Viterbi re-segmentation → prune,
+    with driver-bounded vocab state and INTEGER micro-log-unit piece
+    scores injected as shared literals (the ndcg_weights discipline, so
+    the DP is an exact bigint sum). Iterative driver-side EM → rows-only
+    here; tests/test_unigram.py pins seed, train, and encode EXACTLY
+    against a pure-Python reference."""
+    from etl_capnz_spark.operators.unigram import (
+        unigram_train,
+        unigram_vocab_df,
+    )
+
+    vocab = unigram_train(
+        _docs(spark, sf_dir).limit(400),
+        "text",
+        vocab_size=80,
+        max_piece_len=3,
+        seed_size=120,
+        iters=2,
+    )
+    return unigram_vocab_df(spark, vocab)
+
+
+def _q_tok_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode with the trained unigram vocabulary: per-word
+    Viterbi under the final integer scores as a pure HOF fold (no
+    Python, no shuffle), pieces flattened per doc. Rows-only (the
+    trained scores are data-derived); exactness pinned in
+    tests/test_unigram.py."""
+    from etl_capnz_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_train(
+        docs.limit(400),
+        "text",
+        vocab_size=80,
+        max_piece_len=3,
+        seed_size=120,
+        iters=2,
+    )
+    enc = unigram_encode(
+        docs.limit(400), "text", "doc_id", vocab, max_piece_len=3
+    )
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.try_element_at(F.col("pieces"), F.lit(1)).alias("first_piece"),
+        F.try_element_at(F.col("pieces"), F.lit(-1)).alias("last_piece"),
+    )
+
+
 def _q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token PMI (pointwise mutual information) — the
     collocation statistic behind phrase mining / tokenizer-merge scoring:
@@ -8829,6 +8885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_inverted_index": _q_text_inverted_index,
         "text_pmi": _q_text_pmi,
         "bpe_merges": _q_bpe_merges,
+        "tok_unigram_train": _q_tok_unigram_train,
+        "tok_unigram_encode": _q_tok_unigram_encode,
         "dedup_components": _q_dedup_components,
         "split_leakage_safe": _q_split_leakage_safe,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,

@@ -1149,6 +1149,92 @@ def q_nulls_order(rng):
     )
 
 
+def q_join_types(rng):
+    """Round-9 growth 6a (VERDICT r8 item 7) — two-table joins in the
+    full SHARED join-type vocabulary: INNER / LEFT OUTER / SEMI / ANTI.
+    The shared syntax is the bare ``SEMI JOIN`` / ``ANTI JOIN`` (probed:
+    Spark also parses LEFT SEMI, DuckDB's parser does not). Compound ON
+    clauses put a RIGHT-side predicate inside the join condition — the
+    classic pushdown trap where outer/semi/anti semantics differ from a
+    WHERE; SEMI/ANTI project only left columns by construction."""
+    pairs = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    lt, lc, rt, rc = rng.choice(pairs)
+    jt = rng.choice(["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"])
+    on = f"t0.{lc} = t1.{rc}"
+    if rng.random() < 0.5:
+        on += f" AND {predicate(rng, rt, 't1')}"
+    keys = group_keys(rng, lt, "t0")
+    aliased = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+    if jt in ("JOIN", "LEFT JOIN") and rng.random() < 0.5:
+        aggs = agg_exprs(rng, rt, "t1")
+    else:
+        aggs = agg_exprs(rng, lt, "t0")
+    where = (
+        f" WHERE {predicate(rng, lt, 't0')}"
+        if rng.random() < 0.5
+        else ""
+    )
+    return (
+        f"SELECT {', '.join(aliased + aggs)} FROM {lt} t0 "
+        f"{jt} {rt} t1 ON {on}{where} GROUP BY {', '.join(keys)}"
+    )
+
+
+def q_group_computed(rng):
+    """Round-9 growth 6b — GROUP BY COMPUTED expressions (arithmetic,
+    CASE ladders, SUBSTR/UPPER/concat), repeated verbatim in the SELECT
+    list: the expression-canonicalization path (does the optimizer
+    recognize the SELECT copy as the grouping expression?) that plain
+    column keys never exercise."""
+    t = rng.choice(AGG_TABLES)
+    exprs = [int_expr(rng, t)]
+    if rng.random() < 0.6:
+        exprs.append(str_expr(rng, t))
+    aliased = [f"{e} AS g{i}" for i, e in enumerate(exprs)]
+    aggs = agg_exprs(rng, t)
+    where = (
+        f" WHERE {predicate(rng, t)}" if rng.random() < 0.6 else ""
+    )
+    return (
+        f"SELECT {', '.join(aliased + aggs)} FROM {t}{where} "
+        f"GROUP BY {', '.join(exprs)}"
+    )
+
+
+def q_having(rng):
+    """Round-9 growth 6c — HAVING over aggregates of EXPRESSIONS,
+    including aggregates absent from the SELECT list (the binder must
+    resolve them against the group, not the projection) and boolean
+    combinations of aggregate predicates."""
+    t = rng.choice(AGG_TABLES)
+    keys = group_keys(rng, t)
+    aliased = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+    aggs = agg_exprs(rng, t)
+    e = int_expr(rng, t)
+    choices = [
+        f"SUM({e}) > {rng.randint(0, 500)}",
+        f"COUNT(*) >= {rng.randint(1, 20)}",
+        f"COUNT(DISTINCT {e}) >= {rng.randint(1, 5)}",
+        f"MIN({e}) <> MAX({e})",
+    ]
+    hv = rng.choice(choices)
+    if rng.random() < 0.4:
+        hv = f"({hv}) AND ({rng.choice(choices)})"
+    where = (
+        f" WHERE {predicate(rng, t)}" if rng.random() < 0.5 else ""
+    )
+    return (
+        f"SELECT {', '.join(aliased + aggs)} FROM {t}{where} "
+        f"GROUP BY {', '.join(keys)} HAVING {hv}"
+    )
+
+
 SHAPES = [
     (q_scalar, 4),
     (q_group, 6),
@@ -1174,6 +1260,9 @@ SHAPES = [
     (q_implicit_cast, 2),
     (q_string_funcs, 3),
     (q_nulls_order, 3),
+    (q_join_types, 4),
+    (q_group_computed, 3),
+    (q_having, 3),
 ]
 
 
