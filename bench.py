@@ -61,6 +61,12 @@ HEADLINE = [
     # training (10 integer full-batch gradient iterations)
     "dedup_substring_spans",
     "text_lr_train",
+    # round 9: probe-only ANN serving over the persisted PQ/IVF-PQ
+    # index (ADC shortlist + exact rerank, zero training in the timed
+    # path — the index builds once during warmup), so an ADC/rerank
+    # regression is visible standalone (VERDICT r8 #2)
+    "knn_pq_indexed",
+    "knn_ivfpq_indexed",
 ]
 
 
