@@ -73,6 +73,7 @@ def test_slo_artifact_covers_every_benched_path():
         "frontier_rounds",
         "feed_stream",
         "sketch_fold",
+        "neardup_fold",
     }
     for name, p in slo["paths"].items():
         assert p["p95_budget_ms"] >= p["measured_p95_ms"], name
@@ -134,4 +135,44 @@ def test_slo_replay_sketch_fold(spark, tmp_path):
     p95 = _pctl(lat, 0.95)
     assert p95 <= _budget("sketch_fold"), (
         f"sketch_fold p95 {p95}ms over budget"
+    )
+
+
+def test_slo_replay_neardup_fold(spark, tmp_path):
+    """sf0.01 replay of the incremental near-dup ingest path (per-batch
+    MinHash/LSH probe against the committed band index + survivor
+    admission + one ledger commit) inside the recorded sf0.1 budget."""
+    from etl_capnz_spark.streaming.stream import incremental_neardup_sink
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "in_neardup")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        incremental_neardup_sink(
+            stream,
+            str(tmp_path / "out_neardup"),
+            str(tmp_path / "idx_neardup"),
+            str(tmp_path / "cp_neardup"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    lat = [
+        float(p["durationMs"]["triggerExecution"])
+        for p in (json.loads(pp.json) for pp in q.recentProgress)
+        if p.get("numInputRows", 0) > 0
+        and "triggerExecution" in p["durationMs"]
+    ]
+    assert lat, "neardup_fold: no batches with input rows recorded"
+    p95 = _pctl(lat, 0.95)
+    assert p95 <= _budget("neardup_fold"), (
+        f"neardup_fold p95 {p95}ms over budget"
     )

@@ -124,6 +124,7 @@ def main() -> None:
     ap.add_argument("--chunk-budget", type=int, default=2400)
     ap.add_argument("--entry-budget", type=int, default=900)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--workers", type=int, default=3)
     args = ap.parse_args()
 
     import __spark_entry__ as mod
@@ -174,11 +175,24 @@ def main() -> None:
         with open(OUT, "w") as f:
             json.dump(art, f, indent=1)
 
+    # chunks run CONCURRENTLY (each is its own local[8] JVM; the
+    # 32-cpu host takes `--workers` of them side by side — a serial
+    # sweep at sf1.0 costs 3-4 h of wall, mostly single-chunk idle)
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    lock = threading.Lock()
+
+    def record_locked(got: dict) -> None:
+        with lock:
+            record(got)
+
     t0 = time.time()
-    for i in range(0, len(light), args.chunk):
+
+    def do_light_chunk(i: int) -> None:
         chunk = light[i : i + args.chunk]
         got, timed_out = run_chunk(chunk, args.chunk_budget)
-        record(got)
+        record_locked(got)
         missing = [n for n in chunk if n not in got]
         if missing:
             print(
@@ -195,22 +209,41 @@ def main() -> None:
                             "sec": float(args.entry_budget),
                         }
                     }
-                record(g)
-        done = sum(
-            1
-            for v in entries.values()
-            if v.get("status") in ("MATCH", "ROWS_ONLY")
-        )
+                record_locked(g)
+        with lock:
+            done = sum(
+                1
+                for v in entries.values()
+                if v.get("status") in ("MATCH", "ROWS_ONLY")
+            )
         print(
             f"[{time.time()-t0:.0f}s] {done}/{len(all_names)} green",
             flush=True,
         )
-    for n in heavy:
+
+    def do_heavy(n: str) -> None:
         g, to = run_chunk([n], HEAVY[n])
         if n not in g:
-            g = {n: {"status": "TIMEOUT" if to else "ERROR", "sec": float(HEAVY[n])}}
-        record(g)
-        print(f"[{time.time()-t0:.0f}s] heavy {n}: {g[n]['status']}", flush=True)
+            g = {
+                n: {
+                    "status": "TIMEOUT" if to else "ERROR",
+                    "sec": float(HEAVY[n]),
+                }
+            }
+        record_locked(g)
+        print(
+            f"[{time.time()-t0:.0f}s] heavy {n}: {g[n]['status']}",
+            flush=True,
+        )
+
+    with ThreadPoolExecutor(max_workers=args.workers) as pool:
+        futs = [
+            pool.submit(do_light_chunk, i)
+            for i in range(0, len(light), args.chunk)
+        ]
+        futs += [pool.submit(do_heavy, n) for n in heavy]
+        for f in futs:
+            f.result()
     flush()
     bad = {
         k: v

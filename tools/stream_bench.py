@@ -40,6 +40,7 @@ from etl_capnz_spark.session import get_session, read_table  # noqa: E402
 from etl_capnz_spark.streaming.stream import (  # noqa: E402
     crawl_ingest_stream,
     frontier_schedule_stream,
+    incremental_neardup_sink,
     interval_join_streams,
     kmv_distinct_sink,
     running_user_totals,
@@ -50,6 +51,20 @@ from etl_capnz_spark.streaming.stream import (  # noqa: E402
 )
 
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "8"))
+
+# standalone re-recording of a SUBSET of paths (comma-separated names):
+# a new path is measured and merged into STREAM_SLO.json without
+# touching the other budgets (the idle-contract continuity rule —
+# sketch_fold round-8, neardup_fold round-9)
+_ONLY = {
+    p
+    for p in (os.environ.get("SPARK_GRAFT_SLO_ONLY") or "").split(",")
+    if p
+}
+
+
+def _want(name: str) -> bool:
+    return not _ONLY or name in _ONLY
 
 # one-line CAP alert template for the feed_stream path (the custom
 # Python streaming source end-to-end); identifier is substituted
@@ -138,6 +153,8 @@ def main() -> None:
         path, n_rows = _land(spark, sf_dir, base)
 
         def bench(name: str, make_writer) -> None:
+            if not _want(name):
+                return
             cp = os.path.join(base, f"cp_{name}")
             out = os.path.join(base, f"out_{name}")
             secs, lat = _drain(make_writer(out), name, cp)
@@ -211,6 +228,50 @@ def main() -> None:
                 k=64,
             ),
         )
+        # near-dup ingest (round 9): per-batch MinHash/LSH probe against
+        # the persisted committed band index + survivor admission —
+        # measures the banded cross-join + double parquet write + one
+        # ledger commit per epoch (the incremental_neardup_sink cost)
+        if _want("neardup_fold"):
+            nd_docs = read_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            nd_path = os.path.join(base, "nd_chunks")
+            nd_docs.repartition(N_CHUNKS).write.mode("overwrite").json(
+                nd_path
+            )
+            n_docs_nd = nd_docs.count()
+            cp_nd = os.path.join(base, "cp_neardup")
+            t0 = time.time()
+            q = (
+                incremental_neardup_sink(
+                    spark.readStream.schema("doc_id bigint, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .json(nd_path),
+                    os.path.join(base, "out_neardup"),
+                    os.path.join(base, "idx_neardup"),
+                    cp_nd,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            secs = time.time() - t0
+            lat = [
+                float(p["durationMs"]["triggerExecution"])
+                for p in (json.loads(pp.json) for pp in q.recentProgress)
+                if p.get("numInputRows", 0) > 0
+                and "triggerExecution" in p["durationMs"]
+            ]
+            results["neardup_fold"] = {
+                "sec": round(secs, 3),
+                "rows_per_sec": round(n_docs_nd / secs, 1),
+                "n_batches": len(lat),
+                "batch_ms_p50": round(_pctl(lat, 0.50), 1),
+                "batch_ms_p95": round(_pctl(lat, 0.95), 1),
+                "batch_ms_max": round(max(lat), 1) if lat else float("nan"),
+            }
+
         # crawl ingest: HTML pages (documents wrapped in the contract's
         # crawl template) → extraction → gate → manifest dedup sink.
         docs = read_table(spark, sf_dir, "documents")
@@ -421,10 +482,18 @@ def _calibration(calib_before: float, load_before: float) -> dict:
 def _record_slo(results, n_rows, sf, calib) -> None:
     """Re-seed STREAM_SLO.json from this run: budgets are 2.5x the
     HOST-NORMALIZED measured p95 (sec/host_factor — a contended
-    recording must not inflate the contract)."""
+    recording must not inflate the contract).
+
+    With SPARK_GRAFT_SLO_ONLY set, ONLY the named paths are recorded
+    and the rest of the existing artifact is preserved verbatim — the
+    idle-contract continuity rule: re-recording one new path must not
+    silently re-seed the nine standing budgets from a possibly-noisier
+    host."""
     import datetime
 
     hf = calib.get("host_factor", 1.0) or 1.0
+    if _ONLY:
+        results = {k: v for k, v in results.items() if k in _ONLY}
     paths = {}
     for name, r in results.items():
         p95n = round(r["batch_ms_p95"] / hf, 1)
@@ -449,6 +518,26 @@ def _record_slo(results, n_rows, sf, calib) -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "STREAM_SLO.json",
     )
+    if _ONLY and os.path.exists(slo_path):
+        with open(slo_path) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("paths", {}))
+        merged.update(paths)
+        out["paths"] = merged
+        out["recorded"] = prior.get("recorded", out["recorded"])
+        out["calibration"] = prior.get("calibration", calib)
+        out.setdefault("addenda", prior.get("addenda", {}))
+        out["addenda"] = dict(out["addenda"] or {})
+        for name in paths:
+            out["addenda"][name] = {
+                "recorded": (
+                    f"standalone, sf{sf}, "
+                    f"{datetime.date.today().isoformat()}, "
+                    f"host_factor {hf}"
+                ),
+                "calibration": calib,
+            }
+        out["n_input_rows"] = prior.get("n_input_rows", n_rows)
     with open(slo_path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"re-seeded {slo_path}")
