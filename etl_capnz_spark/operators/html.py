@@ -95,7 +95,13 @@ def main_text(col: Column, min_words: int = 5) -> Column:
     with ≥ ``min_words`` whitespace words, rejoin with single newlines."""
     lines = F.split(strip_tags(col), r"\n")
     kept = F.filter(
-        F.transform(lines, F.trim),
+        # explicit arity-1 lambda, NEVER the bare F.trim reference:
+        # trim(col, trimChars) has two params, so transform would bind
+        # (element, index) and trim each line's own INDEX DIGITS off
+        # its edges — latent through seven rounds of sf0.01 green and
+        # caught by the round-9 full sf1.0 sweep when a replica-suffix
+        # doc text ending "r2" landed on line index 2 (SURVEY rule 3)
+        F.transform(lines, lambda l: F.trim(l)),
         lambda l: F.size(
             F.filter(F.split(l, r"\s+"), lambda t: t != F.lit(""))
         )

@@ -156,3 +156,27 @@ def test_chunk_tokens_rejects_bad_params(spark):
         chunk_tokens(df, "text", "doc_id", window=0, stride=2)
     with pytest.raises(ValueError):
         chunk_tokens(df, "text", "doc_id", window=4, stride=0)
+
+
+def test_line_trim_never_eats_index_digits(spark):
+    """sf1.0 sweep catch (round 9): F.transform(lines, F.trim) bound
+    the ARITY-2 form trim(element, index) — each kept line had its own
+    line-INDEX digits trimmed off its edges (latent through seven
+    rounds because no sf0.01 line ever started/ended with its own
+    index digit; a replica-suffixed doc text ending 'r2' on line index
+    2 surfaced it at sf1.0). Pin: edge digits that EQUAL the line
+    index must survive."""
+    from etl_capnz_spark.operators.html import extract_main_text
+
+    # line index 2 of the stripped text is the doc paragraph; make it
+    # END with '2' and START with '2' — both edges must survive
+    html = (
+        "<html><body><nav><a href='/'>x</a></nav>"
+        "<p>2 quick brown foxes jumped over row key r2</p>"
+        "<p>another line with at least five words here</p>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = extract_main_text(df, "html", "text", min_words=5).collect()[0]
+    lines = out["text"].split("\n")
+    assert lines[0] == "2 quick brown foxes jumped over row key r2"
