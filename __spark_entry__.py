@@ -12008,16 +12008,21 @@ def oracle_sql() -> dict[str, str]:
                          * (sy::DOUBLE / n::DOUBLE) AS cov,
                      theta, xbar
               FROM pa, pool)
+            -- floor(x*1e6 + 0.5)/1e6, not round(x, 6): DuckDB's
+            -- round mis-rounds within an ulp at 16 significant digits
+            -- (sf1.0 sweep catch); multiply/floor/divide are
+            -- IEEE-exact in both engines (funnel._q6 twin)
             SELECT arm, n AS n_users,
-                   round(mean_y, 6) AS mean_y,
-                   round(var_y, 6) AS var_y,
-                   round(mean_y - theta * (mean_x - xbar), 6)
-                     AS mean_y_adj,
-                   round(var_y - 2.0 * theta * cov
-                         + theta * theta * var_x, 6) AS var_y_adj,
-                   round(1.0 - (var_y - 2.0 * theta * cov
-                                + theta * theta * var_x) / var_y, 6)
-                     AS var_reduction
+                   floor(mean_y * 1000000 + 0.5) / 1000000 AS mean_y,
+                   floor(var_y * 1000000 + 0.5) / 1000000 AS var_y,
+                   floor((mean_y - theta * (mean_x - xbar))
+                         * 1000000 + 0.5) / 1000000 AS mean_y_adj,
+                   floor((var_y - 2.0 * theta * cov
+                          + theta * theta * var_x)
+                         * 1000000 + 0.5) / 1000000 AS var_y_adj,
+                   floor((1.0 - (var_y - 2.0 * theta * cov
+                                 + theta * theta * var_x) / var_y)
+                         * 1000000 + 0.5) / 1000000 AS var_reduction
             FROM stats""",
         "doc_negatives": """
             WITH pos AS (

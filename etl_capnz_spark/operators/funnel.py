@@ -195,6 +195,21 @@ def attribution(
     )
 
 
+def _q6(c: Column) -> Column:
+    """6dp quantization in pure IEEE ops — floor(x·10⁶ + 0.5)/10⁶:
+    round-half-up like ROUND(x, 6), but ENGINE-PORTABLE. The round-9
+    sf1.0 sweep caught DuckDB's round() mis-rounding within an ulp at
+    ≥16 significant digits (the identical double 1603980571.7090034 —
+    bit-for-bit the same in both engines — rounded to …709004 there
+    and …709003 in Spark's exact BigDecimal round). Multiply, add,
+    floor, divide are each IEEE-correctly-rounded in every engine, so
+    this form maps the same input double to the same output double
+    everywhere. Use it instead of ROUND for any 6dp output whose
+    magnitude can reach ~1e9+ (16 significant digits)."""
+    m = F.lit(1000000.0)
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
 def cuped(
     df: DataFrame,
     arm_col: str,
@@ -267,14 +282,17 @@ def cuped(
     t = F.col("_theta")
     mean_adj = mean_y - t * (mean_x - F.col("_xbar"))
     var_adj = var_y - F.lit(2.0) * t * cov + t * t * var_x
+    # _q6, not F.round: var magnitudes reach 1e9+ cents² (16 sig
+    # digits at 6dp), where DuckDB's round() mis-rounds within an ulp
+    # — the round-9 sf1.0 sweep catch
     return j.select(
         arm_col,
         F.col("n").alias("n_users"),
-        F.round(mean_y, 6).alias("mean_y"),
-        F.round(var_y, 6).alias("var_y"),
-        F.round(mean_adj, 6).alias("mean_y_adj"),
-        F.round(var_adj, 6).alias("var_y_adj"),
-        F.round(F.lit(1.0) - var_adj / var_y, 6).alias("var_reduction"),
+        _q6(mean_y).alias("mean_y"),
+        _q6(var_y).alias("var_y"),
+        _q6(mean_adj).alias("mean_y_adj"),
+        _q6(var_adj).alias("var_y_adj"),
+        _q6(F.lit(1.0) - var_adj / var_y).alias("var_reduction"),
     )
 
 
