@@ -5943,32 +5943,61 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_events_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine OLS: per event type, slope/intercept/correlation of
     value against event time from the closed-form moment sums — ONE
-    two-phase aggregate, no iteration, no ML library. Both engines
-    compute the same raw sums, so the derived statistics hash-match.
-    Time is rescaled to days-since-epoch so the slope has a readable
-    magnitude (raw microseconds put 1e-18 slopes at round-off)."""
+    two-phase aggregate, no iteration, no ML library.
+
+    EXACT moments (round-9 sf1.0 sweep catch — the q9 class, third
+    instance): the original form summed raw DOUBLES (Σx, Σxy, Σx² over
+    day-scale floats), partition-order-dependent AND association-
+    dependent, green at sf0.01 only because 6dp rounding absorbed the
+    error; at 10× rows the cov/var cancellations diverged at the 5th
+    decimal. Now x is integer µs OFFSET from the corpus min timestamp
+    (translation leaves slope/r invariant and keeps Σx² inside
+    decimal(38)) and y is integer cents, so every moment is an exact
+    decimal(38,0) sum; slope/intercept/r are closed forms whose
+    numerators and denominators are exact integers cast to double
+    ONCE (identical doubles in both engines), unit-rescaled by shared
+    literals, quantized with the IEEE-portable floor form (funnel._q6
+    — intercept magnitude reaches 1e6+)."""
+    from etl_capnz_spark.operators.funnel import _q6
+
     ev = _t(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / F.lit(86400e6)
-    y = F.col("value")
-    agg = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+    t0df = ev.agg(F.min(F.unix_micros("ts")).alias("_t0"))
+    xd = (F.unix_micros("ts") - F.col("_t0")).cast("decimal(38,0)")
+    yd = F.round(F.col("value") * 100).cast("bigint").cast("decimal(38,0)")
+    agg = (
+        ev.crossJoin(F.broadcast(t0df))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+            F.min("_t0").alias("_t0"),
+        )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    cov_n = F.col("sxy") - sx * sy / n
-    var_x = F.col("sxx") - sx * sx / n
-    var_y = F.col("syy") - sy * sy / n
-    slope = cov_n / var_x
+    # exact-integer numerators/denominators, ONE double cast each
+    cov_num = (n * F.col("sxy") - sx * sy).cast("double")
+    varx_num = (n * F.col("sxx") - sx * sx).cast("double")
+    vary_num = (n * F.col("syy") - sy * sy).cast("double")
+    nd = n.cast("double")
+    # slope in value-units per DAY: cents/µs × 86400e6 µs/day ÷ 100
+    day = F.lit(86400e6 / 100.0)
+    slope = cov_num / varx_num * day
+    mean_y = sy.cast("double") / nd / F.lit(100.0)
+    mean_x_days = (
+        sx.cast("double") / nd + F.col("_t0").cast("double")
+    ) / F.lit(86400e6)
     return agg.select(
         "event_type",
-        "n",
-        F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("r"),
+        n.cast("bigint").alias("n"),
+        _q6(slope).alias("slope"),
+        _q6(mean_y - slope * mean_x_days).alias("intercept"),
+        _q6(
+            cov_num / F.sqrt(varx_num * vary_num)
+        ).alias("r"),
     ).orderBy("event_type")
 
 
@@ -10878,24 +10907,44 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING), 6) AS running_sum
             FROM events""",
         "events_regression": """
-            SELECT event_type, n,
-                   round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
-                     AS slope,
-                   round((sy - ((sxy - sx * sy / n)
-                                / (sxx - sx * sx / n)) * sx) / n, 6)
-                     AS intercept,
-                   round((sxy - sx * sy / n)
-                         / sqrt((sxx - sx * sx / n)
-                                * (syy - sy * sy / n)), 6) AS r
-            FROM (
-              SELECT event_type, count(*) AS n,
-                     sum(x) AS sx, sum("value") AS sy,
-                     sum(x * "value") AS sxy, sum(x * x) AS sxx,
-                     sum("value" * "value") AS syy
-              FROM (SELECT event_type, "value",
-                           epoch_us(ts) / 86400e6 AS x
-                    FROM events)
-              GROUP BY event_type)
+            -- EXACT moments (q9 class, round-9 sf1.0 catch): integer
+            -- us offsets x cents, HUGEINT sums; closed forms cast the
+            -- exact integer numerators/denominators to double ONCE;
+            -- floor-quantization (the funnel._q6 twin)
+            WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+            m AS (
+              SELECT event_type, count(*)::HUGEINT AS n,
+                     sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                     sum(x * y)::HUGEINT AS sxy,
+                     sum(x * x)::HUGEINT AS sxx,
+                     sum(y * y)::HUGEINT AS syy,
+                     min(t0) AS t0
+              FROM (SELECT event_type,
+                           (epoch_us(ts) - t0)::HUGEINT AS x,
+                           round("value" * 100)::HUGEINT AS y, t0
+                    FROM events, t0)
+              GROUP BY event_type),
+            d AS (
+              SELECT event_type, n,
+                     (n * sxy - sx * sy)::DOUBLE AS cov_num,
+                     (n * sxx - sx * sx)::DOUBLE AS varx_num,
+                     (n * syy - sy * sy)::DOUBLE AS vary_num,
+                     n::DOUBLE AS nd, sx::DOUBLE AS sxd,
+                     sy::DOUBLE AS syd, t0::DOUBLE AS t0d
+              FROM m),
+            e AS (
+              SELECT event_type, n,
+                     cov_num / varx_num * 864000000.0 AS slope,
+                     syd / nd / 100.0 AS mean_y,
+                     (sxd / nd + t0d) / 86400000000.0 AS mean_x_days,
+                     cov_num / sqrt(varx_num * vary_num) AS r
+              FROM d)
+            SELECT event_type, n::BIGINT AS n,
+                   floor(slope * 1000000 + 0.5) / 1000000 AS slope,
+                   floor((mean_y - slope * mean_x_days)
+                         * 1000000 + 0.5) / 1000000 AS intercept,
+                   floor(r * 1000000 + 0.5) / 1000000 AS r
+            FROM e
             ORDER BY event_type""",
         "text_feature_hash": """
             SELECT doc_id, bucket, count(*) AS cnt FROM (
