@@ -52,6 +52,34 @@ ORACLE_SIDE = {
         "replay exceeded the budget on the single-node engine. MATCH "
         "at sf0.01."
     ),
+    "dedup_winnow_pairs": (
+        "Spark side 332s / 99,540,836 rows (serial local[8] probe): "
+        "the key-strided generator mints cross-replica NEAR-identical "
+        "docs (same text modulo a ' r<i>' suffix), so winnow-"
+        "fingerprint pair volume grows ~100x (quadratic in the "
+        "replication factor), not the ~10x of organic growth — and "
+        "the collect-and-compare harness cannot hold a 99.5M-row "
+        "result on either engine (the geo_point_in_polygon class). "
+        "Like-for-like near-dup scaling is evidenced by dedup_minhash "
+        "(11.9M pairs, MATCH) and dedup_cross (2.65M pairs, MATCH), "
+        "which carry the same inflated density under bucket caps. "
+        "MATCH at sf0.01."
+    ),
+    "dedup_setsim": (
+        "Spark side 1325s / 33,791,724 rows (serial local[8] probe): "
+        "same scale-generator artifact — cross-replica replicas differ "
+        "by one token, so the Jaccard>=0.9 pair set itself inflates "
+        "~100x; output is collect-infeasible for the compare harness "
+        "and the DuckDB O(n^2)-verify oracle. MATCH at sf0.01."
+    ),
+    "graph_triangles": (
+        "Spark side 1041s / 10,000 rows (serial local[8] probe) — the "
+        "Spark plan completes and the output is tiny; the DuckDB "
+        "single-node triangle-enumeration oracle is the infeasible "
+        "component (same class as graph_clustering_coeff: >70 GB temp "
+        "spill, exceeded budget at 10x edges — it filled the disk in "
+        "the first sweep attempt). MATCH at sf0.01."
+    ),
 }
 
 
