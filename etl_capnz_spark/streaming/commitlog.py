@@ -44,6 +44,15 @@ Semantics are bit-for-bit those of the round-8 per-sink disciplines
 (hashes unchanged); the round-8 ADVICE fixes (full-floor stale sweep,
 pre-ledger sentinel run_tag) are inherited by every user instead of the
 one sink they were written for.
+
+The commit OBJECTS (pointer / ledger / manifest / lease / schema
+history) resolve through a pluggable :class:`FilePointerStore` /
+:class:`MemoryObjectStore` seam (``DEFAULT_STORE``): the file backend
+keeps today's POSIX rename semantics, the object backend proves the
+same disciplines run on S3 semantics (atomic whole-object PUT,
+if-none-match create, etag-conditional delete — NO rename), matrix-
+tested in tests/test_commitlog_store.py. Data dirs stay plain parquet
+written by Spark; only the commit objects ever needed atomicity.
 """
 
 from __future__ import annotations
@@ -86,6 +95,162 @@ def read_json(path: str, default=None):
         return default
     with open(path) as f:
         return json.load(f)
+
+
+def _tid() -> int:
+    import threading
+
+    return threading.get_ident()
+
+
+# --- pointer stores ----------------------------------------------------------
+#
+# The commit OBJECTS (version pointer, epoch ledger, manifest, lease,
+# schema history) are the only pieces of the discipline that need
+# rename / compare-and-swap atomicity; the DATA dirs are plain parquet
+# written by Spark and never mutated after their commit object names
+# them. Abstracting the objects behind a PointerStore makes the sinks
+# object-store-portable: S3-class stores have no rename, but they do
+# have atomic whole-object PUT, if-none-match create, and etag-
+# conditional delete — exactly the three primitives below. The default
+# FilePointerStore keeps today's POSIX semantics bit-for-bit;
+# MemoryObjectStore implements the S3 semantics (NO rename anywhere)
+# and the crash matrix passes on it unchanged, which is the evidence
+# the disciplines never silently depended on rename.
+
+
+class FilePointerStore:
+    """POSIX backend (the default): atomic replace for PUT,
+    ``os.link`` for if-none-match create, replace-aside for
+    conditional delete. ETags are md5 of the object bytes.
+
+    ``compare_and_delete`` is approximate here: POSIX has no atomic
+    compare-and-delete, so the breaker moves the file aside atomically
+    (exactly one of N concurrent breakers wins the rename), THEN checks
+    the etag — on a mismatch (the object changed between read and
+    break) it best-effort restores via ``os.link`` and reports failure.
+    The residual TOCTOU window (restore loses to a concurrent create)
+    is the same one today's lease breaker carries, and the same
+    commit-time CAS backstops it. MemoryObjectStore's version is exact.
+    """
+
+    def get(self, path: str):
+        """Return ``(obj, etag)`` or None when the object is absent.
+        Invalid JSON RAISES (ValueError) rather than reading as
+        absent: a corrupt version pointer must fail loudly, never
+        silently reset a sink to first-batch state. The lease acquire
+        loop — the one caller that legitimately races a mid-create
+        object — catches it and re-contends."""
+        try:
+            with open(path, "rb") as f:
+                raw = f.read()
+            return json.loads(raw), hashlib.md5(raw).hexdigest()
+        except FileNotFoundError:
+            return None
+
+    def put(self, path: str, obj: dict) -> None:
+        atomic_json_write(path, obj)
+
+    def put_if_absent(self, path: str, obj: dict) -> bool:
+        """Atomic if-none-match create with COMPLETE content: write a
+        private tmp, then ``os.link`` it to the target (atomic, fails
+        if the target exists) — a reader can never observe a torn
+        half-written object, unlike a direct O_EXCL+write."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.new.{os.getpid()}.{_tid()}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    def compare_and_delete(self, path: str, etag: str) -> bool:
+        aside = f"{path}.broken.{os.getpid()}.{_tid()}"
+        try:
+            os.replace(path, aside)
+        except FileNotFoundError:
+            return False
+        try:
+            with open(aside, "rb") as f:
+                raw = f.read()
+            ok = hashlib.md5(raw).hexdigest() == etag
+        except OSError:
+            ok = False
+        if not ok:
+            # moved aside somebody ELSE's fresh object: best-effort
+            # restore (lost only to a concurrent create — the
+            # documented residual window, CAS-backstopped)
+            try:
+                os.link(aside, path)
+            except (FileExistsError, FileNotFoundError):
+                pass
+        try:
+            os.remove(aside)
+        except FileNotFoundError:
+            pass
+        return ok
+
+
+class MemoryObjectStore:
+    """S3-semantics backend: whole-object atomic PUT, if-none-match
+    create, exact etag-conditional delete — and NO rename primitive at
+    all. In-process (a dict under a lock): the test double that proves
+    the commit disciplines run on object-store semantics, and the
+    template a real S3 client implementation follows call-for-call
+    (PUT / PUT If-None-Match / DELETE If-Match)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _encode(obj: dict) -> bytes:
+        return json.dumps(obj).encode()
+
+    def get(self, path: str):
+        with self._lock:
+            raw = self._objects.get(path)
+        if raw is None:
+            return None
+        return json.loads(raw), hashlib.md5(raw).hexdigest()
+
+    def put(self, path: str, obj: dict) -> None:
+        raw = self._encode(obj)
+        with self._lock:
+            self._objects[path] = raw
+
+    def put_if_absent(self, path: str, obj: dict) -> bool:
+        raw = self._encode(obj)
+        with self._lock:
+            if path in self._objects:
+                return False
+            self._objects[path] = raw
+            return True
+
+    def compare_and_delete(self, path: str, etag: str) -> bool:
+        with self._lock:
+            raw = self._objects.get(path)
+            if raw is None or hashlib.md5(raw).hexdigest() != etag:
+                return False
+            del self._objects[path]
+            return True
+
+
+# the process-wide default; swap to a MemoryObjectStore (or a real
+# object-store client with the same four methods) to run every sink's
+# commit objects on S3 semantics — resolved at CALL time, so existing
+# sink instances follow a swap
+DEFAULT_STORE = FilePointerStore()
+
+
+def _store(explicit):
+    return explicit if explicit is not None else DEFAULT_STORE
 
 
 def run_tag(checkpoint: str) -> str:
@@ -171,24 +336,26 @@ class SnapshotLog:
         keep_versions: int = 3,
         epoch_cap: int | None = 64,
         legacy_sweep: bool = True,
+        store=None,
     ) -> None:
         self.state_path = state_path
         self.dir_prefix = dir_prefix
         self.keep_versions = keep_versions
         self.epoch_cap = epoch_cap
         self.legacy_sweep = legacy_sweep
+        self.store = store
 
     # -- pointer --
 
     def pointer(self) -> dict:
-        return read_json(
-            os.path.join(self.state_path, self.POINTER),
-            {"version": 0, "epochs": []},
+        got = _store(self.store).get(
+            os.path.join(self.state_path, self.POINTER)
         )
+        return {"version": 0, "epochs": []} if got is None else got[0]
 
     def write_pointer(self, pointer: dict) -> None:
         crash_point("pointer.commit")
-        atomic_json_write(
+        _store(self.store).put(
             os.path.join(self.state_path, self.POINTER), pointer
         )
 
@@ -343,13 +510,18 @@ class EpochLedger:
         out_path: str,
         prefix: str = "epoch_",
         run_tag: str | None = None,
+        store=None,
     ) -> None:
         self.out_path = out_path
         self.prefix = prefix
         self.run_tag = run_tag
+        self.store = store
 
     def read(self) -> dict | None:
-        return read_json(os.path.join(self.out_path, self.FILE))
+        got = _store(self.store).get(
+            os.path.join(self.out_path, self.FILE)
+        )
+        return None if got is None else got[0]
 
     def epochs(self) -> list[str] | None:
         ledger = self.read()
@@ -387,7 +559,7 @@ class EpochLedger:
         :meth:`check_lineage` fail loudly instead.
         """
         p = os.path.join(self.out_path, self.FILE)
-        if os.path.exists(p):
+        if _store(self.store).get(p) is not None:
             return
         epochs = self._existing_dirs()
         ledger: dict = {"epochs": epochs}
@@ -396,7 +568,7 @@ class EpochLedger:
                 "__pre_ledger__" if epochs else self.run_tag
             )
         os.makedirs(self.out_path, exist_ok=True)
-        atomic_json_write(p, ledger)
+        _store(self.store).put(p, ledger)
 
     def check_lineage(self) -> list[str] | None:
         """The frontier guard: epochs when the ledger belongs to this
@@ -457,7 +629,7 @@ class EpochLedger:
             ledger = dict(ledger)
             ledger["epochs"] = ledger["epochs"] + [epoch_name]
         crash_point("ledger.append")
-        atomic_json_write(
+        _store(self.store).put(
             os.path.join(self.out_path, self.FILE), ledger
         )
 
@@ -486,19 +658,22 @@ class ManifestLog:
     FILE = "_manifest.json"
     LEASE = "_lease.json"
 
-    def __init__(self, index_path: str) -> None:
+    def __init__(self, index_path: str, store=None) -> None:
         self.index_path = index_path
+        self.store = store
 
     def read(self) -> dict:
-        return read_json(
-            os.path.join(self.index_path, self.FILE),
-            {"epochs": [], "files": [], "generation": 0},
+        got = _store(self.store).get(
+            os.path.join(self.index_path, self.FILE)
         )
+        if got is None:
+            return {"epochs": [], "files": [], "generation": 0}
+        return got[0]
 
     def write(self, manifest: dict) -> None:
         crash_point("manifest.commit")
         os.makedirs(self.index_path, exist_ok=True)
-        atomic_json_write(
+        _store(self.store).put(
             os.path.join(self.index_path, self.FILE), manifest
         )
 
@@ -526,49 +701,51 @@ class ManifestLog:
         clobbering (split-brain is a loud error, never a lost epoch).
         """
         os.makedirs(self.index_path, exist_ok=True)
+        store = _store(self.store)
         lock = os.path.join(self.index_path, self.LEASE)
         deadline = time.time() + timeout_sec
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    json.dump(
-                        {"owner": owner, "expires": time.time() + ttl_sec},
-                        f,
-                    )
+            if store.put_if_absent(
+                lock, {"owner": owner, "expires": time.time() + ttl_sec}
+            ):
                 return
-            except FileExistsError:
-                try:
-                    with open(lock) as f:
-                        cur = json.load(f)
-                except (FileNotFoundError, ValueError):
-                    continue  # holder released/mid-write: re-contend
-                if cur.get("expires", 0) < time.time():
-                    # stale: exactly one breaker wins the atomic rename
-                    try:
-                        os.replace(lock, lock + ".broken")
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"manifest lease at {lock} held by "
-                        f"{cur.get('owner')!r} past {timeout_sec}s"
-                    )
-                time.sleep(0.05)
+            try:
+                got = store.get(lock)
+            except ValueError:
+                continue  # holder mid-create on a torn backend: re-contend
+            if got is None:
+                continue  # holder released between contend and read
+            cur, etag = got
+            if cur.get("expires", 0) < time.time():
+                # stale: conditional delete of EXACTLY the lease we
+                # read — on an object store this is if-match DELETE
+                # (exact: a concurrent fresh lease survives); the file
+                # backend approximates with replace-aside + restore
+                store.compare_and_delete(lock, etag)
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"manifest lease at {lock} held by "
+                    f"{cur.get('owner')!r} past {timeout_sec}s"
+                )
+            time.sleep(0.05)
 
     def release_lease(self, owner: str) -> None:
         """Release only a lease this owner still holds (an expired-and-
         broken lease now belongs to someone else — removing it would
-        unlock THEIR critical section)."""
+        unlock THEIR critical section). Conditional on the exact lease
+        read: an unconditional remove could race a break+reacquire."""
+        store = _store(self.store)
         lock = os.path.join(self.index_path, self.LEASE)
         try:
-            with open(lock) as f:
-                cur = json.load(f)
-            if cur.get("owner") == owner:
-                os.remove(lock)
-        except (FileNotFoundError, ValueError):
-            pass
+            got = store.get(lock)
+        except ValueError:
+            return
+        if got is None:
+            return
+        cur, etag = got
+        if cur.get("owner") == owner:
+            store.compare_and_delete(lock, etag)
 
 
 # --- output-schema history ----------------------------------------------------
@@ -582,17 +759,19 @@ class SchemaLog:
 
     FILE = "_schemas.json"
 
-    def __init__(self, out_path: str) -> None:
+    def __init__(self, out_path: str, store=None) -> None:
         self.out_path = out_path
+        self.store = store
 
     def read(self) -> dict:
-        return read_json(
-            os.path.join(self.out_path, self.FILE), {"versions": []}
+        got = _store(self.store).get(
+            os.path.join(self.out_path, self.FILE)
         )
+        return {"versions": []} if got is None else got[0]
 
     def write(self, schemas: dict) -> None:
         os.makedirs(self.out_path, exist_ok=True)
-        atomic_json_write(
+        _store(self.store).put(
             os.path.join(self.out_path, self.FILE), schemas
         )
 

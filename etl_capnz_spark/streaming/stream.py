@@ -521,8 +521,11 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
     import os
 
     committed = _read_committed_epochs(out_path)
-    sch_p = os.path.join(out_path, "_schemas.json")
-    if not os.path.exists(sch_p):
+    # resolve the schema history through the SchemaLog (pointer-store
+    # backed, like the ledger) — never a direct filesystem probe, so a
+    # non-filesystem PointerStore backend serves readers identically
+    versions = _read_output_schemas(out_path)["versions"]
+    if not versions:
         if committed is not None:
             dirs = [
                 os.path.join(out_path, n)
@@ -540,8 +543,6 @@ def read_incremental_output(spark: SparkSession, out_path: str) -> DataFrame:
         )
     from pyspark.sql.types import StructType
 
-    with open(sch_p) as f:
-        versions = json.load(f)["versions"]
     parts = []
     for v in versions:
         names = [
