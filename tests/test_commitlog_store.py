@@ -188,6 +188,8 @@ OBJECT_STORE_CASES = [
     ("kmv", "snapshot.cleanup", "full"),
     ("cms", "ledger.append", "prefix"),
     ("dedup", "manifest.commit", "prefix"),
+    ("neardup", "ledger.append", "prefix"),
+    ("frontier", "ledger.append", "prefix"),
 ]
 
 
