@@ -4549,22 +4549,37 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_ROOT: list[str] = []
+
+
 def _pq_index_path(sf_dir: str, flavor: str) -> str:
+    """PER-PROCESS index staging dir. The root is a fresh mkdtemp per
+    process (removed at exit): every bench/oracle INVOCATION rebuilds
+    the index from the parquet inputs — nothing persists across runs
+    keyed on the testdata dir (that would be precomputation, not
+    serving). Within one process the build runs once (bench warmup
+    builds; timed passes probe only — the probe-only measurement the
+    entry exists for)."""
+    import atexit
     import hashlib
+    import shutil
     import tempfile
 
+    if not _PQ_INDEX_ROOT:
+        root = tempfile.mkdtemp(prefix="etl_capnz_pq_idx_")
+        _PQ_INDEX_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     return os.path.join(
-        tempfile.gettempdir(),
-        "etl_capnz_spark_indexes",
+        _PQ_INDEX_ROOT[0],
         f"{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
         flavor,
     )
 
 
 def _ensure_pq_index(spark: SparkSession, sf_dir: str, ivf: bool) -> str:
-    """Build-once cache for the persisted PQ / IVF-PQ index (the
-    training fixed cost, recorded in CAPACITY §24): training is
+    """Build-once-PER-PROCESS cache for the persisted PQ / IVF-PQ index
+    (the training fixed cost, recorded in CAPACITY §24): training is
     deterministic, so a cached index is bit-identical to a rebuild —
     ``_meta.json`` lands LAST (atomic replace) as the commit marker."""
     from etl_capnz_spark.operators.similarity import build_pq_index
