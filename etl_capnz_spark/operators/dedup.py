@@ -508,16 +508,33 @@ def connected_components(
     ``localCheckpoint`` truncates the growing lineage so round N doesn't
     replay rounds 1..N-1.
     """
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .localCheckpoint(eager=False)
+    # Checkpoints here are FLAT (flat_local_checkpoint): since
+    # SPARK-39748 a plain localCheckpoint keeps the origin plan's
+    # estimated stats, and in this loop round n's plan joins round
+    # n-1's checkpoint — the inherited sizeInBytes estimate compounds
+    # multiplicatively (~squaring per round with the jump self-join),
+    # so by round ~16 (the sf0.1 title-linkage diameter) the planner
+    # is multiplying BigIntegers with ~10^5-10^6 digits inside
+    # SizeInBytesOnlyStatsPlanVisitor on the DRIVER, serially, once
+    # per round. A second jump join (growth ~cubing) pushed that to
+    # >20 min on a 12 s test (driver thread dump: BigInteger
+    # .multiplyToomCook3 under Dataset.localCheckpoint planning).
+    # A persist()ed sym pre-partitioned on the join key (to spare the
+    # per-round edge re-shuffle, guide §2.4) was tried and REVERTED
+    # for the same reason: the unmaterialized InMemoryRelation keeps
+    # the full LSH-composed lineage visible to stats estimation.
+    from ..session import flat_local_checkpoint
+
+    sym = flat_local_checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        ),
+        eager=False,
     )
-    labels = (
+    labels = flat_local_checkpoint(
         sym.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
@@ -526,18 +543,23 @@ def connected_components(
         )
         # pointer jump: my label's CURRENT label (lbl values are node
         # ids, every node is in the table, so the inner join is total)
+        # NOTE (opt r9): a DOUBLE jump (lbl <- L[L[lbl]]) was tried to
+        # shortcut chains two hops per round and REVERTED on
+        # measurement: the two extra node-table self-joins per round
+        # cost more than the saved rounds at every scale probed
+        # (entity_golden sf0.1 8.0 s -> 9.5 s, test_dedup_recall 76 s
+        # -> 150 s).
         lx = labels.select(
             F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
         )
         jump = labels.join(
             lx, labels["lbl"] == lx["_jid"]
         ).select(F.col("id"), F.col("_jlbl").alias("lbl"))
-        labels = (
+        labels = flat_local_checkpoint(
             labels.unionByName(msgs)
             .unionByName(jump)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:

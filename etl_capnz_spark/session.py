@@ -72,6 +72,41 @@ def get_session(
     return spark
 
 
+def flat_local_checkpoint(df, eager: bool = True):
+    """``localCheckpoint`` that does NOT inherit the origin plan's
+    statistics.
+
+    Since SPARK-39748, ``Dataset.checkpoint`` embeds the pre-checkpoint
+    plan's estimated stats in the returned ``LogicalRDD``. In an
+    iterative operator (label propagation, frontier expansion) each
+    round's plan JOINS the previous round's checkpoint, so the
+    inherited ``sizeInBytes`` estimate COMPOUNDS multiplicatively round
+    over round — by round n the estimate is a BigInteger with ~2^n
+    digits and the driver burns minutes inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` (observed: BigInteger
+    .multiplyToomCook3 in the planner hot for >20 min on a 12 s query
+    once a second pointer-jump join raised the growth base). The fix:
+    rebuild the DataFrame over the SAME checkpointed RDD, which resets
+    the estimate to the flat default. The label table in these loops is
+    node-scale (never broadcastable), so losing the inherited estimate
+    cannot flip a join strategy that mattered.
+
+    Falls back to the plain checkpoint if the internal constructor is
+    unavailable (the behavior every round before this helper).
+    """
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        from pyspark.sql import DataFrame as _PyDF
+
+        jdf = ck._jdf
+        new_jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return _PyDF(new_jdf, ck.sparkSession)
+    except Exception:
+        return ck
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin the runtime-settable confs the engine's semantics depend on.
 
