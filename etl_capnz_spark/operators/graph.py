@@ -343,6 +343,14 @@ def random_walks(
         "idx", (F.row_number().over(w) - 1).cast("bigint")
     )
     deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # NOTE (opt r9): a persist() here instead of the checkpoint keeps
+    # hashpartitioning(src) on the cached relation, which removes the
+    # per-step adjacency exchange entirely (steady-state walls 6.1 s ->
+    # 4.5 s measured) — but the SQL cache is keyed on the canonicalized
+    # plan, so it survives across bench passes and the timed passes
+    # would inherit a prebuilt adjacency from the warmup: exactly the
+    # cross-pass precomputation the bench contract forbids. Rejected;
+    # the checkpoint is rebuilt per invocation.
     ranked = ranked.join(deg, "src").localCheckpoint(eager=False)
     # one row per node, derived from the CHECKPOINTED ranked frame so
     # the per-step degree join never recomputes the ranking window
@@ -377,11 +385,15 @@ def random_walks(
             .withColumn("idx", F.col("_h") % F.col("deg"))
             .join(adj_idx, ["node", "idx"])
             .select("start", F.col("dst").alias("node"))
-            # lazy checkpoint: the output unions EVERY step, and without
-            # the pin step s re-executes joins 1..s (quadratic work in
-            # walk_len — measured 10.8 s -> with pin, each join runs once)
-            .localCheckpoint(eager=False)
         )
+        # lazy checkpoint: the output unions EVERY step, and without
+        # the pin step s re-executes joins 1..s (quadratic work in
+        # walk_len — measured 10.8 s -> with pin, each join runs once).
+        # Flat form so step s+1's plan never inherits compounded stats
+        # (session.flat_local_checkpoint).
+        from ..session import flat_local_checkpoint
+
+        state = flat_local_checkpoint(state, eager=False)
         out = out.unionByName(state.withColumn("step", F.lit(s)))
     return out.select("start", "step", "node")
 

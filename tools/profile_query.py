@@ -34,6 +34,10 @@ def main() -> None:
         extra_confs={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            # single plain-text file (Spark 4 defaults to a rolling
+            # zstd-compressed dir; the sandbox has no zstandard module)
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.compress": "false",
         },
     )
     sc = spark.sparkContext
@@ -51,13 +55,35 @@ def main() -> None:
     app_id = sc.applicationId
     spark.stop()
 
-    # parse event log
+    # parse event log (Spark 4 rolling layout: eventlog_v2_<app>/events_N_<app>[.zstd])
     path = os.path.join(EVDIR, app_id)
+    if not os.path.exists(path):
+        path = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+
+    def _lines(p):
+        if os.path.isdir(p):
+            import glob as _glob
+
+            for part in sorted(_glob.glob(os.path.join(p, "events_*"))):
+                yield from _lines(part)
+            return
+        if p.endswith(".zstd"):
+            import zstandard
+
+            with open(p, "rb") as fh:
+                reader = zstandard.ZstdDecompressor().stream_reader(fh)
+                import io
+
+                yield from io.TextIOWrapper(reader)
+        else:
+            with open(p) as fh:
+                yield from fh
+
     jobs = {}          # jobId -> description
     stage_job = {}     # stageId -> jobId
     stages = {}        # stageId -> dict
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _lines(path):
             ev = json.loads(line)
             e = ev.get("Event")
             if e == "SparkListenerJobStart":
