@@ -538,28 +538,35 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
-        msgs = sym.join(labels, sym["s"] == labels["id"]).select(
-            F.col("d").alias("id"), F.col("lbl")
+        # One join carries BOTH the edge propagation and the pointer
+        # jump (opt r9, guide §2.4 — two joins/round fused into one):
+        # the jump lbl ← L[L[i]] is exactly propagation along the
+        # synthetic edge (lbl_i → i), so uniting those |V| pointer
+        # edges with sym before the single (s = id) join yields the
+        # same candidate-label multiset as the old msgs ∪ jump pair of
+        # joins — per-round label tables are IDENTICAL, only the plan
+        # changed (measured: 2 joins + 5 exchanges → 1 join + 3
+        # exchanges per round).
+        # NOTE: a DOUBLE jump (lbl <- L[L[lbl]]) was tried to shortcut
+        # chains two hops per round and REVERTED on measurement: the
+        # extra node-table self-joins per round cost more than the
+        # saved rounds at every scale probed (entity_golden sf0.1
+        # 8.0 s -> 9.5 s, test_dedup_recall 76 s -> 150 s).
+        ptr = labels.select(F.col("lbl").alias("s"), F.col("id").alias("d"))
+        msgs = (
+            sym.unionByName(ptr)
+            .join(labels, F.col("s") == labels["id"])
+            .select(F.col("d").alias("id"), F.col("lbl"))
         )
-        # pointer jump: my label's CURRENT label (lbl values are node
-        # ids, every node is in the table, so the inner join is total)
-        # NOTE (opt r9): a DOUBLE jump (lbl <- L[L[lbl]]) was tried to
-        # shortcut chains two hops per round and REVERTED on
-        # measurement: the two extra node-table self-joins per round
-        # cost more than the saved rounds at every scale probed
-        # (entity_golden sf0.1 8.0 s -> 9.5 s, test_dedup_recall 76 s
-        # -> 150 s).
-        lx = labels.select(
-            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
-        )
-        jump = labels.join(
-            lx, labels["lbl"] == lx["_jid"]
-        ).select(F.col("id"), F.col("_jlbl").alias("lbl"))
+        # Lazy checkpoint: the convergence-sum action below is the
+        # first computation of the new label RDD, so it materializes
+        # the checkpoint as a side effect — one job per round where
+        # eager=True + separate agg ran two (opt r9, guide §1/§2).
         labels = flat_local_checkpoint(
             labels.unionByName(msgs)
-            .unionByName(jump)
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl")),
+            eager=False,
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
