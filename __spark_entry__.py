@@ -715,11 +715,20 @@ def _q_color_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_capnz_spark.functions.exprs import once_per_row
 
-    df = cap_alerts(spark, sf_dir).filter(F.col("x509_certificate").isNotNull())
+    # Barrier the cert column BEFORE the null filter: the filter
+    # otherwise substitutes the full b64-assembly chain into its
+    # predicate and pushdown drags it below cap_alerts' repartition —
+    # the whole derivation ran twice, once single-threaded on the one
+    # scan split (r9 plan sweep: the Filter under Exchange carried the
+    # entire Base64/regexp chain).
+    staged0 = cap_alerts(spark, sf_dir).select(
+        "k", once_per_row(F.col("x509_certificate")).alias("_cert")
+    )
+    df = staged0.filter(F.col("_cert").isNotNull())
     # Generate barrier: 4 field extractions would otherwise re-run the
     # whole regex+unbase64+sha2 chain each (projection collapse)
     staged = df.select(
-        "k", once_per_row(signature_struct(F.col("x509_certificate"))).alias("_sig")
+        "k", once_per_row(signature_struct(F.col("_cert"))).alias("_sig")
     )
     return staged.select(
         "k",
@@ -2203,21 +2212,48 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy (id + 100000) with two extra tail tokens — exercised by exact and
     fuzzy dedup. Mirrored 1:1 in the oracles' ``aug`` CTE."""
     # single-file parquet → one input split; spread the CPU-heavy hashing
-    # across cores before the narrow shingle/minhash stages
+    # across cores before the narrow shingle/minhash stages.
+    #
+    # Single-scan shape (r9): the planted copies are generated by ONE
+    # array+filter+explode instead of a 3-branch self-union — the union
+    # form scanned the parquet and paid the round-robin exchange three
+    # times PER evaluation (and the LSH self-joins evaluate this subtree
+    # twice: 6 scans + 6 exchanges in dedup_minhash's plan). Row multiset
+    # is identical; the oracle's ``aug`` CTE is unchanged.
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" trailing extra tokens")).alias("text"),
-        "lang",
+    did = F.col("doc_id")
+    variants = F.filter(
+        F.array(
+            F.struct(
+                F.lit(True).alias("keep"),
+                did.alias("doc_id"),
+                F.col("text").alias("text"),
+                F.col("lang").alias("lang"),
+            ),
+            F.struct(
+                (did % 10 == 0).alias("keep"),
+                (did + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" trailing extra tokens")).alias(
+                    "text"
+                ),
+                F.col("lang").alias("lang"),
+            ),
+            F.struct(
+                (did % 20 == 5).alias("keep"),
+                (did + 200000).alias("doc_id"),
+                F.col("text").alias("text"),
+                F.col("lang").alias("lang"),
+            ),
+        ),
+        lambda r: r["keep"],
     )
-    exact = docs.filter(F.col("doc_id") % 20 == 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    return docs.select(F.explode(variants).alias("_r")).select(
+        "_r.doc_id", "_r.text", "_r.lang"
     )
-    return docs.unionByName(dups).unionByName(exact)
 
 
 _DUCK_AUG = """

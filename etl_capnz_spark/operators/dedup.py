@@ -214,7 +214,16 @@ def lsh_candidates(
     Default ``None`` preserves the exact uncapped pair set.
     """
     if max_bucket is None:
-        banded = band_keys(sig_df, id_col, num_hashes, bands)
+        # lazy localCheckpoint: the planner broadcasts one arm of the
+        # self-join (banded is small), so the hoped-for ReusedExchange
+        # never forms and the md5-heavy signature pipeline executed
+        # TWICE (r9 plan sweep: 6 parquet scans in dedup_minhash).
+        # Checkpointing materializes (id, band_key) tuples once; both
+        # join arms read the checkpointed RDD. Same device as the
+        # capped branch below.
+        banded = band_keys(sig_df, id_col, num_hashes, bands).localCheckpoint(
+            eager=False
+        )
         left = banded.alias("l")
         right = banded.alias("r")
         return (

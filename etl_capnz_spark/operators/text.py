@@ -517,7 +517,16 @@ def bm25_search(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # lazy localCheckpoint: tf feeds THREE consumers (dl, df, the probe
+    # join) and the per-arm replanning re-executed the tokenize+explode+
+    # aggregate lineage once per arm (r9 plan sweep: 44 exchanges /
+    # multiple corpus scans in text_bm25). Materialized once as compact
+    # (id, token, tf) tuples; every later stage aggregates or probes it.
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # dl and df derive from the (doc, token, tf) aggregate, NOT from a
     # re-tokenize: the corpus is exploded ONCE and every later stage
     # aggregates the much smaller per-(doc,token) triple. (tf rows are
