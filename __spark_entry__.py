@@ -6501,10 +6501,33 @@ def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     = ranked-neighbour[hash(seed:start:step) mod deg], one equi-join
     per step, (start, node) pairs only ever shuffle. The oracle
     unrolls the same three rounds with the same hash arithmetic, so
-    every walk is checked exactly."""
+    every walk is checked exactly.
+
+    Coded-node form (opt r9, guide §2.3): the p:/s: string ids pack
+    bijectively into bigints (part 2k, supplier 2k+1); every per-step
+    exchange and join then moves/hashes 8-byte keys instead of
+    strings, and ``decode`` reproduces the exact original strings for
+    the RNG hash, the neighbour rank order and the output — walks are
+    row-identical to the string form (oracle MATCH unchanged)."""
     from etl_capnz_spark.operators.graph import random_walks
 
-    return random_walks(_graph_edges(spark, sf_dir), walk_len=3)
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = F.col("l_partkey").cast("bigint") * 2
+    s = F.col("l_suppkey").cast("bigint") * 2 + 1
+    edges = pairs.select(p.alias("src"), s.alias("dst")).unionByName(
+        pairs.select(s.alias("src"), p.alias("dst"))
+    )
+
+    def _decode(c: Column) -> Column:
+        return F.when(
+            c % 2 == 0, F.concat(F.lit("p:"), (c / 2).cast("bigint"))
+        ).otherwise(F.concat(F.lit("s:"), ((c - 1) / 2).cast("bigint")))
+
+    return random_walks(edges, walk_len=3, decode=_decode)
 
 
 def _q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:

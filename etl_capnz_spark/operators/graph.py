@@ -307,6 +307,7 @@ def random_walks(
     edges: DataFrame,
     walk_len: int = 3,
     seed: str = "walk0",
+    decode=None,
 ) -> DataFrame:
     """Deterministic uniform random walks — the corpus-generation step
     of node2vec/DeepWalk-style graph embeddings: one walk of
@@ -334,11 +335,27 @@ def random_walks(
     walks always complete.
 
     Output: (start, step, node) — step 0 is the start itself.
+
+    ``decode`` (opt r9, guide §2.3 "shuffle keys and metadata instead
+    of payloads" / narrower types): when the caller's node ids are
+    densely codeable, it can pass numeric ``src``/``dst`` plus a
+    ``decode(col) -> string`` expression producing the ORIGINAL string
+    id. Every per-step join/exchange then carries bigint keys instead
+    of strings (the profiled join stages spent ~10 s CPU hashing and
+    sort-merging "p:<id>" strings per step, 15-18 MB per exchange),
+    while semantics are unchanged: the adjacency rank orders by
+    ``decode(dst)`` (the same string order), the per-step RNG hashes
+    ``decode(start)`` (the same md5 input — precomputed ONCE per
+    walker at init instead of re-derived each step), and the output
+    decodes back to strings. ``decode=None`` keeps string ids as-is.
     """
     from pyspark.sql.window import Window
 
+    if decode is None:
+        decode = lambda c: c  # noqa: E731 — ids already strings
+
     adj = edges.select("src", "dst").distinct()
-    w = Window.partitionBy("src").orderBy("dst")
+    w = Window.partitionBy("src").orderBy(decode(F.col("dst")))
     ranked = adj.withColumn(
         "idx", (F.row_number().over(w) - 1).cast("bigint")
     )
@@ -358,18 +375,19 @@ def random_walks(
         F.col("src").alias("node"), "deg"
     )
     adj_idx = ranked.select(F.col("src").alias("node"), "dst", "idx")
-    state = adj.select(F.col("src").alias("start")).distinct().withColumn(
-        "node", F.col("start")
-    )
-    out = state.withColumn("step", F.lit(0))
-    for s in range(1, walk_len + 1):
-        h = F.conv(
+    # The step hashes depend only on (seed, start, step): compute ALL of
+    # them once at walker init (one md5 per (walker, step) instead of
+    # re-deriving the string form inside every join stage) and carry the
+    # not-yet-used ones as bigint columns — in coded mode the loop below
+    # then touches no strings at all.
+    hcols = [
+        F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
                         ":",
                         F.lit(seed),
-                        F.col("start").cast("string"),
+                        decode(F.col("start")).cast("string"),
                         F.lit(str(s)),
                     )
                 ),
@@ -378,13 +396,30 @@ def random_walks(
             ),
             16,
             10,
-        ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias(f"_h{s}")
+        for s in range(1, walk_len + 1)
+    ]
+    from ..session import flat_local_checkpoint
+
+    # init state is read twice (the step-0 output branch AND step 1's
+    # join input): checkpoint it so the distinct + per-walker md5 batch
+    # runs once (lazy — materialized by the first consumer).
+    state = flat_local_checkpoint(
+        adj.select(F.col("src").alias("start"))
+        .distinct()
+        .select("start", F.col("start").alias("node"), *hcols),
+        eager=False,
+    )
+    out = state.select("start", "node").withColumn("step", F.lit(0))
+    for s in range(1, walk_len + 1):
+        carry = [f"_h{t}" for t in range(s + 1, walk_len + 1)]
         state = (
-            state.withColumn("_h", h)
-            .join(deg_tbl, "node")
-            .withColumn("idx", F.col("_h") % F.col("deg"))
+            state.join(deg_tbl, "node")
+            .withColumn("idx", F.col(f"_h{s}") % F.col("deg"))
             .join(adj_idx, ["node", "idx"])
-            .select("start", F.col("dst").alias("node"))
+            .select("start", F.col("dst").alias("node"), *carry)
         )
         # lazy checkpoint: the output unions EVERY step, and without
         # the pin step s re-executes joins 1..s (quadratic work in
@@ -394,8 +429,14 @@ def random_walks(
         from ..session import flat_local_checkpoint
 
         state = flat_local_checkpoint(state, eager=False)
-        out = out.unionByName(state.withColumn("step", F.lit(s)))
-    return out.select("start", "step", "node")
+        out = out.unionByName(
+            state.select("start", "node").withColumn("step", F.lit(s))
+        )
+    return out.select(
+        decode(F.col("start")).alias("start"),
+        "step",
+        decode(F.col("node")).alias("node"),
+    )
 
 
 def adamic_adar_bipartite(

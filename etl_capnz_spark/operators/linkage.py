@@ -32,6 +32,7 @@ bit-for-bit — the EWMA discipline.
 """
 from __future__ import annotations
 
+from functools import reduce
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -332,6 +333,9 @@ def jw_pairs(
         lambda c: F.length(str_col)
         - F.length(F.replace(F.col(str_col), c, F.lit(""))),
     )
+    # _rest (chars outside the alphabet) is a PER-DOC quantity: compute
+    # it here, once per row, instead of per candidate pair (opt r9 —
+    # the per-pair HOF aggregates dominated the block-join stage's CPU).
     t = (
         df.filter(F.col(str_col).isNotNull())
         .filter(F.length(str_col) >= F.lit(block_prefix))
@@ -341,6 +345,11 @@ def jw_pairs(
             F.substring(str_col, 1, block_prefix).alias("_blk"),
             F.length(str_col).alias("_len"),
             sig.alias("_sig"),
+        )
+        .withColumn(
+            "_rest",
+            F.col("_len")
+            - F.aggregate(F.col("_sig"), F.lit(0), lambda acc, x: acc + x),
         )
     )
     if max_block is not None:
@@ -363,21 +372,46 @@ def jw_pairs(
         F.col("b._len").alias("_lb"),
         F.col("a._sig").alias("_siga"),
         F.col("b._sig").alias("_sigb"),
+        F.col("a._rest").alias("_resta"),
+        F.col("b._rest").alias("_restb"),
     )
     # provable upper bound on Jaro matches: shared chars in the
-    # alphabet + min of the uncovered remainders (see docstring)
-    covered = F.aggregate(
-        F.zip_with("_siga", "_sigb", lambda x, y: F.least(x, y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    # alphabet + min of the uncovered remainders (see docstring).
+    # The min-sum is UNROLLED into fixed element_at terms instead of a
+    # zip_with + aggregate HOF chain: higher-order functions are
+    # interpreted (no whole-stage codegen), and this expression runs
+    # once per CANDIDATE PAIR — the unrolled form is pure codegen
+    # arithmetic (opt r9, guide §4/§1: the block-join stage's CPU was
+    # ~3 HOF traversals × alphabet size per pair).
+    n_alpha = 63  # |a-zA-Z0-9 + space| — matches ``alpha`` above
+    covered = reduce(
+        lambda x, y: x + y,
+        [
+            F.least(
+                F.get(F.col("_siga"), F.lit(i)),
+                F.get(F.col("_sigb"), F.lit(i)),
+            )
+            for i in range(n_alpha)
+        ],
     )
-    rest_a = F.col("_la") - F.aggregate(
-        F.col("_siga"), F.lit(0), lambda acc, x: acc + x
+    # Generate barrier (once_per_row): m̂ feeds the bound THREE times
+    # (two divisions + the m̂>0 prune) and a plain filter would inline —
+    # and the join-condition pushdown would re-evaluate — the whole
+    # min-sum per reference. Behind the barrier the sum runs exactly
+    # once per candidate pair.
+    from ..functions.exprs import once_per_row
+
+    mhat_raw = covered + F.least(F.col("_resta"), F.col("_restb"))
+    cand = cand.select(
+        "id_a",
+        "id_b",
+        "str_a",
+        "str_b",
+        "_la",
+        "_lb",
+        once_per_row(mhat_raw).alias("_mhat"),
     )
-    rest_b = F.col("_lb") - F.aggregate(
-        F.col("_sigb"), F.lit(0), lambda acc, x: acc + x
-    )
-    mhat = (covered + F.least(rest_a, rest_b)).cast("double")
+    mhat = F.col("_mhat").cast("double")
     jw_ub = (
         mhat / F.col("_la").cast("double")
         + mhat / F.col("_lb").cast("double")
@@ -387,8 +421,8 @@ def jw_pairs(
     if threshold > 0:
         # zero shared characters ⇒ m = 0 ⇒ jw = 0 exactly: prunable
         # whenever the caller demands any positive similarity
-        keep = keep & (mhat > 0)
-    cand = cand.filter(keep).drop("_la", "_lb", "_siga", "_sigb")
+        keep = keep & (F.col("_mhat") > 0)
+    cand = cand.filter(keep).drop("_la", "_lb", "_mhat")
     # spread candidates before the Python kernel: the block equi-join
     # leaves one output partition per block key (a handful of prefixes
     # on template corpora), which serializes the UDF onto a few cores —

@@ -912,6 +912,13 @@ def lr_train_hashed(
     )
     n = feats.count()
     w = {j: 0 for j in range(-1, n_features)}
+    # NOTE (opt r9, negative result): shipping the weights as a
+    # broadcast 1-row array table (crossJoin) instead of literals — so
+    # the per-iteration plan is structurally identical and the codegen
+    # stage could be reused — was A/B-measured SLOWER (sf0.1 cold-JVM
+    # 6.8 -> 7.7 s): the per-iteration createDataFrame + broadcast
+    # exchange + BNLJ overhead exceeds the saved planning/compile time
+    # at this iteration count. Literal weights stay.
     for _ in range(iters if n > 0 else 0):
         w_arr = F.array(
             *[F.lit(w[j]).cast("long") for j in range(n_features)]
