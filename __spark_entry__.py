@@ -2220,10 +2220,15 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times PER evaluation (and the LSH self-joins evaluate this subtree
     # twice: 6 scans + 6 exchanges in dedup_minhash's plan). Row multiset
     # is identical; the oracle's ``aug`` CTE is unchanged.
+    # hash-repartition on doc_id, not round-robin: every keyless
+    # repartition(n) first pays a local sort of its input
+    # (spark.sql.execution.sortBeforeRepartition, needed for retry
+    # determinism — guide §2.5); hashing the primary key spreads the
+    # same rows with no sort and is retry-deterministic by value.
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     did = F.col("doc_id")
     variants = F.filter(
@@ -2599,9 +2604,14 @@ def _q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with input parallelism (single-file parquet → one split)."""
+    """documents with input parallelism (single-file parquet → one split).
+
+    Hash-repartition on doc_id (not round-robin): keyless
+    ``repartition(n)`` pays a local sort of its input first
+    (sortBeforeRepartition, guide §2.5); hashing the primary key
+    spreads the same rows sort-free and retry-deterministically."""
     return _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
 
 
