@@ -6533,9 +6533,13 @@ def _q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _decode(c: Column) -> Column:
+        # shiftright(c, 1) = floor(c/2) in pure int64 arithmetic for both
+        # even (p) and odd (s) coded ids — exact at ANY id, where the old
+        # (c / 2).cast('bigint') went through a double and was only exact
+        # below 2^53 (ADVICE r9).
         return F.when(
-            c % 2 == 0, F.concat(F.lit("p:"), (c / 2).cast("bigint"))
-        ).otherwise(F.concat(F.lit("s:"), ((c - 1) / 2).cast("bigint")))
+            c % 2 == 0, F.concat(F.lit("p:"), F.shiftright(c, 1))
+        ).otherwise(F.concat(F.lit("s:"), F.shiftright(c, 1)))
 
     return random_walks(edges, walk_len=3, decode=_decode)
 

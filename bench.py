@@ -71,18 +71,31 @@ HEADLINE = [
 
 
 def _calibrate_inprocess(rounds: int = 6) -> float:
-    """Fixed-size calibration kernel: sort + hash-agg over GENERATED
-    longs (no I/O, no sf dependence) — the same JVM codegen shape CPU
-    contention hits hardest (BENCH_r04: 22 envelope violations, all
-    host noise; the two queries that did NOT inflate were the
-    Python-kernel ones). Runs in its OWN SparkSession inside a FRESH
-    subprocess (see :func:`_calibrate`): an in-bench sample reads the
-    bench JVM's accumulated GC debt / code-cache weight as a 1.5-2.2x
-    slowdown on a provably idle host — the exact false signal the
-    calibration exists to kill; a fresh JVM measures the HOST alone.
-    Runs ``rounds`` times; the first two are dropped (JIT ramp), the
-    median of the rest is the host datum. Pinned kernel: any change
-    invalidates every recorded ``ref_sec``."""
+    """Fixed-size MIXED calibration kernel (no table I/O, no sf
+    dependence). Two components per round, mirroring where host
+    contention actually lands on the workload:
+
+    * CPU/codegen: hash + md5 over generated longs — the JVM codegen
+      shape CPU contention hits hardest (BENCH_r04: 22 envelope
+      violations, all host noise; the two queries that did NOT inflate
+      were the Python-kernel ones);
+    * shuffle/memory: a groupBy over ~1M keys moving 4M rows carrying a
+      32-char md5 payload (~250 MB through shuffle write+read) plus a
+      range-partitioned sort — the r9 kernel was pure CPU and
+      UNDER-read mixed-workload interference by ~1.1-1.2× (a 1.19×
+      calibration window recorded ~1.22× uniform per-query inflation;
+      VERDICT r9 #7), so the kernel now exercises the memory/shuffle
+      path too.
+
+    Runs in its OWN SparkSession inside a FRESH subprocess (see
+    :func:`_calibrate`): an in-bench sample reads the bench JVM's
+    accumulated GC debt / code-cache weight as a 1.5-2.2x slowdown on a
+    provably idle host — the exact false signal the calibration exists
+    to kill; a fresh JVM measures the HOST alone. Runs ``rounds``
+    times; the first two are dropped (JIT ramp), the median of the rest
+    is the host datum. Pinned kernel: any change invalidates every
+    recorded ``ref_sec`` (re-seeded r10 for this kernel).
+    """
     import statistics
 
     from etl_capnz_spark.session import get_session
@@ -93,10 +106,14 @@ def _calibrate_inprocess(rounds: int = 6) -> float:
     for _ in range(rounds):
         t0 = time.time()
         (
-            spark.range(0, 10_000_000, 1, 32)
-            .selectExpr("(id * 2654435761) % 9999991 AS k", "id")
+            spark.range(0, 4_000_000, 1, 32)
+            .selectExpr(
+                "(id * 2654435761) % 999983 AS k",
+                "md5(cast(id AS string)) AS s",
+                "id",
+            )
             .groupBy("k")
-            .agg({"id": "sum"})
+            .agg({"id": "sum", "s": "max"})
             .orderBy("k")
             .write.format("noop")
             .mode("overwrite")

@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import engine_checkpoint
+
 
 def content_hash(col: Column) -> Column:
     """128-bit content hash of a string column (md5 hex)."""
@@ -221,8 +223,8 @@ def lsh_candidates(
         # Checkpointing materializes (id, band_key) tuples once; both
         # join arms read the checkpointed RDD. Same device as the
         # capped branch below.
-        banded = band_keys(sig_df, id_col, num_hashes, bands).localCheckpoint(
-            eager=False
+        banded = engine_checkpoint(
+            band_keys(sig_df, id_col, num_hashes, bands), eager=False
         )
         left = banded.alias("l")
         right = banded.alias("r")
@@ -255,10 +257,11 @@ def lsh_candidates(
     # here — without it the md5-heavy signature lineage runs 3×. Same
     # device as connected_components; materialized size is O(bands × rows)
     # compact tuples on executor-local storage.
-    r2 = (
-        refined.withColumn("_c2", F.count(F.lit(1)).over(w2))
-        .withColumn("_rep", F.min("id").over(w2))
-        .localCheckpoint(eager=False)
+    r2 = engine_checkpoint(
+        refined.withColumn("_c2", F.count(F.lit(1)).over(w2)).withColumn(
+            "_rep", F.min("id").over(w2)
+        ),
+        eager=False,
     )
     cold = r2.filter(F.col("_c2") <= max_bucket).select("id", "bkey")
     clique = (
@@ -351,12 +354,11 @@ def lsh_cross_candidates(
     w2 = Window.partitionBy("bkey")
     # lazy localCheckpoint — see lsh_candidates: three consumers below,
     # one evaluation of the signature-heavy lineage
-    r2 = (
-        refined.withColumn("_c2", F.sum(is_base).over(w2))
-        .withColumn(
+    r2 = engine_checkpoint(
+        refined.withColumn("_c2", F.sum(is_base).over(w2)).withColumn(
             "_rep", F.min(F.when(F.col("_side") == "b", F.col("id"))).over(w2)
-        )
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
     )
     cold_n = r2.filter(
         (F.col("_side") == "n") & (F.col("_c2") <= max_bucket)
@@ -532,8 +534,72 @@ def connected_components(
     # per-round edge re-shuffle, guide §2.4) was tried and REVERTED
     # for the same reason: the unmaterialized InMemoryRelation keeps
     # the full LSH-composed lineage visible to stats estimation.
+    import os as _os
+
     from ..session import flat_local_checkpoint
 
+    # AQE off for the LOOP only (opt r10, guide §2.4 + VERDICT r9 #4):
+    # an AdaptiveSparkPlanExec reports UnknownPartitioning to the
+    # checkpoint's partitioning extractor, so with AQE on every round
+    # RE-SHUFFLES the label table it just materialized hash-partitioned
+    # on id. With AQE off the per-round checkpoint keeps
+    # hashpartitioning(id, n) (flat_local_checkpoint preserves it) and
+    # the next round's join consumes it in place — the steady-state
+    # round plan drops 3 exchanges → 2. AQE's value in the loop was
+    # coalescing tiny shuffles; `part_adaptive` replaces that with
+    # data-sized loop parallelism (below) because AQE-off alone at the
+    # default partition count was A/B-measured 2.3× SLOWER at sf0.1
+    # (32 near-empty tasks per exchange per round). Skew never bites
+    # here: the (s = id) join's probe side has unique keys.
+    #
+    # MEASURED (r10 interleaved A/B, entity_golden sf0.1, same noise
+    # window): aqe 7.02 / part_adaptive 7.46 / part-at-default-n 13.1 s
+    # — at this SF the per-round tables are a few thousand rows, so the
+    # removed exchange is worth less than the lost AQE coalescing plus
+    # the sizing job, and the r9 behavior stays the DEFAULT. The
+    # partitioned loop (plan-verified 3 → 2 exchanges per round) is the
+    # cluster-scale option: one fewer full exchange of a NODE-SCALE
+    # table per round is the §2.4 win once partitions stop being
+    # near-empty. SPARK_GRAFT_CC_IMPL: aqe (default) | part_adaptive |
+    # part.
+    spark = edges.sparkSession
+    mode = _os.environ.get("SPARK_GRAFT_CC_IMPL", "aqe")
+    if mode == "aqe":
+        return _cc_loop(edges, src, dst, max_iter, flat_local_checkpoint)
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(
+            edges,
+            src,
+            dst,
+            max_iter,
+            flat_local_checkpoint,
+            adaptive_partitions=(mode == "part_adaptive"),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_was)
+
+
+#: target label-table rows per loop shuffle partition (part_adaptive):
+#: the per-round tables are (id, lbl) 16-byte pairs, so 2M rows ≈ 32 MB
+#: partitions — small enough for in-memory hash aggregation, large
+#: enough that a 10⁶-node sf0.1 graph runs the loop in a handful of
+#: tasks instead of 32 near-empty ones per exchange per round.
+_CC_ROWS_PER_PARTITION = 2_000_000
+
+
+def _cc_loop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    flat_local_checkpoint,
+    adaptive_partitions: bool = False,
+) -> DataFrame:
+    spark = edges.sparkSession
     sym = flat_local_checkpoint(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
             edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -545,6 +611,22 @@ def connected_components(
         .distinct()
         .withColumn("lbl", F.col("id"))
     )
+    if adaptive_partitions:
+        # Scale-adaptive loop parallelism (guide §2.2 — AQE is off for
+        # the loop so the checkpoint keeps its hash partitioning, and
+        # this replaces AQE's runtime coalescing): size the per-round
+        # shuffles from the MEASURED node count rather than the global
+        # default. Sizing from data, not from the local core count, is
+        # what keeps the same code right at 100 TB (n grows → partition
+        # count grows).
+        n_nodes = labels.count()
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_part = max(
+            1,
+            min(default_p, (n_nodes + _CC_ROWS_PER_PARTITION - 1)
+                // _CC_ROWS_PER_PARTITION),
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         # One join carries BOTH the edge propagation and the pointer

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import engine_checkpoint
+
 
 def bfs_distances(
     edges: DataFrame, seeds: DataFrame, max_hops: int = 3
@@ -368,7 +370,7 @@ def random_walks(
     # would inherit a prebuilt adjacency from the warmup: exactly the
     # cross-pass precomputation the bench contract forbids. Rejected;
     # the checkpoint is rebuilt per invocation.
-    ranked = ranked.join(deg, "src").localCheckpoint(eager=False)
+    ranked = engine_checkpoint(ranked.join(deg, "src"), eager=False)
     # one row per node, derived from the CHECKPOINTED ranked frame so
     # the per-step degree join never recomputes the ranking window
     deg_tbl = ranked.filter(F.col("idx") == 0).select(

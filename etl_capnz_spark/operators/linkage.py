@@ -38,6 +38,14 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: char-count signature alphabet for the jw_pairs m̂ prefilter — the
+#: F.array literal AND the unrolled element_at term count both derive
+#: from this single constant (ADVICE r9).
+_SIG_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
 
 def jaro_winkler_py(s1: str, s2: str) -> float:
     """Pure-Python Jaro-Winkler, bit-identical to DuckDB's builtin
@@ -319,15 +327,7 @@ def jw_pairs(
     ratio = _min_len_ratio(threshold)
     # char-count signature alphabet: ASCII letters+digits+space; any
     # character outside it is still bounded by the min(rest) term
-    alpha = F.array(
-        *[
-            F.lit(c)
-            for c in (
-                "abcdefghijklmnopqrstuvwxyz"
-                "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
-            )
-        ]
-    )
+    alpha = F.array(*[F.lit(c) for c in _SIG_ALPHABET])
     sig = F.transform(
         alpha,
         lambda c: F.length(str_col)
@@ -383,7 +383,10 @@ def jw_pairs(
     # once per CANDIDATE PAIR — the unrolled form is pure codegen
     # arithmetic (opt r9, guide §4/§1: the block-join stage's CPU was
     # ~3 HOF traversals × alphabet size per pair).
-    n_alpha = 63  # |a-zA-Z0-9 + space| — matches ``alpha`` above
+    # derived from the SAME constant as ``alpha`` (ADVICE r9: a
+    # hardcoded 63 next to an editable alphabet string made F.get read
+    # past the array end — NULL _mhat silently dropping valid pairs)
+    n_alpha = len(_SIG_ALPHABET)
     covered = reduce(
         lambda x, y: x + y,
         [

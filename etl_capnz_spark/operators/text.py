@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..session import engine_checkpoint
+
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # Deterministic and dialect-portable; real deployments swap in fastText —
 # the plumbing (score-per-language → argmax) is identical.
@@ -522,10 +524,9 @@ def bm25_search(
     # aggregate lineage once per arm (r9 plan sweep: 44 exchanges /
     # multiple corpus scans in text_bm25). Materialized once as compact
     # (id, token, tf) tuples; every later stage aggregates or probes it.
-    tf = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = engine_checkpoint(
+        toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")),
+        eager=False,
     )
     # dl and df derive from the (doc, token, tf) aggregate, NOT from a
     # re-tokenize: the corpus is exploded ONCE and every later stage
@@ -847,6 +848,106 @@ def rouge2_pairs(
     )
 
 
+def _gradient_pass_arrow(
+    feats: DataFrame,
+    w: dict,
+    n_features: int,
+    nano: int,
+    clamp: int,
+) -> dict:
+    """One full-batch gradient pass as per-partition Arrow partial sums.
+
+    Bit-identical to the SQL pass (see lr_train_hashed): per labelled
+    row, z = w[-1] + Σ_{j∈_b} w[j] (exact int), clamped to ±``clamp``;
+    e = 5·10⁸ + trunc_div(z·10⁹, 2(10⁹+|z|)) − y·10⁹; e accumulates into
+    the bias sum and into every distinct bucket of the row. Rows whose
+    bucket array is NULL contribute NOTHING (matching the SQL pass,
+    where explode(concat(array(-1), NULL)) emits zero rows); empty
+    arrays contribute to the bias only. Exactness at any scale: batch
+    sums stay in int64 with ≥1000× margin (≤10⁴ rows × 1.5·10⁹ |e|max)
+    and cross-batch accumulation is arbitrary-precision Python int; the
+    partials return as decimal(38,0) and are summed on the driver.
+    Returns {feature: gradient_sum} with the bias at -1.
+    """
+    from decimal import Decimal
+
+    w_list = [int(w[j]) for j in range(n_features)]
+    bias = int(w[-1])
+
+    def part(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        wv = np.asarray(w_list, dtype=np.int64)
+        g_bias = 0
+        g_bins = [0] * n_features
+        # float64 bincount weights are exact only while per-slice sums
+        # stay < 2^53: 10⁶ rows × 1.5·10⁹ |e|max = 1.5·10¹⁵ < 9·10¹⁵.
+        # Arrow batches default to 10⁴ rows, so this never slices in
+        # practice; it pins exactness against any batch-size conf.
+        _MAX_ROWS = 1_000_000
+        for whole in batches:
+            for off in range(0, whole.num_rows, _MAX_ROWS):
+                batch = whole.slice(off, _MAX_ROWS)
+                y = batch.column("_y").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                b = batch.column("_b")
+                valid = pc.is_valid(b).to_numpy(zero_copy_only=False)
+                counts = (
+                    pc.fill_null(pc.list_value_length(b), 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                vals = (
+                    pc.list_flatten(b)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                # per-row Σ w[j]: prefix sums over the flat bucket list —
+                # int64-exact per slice (|w|·tokens ≪ 2^63)
+                cs = np.concatenate(
+                    ([0], np.cumsum(wv[vals], dtype=np.int64))
+                )
+                ends = np.cumsum(counts, dtype=np.int64)
+                z = bias + (cs[ends] - cs[ends - counts])
+                zc = np.clip(z, -clamp, clamp)
+                num = zc * nano
+                den = 2 * (nano + np.abs(zc))
+                # trunc-toward-zero division, matching SQL `div`
+                q = np.abs(num) // den
+                e = 500000000 + np.where(num >= 0, q, -q) - y * nano
+                g_bias += int(e[valid].sum(dtype=np.int64))
+                # bincount float64 is exact here: every e and every
+                # partial sum is an integer < 2^53 within one slice
+                e_rep = np.repeat(e, counts)
+                if e_rep.size:
+                    bb = np.bincount(
+                        vals, weights=e_rep.astype(np.float64),
+                        minlength=n_features,
+                    )
+                    for j in np.nonzero(bb)[0]:
+                        g_bins[int(j)] += int(bb[j])
+        out = [(-1, g_bias)] + [
+            (j, g_bins[j]) for j in range(n_features)
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([r[0] for r in out], pa.int64()),
+                pa.array(
+                    [Decimal(r[1]) for r in out], pa.decimal128(38, 0)
+                ),
+            ],
+            names=["j", "g"],
+        )
+
+    g: dict = {}
+    for row in feats.mapInArrow(part, "j long, g decimal(38,0)").collect():
+        g[int(row["j"])] = g.get(int(row["j"]), 0) + int(row["g"])
+    return g
+
+
 def lr_train_hashed(
     docs: DataFrame,
     text_col: str,
@@ -911,15 +1012,55 @@ def lr_train_hashed(
         .persist()
     )
     n = feats.count()
+    # Scale-adaptive loop parallelism (opt r10, guide §2.2): every
+    # iteration re-reads feats, and at bench scale (5 000 rows) the
+    # inherited 32 near-empty partitions cost 32 task launches per
+    # stage per iteration. Coalesce (narrow — reads the SAME cached
+    # blocks, no shuffle, no recompute) to ceil(n / 1M) partitions —
+    # data-sized, so a 100 TB corpus keeps full parallelism while a
+    # small one stops paying fixed task overhead × iters. The
+    # trajectory is partition-invariant (exact integer sums; pinned by
+    # test_lr_train partition-invariance).
+    _ROWS_PER_PARTITION = 1_000_000
+    cur_p = feats.rdd.getNumPartitions()
+    want_p = max(1, min(cur_p, (n + _ROWS_PER_PARTITION - 1)
+                        // _ROWS_PER_PARTITION))
+    if want_p < cur_p:
+        feats = feats.coalesce(want_p)
     w = {j: 0 for j in range(-1, n_features)}
+    # Gradient-pass implementation seam (opt r10, guide §4.2 + VERDICT
+    # r9 #6): the literal-weights SQL pass rebuilds and Janino-compiles
+    # a fresh weight-laden expression tree EVERY iteration — profiled at
+    # ~half of text_lr_train's wall, and the query ran SLOWER at 32
+    # cores than 8 (scaling ratio 0.81: the cost is the DRIVER, not the
+    # data). The Arrow pass computes the identical integer gradient as
+    # per-partition partial sums inside ONE mapInArrow (stable tiny
+    # plan, no per-iteration codegen, no shuffle — partials are summed
+    # exactly on the driver in arbitrary-precision ints). Same integer
+    # math end to end: same z clamp, same trunc-toward-zero division,
+    # same exclusion of NULL-bucket rows — the weight trajectory is
+    # bit-identical (pinned by tests/test_lr_train.py::
+    # test_gradient_pass_impls_identical and the DuckDB oracle).
     # NOTE (opt r9, negative result): shipping the weights as a
     # broadcast 1-row array table (crossJoin) instead of literals — so
     # the per-iteration plan is structurally identical and the codegen
     # stage could be reused — was A/B-measured SLOWER (sf0.1 cold-JVM
     # 6.8 -> 7.7 s): the per-iteration createDataFrame + broadcast
     # exchange + BNLJ overhead exceeds the saved planning/compile time
-    # at this iteration count. Literal weights stay.
+    # at this iteration count.
+    import os as _os
+
+    use_arrow = (
+        _os.environ.get("SPARK_GRAFT_LR_GRAD", "arrow") == "arrow"
+    )
     for _ in range(iters if n > 0 else 0):
+        if use_arrow:
+            g = _gradient_pass_arrow(feats, w, n_features, NANO, CLAMP)
+            for j in w:
+                gj = g.get(j, 0)
+                q = abs(gj) // n
+                w[j] -= q if gj >= 0 else -q
+            continue
         w_arr = F.array(
             *[F.lit(w[j]).cast("long") for j in range(n_features)]
         )

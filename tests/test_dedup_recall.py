@@ -8,6 +8,10 @@ min-signatures on ≥1 band) by MinHash-LSH.
 """
 
 import __spark_entry__ as entrymod
+import pytest
+
+#: slow tier (pytest.ini): recall sweep over planted duplicates (~2 min)
+pytestmark = pytest.mark.slow
 
 
 def _pairs(df):

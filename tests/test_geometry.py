@@ -99,6 +99,7 @@ class TestCircle:
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_property_ring_closed_and_in_bounds(spark, pts):
     s = " ".join(f"{lat},{lon}" for lat, lon in pts)
     r = _parse(spark, s)

@@ -218,3 +218,36 @@ def test_quality_lr_pipeline_gate_precision(spark):
         zz = max(-8 * NANO, min(8 * NANO, zz))
         p = 500_000_000 + tdiv(zz * NANO, 2 * (NANO + abs(zz)))
         assert p == r["p_nano"], r
+
+
+def test_gradient_pass_impls_identical(spark, monkeypatch):
+    """The Arrow gradient pass (opt r10) and the literal-weights SQL
+    pass must produce the bit-identical weight trajectory — including
+    the NULL-bucket edge (contributes nothing, not even to the bias)
+    and the empty-text edge (bias only)."""
+    from etl_capnz_spark.operators.text import lr_train_hashed
+
+    rows = [
+        (0, "good clean prose", 1),
+        (1, "bad spam junk", 0),
+        (2, "", 1),           # no tokens: bias-only row
+        (3, "   ", 0),        # whitespace-only: bias-only row
+        (4, None, 1),         # NULL text: contributes nothing
+        (5, "good prose again and again", 1),
+        (6, "junk noise junk", 0),
+        (7, None, None),      # unlabeled: filtered out entirely
+    ] + [(10 + i, f"filler words number {i % 7}", i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+    out = {}
+    for impl in ("sql", "arrow"):
+        monkeypatch.setenv("SPARK_GRAFT_LR_GRAD", impl)
+        out[impl] = sorted(
+            tuple(r)
+            for r in lr_train_hashed(
+                df, "text", "y", n_features=16, iters=6
+            ).collect()
+        )
+    monkeypatch.delenv("SPARK_GRAFT_LR_GRAD", raising=False)
+    assert out["sql"] == out["arrow"]
+    assert any(w != 0 for _, w in out["arrow"])  # training moved

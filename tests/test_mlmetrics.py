@@ -660,6 +660,7 @@ def test_lift_gains_matches_pure_python_and_properties(spark):
 
 
 # ------------------------------------------------------------ wasserstein
+@pytest.mark.slow
 def test_w1_drift_matches_bruteforce(spark):
     """w1_drift vs the textbook area-between-CDFs computed in pure
     Python: identical distributions → 0, disjoint point masses → the

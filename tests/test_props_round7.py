@@ -33,6 +33,7 @@ class TestW1Props:
         st.lists(_small_ints, min_size=1, max_size=50),
         st.lists(_small_ints, min_size=1, max_size=50),
     )
+    @pytest.mark.slow
     def test_equals_brute_area_symmetry_identity(self, a, b):
         from etl_capnz_spark.operators.mlmetrics import w1_drift
 

@@ -41,6 +41,7 @@ def engines(spark):
     con.close()
 
 
+@pytest.mark.slow
 def test_differential_fuzz_200_queries(engines):
     import query_fuzz as qf
 

@@ -3,6 +3,7 @@ cell sanity. Everything is deterministic (seeded/derived), so recall is a
 fixed number — the assertions pin a floor under the measured value."""
 
 import __spark_entry__ as entrymod
+import pytest
 
 
 def _topk_sets(df):
@@ -35,6 +36,7 @@ def test_kmeans_cells_cover_corpus(spark, sf_dir):
     assert max(r["n_vectors"] for r in rows) <= 250
 
 
+@pytest.mark.slow
 def test_srp_recall_vs_brute(spark, sf_dir):
     brute = _topk_sets(entrymod._q_knn_brute(spark, sf_dir))
     srp = _topk_sets(entrymod._q_knn_srp(spark, sf_dir))
@@ -92,6 +94,7 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert all(len(v) == 5 for v in per_query.values())
 
 
+@pytest.mark.slow
 def test_pq_rerank_recall_vs_brute_l2(spark, sf_dir):
     """PQ-ADC shortlist + exact rerank: recall vs brute-force L2 top-5.
 
@@ -172,6 +175,7 @@ def test_quantize_int8_bounds_and_error(spark, sf_dir):
         assert r["rmse"] <= r["scale"]
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_full_results(spark, sf_dir):
     """Composed IVF-PQ: probing 3 of 8 cells with PQ-ADC + rerank must
     return full top-5 sets and hold a recall floor (measured 0.60 at
@@ -336,6 +340,7 @@ def test_pq_fit_partition_invariant(spark, sf_dir):
     assert as_map(a) == as_map(b)
 
 
+@pytest.mark.slow
 def test_pq_index_probe_matches_inline_and_prunes(spark, sf_dir, tmp_path):
     """Persisted PQ / IVF-PQ index (VERDICT r8 #2): the probe-only path
     must be ROW-IDENTICAL to the train-inline operators (deterministic

@@ -11,6 +11,9 @@ import time
 
 import pytest
 
+#: slow tier (pytest.ini): streaming SLO replays (~1 min)
+pytestmark = pytest.mark.slow
+
 from etl_capnz_spark.session import read_table
 
 SLO_PATH = os.path.join(os.path.dirname(__file__), "..", "STREAM_SLO.json")

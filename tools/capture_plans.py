@@ -1,4 +1,5 @@
-"""Capture .explain('formatted') for headline queries into plans/r09/.
+"""Capture .explain('formatted') for headline queries into plans/$PLANS_ROUND
+(default r10).
 
 Usage: python tools/capture_plans.py before|after [query ...]
 Analysis-only (no execution) — safe to run alongside other work.
@@ -16,7 +17,11 @@ from etl_capnz_spark.session import get_session  # noqa: E402
 suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
 only = sys.argv[2:]
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09")
+out_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r10"),
+)
 os.makedirs(out_dir, exist_ok=True)
 
 spark = get_session("capture-plans", master="local[4]", shuffle_partitions=8)
