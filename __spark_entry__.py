@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -712,31 +713,41 @@ def _q_color_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+@lru_cache(maxsize=None)
+def _signature_cols() -> tuple:
+    # Column-construction cache (opt r10, guide §1): constant-shaped
+    # unresolved expression trees, built once per process instead of
+    # per query build (the py4j round-trips dominated several cap
+    # builders' bench wall). Same discipline as operators/features.py.
     from etl_capnz_spark.functions.exprs import once_per_row
 
+    sig = F.col("_sig")
+    return (
+        ("k", once_per_row(F.col("x509_certificate")).alias("_cert")),
+        ("k", once_per_row(signature_struct(F.col("_cert"))).alias("_sig")),
+        (
+            "k",
+            sig["issuer"].alias("issuer"),
+            sig["subject"].alias("subject"),
+            sig["valid_until"].alias("valid_until"),
+            sig["fingerprint"].alias("fingerprint"),
+        ),
+    )
+
+
+def _q_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Barrier the cert column BEFORE the null filter: the filter
     # otherwise substitutes the full b64-assembly chain into its
     # predicate and pushdown drags it below cap_alerts' repartition —
     # the whole derivation ran twice, once single-threaded on the one
     # scan split (r9 plan sweep: the Filter under Exchange carried the
-    # entire Base64/regexp chain).
-    staged0 = cap_alerts(spark, sf_dir).select(
-        "k", once_per_row(F.col("x509_certificate")).alias("_cert")
-    )
+    # entire Base64/regexp chain). Second barrier: 4 field extractions
+    # would otherwise re-run the whole regex+unbase64+sha2 chain each
+    # (projection collapse).
+    cert_cols, sig_cols, out_cols = _signature_cols()
+    staged0 = cap_alerts(spark, sf_dir).select(*cert_cols)
     df = staged0.filter(F.col("_cert").isNotNull())
-    # Generate barrier: 4 field extractions would otherwise re-run the
-    # whole regex+unbase64+sha2 chain each (projection collapse)
-    staged = df.select(
-        "k", once_per_row(signature_struct(F.col("_cert"))).alias("_sig")
-    )
-    return staged.select(
-        "k",
-        F.col("_sig")["issuer"].alias("issuer"),
-        F.col("_sig")["subject"].alias("subject"),
-        F.col("_sig")["valid_until"].alias("valid_until"),
-        F.col("_sig")["fingerprint"].alias("fingerprint"),
-    )
+    return df.select(*sig_cols).select(*out_cols)
 
 
 def _q_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,34 +769,44 @@ def _q_nz_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_remarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+@lru_cache(maxsize=None)
+def _remarks_cols() -> tuple:
     from etl_capnz_spark.functions.exprs import once_per_row
 
-    df = cap_alerts(spark, sf_dir)
-    staged = df.select(
-        "*", once_per_row(signature_struct(F.col("x509_certificate"))).alias("_sig")
-    )
     sig = F.col("_sig")
-    return staged.select(
-        "k",
-        remarks(
-            F.col("description"),
-            F.col("instruction"),
-            F.col("category"),
-            F.col("event"),
-            F.col("urgency"),
-            F.col("severity"),
-            F.col("certainty"),
-            F.col("response_type"),
-            F.col("onset_ts"),
-            F.col("expires_ts"),
-            sig["subject"],
-            sig["issuer"],
-            sig["valid_until"],
-            sig["fingerprint"],
-            sig.isNotNull(),
-        ).alias("remarks"),
+    return (
+        (
+            "*",
+            once_per_row(
+                signature_struct(F.col("x509_certificate"))
+            ).alias("_sig"),
+        ),
+        (
+            "k",
+            remarks(
+                F.col("description"),
+                F.col("instruction"),
+                F.col("category"),
+                F.col("event"),
+                F.col("urgency"),
+                F.col("severity"),
+                F.col("certainty"),
+                F.col("response_type"),
+                F.col("onset_ts"),
+                F.col("expires_ts"),
+                sig["subject"],
+                sig["issuer"],
+                sig["valid_until"],
+                sig["fingerprint"],
+                sig.isNotNull(),
+            ).alias("remarks"),
+        ),
     )
+
+
+def _q_remarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged_cols, out_cols = _remarks_cols()
+    return cap_alerts(spark, sf_dir).select(*staged_cols).select(*out_cols)
 
 
 def _q_callsign_links(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,11 +829,21 @@ def _q_callsign_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- geometry (G1-G5) and fan-out (F1-F3) ---------------------------------
 
 
+@lru_cache(maxsize=None)
+def _parsed_polygons_cols() -> tuple:
+    return (
+        ("k", F.posexplode("polygons").alias("poly_idx", "poly_str")),
+        ("k", "poly_idx", parse_polygon(F.col("poly_str")).alias("ring")),
+    )
+
+
 def _parsed_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex_cols, ring_cols = _parsed_polygons_cols()
     df = cap_alerts(spark, sf_dir).filter(F.size("polygons") > 0)
-    ex = df.select("k", F.posexplode("polygons").alias("poly_idx", "poly_str"))
-    return ex.withColumn("ring", parse_polygon(F.col("poly_str"))).filter(
-        F.col("ring").isNotNull()
+    return (
+        df.select(*ex_cols)
+        .select(*ring_cols)
+        .filter(F.col("ring").isNotNull())
     )
 
 
@@ -2094,8 +2125,13 @@ def _q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cap_xml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize the derived alerts to CAP 1.2 XML (pure column concat) —
     the input for the X1 round-trip check."""
-    cap = cap_alerts(spark, sf_dir)
+    return cap_alerts(spark, sf_dir).select("k", _cap_xml_col().alias("xml"))
 
+
+@lru_cache(maxsize=None)
+def _cap_xml_col() -> F.Column:
+    # Column-construction cache (opt r10): the ~40-tag concat tree is a
+    # pure function of constant column names; build it once per process.
     def tag(name: str, col) -> F.Column:
         return F.when(
             col.isNotNull() & (col != ""),
@@ -2156,7 +2192,7 @@ def _cap_xml_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("</alert>"),
     )
-    return cap.select("k", xml.alias("xml"))
+    return xml
 
 
 def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,8 @@ Reference semantics (task.ts:255-378), quirks preserved:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -283,13 +285,25 @@ def centroid_window(df: DataFrame, id_col: str, ring_col: str) -> DataFrame:
     Scale note: the window and groupBy share the same partitioning key, so
     Catalyst reuses one hash-partition exchange of ``id_col`` for both.
     """
-    pts = df.select(
+    explode_cols, lead_cols, agg_cols, out_cols = _centroid_window_cols(
+        id_col, ring_col
+    )
+    pts = df.select(*explode_cols).select(*lead_cols)
+    return pts.groupBy(id_col).agg(*agg_cols).select(*out_cols)
+
+
+@lru_cache(maxsize=None)
+def _centroid_window_cols(id_col: str, ring_col: str) -> tuple:
+    """centroid_window's Column tuples, built once per (id, ring) name
+    pair per process (opt r10 — same expression-construction-cache
+    discipline as operators/features.py)."""
+    pts_cols = (
         id_col,
         F.size(ring_col).alias("_n"),
         F.posexplode(ring_col).alias("pos", "pt"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
-    pts = pts.select(
+    lead_cols = (
         id_col,
         "_n",
         F.col("pt")[0].alias("x0"),
@@ -297,7 +311,7 @@ def centroid_window(df: DataFrame, id_col: str, ring_col: str) -> DataFrame:
         F.lead(F.col("pt")[0]).over(w).alias("x1"),
         F.lead(F.col("pt")[1]).over(w).alias("y1"),
     )
-    agg = pts.groupBy(id_col).agg(
+    agg_cols = (
         F.sum(F.col("x0") * F.col("y1") - F.col("x1") * F.col("y0")).alias("a2"),
         F.sum(
             (F.col("x0") + F.col("x1"))
@@ -312,7 +326,7 @@ def centroid_window(df: DataFrame, id_col: str, ring_col: str) -> DataFrame:
         F.max("_n").alias("n"),
     )
     area = F.col("a2") * F.lit(0.5)
-    return agg.select(
+    out_cols = (
         id_col,
         F.when(F.col("n") < 3, F.lit(0.0))
         .when(F.abs(area) < DEGENERATE_AREA_EPS, F.col("mx"))
@@ -323,6 +337,7 @@ def centroid_window(df: DataFrame, id_col: str, ring_col: str) -> DataFrame:
         .otherwise(F.col("cys") / (F.lit(6.0) * area))
         .alias("c_lat"),
     )
+    return pts_cols, lead_cols, agg_cols, out_cols
 
 
 def fallback_point() -> Column:

@@ -351,25 +351,74 @@ def random_walks(
     walker at init instead of re-derived each step), and the output
     decodes back to strings. ``decode=None`` keeps string ids as-is.
     """
+    import os as _os
+
     from pyspark.sql.window import Window
+
+    from ..session import flat_local_checkpoint
 
     if decode is None:
         decode = lambda c: c  # noqa: E731 — ids already strings
 
+    # Pre-partitioned adjacency (opt r10, guide §2.4): every step joins
+    # the SAME deg_tbl/adj_idx, but each step executes as its own query
+    # (the inter-step checkpoints + AQE's eager stage materialization),
+    # so no exchange reuse ever forms and the adjacency re-shuffled
+    # TWICE PER STEP. With AQE off for this operator,
+    # flat_local_checkpoint preserves hashpartitioning/ordering, so
+    # materializing deg_tbl and adj_idx hash(node)-partitioned and
+    # (node, idx)-sorted ONCE makes every per-step join consume them in
+    # place — per step, only the walker state itself shuffles (the walk
+    # moves; that exchange is inherent). hash(node) co-partitions the
+    # (node, idx) equi-join too: a subset of the join keys clusters it.
+    # An r9 persist() variant had the same effect (6.1 -> 4.5 s) but
+    # was REJECTED because the SQL cache outlives the query and leaks
+    # precomputation across bench passes; these checkpoints are pinned
+    # to the per-invocation DataFrames. SPARK_GRAFT_WALK_IMPL=aqe
+    # restores the r9 behavior for A/B.
+    prepart = _os.environ.get("SPARK_GRAFT_WALK_IMPL", "prepart") != "aqe"
+    if not prepart:
+        return _walk_loop(edges, walk_len, seed, decode, prepart=False)
+    # Subset co-partitioning: the per-step (node, idx) equi-join is
+    # clustered by hash(node) alone (idx rides along), but
+    # requireAllClusterKeysForCoPartition (default true) makes
+    # EnsureRequirements re-exchange BOTH sides to (node, idx) anyway.
+    # Relaxing it for the walk's scope lets every step consume the
+    # hash(node)-checkpointed adjacency AND its own deg-join output in
+    # place — one exchange per step (the moving walker state, which is
+    # inherent). Skew safety is unchanged: partitioning by node is
+    # exactly what the (node)-keyed deg join imposes already. The step
+    # queries execute inside this scope (AQE materializes the lazy
+    # checkpoints' stages at creation); the returned plan only unions
+    # checkpointed RDDs.
+    spark = edges.sparkSession
+    key_conf = "spark.sql.requireAllClusterKeysForCoPartition"
+    was = spark.conf.get(key_conf, "true")
+    spark.conf.set(key_conf, "false")
+    try:
+        return _walk_loop(edges, walk_len, seed, decode, prepart=True)
+    finally:
+        spark.conf.set(key_conf, was)
+
+
+def _walk_loop(
+    edges: DataFrame,
+    walk_len: int,
+    seed: str,
+    decode,
+    prepart: bool,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..session import flat_local_checkpoint
+
+    spark = edges.sparkSession
     adj = edges.select("src", "dst").distinct()
     w = Window.partitionBy("src").orderBy(decode(F.col("dst")))
     ranked = adj.withColumn(
         "idx", (F.row_number().over(w) - 1).cast("bigint")
     )
     deg = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # NOTE (opt r9): a persist() here instead of the checkpoint keeps
-    # hashpartitioning(src) on the cached relation, which removes the
-    # per-step adjacency exchange entirely (steady-state walls 6.1 s ->
-    # 4.5 s measured) — but the SQL cache is keyed on the canonicalized
-    # plan, so it survives across bench passes and the timed passes
-    # would inherit a prebuilt adjacency from the warmup: exactly the
-    # cross-pass precomputation the bench contract forbids. Rejected;
-    # the checkpoint is rebuilt per invocation.
     ranked = engine_checkpoint(ranked.join(deg, "src"), eager=False)
     # one row per node, derived from the CHECKPOINTED ranked frame so
     # the per-step degree join never recomputes the ranking window
@@ -377,6 +426,34 @@ def random_walks(
         F.col("src").alias("node"), "deg"
     )
     adj_idx = ranked.select(F.col("src").alias("node"), "dst", "idx")
+    if prepart:
+        # AQE goes off ONLY while these two checkpoints are CREATED:
+        # the checkpoint extracts outputPartitioning/ordering from the
+        # static physical plan at creation (an AdaptiveSparkPlanExec
+        # reports Unknown), and the lazy RDD is compiled here too — the
+        # per-step queries themselves keep AQE (a full AQE-off loop was
+        # A/B-measured 9% slower: static 32-way exchanges of the tiny
+        # sf0.1 walker state cost more than the saved adjacency
+        # shuffles). The steps' joins then consume hash(node)/(node,
+        # idx)-sorted adjacency in place at the pinned partition count.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            deg_tbl = flat_local_checkpoint(
+                deg_tbl.repartition(n_part, "node").sortWithinPartitions(
+                    "node"
+                ),
+                eager=False,
+            )
+            adj_idx = flat_local_checkpoint(
+                adj_idx.repartition(n_part, "node").sortWithinPartitions(
+                    "node", "idx"
+                ),
+                eager=False,
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
     # The step hashes depend only on (seed, start, step): compute ALL of
     # them once at walker init (one md5 per (walker, step) instead of
     # re-deriving the string form inside every join stage) and carry the

@@ -105,3 +105,24 @@ def test_cc_impl_modes_identical(spark, monkeypatch):
     assert out["aqe"] == out["part"] == out["part_adaptive"]
     # and the session confs were restored by the loop wrapper
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_walk_impl_modes_identical(spark, monkeypatch):
+    """SPARK_GRAFT_WALK_IMPL variants (prepart default / aqe r9) walk
+    identically — prepart only changes plan shape (pre-partitioned
+    adjacency checkpoints + subset co-partitioning)."""
+    from etl_capnz_spark.operators.graph import random_walks
+
+    pairs = [(i, (i * 7) % 23 + 1) for i in range(1, 40)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = {}
+    for mode in ("aqe", "prepart"):
+        monkeypatch.setenv("SPARK_GRAFT_WALK_IMPL", mode)
+        out[mode] = _rows(random_walks(edges, walk_len=3))
+    monkeypatch.delenv("SPARK_GRAFT_WALK_IMPL", raising=False)
+    assert out["aqe"] == out["prepart"]
+    assert spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition"
+    ) == "true"
